@@ -1,0 +1,408 @@
+"""Observability operators — reference parity group O.
+
+Each function is the Spark-first re-expression of a computation the
+reference performs either in its Scala collector
+(``CustomMetricsListener.scala``, ``ObservabilityClient.scala``,
+``CollectorAppender.scala``) or in its OpenSearch dashboards
+(``deployment/.../dashboards/data-skew.ndjson``). Everything is declarative
+DataFrame API (JVM-side, whole-stage-codegen friendly); no Python UDFs.
+
+Scale notes (100 TB posture):
+- ``stage_agg_skewness`` does ONE shuffle (partial-aggregated groupBy) and a
+  broadcast join back for the second pass — the stats side is one row per
+  stage, orders of magnitude smaller than the input.
+- All window operators partition by bounded-cardinality keys (executor), so
+  per-partition sorts stay in memory; skewed executors are handled by AQE.
+- Dashboards queries are pure groupBy aggregations with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STAGE_KEYS = ["app_name", "app_id", "job_id", "stage_id"]
+
+
+def task_metrics_table(tm: DataFrame) -> DataFrame:
+    """O1: the normalized task-metrics table (CustomTaskMetrics parity)."""
+    from ..sources.telemetry import ID_COLUMNS, METRIC_COLUMNS
+
+    return tm.select(*ID_COLUMNS, *METRIC_COLUMNS)
+
+
+def stage_agg_skewness(tm: DataFrame) -> DataFrame:
+    """O2: per-stage skewness aggregation.
+
+    Exact formula parity with ``CustomMetricsListener.collectStageCustomMetrics``
+    (reference ``CustomMetricsListener.scala:146-188``):
+    ``skewness = max(|x - avg(x)|) / range(x)`` with ``range==0 → 1``,
+    computed for inputBytesRead and shuffleBytesRead; plus the max of each.
+
+    Two-pass plan: tiny per-stage stats aggregate, broadcast back, second
+    aggregate for the max-relative-distance. Avoids a sort-based window over
+    the full fact table.
+    """
+    stats = tm.groupBy(*STAGE_KEYS).agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("input_bytes_read").alias("sum_in"),
+        F.max("input_bytes_read").alias("max_input_bytes_read"),
+        F.min("input_bytes_read").alias("min_in"),
+        F.sum("shuffle_bytes_read").alias("sum_sh"),
+        F.max("shuffle_bytes_read").alias("max_shuffle_bytes_read"),
+        F.min("shuffle_bytes_read").alias("min_sh"),
+        F.max("metric_time_ms").alias("metric_time_ms"),
+    )
+    joined = tm.select(*STAGE_KEYS, "input_bytes_read", "shuffle_bytes_read").join(
+        F.broadcast(stats), STAGE_KEYS
+    )
+    carry = [
+        "n_tasks",
+        "sum_in",
+        "max_input_bytes_read",
+        "min_in",
+        "sum_sh",
+        "max_shuffle_bytes_read",
+        "min_sh",
+        "metric_time_ms",
+    ]
+    agg = joined.groupBy(*STAGE_KEYS, *carry).agg(
+        F.max(F.abs(F.col("input_bytes_read") - F.col("sum_in") / F.col("n_tasks"))).alias(
+            "max_in_dist"
+        ),
+        F.max(
+            F.abs(F.col("shuffle_bytes_read") - F.col("sum_sh") / F.col("n_tasks"))
+        ).alias("max_sh_dist"),
+    )
+    range_in = F.when(
+        F.col("max_input_bytes_read") - F.col("min_in") == 0, F.lit(1)
+    ).otherwise(F.col("max_input_bytes_read") - F.col("min_in"))
+    range_sh = F.when(
+        F.col("max_shuffle_bytes_read") - F.col("min_sh") == 0, F.lit(1)
+    ).otherwise(F.col("max_shuffle_bytes_read") - F.col("min_sh"))
+    return agg.select(
+        *STAGE_KEYS,
+        (F.col("max_in_dist") / range_in).alias("input_bytes_read_skewness"),
+        F.col("max_input_bytes_read"),
+        (F.col("max_sh_dist") / range_sh).alias("shuffle_bytes_read_skewness"),
+        F.col("max_shuffle_bytes_read"),
+        F.col("metric_time_ms"),
+        F.col("n_tasks"),
+    )
+
+
+def _skew_bucket(col: F.Column) -> F.Column:
+    # Dashboard pie-chart ranges [0,.1,.5,.8,1] (data-skew.ndjson).
+    return (
+        F.when(col < 0.1, "0.0-0.1")
+        .when(col < 0.5, "0.1-0.5")
+        .when(col < 0.8, "0.5-0.8")
+        .otherwise("0.8-1.0")
+    )
+
+
+def skew_distribution(tm: DataFrame) -> DataFrame:
+    """O3: distribution of jobs/stages per skewness range bucket."""
+    agg = stage_agg_skewness(tm)
+    parts = []
+    for metric, col in [
+        ("input", "input_bytes_read_skewness"),
+        ("shuffle", "shuffle_bytes_read_skewness"),
+    ]:
+        parts.append(
+            agg.select(
+                F.lit(metric).alias("metric"),
+                _skew_bucket(F.col(col)).alias("skew_bucket"),
+                F.col("app_id"),
+                F.col("job_id"),
+            )
+        )
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("metric", "skew_bucket").agg(
+        F.count(F.lit(1)).alias("n_stages"),
+        F.countDistinct(
+            F.concat_ws("/", F.col("app_id"), F.col("job_id").cast("string"))
+        ).alias("n_jobs"),
+    )
+
+
+def app_summary(tm: DataFrame) -> DataFrame:
+    """O4: dashboard metric tiles — totals per application run."""
+    return tm.groupBy("app_name", "app_id").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("run_time_ms").alias("total_run_time_ms"),
+        F.sum("executor_cpu_time_ms").alias("total_cpu_time_ms"),
+        F.sum("input_bytes_read").alias("total_input_bytes"),
+        F.sum("input_records_read").alias("total_input_records"),
+        F.sum("output_bytes_written").alias("total_output_bytes"),
+        F.sum("output_records_written").alias("total_output_records"),
+        F.sum("shuffle_bytes_read").alias("total_shuffle_bytes_read"),
+        F.sum("shuffle_records_read").alias("total_shuffle_records_read"),
+        F.sum("shuffle_bytes_written").alias("total_shuffle_bytes_written"),
+        F.sum("shuffle_records_written").alias("total_shuffle_records_written"),
+        F.countDistinct("job_id").alias("n_jobs"),
+        F.countDistinct("stage_id").alias("n_stages"),
+        F.countDistinct("executor_id").alias("n_executors"),
+    )
+
+
+def cardinality_tiles(tm: DataFrame) -> DataFrame:
+    """O5: #applications / #runs / #jobs cardinality tiles."""
+    return tm.select(
+        F.countDistinct("app_name").alias("n_apps"),
+        F.countDistinct("app_id").alias("n_runs"),
+        F.countDistinct(
+            F.concat_ws("/", F.col("app_id"), F.col("job_id").cast("string"))
+        ).alias("n_jobs"),
+        F.countDistinct(
+            F.concat_ws("/", F.col("app_id"), F.col("stage_id").cast("string"))
+        ).alias("n_stages"),
+        F.countDistinct("executor_id").alias("n_executors"),
+        F.count(F.lit(1)).alias("n_tasks"),
+    )
+
+
+def date_histogram(tm: DataFrame) -> DataFrame:
+    """O6: hourly date-histogram per application.
+
+    Hour buckets via integer epoch-ms arithmetic (engine-portable, and in
+    UTC identical to date_trunc('hour')).
+    """
+    hour_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 3600000
+    return (
+        tm.withColumn("hour_ms", hour_ms)
+        .groupBy("hour_ms", "app_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum("input_bytes_read").alias("total_input_bytes"),
+            F.sum("run_time_ms").alias("total_run_time_ms"),
+            F.countDistinct("executor_id").alias("n_executors"),
+        )
+    )
+
+
+def top_n_skew(tm: DataFrame, n: int = 20) -> DataFrame:
+    """O7: top-N stages by input skewness (dashboard details table)."""
+    agg = stage_agg_skewness(tm)
+    return agg.orderBy(
+        F.col("input_bytes_read_skewness").desc(),
+        F.col("app_id"),
+        F.col("job_id"),
+        F.col("stage_id"),
+    ).limit(n)
+
+
+def task_percentiles(tm: DataFrame) -> DataFrame:
+    """O8: p25/50/75/99 per event_type via explicit lower order statistics.
+
+    Engine-portable percentile: the value at row index floor((n-1)*p) of the
+    (value, task_id)-sorted group — identical in any engine, no
+    interpolation-convention drift.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "task_id")
+    ranked = tm.select("event_type", "value", "task_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    aggs = [F.max("n").alias("n_tasks")]
+    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
+        target = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(F.max(F.when(F.col("rn") - 1 == target, F.col("value"))).alias(name))
+    return ranked.groupBy("event_type").agg(*aggs)
+
+
+def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
+    """O9: batching-client semantics (ObservabilityClient.add parity).
+
+    Size-based batch sequencing plus time-threshold flush flags, per
+    executor buffer (reference defaults: batchSize=100, timeThreshold=10s;
+    ``Utils.scala:103-113``).
+    """
+    w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
+    return tm.select("executor_id", "task_id", "metric_time_ms").select(
+        "executor_id",
+        "task_id",
+        F.row_number().over(w).alias("rn"),
+        (F.col("metric_time_ms") - F.lag("metric_time_ms").over(w)).alias("gap_ms_raw"),
+    ).select(
+        "executor_id",
+        "task_id",
+        F.floor((F.col("rn") - 1) / batch_size).alias("batch_seq"),
+        F.coalesce(F.col("gap_ms_raw"), F.lit(0)).alias("gap_ms"),
+        (F.coalesce(F.col("gap_ms_raw"), F.lit(0)) >= time_threshold_s * 1000).alias(
+            "flushed_by_time"
+        ),
+    )
+
+
+def retry_backoff(tm: DataFrame) -> DataFrame:
+    """O10: exponential back-off schedule for failed sends.
+
+    Parity with ``ObservabilityClient``: INITIAL_BACKOFF=5, doubling,
+    MAX_BACKOFF=60, MAX_RETRIES=5 (``ObservabilityClient.scala:26-34``).
+    Error events model failed flushes; attempt 0 is the initial send.
+    """
+    errors = tm.filter(F.col("event_type") == "error")
+    w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
+    attempt = ((F.row_number().over(w) - 1) % 6).cast("long")
+    backoff = F.when(attempt == 0, F.lit(0.0)).otherwise(
+        F.least(F.lit(5.0) * F.pow(F.lit(2.0), attempt.cast("double")), F.lit(60.0))
+    )
+    out = errors.select(
+        "executor_id",
+        "task_id",
+        "metric_time_ms",
+        attempt.alias("attempt_no"),
+        backoff.cast("long").alias("backoff_s"),
+    )
+    wc = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
+    return out.select(
+        "executor_id",
+        "task_id",
+        "attempt_no",
+        "backoff_s",
+        F.sum("backoff_s").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cumulative_wait_s"
+        ),
+        (F.col("attempt_no") == 5).alias("retries_exhausted"),
+    )
+
+
+def log_enrich(tm: DataFrame) -> DataFrame:
+    """O11: log enrichment + MDC taskName parsing + appender formatting.
+
+    Parity: the ``task (\\d+\\.\\d+)`` / ``stage (\\d+\\.\\d+)`` extraction
+    regexes (``ObservabilityClient.scala:130-131``), context enrichment
+    (``Utils.enrichLogEvent``) and the ``[Stage $s - Task $t - Thread $th]``
+    message prefix (``CollectorAppender.scala:42``).
+    """
+    task_name = F.concat(
+        F.lit("task "),
+        F.col("task_id").cast("string"),
+        F.lit(".0 in stage "),
+        F.col("stage_id").cast("string"),
+        F.lit(".0 (TID "),
+        F.col("task_id").cast("string"),
+        F.lit(")"),
+    )
+    thread = F.col("task_id") % 16
+    level = (
+        F.when(F.col("event_type") == "error", "ERROR")
+        .when(F.col("event_type") == "purchase", "WARN")
+        .otherwise("INFO")
+    )
+    return tm.select(
+        "app_name",
+        "app_id",
+        "executor_id",
+        "task_id",
+        F.col("metric_time_ms").alias("log_time_ms"),
+        level.alias("level"),
+        task_name.alias("mdc_task_name"),
+    ).select(
+        "*",
+        F.regexp_extract("mdc_task_name", r"task (\d+\.\d+)", 1).alias("parsed_task_id"),
+        F.regexp_extract("mdc_task_name", r"stage (\d+\.\d+)", 1).alias("parsed_stage_id"),
+    ).withColumn(
+        "message",
+        F.concat(
+            F.lit("[Stage "),
+            F.col("parsed_stage_id"),
+            F.lit(" - Task "),
+            F.col("parsed_task_id"),
+            F.lit(" - Thread "),
+            (F.col("task_id") % 16).cast("string"),
+            F.lit("] level="),
+            F.col("level"),
+        ),
+    )
+
+
+def error_rate(tm: DataFrame) -> DataFrame:
+    """O12: per-hour error-level log ratio (spark-logs level analytics)."""
+    hour_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 3600000
+    return (
+        tm.withColumn("hour_ms", hour_ms)
+        .groupBy("hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            "hour_ms",
+            "n_logs",
+            "n_errors",
+            (F.col("n_errors") / F.col("n_logs")).alias("error_ratio"),
+        )
+    )
+
+
+def executor_utilization(tm: DataFrame) -> DataFrame:
+    """O13: per-executor utilization summary."""
+    agg = tm.groupBy("executor_id").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("run_time_ms").alias("total_run_time_ms"),
+        F.sum("executor_cpu_time_ms").alias("total_cpu_time_ms"),
+        F.min("metric_time_ms").alias("first_ms"),
+        F.max("metric_time_ms").alias("last_ms"),
+        F.max("peak_execution_memory").alias("max_peak_memory"),
+    )
+    span = F.col("last_ms") - F.col("first_ms")
+    return agg.select(
+        "*",
+        span.alias("span_ms"),
+        F.when(span == 0, F.lit(0.0)).otherwise(
+            F.col("total_run_time_ms") / span
+        ).alias("run_time_density"),
+    )
+
+
+def session_windows(tm: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """O14: gap-based sessionization per executor (batch twin of streaming
+    session windows)."""
+    w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
+    flagged = tm.select("executor_id", "task_id", "metric_time_ms").select(
+        "*",
+        F.when(
+            F.lag("metric_time_ms").over(w).isNull()
+            | (F.col("metric_time_ms") - F.lag("metric_time_ms").over(w) > gap_s * 1000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessioned = flagged.select(
+        "*",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    return sessioned.groupBy("executor_id", "session_idx").agg(
+        F.min("metric_time_ms").alias("session_start_ms"),
+        F.max("metric_time_ms").alias("session_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("metric_time_ms") - F.min("metric_time_ms")).alias("duration_ms"),
+    )
+
+
+def stream_metrics_window(tm: DataFrame) -> DataFrame:
+    """O15: 5-minute tumbling-window rollup (batch twin of the streaming
+    collector aggregation; the streaming version shares this plan via
+    ``streaming/collector.py``)."""
+    win = F.window(F.col("metric_time"), "5 minutes")
+    return (
+        tm.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("input_bytes_read").alias("sum_input_bytes"),
+            F.countDistinct("executor_id").alias("n_executors"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_input_bytes",
+            "n_executors",
+        )
+    )

@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL for the observability group (O).
+
+Every statement mirrors its DataFrame builder in
+``operators/observability.py`` op-for-op: integer arithmetic, FLOOR of
+power-of-two scalings, epoch-ms timestamps, and two-pass skewness, so the
+driver's value-hash comparison is exact (no float-summation order issues).
+"""
+
+from ..sources.telemetry import ID_COLUMNS, METRIC_COLUMNS, TELEMETRY_CTE
+
+# Shared CTE chain computing the reference's stage-level skewness
+# (CustomMetricsListener.scala:146-188 formula).
+STAGE_AGG_CTES = f"""
+WITH {TELEMETRY_CTE},
+stage_stats AS (
+  SELECT app_name, app_id, job_id, stage_id,
+         COUNT(*) AS n_tasks,
+         CAST(SUM(input_bytes_read) AS BIGINT) AS sum_in,
+         MAX(input_bytes_read) AS max_input_bytes_read,
+         MIN(input_bytes_read) AS min_in,
+         CAST(SUM(shuffle_bytes_read) AS BIGINT) AS sum_sh,
+         MAX(shuffle_bytes_read) AS max_shuffle_bytes_read,
+         MIN(shuffle_bytes_read) AS min_sh,
+         MAX(metric_time_ms) AS metric_time_ms
+  FROM task_metrics
+  GROUP BY 1, 2, 3, 4
+),
+stage_dist AS (
+  SELECT t.app_name, t.app_id, t.job_id, t.stage_id,
+         MAX(ABS(t.input_bytes_read - s.sum_in / s.n_tasks)) AS max_in_dist,
+         MAX(ABS(t.shuffle_bytes_read - s.sum_sh / s.n_tasks)) AS max_sh_dist,
+         MAX(s.n_tasks) AS n_tasks,
+         MAX(s.max_input_bytes_read) AS max_input_bytes_read,
+         MAX(s.min_in) AS min_in,
+         MAX(s.max_shuffle_bytes_read) AS max_shuffle_bytes_read,
+         MAX(s.min_sh) AS min_sh,
+         MAX(s.metric_time_ms) AS metric_time_ms
+  FROM task_metrics t
+  JOIN stage_stats s USING (app_name, app_id, job_id, stage_id)
+  GROUP BY 1, 2, 3, 4
+),
+stage_agg AS (
+  SELECT app_name, app_id, job_id, stage_id,
+         max_in_dist / (CASE WHEN max_input_bytes_read - min_in = 0 THEN 1
+                             ELSE max_input_bytes_read - min_in END)
+           AS input_bytes_read_skewness,
+         max_input_bytes_read,
+         max_sh_dist / (CASE WHEN max_shuffle_bytes_read - min_sh = 0 THEN 1
+                             ELSE max_shuffle_bytes_read - min_sh END)
+           AS shuffle_bytes_read_skewness,
+         max_shuffle_bytes_read,
+         metric_time_ms, n_tasks
+  FROM stage_dist
+)
+"""
+
+_W_EXEC = "PARTITION BY executor_id ORDER BY metric_time_ms, task_id"
+
+OBS_ORACLES: dict[str, str] = {}
+
+OBS_ORACLES["obs_task_metrics"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT {", ".join(ID_COLUMNS + METRIC_COLUMNS)} FROM task_metrics
+"""
+
+OBS_ORACLES["obs_stage_agg_skewness"] = f"""
+{STAGE_AGG_CTES}
+SELECT * FROM stage_agg
+"""
+
+OBS_ORACLES["obs_skew_distribution"] = f"""
+{STAGE_AGG_CTES},
+both_metrics AS (
+  SELECT 'input' AS metric, input_bytes_read_skewness AS skew, app_id, job_id FROM stage_agg
+  UNION ALL
+  SELECT 'shuffle' AS metric, shuffle_bytes_read_skewness AS skew, app_id, job_id FROM stage_agg
+)
+SELECT metric,
+       CASE WHEN skew < 0.1 THEN '0.0-0.1'
+            WHEN skew < 0.5 THEN '0.1-0.5'
+            WHEN skew < 0.8 THEN '0.5-0.8'
+            ELSE '0.8-1.0' END AS skew_bucket,
+       COUNT(*) AS n_stages,
+       COUNT(DISTINCT app_id || '/' || CAST(job_id AS VARCHAR)) AS n_jobs
+FROM both_metrics
+GROUP BY 1, 2
+"""
+
+OBS_ORACLES["obs_app_summary"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT app_name, app_id,
+       COUNT(*) AS n_tasks,
+       CAST(SUM(run_time_ms) AS BIGINT) AS total_run_time_ms,
+       CAST(SUM(executor_cpu_time_ms) AS BIGINT) AS total_cpu_time_ms,
+       CAST(SUM(input_bytes_read) AS BIGINT) AS total_input_bytes,
+       CAST(SUM(input_records_read) AS BIGINT) AS total_input_records,
+       CAST(SUM(output_bytes_written) AS BIGINT) AS total_output_bytes,
+       CAST(SUM(output_records_written) AS BIGINT) AS total_output_records,
+       CAST(SUM(shuffle_bytes_read) AS BIGINT) AS total_shuffle_bytes_read,
+       CAST(SUM(shuffle_records_read) AS BIGINT) AS total_shuffle_records_read,
+       CAST(SUM(shuffle_bytes_written) AS BIGINT) AS total_shuffle_bytes_written,
+       CAST(SUM(shuffle_records_written) AS BIGINT) AS total_shuffle_records_written,
+       COUNT(DISTINCT job_id) AS n_jobs,
+       COUNT(DISTINCT stage_id) AS n_stages,
+       COUNT(DISTINCT executor_id) AS n_executors
+FROM task_metrics
+GROUP BY 1, 2
+"""
+
+OBS_ORACLES["obs_cardinality"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT COUNT(DISTINCT app_name) AS n_apps,
+       COUNT(DISTINCT app_id) AS n_runs,
+       COUNT(DISTINCT app_id || '/' || CAST(job_id AS VARCHAR)) AS n_jobs,
+       COUNT(DISTINCT app_id || '/' || CAST(stage_id AS VARCHAR)) AS n_stages,
+       COUNT(DISTINCT executor_id) AS n_executors,
+       COUNT(*) AS n_tasks
+FROM task_metrics
+"""
+
+OBS_ORACLES["obs_date_histogram"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+       app_name,
+       COUNT(*) AS n_tasks,
+       CAST(SUM(input_bytes_read) AS BIGINT) AS total_input_bytes,
+       CAST(SUM(run_time_ms) AS BIGINT) AS total_run_time_ms,
+       COUNT(DISTINCT executor_id) AS n_executors
+FROM task_metrics
+GROUP BY 1, 2
+"""
+
+OBS_ORACLES["obs_top_n_skew"] = f"""
+{STAGE_AGG_CTES}
+SELECT * FROM stage_agg
+ORDER BY input_bytes_read_skewness DESC, app_id, job_id, stage_id
+LIMIT 20
+"""
+
+OBS_ORACLES["obs_task_percentiles"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT event_type, value, task_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM task_metrics
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_tasks,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.25) AS BIGINT) THEN value END) AS p25,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT) THEN value END) AS p75,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) THEN value END) AS p99
+FROM ranked
+GROUP BY 1
+"""
+
+OBS_ORACLES["obs_batch_flush"] = f"""
+WITH {TELEMETRY_CTE},
+seq AS (
+  SELECT executor_id, task_id,
+         ROW_NUMBER() OVER ({_W_EXEC}) AS rn,
+         metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) AS gap_ms_raw
+  FROM task_metrics
+)
+SELECT executor_id, task_id,
+       CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS batch_seq,
+       COALESCE(gap_ms_raw, 0) AS gap_ms,
+       COALESCE(gap_ms_raw, 0) >= 10000 AS flushed_by_time
+FROM seq
+"""
+
+OBS_ORACLES["obs_retry_backoff"] = f"""
+WITH {TELEMETRY_CTE},
+errors AS (
+  SELECT executor_id, task_id, metric_time_ms,
+         CAST((ROW_NUMBER() OVER ({_W_EXEC}) - 1) % 6 AS BIGINT) AS attempt_no
+  FROM task_metrics WHERE event_type = 'error'
+),
+sched AS (
+  SELECT executor_id, task_id, metric_time_ms, attempt_no,
+         CAST(CASE WHEN attempt_no = 0 THEN 0.0
+                   ELSE LEAST(5.0 * POWER(2.0, CAST(attempt_no AS DOUBLE)), 60.0)
+              END AS BIGINT) AS backoff_s
+  FROM errors
+)
+SELECT executor_id, task_id, attempt_no, backoff_s,
+       CAST(SUM(backoff_s) OVER ({_W_EXEC}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_wait_s,
+       attempt_no = 5 AS retries_exhausted
+FROM sched
+"""
+
+OBS_ORACLES["obs_log_enrich"] = f"""
+WITH {TELEMETRY_CTE},
+enriched AS (
+  SELECT app_name, app_id, executor_id, task_id,
+         metric_time_ms AS log_time_ms,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'WARN'
+              ELSE 'INFO' END AS level,
+         'task ' || CAST(task_id AS VARCHAR) || '.0 in stage '
+           || CAST(stage_id AS VARCHAR) || '.0 (TID '
+           || CAST(task_id AS VARCHAR) || ')' AS mdc_task_name
+  FROM task_metrics
+),
+parsed AS (
+  SELECT *,
+         regexp_extract(mdc_task_name, 'task (\\d+\\.\\d+)', 1) AS parsed_task_id,
+         regexp_extract(mdc_task_name, 'stage (\\d+\\.\\d+)', 1) AS parsed_stage_id
+  FROM enriched
+)
+SELECT app_name, app_id, executor_id, task_id, log_time_ms, level, mdc_task_name,
+       parsed_task_id, parsed_stage_id,
+       '[Stage ' || parsed_stage_id || ' - Task ' || parsed_task_id
+         || ' - Thread ' || CAST(task_id % 16 AS VARCHAR) || '] level=' || level
+         AS message
+FROM parsed
+"""
+
+OBS_ORACLES["obs_error_rate"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+       COUNT(*) AS n_logs,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+         AS error_ratio
+FROM task_metrics
+GROUP BY 1
+"""
+
+OBS_ORACLES["obs_executor_utilization"] = f"""
+WITH {TELEMETRY_CTE},
+agg AS (
+  SELECT executor_id,
+         COUNT(*) AS n_tasks,
+         CAST(SUM(run_time_ms) AS BIGINT) AS total_run_time_ms,
+         CAST(SUM(executor_cpu_time_ms) AS BIGINT) AS total_cpu_time_ms,
+         MIN(metric_time_ms) AS first_ms,
+         MAX(metric_time_ms) AS last_ms,
+         MAX(peak_execution_memory) AS max_peak_memory
+  FROM task_metrics
+  GROUP BY 1
+)
+SELECT *,
+       last_ms - first_ms AS span_ms,
+       CASE WHEN last_ms - first_ms = 0 THEN 0.0
+            ELSE total_run_time_ms / (last_ms - first_ms) END AS run_time_density
+FROM agg
+"""
+
+OBS_ORACLES["obs_session_windows"] = f"""
+WITH {TELEMETRY_CTE},
+flagged AS (
+  SELECT executor_id, task_id, metric_time_ms,
+         CASE WHEN LAG(metric_time_ms) OVER ({_W_EXEC}) IS NULL
+                OR metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM task_metrics
+),
+sessioned AS (
+  SELECT *,
+         CAST(SUM(new_session) OVER ({_W_EXEC}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT executor_id, session_idx,
+       MIN(metric_time_ms) AS session_start_ms,
+       MAX(metric_time_ms) AS session_end_ms,
+       COUNT(*) AS n_events,
+       MAX(metric_time_ms) - MIN(metric_time_ms) AS duration_ms
+FROM sessioned
+GROUP BY 1, 2
+"""
+
+OBS_ORACLES["stream_metrics_window"] = f"""
+WITH {TELEMETRY_CTE}
+SELECT metric_time_ms - metric_time_ms % 300000 AS window_start_ms,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(input_bytes_read) AS BIGINT) AS sum_input_bytes,
+       COUNT(DISTINCT executor_id) AS n_executors
+FROM task_metrics
+GROUP BY 1, 2
+"""
