@@ -1,0 +1,219 @@
+"""General OLAP query group (T) — TPC-H-style analytics over the star schema.
+
+These prove the engine's general query capability (joins, wide aggregation,
+windows, rollup, as-of) and are the benchmark workload. Plans are pure
+DataFrame API: Catalyst does join reordering/pushdown; small dims are
+explicitly broadcast; AQE handles skew at scale.
+
+Oracle-portability: every money aggregate goes through integer cents
+(``FLOOR(x * 100 + 0.5)`` per row — identical IEEE arithmetic in any engine,
+then exact BIGINT sums, order-insensitive), so value-hashes match DuckDB
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cents(col: Column) -> Column:
+    return F.floor(col * 100 + F.lit(0.5))
+
+
+def revenue_cents() -> Column:
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """T1: pricing summary report (TPC-H Q1 shape)."""
+    disc = 1 - F.col("l_discount")
+    charge = F.col("l_extendedprice") * disc * (1 + F.col("l_tax"))
+    f = lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    agg = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+        F.sum(revenue_cents()).alias("sum_disc_price_cents"),
+        F.sum(cents(charge)).alias("sum_charge_cents"),
+        F.sum(F.floor(F.col("l_discount") * 10000 + F.lit(0.5))).alias("sum_disc_bp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price_cents",
+        "sum_disc_price_cents",
+        "sum_charge_cents",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price_cents") / 100.0 / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc_bp") / 10000.0 / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def q3_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """T2: shipping priority (TPC-H Q3 shape) — top 10 open-order revenues."""
+    cut = F.lit("1998-03-15").cast("timestamp")
+    j = (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cut)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cut)
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_date_ms"),
+        "o_orderpriority",
+    ).agg(F.sum(revenue_cents()).alias("revenue_cents"))
+    return agg.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey")).limit(10)
+
+
+def q5_local_supplier(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """T3: local supplier volume (TPC-H Q5 shape) — revenue per nation.
+
+    Dims (supplier/nation/region) are broadcast; the orders⋈lineitem join is
+    the only large shuffle.
+    """
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    j = (
+        customer.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(F.sum(revenue_cents()).alias("revenue_cents"))
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """T4: returned-item reporting (TPC-H Q10 shape) — top 20 customers."""
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    j = (
+        customer.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(revenue_cents()).alias("revenue_cents")
+    )
+    return agg.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey")).limit(20)
+
+
+def star_join_broadcast(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """T5: star join with explicit broadcast dims — region×nation rollup."""
+    j = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(revenue_cents()).alias("revenue_cents"),
+    )
+
+
+def window_running_totals(orders: DataFrame) -> DataFrame:
+    """T6: per-customer running spend + order rank (window functions)."""
+    w = Window.partitionBy("o_custkey").orderBy("order_date_ms", "o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_date_ms"),
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_date_ms",
+        "price_cents",
+        F.row_number().over(w).cast("long").alias("order_rank"),
+        F.sum("price_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+    )
+
+
+def rollup_priority_status(orders: DataFrame) -> DataFrame:
+    """T7: ROLLUP aggregation over priority × status."""
+    agg = orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    return agg.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("o_orderstatus"),
+        "n_orders",
+        "total_cents",
+    )
+
+
+def asof_join_attribution(events: DataFrame) -> DataFrame:
+    """T8: as-of join — for each purchase, the latest prior click of the
+    same user (attribution shape).
+
+    Spark lacks a native as-of join; the scalable formulation is a single
+    sort per user with ``last(..., ignorenulls)`` over the unioned stream —
+    no pairwise range-join blowup (contrast: join-then-filter is O(clicks ×
+    purchases) per user).
+    """
+    ms = F.expr("ts DIV 1000000")
+    base = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        ms.alias("ev_ms"),
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    enriched = base.select(
+        "*",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_event_id"),
+        F.last(F.when(is_click, F.col("ev_ms")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ms"),
+    )
+    return enriched.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ev_ms").alias("purchase_ms"),
+        "last_click_event_id",
+        "last_click_ms",
+        (F.col("ev_ms") - F.col("last_click_ms")).alias("gap_ms"),
+    )

@@ -15,9 +15,11 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import observability as obs
+from ..operators import tpch
 from ..sources.tables import load_tables
 from ..sources.telemetry import task_metrics
 from .obs_oracles import OBS_ORACLES
+from .tpch_oracles import TPCH_ORACLES
 
 
 @dataclass(frozen=True)
@@ -59,3 +61,43 @@ _OBS_BUILDERS = {
 }
 for _name, _b in _OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])
+
+
+# --- Group T: general OLAP engine ------------------------------------------
+def _t(name):
+    def get(spark, sf_dir, _name=name):
+        return load_tables(spark, sf_dir)[_name]
+
+    return get
+
+
+_TPCH_BUILDERS = {
+    "tpch_q1_pricing_summary": lambda s, d: tpch.q1_pricing_summary(
+        load_tables(s, d)["lineitem"]
+    ),
+    "tpch_q3_shipping_priority": lambda s, d: (
+        lambda t: tpch.q3_shipping_priority(t["customer"], t["orders"], t["lineitem"])
+    )(load_tables(s, d)),
+    "tpch_q5_local_supplier": lambda s, d: (
+        lambda t: tpch.q5_local_supplier(
+            t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"], t["region"]
+        )
+    )(load_tables(s, d)),
+    "tpch_q10_returned_items": lambda s, d: (
+        lambda t: tpch.q10_returned_items(t["customer"], t["orders"], t["lineitem"], t["nation"])
+    )(load_tables(s, d)),
+    "star_join_broadcast": lambda s, d: (
+        lambda t: tpch.star_join_broadcast(t["lineitem"], t["supplier"], t["nation"], t["region"])
+    )(load_tables(s, d)),
+    "window_running_totals": lambda s, d: tpch.window_running_totals(
+        load_tables(s, d)["orders"]
+    ),
+    "rollup_priority_status": lambda s, d: tpch.rollup_priority_status(
+        load_tables(s, d)["orders"]
+    ),
+    "asof_join_attribution": lambda s, d: tpch.asof_join_attribution(
+        load_tables(s, d)["events"]
+    ),
+}
+for _name, _b in _TPCH_BUILDERS.items():
+    _register(_name, _b, TPCH_ORACLES[_name])

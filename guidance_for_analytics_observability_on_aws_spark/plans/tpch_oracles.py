@@ -1,0 +1,131 @@
+"""DuckDB oracle SQL for the OLAP group (T), mirroring ``operators/tpch.py``."""
+
+REV = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
+TPCH_ORACLES: dict[str, str] = {}
+
+TPCH_ORACLES["tpch_q1_pricing_summary"] = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+         CAST(SUM({REV}) AS BIGINT) AS sum_disc_price_cents,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+         CAST(SUM(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+       sum_disc_price_cents, sum_charge_cents,
+       sum_qty / count_order AS avg_qty,
+       sum_base_price_cents / 100.0 / count_order AS avg_price,
+       sum_disc_bp / 10000.0 / count_order AS avg_disc,
+       count_order
+FROM agg
+"""
+
+TPCH_ORACLES["tpch_q3_shipping_priority"] = f"""
+SELECT l_orderkey,
+       epoch_ms(o_orderdate) AS order_date_ms,
+       o_orderpriority,
+       CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+TPCH_ORACLES["tpch_q5_local_supplier"] = f"""
+SELECT n_name, CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+TPCH_ORACLES["tpch_q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+TPCH_ORACLES["star_join_broadcast"] = f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+TPCH_ORACLES["window_running_totals"] = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_ms(o_orderdate) AS order_date_ms,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, order_date_ms, price_cents,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_rank,
+       CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY order_date_ms, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date_ms, o_orderkey)
+"""
+
+TPCH_ORACLES["rollup_priority_status"] = """
+SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+       COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+TPCH_ORACLES["asof_join_attribution"] = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ev_ms
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+enriched AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS last_click_event_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ev_ms END IGNORE NULLS)
+           OVER w AS last_click_ms
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ev_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_event_id, user_id, ev_ms AS purchase_ms,
+       last_click_event_id, last_click_ms,
+       ev_ms - last_click_ms AS gap_ms
+FROM enriched
+WHERE event_type = 'purchase'
+"""
