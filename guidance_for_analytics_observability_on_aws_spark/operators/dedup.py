@@ -1,0 +1,170 @@
+"""Deduplication operators (group D) — LLM training-data pipeline.
+
+Four dedup families over the augmented document corpus
+(``functions/text.py``):
+
+- exact: content-hash groupBy (the 100 TB workhorse — one shuffle on a
+  16-byte key).
+- n-gram Jaccard: exact pairwise similarity via shingle explode + self-join.
+  Correctness baseline; cost is bounded by shingle document frequency, so at
+  scale it must be preceded by LSH blocking — which is exactly D3.
+- MinHash + LSH: k=16 md5-derived universal hashes, 4 bands × 4 rows;
+  candidate pairs only ever materialize within a band bucket, giving the
+  scale path (shuffle keys are (band, signature), cardinality-controlled).
+- SimHash: 16-bit sign-aggregated token hashes; near-dup groups are
+  hash-equal buckets (pure groupBy, no pairwise work at all).
+
+All hashing is md5-derived integer arithmetic → DuckDB oracles match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MINHASH_AB, MINHASH_BANDS, MINHASH_P, MINHASH_ROWS, md5_int
+from ..functions.text import corpus, shingles, tokens
+
+
+def _group_output(by: DataFrame, key: str) -> DataFrame:
+    """Common dup-group shape: key, n_docs, keep_doc_id, doc_ids csv."""
+    return (
+        by.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """D1: exact dedup via md5(text); keep the lowest doc_id per group."""
+    c = corpus(documents).select(F.md5("text").alias("fingerprint"), "doc_id")
+    return _group_output(c, "fingerprint")
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    toks = tokens(F.col("text"))
+    return (
+        corpus(documents)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+    )
+
+
+def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold)."""
+    sh = _shingled(documents)
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                               .withColumnRenamed("sz", "size_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("sz", "size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            "size_a",
+            "size_b",
+            (
+                F.col("intersection_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: k=16 column mins over universal hashes."""
+    sh = _shingled(documents)
+    hashed = sh.select(
+        "doc_id", F.explode("sh").alias("shingle")
+    ).select("doc_id", md5_int(F.col("shingle"), 7).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+    """D3: MinHash + LSH banding candidate pairs.
+
+    Scale path for D2: pairs only form inside (band, band_signature)
+    buckets; the band signature is an md5 over the band's minhash row, so
+    bucket keys are uniform 16-byte strings — no skew hot-spots.
+    """
+    sig = minhash_signatures(documents)
+    bands = []
+    for j in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"mh{j * MINHASH_ROWS + r}").cast("string")
+            for r in range(MINHASH_ROWS)
+        ]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(j).cast("long").alias("band_id"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def dedup_simhash(documents: DataFrame) -> DataFrame:
+    """D4: 16-bit SimHash near-dup buckets (token-set sign aggregation)."""
+    c = corpus(documents)
+    tok = c.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    hashed = tok.select("doc_id", md5_int(F.col("token"), 4).alias("h16"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h16"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    docs = bits.select("doc_id", sim.cast("long").alias("simhash"))
+    return _group_output(docs, "simhash")

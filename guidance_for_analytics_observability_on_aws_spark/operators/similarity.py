@@ -1,0 +1,136 @@
+"""Embedding similarity search (group D, D5-D7) — LLM data pipeline.
+
+- ``embedding_near_dups`` (D5): near-duplicate pairs by quantized cosine,
+  label-blocked (blocking keys bound the pairwise work; the planted +100000
+  copies surface as cosine 1.0).
+- ``topk_bruteforce`` (D6): exact top-k — correctness baseline. The query
+  set is broadcast; the scan over candidates is embarrassingly parallel.
+- ``topk_ivf`` (D7): IVF-style two-stage search — assign every vector to
+  its nearest of K fixed centroids, then search only the query's cell. This
+  is the 100 TB path: the full cross-join never happens; per-cell candidate
+  lists shrink by ~K×.
+
+All cosines use the quantized-integer formulation from
+``functions/vectors.py`` so DuckDB oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine6, dot, quantize, sq_norm
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    qv = quantize(F.col("embedding"))
+    return embeddings.select(
+        "vec_id", "label", qv.alias("qv")
+    ).withColumn("nrm", sq_norm(F.col("qv")))
+
+
+def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Deterministic near-dup planting: exact copies at vec_id+100000."""
+    base = embeddings.select("vec_id", "embedding", "label")
+    copies = embeddings.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return base.unionByName(copies)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.98) -> DataFrame:
+    """D5: near-duplicate pairs by cosine ≥ threshold within label blocks."""
+    q = _quantized(augmented_embeddings(embeddings))
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine6(
+            dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm")
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+def topk_bruteforce(embeddings: DataFrame, k: int = 5, n_queries: int = 8) -> DataFrame:
+    """D6: brute-force cosine top-k for query vectors (vec_id < n_queries)."""
+    q = _quantized(embeddings)
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"), F.col("nrm").alias("q_nrm")
+    )
+    cand = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("c_qv"), F.col("nrm").alias("c_nrm")
+    )
+    scored = F.broadcast(queries).join(
+        cand, F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine6(
+            dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def topk_ivf(
+    embeddings: DataFrame, k: int = 3, n_centroids: int = 8, q_lo: int = 8, q_hi: int = 24
+) -> DataFrame:
+    """D7: IVF-style search — K fixed centroids, search own cell only."""
+    q = _quantized(embeddings)
+    centroids = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cent_qv"), F.col("nrm").alias("cent_nrm")
+    )
+    scored = q.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "cent_id",
+        cosine6(
+            dot(F.col("qv"), F.col("cent_qv")), F.col("nrm"), F.col("cent_nrm")
+        ).alias("c_cos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_id"))
+    )
+    cells = q.join(assign, "vec_id")
+    queries = cells.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell_id").alias("c_cell"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored2 = F.broadcast(queries).join(
+        cand,
+        (F.col("cell_id") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "cell_id",
+        "neighbor_id",
+        cosine6(
+            dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored2.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,214 @@
+"""DuckDB oracle SQL for dedup/similarity (group D).
+
+Programmatically generated from the same constants the Spark operators use
+(``functions/hashing.py``, ``functions/vectors.py``) so both engines run the
+identical integer-hash arithmetic.
+"""
+
+from ..functions.hashing import (
+    MINHASH_AB,
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_ROWS,
+    md5_int_sql,
+)
+from ..functions.text import CORPUS_CTE, SHINGLES_SQL
+from ..functions.vectors import QUANTIZE_SQL, SQ_NORM_SQL, dot_sql
+
+DEDUP_ORACLES: dict[str, str] = {}
+
+_GROUP_TAIL = """
+SELECT {key},
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM {src}
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+DEDUP_ORACLES["dedup_exact"] = f"""
+WITH {CORPUS_CTE},
+hashed AS (SELECT md5(text) AS fingerprint, doc_id FROM corpus)
+{_GROUP_TAIL.format(key="fingerprint", src="hashed")}
+"""
+
+_SHINGLED_CTES = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+shingled AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh
+  FROM ctoks WHERE len(toks) >= 3
+)
+"""
+
+DEDUP_ORACLES["dedup_ngram_jaccard"] = f"""
+{_SHINGLED_CTES},
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
+  FROM exploded a
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(intersection_size AS BIGINT) AS intersection_size,
+       sa.sz AS size_a, sb.sz AS size_b,
+       intersection_size / (sa.sz + sb.sz - intersection_size) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE intersection_size / (sa.sz + sb.sz - intersection_size) >= 0.8
+"""
+
+_MINHASH_MINS = ",\n         ".join(
+    f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, CAST({j} AS BIGINT) AS band_id, md5({concat}) AS band_hash FROM sig".format(
+        j=j,
+        concat=" || '-' || ".join(
+            f"CAST(mh{j * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        ),
+    )
+    for j in range(MINHASH_BANDS)
+)
+
+DEDUP_ORACLES["dedup_minhash_lsh"] = f"""
+{_SHINGLED_CTES},
+hashed AS (
+  SELECT doc_id, {md5_int_sql("shingle", 7)} AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled)
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed GROUP BY 1
+),
+buckets AS (
+{_BAND_SELECTS}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(DISTINCT a.band_id) AS n_shared_bands
+FROM buckets a
+JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h16 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+)
+_SIM_EXPR = " + ".join(f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+
+DEDUP_ORACLES["dedup_simhash"] = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS token
+  FROM corpus
+),
+hashed AS (SELECT doc_id, {md5_int_sql("token", 4)} AS h16 FROM tok),
+bits AS (
+  SELECT doc_id,
+         {_BIT_SUMS}
+  FROM hashed GROUP BY 1
+),
+sh AS (SELECT doc_id, CAST({_SIM_EXPR} AS BIGINT) AS simhash FROM bits)
+{_GROUP_TAIL.format(key="simhash", src="sh")}
+"""
+
+_QUANT_CTES = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 25 = 0
+),
+q AS (
+  SELECT vec_id, label, {QUANTIZE_SQL} AS qv FROM vecs
+),
+norms AS (
+  SELECT vec_id, label, qv, {SQ_NORM_SQL} AS nrm FROM q
+)
+"""
+
+DEDUP_ORACLES["dedup_embedding_cosine"] = f"""
+{_QUANT_CTES},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({dot_sql("a.qv", "b.qv")} /
+               sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS cosine
+  FROM norms a
+  JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.98
+"""
+
+_BASE_QUANT_CTES = f"""
+WITH q AS (
+  SELECT vec_id, label, {QUANTIZE_SQL} AS qv FROM embeddings
+),
+norms AS (
+  SELECT vec_id, label, qv, {SQ_NORM_SQL} AS nrm FROM q
+)
+"""
+
+DEDUP_ORACLES["similarity_topk_bruteforce"] = f"""
+{_BASE_QUANT_CTES},
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM norms qs
+  JOIN norms c ON qs.vec_id != c.vec_id
+  WHERE qs.vec_id < 8
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+DEDUP_ORACLES["similarity_ivf"] = f"""
+{_BASE_QUANT_CTES},
+centroids AS (
+  SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm FROM norms WHERE vec_id < 8
+),
+cent_scored AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND({dot_sql("n.qv", "c.cent_qv")} /
+               sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cent_nrm AS DOUBLE)), 6) AS c_cos
+  FROM norms n CROSS JOIN centroids c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn
+    FROM cent_scored
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT n.vec_id, n.qv, n.nrm, a.cell_id FROM norms n JOIN assign a USING (vec_id)
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, qs.cell_id, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM cells qs
+  JOIN cells c ON qs.cell_id = c.cell_id AND qs.vec_id != c.vec_id
+  WHERE qs.vec_id >= 8 AND qs.vec_id < 24
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM ranked_src
+)
+SELECT query_id, cell_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""
+
+DEDUP_ORACLES["similarity_ivf"] = DEDUP_ORACLES["similarity_ivf"].replace(
+    "FROM ranked_src", "FROM scored"
+)

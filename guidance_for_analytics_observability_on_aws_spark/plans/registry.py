@@ -14,6 +14,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators import dedup, similarity
 from ..operators import observability as obs
 from ..operators import tpch
 from ..sources.tables import load_tables
@@ -101,3 +102,27 @@ _TPCH_BUILDERS = {
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
+
+
+# --- Group D: dedup & similarity -------------------------------------------
+from .dedup_oracles import DEDUP_ORACLES  # noqa: E402
+
+_DEDUP_BUILDERS = {
+    "dedup_exact": lambda s, d: dedup.dedup_exact(load_tables(s, d)["documents"]),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
+        load_tables(s, d)["documents"]
+    ),
+    "dedup_minhash_lsh": lambda s, d: dedup.dedup_minhash_lsh(
+        load_tables(s, d)["documents"]
+    ),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_tables(s, d)["documents"]),
+    "dedup_embedding_cosine": lambda s, d: similarity.embedding_near_dups(
+        load_tables(s, d)["embeddings"]
+    ),
+    "similarity_topk_bruteforce": lambda s, d: similarity.topk_bruteforce(
+        load_tables(s, d)["embeddings"]
+    ),
+    "similarity_ivf": lambda s, d: similarity.topk_ivf(load_tables(s, d)["embeddings"]),
+}
+for _name, _b in _DEDUP_BUILDERS.items():
+    _register(_name, _b, DEDUP_ORACLES[_name])
