@@ -1,0 +1,117 @@
+"""Multimodal column operators (group M).
+
+Image/audio/video are modeled as opaque ``binary`` payload columns with
+typed metadata, per the large-scale training-pipeline pattern: the engine
+plans partitioning/sampling/feature-extraction over metadata (cheap,
+JVM-side), and only the decode step touches bytes — here a deterministic
+STUB behind Arrow-batched ``mapInPandas`` (the real image/audio libs are not
+in this container; the Spark-side plumbing — schema, batching, UDF
+signature — is real and tested).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_bytes binary, frame_sha8 string"
+)
+
+
+def binary_meta(documents: DataFrame) -> DataFrame:
+    """M1: binary payload + typed metadata per modality."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
+        F.when(F.col("doc_id") % 3 == 0, 64 + (F.col("doc_id") * 7) % 1856)
+        .cast("long")
+        .alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, 64 + (F.col("doc_id") * 13) % 1016)
+        .cast("long")
+        .alias("height"),
+        F.when(F.col("doc_id") % 3 == 1, 8000 * (1 + F.col("doc_id") % 5))
+        .cast("long")
+        .alias("sample_rate"),
+        F.when(F.col("doc_id") % 3 == 1, F.col("n_chars") * 10)
+        .cast("long")
+        .alias("duration_ms"),
+        F.when(F.col("doc_id") % 3 == 2, F.floor(F.col("n_chars") / 16))
+        .cast("long")
+        .alias("n_frames"),
+    )
+
+
+def frame_sample_plan(documents: DataFrame, stride: int = 5) -> DataFrame:
+    """M2: frame-sampling plan for video payloads (every ``stride``-th frame).
+
+    Pure metadata explosion — the scalable pattern is to plan frame indices
+    relationally and only decode the selected frames.
+    """
+    meta = binary_meta(documents).filter(
+        (F.col("modality") == "video") & (F.col("n_frames") >= 1)
+    )
+    frames = meta.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n_frames",
+        (F.col("frame_idx") * 1000.0 / 24.0).alias("frame_ts_ms"),
+    )
+
+
+def decode_frames_stub(documents: DataFrame, stride: int = 5) -> DataFrame:
+    """M3 (rows-only): Arrow-batched decode stub via ``mapInPandas``.
+
+    Produces a deterministic fake 16-byte frame payload per planned frame
+    (md5 of ``doc_id:frame_idx``) — stands in for an image/video decoder
+    while exercising the real distributed plumbing: metadata-driven frame
+    plan, Arrow batch transfer, binary output column.
+    """
+    plan = frame_sample_plan(documents, stride).select("doc_id", "frame_idx")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = (
+                pdf["doc_id"].astype(str) + ":" + pdf["frame_idx"].astype(str)
+            )
+            digests = [hashlib.md5(k.encode()).digest() for k in keys]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_bytes": digests,
+                    "frame_sha8": [d.hex()[:8] for d in digests],
+                }
+            )
+
+    return plan.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def decoded_frame_summary(documents: DataFrame, stride: int = 5) -> DataFrame:
+    """Aggregated view of the decode stub (stable schema for rows-only check)."""
+    decoded = decode_frames_stub(documents, stride)
+    return decoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_decoded_frames"),
+        F.min("frame_idx").alias("first_frame"),
+        F.max("frame_idx").alias("last_frame"),
+        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+    )

@@ -1,0 +1,162 @@
+"""Text analysis operators (group X) — LLM training-data pipeline.
+
+Language-ID, quality scoring, token counting and content fingerprinting over
+the ``documents`` table — all built from JVM-side column expressions
+(split/regexp/array functions); zero Python UDFs. Every derived number is
+either integer counting or per-row IEEE arithmetic, so the DuckDB oracles
+match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import corpus, tokens
+
+#: Stopword list used by the quality score (tiny, broadcast as a literal).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+#: BPE-ish token pattern: letter runs, digit runs, single other glyphs.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def lang_id(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """X1: n-gram/marker language heuristic.
+
+    Profile-based: learn the top-N most frequent tokens per language from
+    the even-doc_id half (tiny profile table, broadcast), score the odd half
+    by profile-token overlap, predict argmax. Pure counting → exact oracle.
+    """
+    toks = tokens(F.col("text"))
+    train = documents.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode(toks).alias("token")
+    )
+    freq = train.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    profile = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "token")
+        .withColumnRenamed("lang", "profile_lang")
+    )
+    test = documents.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("actual_lang"), F.explode(F.array_distinct(toks)).alias("token")
+    )
+    scores = (
+        test.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "actual_lang", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    ws = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("profile_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("profile_lang").alias("predicted_lang"),
+            "actual_lang",
+            F.col("score").alias("marker_hits"),
+            (F.col("profile_lang") == F.col("actual_lang")).alias("correct"),
+        )
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """X2: per-document quality score from length/stopword/shape signals."""
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        .cast("long")
+        .alias("stopword_count"),
+    )
+    stop_ratio = F.col("stopword_count") / F.col("n_tokens")
+    avg_token_len = (F.col("n_chars_text") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    quality = F.least(
+        F.lit(1.0),
+        0.2
+        + 0.5 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * F.least(F.col("n_tokens") / 200.0, F.lit(1.0)),
+    )
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars_text",
+        "n_tokens",
+        "stopword_count",
+        stop_ratio.alias("stop_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        quality.alias("quality"),
+    )
+    return scored.withColumn(
+        "quality_band",
+        F.when(F.col("quality") >= 0.8, "high")
+        .when(F.col("quality") >= 0.5, "medium")
+        .otherwise("low"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """X3: whitespace + BPE-ish token counts, aggregated per source."""
+    toks = tokens(F.col("text"))
+    per_doc = documents.select(
+        "source",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.max("ws_tokens").alias("max_ws_tokens"),
+        F.min("ws_tokens").alias("min_ws_tokens"),
+    )
+    return agg.select(
+        "*",
+        (F.col("total_ws_tokens") / F.col("n_docs")).alias("avg_ws_tokens"),
+        (F.col("total_bpe_tokens") / F.col("n_docs")).alias("avg_bpe_tokens"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """X4: canonicalized-content fingerprint (md5 of sorted distinct tokens).
+
+    Catches word-order-shuffled near-dups (the planted reversed docs) that
+    byte-level hashing misses.
+    """
+    c = corpus(documents)
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    docs = c.select(fp.alias("fingerprint"), "doc_id")
+    return (
+        docs.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def stats_by_source(documents: DataFrame) -> DataFrame:
+    """X5: corpus statistics per source × lang."""
+    agg = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return agg.select("*", (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"))

@@ -14,7 +14,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, similarity
+from ..operators import dedup, multimodal, similarity, textops
 from ..operators import observability as obs
 from ..operators import tpch
 from ..sources.tables import load_tables
@@ -126,3 +126,43 @@ _DEDUP_BUILDERS = {
 }
 for _name, _b in _DEDUP_BUILDERS.items():
     _register(_name, _b, DEDUP_ORACLES[_name])
+
+
+# --- Groups X (text analysis) and M (multimodal) ---------------------------
+from .text_oracles import TEXT_ORACLES  # noqa: E402
+
+_TEXT_BUILDERS = {
+    "text_lang_id": lambda s, d: textops.lang_id(load_tables(s, d)["documents"]),
+    "text_quality_score": lambda s, d: textops.quality_score(
+        load_tables(s, d)["documents"]
+    ),
+    "text_token_count": lambda s, d: textops.token_count(load_tables(s, d)["documents"]),
+    "text_fingerprint": lambda s, d: textops.fingerprint(load_tables(s, d)["documents"]),
+    "docs_stats_by_source": lambda s, d: textops.stats_by_source(
+        load_tables(s, d)["documents"]
+    ),
+    "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
+    "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
+        load_tables(s, d)["documents"]
+    ),
+}
+for _name, _b in _TEXT_BUILDERS.items():
+    _register(_name, _b, TEXT_ORACLES[_name])
+
+# Rows-only (non-SQL-expressible): Arrow-batched decode stub via mapInPandas.
+_register(
+    "mm_decode_frames",
+    lambda s, d: multimodal.decoded_frame_summary(load_tables(s, d)["documents"]),
+    None,
+)
+
+
+# Rows-only: real Structured Streaming ingest (O16) — runs availableNow to
+# completion and returns the per-route record counts.
+def _stream_pipeline(s, d):
+    from ..streaming.collector import run_collector_pipeline
+
+    return run_collector_pipeline(s, d)
+
+
+_register("stream_collector_pipeline", _stream_pipeline, None)

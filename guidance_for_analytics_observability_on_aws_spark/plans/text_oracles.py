@@ -1,0 +1,148 @@
+"""DuckDB oracle SQL for text analysis (X) and multimodal (M) groups."""
+
+from ..functions.text import CORPUS_CTE
+from ..operators.textops import BPE_PATTERN, STOPWORDS
+
+TEXT_ORACLES: dict[str, str] = {}
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+TEXT_ORACLES["text_lang_id"] = r"""
+WITH train AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+freq AS (
+  SELECT lang, token, COUNT(*) AS freq FROM train GROUP BY 1, 2
+),
+profile AS (
+  SELECT lang AS profile_lang, token FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rn
+    FROM freq
+  ) WHERE rn <= 20
+),
+test AS (
+  SELECT doc_id, lang AS actual_lang,
+         unnest(list_distinct(regexp_split_to_array(text, '\s+'))) AS token
+  FROM documents WHERE doc_id % 2 = 1
+),
+scores AS (
+  SELECT t.doc_id, t.actual_lang, p.profile_lang, COUNT(*) AS score
+  FROM test t JOIN profile p USING (token)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+  FROM scores
+)
+SELECT doc_id, profile_lang AS predicted_lang, actual_lang,
+       CAST(score AS BIGINT) AS marker_hits,
+       profile_lang = actual_lang AS correct
+FROM best WHERE rn = 1
+"""
+
+TEXT_ORACLES["text_quality_score"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         CAST(length(text) AS BIGINT) AS n_chars_text,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+           AS stopword_count
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, n_chars_text, n_tokens, stopword_count,
+         stopword_count / n_tokens AS stop_ratio,
+         (n_chars_text - (n_tokens - 1)) / n_tokens AS avg_token_len,
+         LEAST(1.0, 0.2 + 0.5 * LEAST(stopword_count / n_tokens * 4, 1.0)
+                        + 0.3 * LEAST(n_tokens / 200.0, 1.0)) AS quality
+  FROM base
+)
+SELECT *,
+       CASE WHEN quality >= 0.8 THEN 'high'
+            WHEN quality >= 0.5 THEN 'medium'
+            ELSE 'low' END AS quality_band
+FROM scored
+"""
+
+TEXT_ORACLES["text_token_count"] = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT) AS bpe_tokens
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+         MAX(ws_tokens) AS max_ws_tokens,
+         MIN(ws_tokens) AS min_ws_tokens
+  FROM per_doc GROUP BY 1
+)
+SELECT *,
+       total_ws_tokens / n_docs AS avg_ws_tokens,
+       total_bpe_tokens / n_docs AS avg_bpe_tokens
+FROM agg
+"""
+
+TEXT_ORACLES["text_fingerprint"] = f"""
+WITH {CORPUS_CTE},
+fps AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(text, '\\s+'))), ' ')) AS fingerprint,
+         doc_id
+  FROM corpus
+)
+SELECT fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM fps
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+TEXT_ORACLES["docs_stats_by_source"] = """
+WITH agg AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         MIN(n_chars) AS min_chars,
+         MAX(n_chars) AS max_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT *, total_chars / n_docs AS avg_chars FROM agg
+"""
+
+TEXT_ORACLES["mm_binary_meta"] = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       substr(hex(encode(text)), 1, 8) AS magic_hex,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id * 7) % 1856 END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id * 13) % 1016 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 * (1 + doc_id % 5) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN n_chars * 10 END AS duration_ms,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(FLOOR(n_chars / 16) AS BIGINT) END AS n_frames
+FROM documents
+"""
+
+TEXT_ORACLES["mm_frame_sample"] = """
+WITH meta AS (
+  SELECT doc_id, CAST(FLOOR(n_chars / 16) AS BIGINT) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2 AND CAST(FLOOR(n_chars / 16) AS BIGINT) >= 1
+),
+frames AS (
+  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+  FROM meta
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, n_frames,
+       frame_idx * 1000.0 / 24.0 AS frame_ts_ms
+FROM frames
+"""

@@ -1,0 +1,109 @@
+"""Structured Streaming collector pipeline (O16).
+
+The reference ships telemetry through a push pipeline: listener/appender →
+batching ObservabilityClient → OpenSearch Ingestion (HTTP source → route on
+``metricsType`` → per-index sinks). The Spark-first equivalent is a
+Structured Streaming job:
+
+  file/stream source → telemetry normalization (the SAME ``task_metrics``
+  projection the batch path uses — one logical plan, two execution modes) →
+  sink partitioned by ``metrics_type`` (= the OSI route), plus a
+  watermarked 5-minute windowed rollup (the streaming twin of
+  ``stream_metrics_window``).
+
+Batching/flush semantics are owned by the engine (trigger interval +
+micro-batch) rather than a hand-rolled buffer — reference parity for the
+*semantics* of ObservabilityClient, with Spark's checkpointed
+exactly-once file sink replacing the retry/backoff loop.
+
+At scale this runs with RocksDB state store and per-executor parallel file
+sources; here it is exercised with ``availableNow`` over the driver
+parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.telemetry import task_metrics
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def windowed_rollup(tm_stream: DataFrame) -> DataFrame:
+    """Watermarked 5-minute tumbling rollup (streaming twin of O15)."""
+    return (
+        tm_stream.withWatermark("metric_time", "10 minutes")
+        .groupBy(F.window("metric_time", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("input_bytes_read").alias("sum_input_bytes"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_input_bytes",
+        )
+    )
+
+
+def run_collector_pipeline(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Run the full ingest pipeline to completion (availableNow) and return
+    the routing summary (records per metrics_type route) — mirrors the OSI
+    metrics-pipeline routing in ``deployment/infra/resources/pipelines/
+    metrics-pipeline.yaml``.
+    """
+    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_stream_")
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.format("parquet")
+        .option("path", f"{out}/routed")
+        .option("checkpointLocation", f"{out}/_chk")
+        .partitionBy("metrics_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    routed = spark.read.parquet(f"{out}/routed")
+    return (
+        routed.groupBy("metrics_type")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("metrics_type")
+    )
+
+
+def run_windowed_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Run the watermarked windowed aggregation to completion; returns the
+    final window table (equal to the batch O15 rollup minus n_executors).
+
+    Complete-mode memory sink: append mode would withhold the trailing
+    windows (the watermark never advances past end-of-stream); complete
+    mode emits the full window table, which is what the batch twin computes.
+    """
+    name = "gfaooa_rollup_sink"
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        windowed_rollup(tm)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

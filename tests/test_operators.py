@@ -1,0 +1,98 @@
+"""Semantic unit tests for operators whose correctness isn't fully captured
+by oracle parity (formula spot-checks, stub plumbing, planted-dup recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from guidance_for_analytics_observability_on_aws_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    retry_backoff,
+    stage_agg_skewness,
+)
+from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+    task_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_tables(spark, sf_dir)
+
+
+def test_skewness_formula_hand_example(spark):
+    # Reference example: tasks reading [0, 50, 100] bytes → avg=50, range=100,
+    # max |x-avg| = 50 → skewness 0.5 (CustomMetricsListener.scala:146-188).
+    rows = [
+        ("app", "run", 1, 1, i, 0, b, 0, t)
+        for i, (b, t) in enumerate([(0, 10), (50, 20), (100, 30)])
+    ]
+    tm = spark.createDataFrame(
+        rows,
+        "app_name string, app_id string, job_id long, stage_id long, task_id long,"
+        "partition_id int, input_bytes_read long, shuffle_bytes_read long,"
+        "metric_time_ms long",
+    )
+    out = stage_agg_skewness(tm).collect()[0]
+    assert out["input_bytes_read_skewness"] == 0.5
+    assert out["max_input_bytes_read"] == 100
+    # all-equal shuffle bytes → range-0 guard → skewness 0.0
+    assert out["shuffle_bytes_read_skewness"] == 0.0
+
+
+def test_backoff_schedule_caps(spark, tables):
+    tm = task_metrics(tables["events"])
+    rows = retry_backoff(tm).collect()
+    by_attempt = {}
+    for r in rows:
+        by_attempt.setdefault(r["attempt_no"], set()).add(r["backoff_s"])
+    # Reference: INITIAL_BACKOFF=5 doubling capped at MAX_BACKOFF=60.
+    assert by_attempt[0] == {0}
+    assert by_attempt.get(1, {10}) == {10}
+    assert by_attempt.get(4, {60}) == {60}
+    assert by_attempt.get(5, {60}) == {60}
+
+
+def test_minhash_lsh_finds_planted_exact_dups(spark, tables):
+    docs = tables["documents"]
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in docs.filter(F.col("doc_id") % 25 == 0).select("doc_id").collect()
+    }
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(docs).collect()
+    }
+    # Exact copies must collide in every band.
+    assert planted <= pairs
+
+
+def test_embedding_near_dups_find_planted_copies(spark, tables):
+    emb = tables["embeddings"]
+    planted = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in emb.filter(F.col("vec_id") % 25 == 0).select("vec_id").collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_dups(emb).collect()
+    }
+    assert planted <= set(got)
+    assert all(abs(got[p] - 1.0) < 1e-6 for p in planted)
+
+
+def test_decode_stub_plumbing(spark, tables):
+    docs = tables["documents"]
+    decoded = multimodal.decode_frames_stub(docs).limit(50).collect()
+    assert decoded, "decode stub produced no frames"
+    for r in decoded:
+        assert len(r["frame_bytes"]) == 16  # md5 payload
+        assert r["frame_sha8"] == bytes(r["frame_bytes"]).hex()[:8]
+    plan_n = multimodal.frame_sample_plan(docs).count()
+    assert multimodal.decode_frames_stub(docs).count() == plan_n

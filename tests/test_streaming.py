@@ -1,0 +1,43 @@
+"""Streaming collector pipeline: routing + windowed rollup parity vs batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    stream_metrics_window,
+)
+from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+    task_metrics,
+)
+from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+    run_collector_pipeline,
+    run_windowed_rollup,
+)
+
+
+def test_routing_matches_batch(spark, sf_dir, tmp_path):
+    summary = run_collector_pipeline(spark, sf_dir, str(tmp_path / "route")).collect()
+    got = {r["metrics_type"]: r["n_records"] for r in summary}
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    want = {
+        r["metrics_type"]: r["n"]
+        for r in tm.groupBy("metrics_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == tm.count()
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir, tmp_path):
+    stream_out = run_windowed_rollup(spark, sf_dir, str(tmp_path / "roll"))
+    got = {
+        (r["window_start_ms"], r["event_type"]): (r["n_events"], r["sum_input_bytes"])
+        for r in stream_out.collect()
+    }
+    batch = stream_metrics_window(task_metrics(load_tables(spark, sf_dir)["events"]))
+    want = {
+        (r["window_start_ms"], r["event_type"]): (r["n_events"], r["sum_input_bytes"])
+        for r in batch.collect()
+    }
+    assert got == want
