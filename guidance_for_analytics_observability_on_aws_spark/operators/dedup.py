@@ -48,21 +48,35 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     return _group_output(c, "fingerprint")
 
 
-def _shingled(documents: DataFrame) -> DataFrame:
+def _shingle_base(documents: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     return (
         corpus(documents)
         .select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= 3)
-        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+    )
+
+
+def _shingle_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows — explode IN THE SAME projection that builds
+    the array: exploding a previously-projected array alias makes Spark
+    re-evaluate the (transform+distinct) construction per emitted element,
+    a ~50× slowdown measured at sf0.1."""
+    return _shingle_base(documents).select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
+    )
+
+
+def _shingle_sizes(documents: DataFrame) -> DataFrame:
+    return _shingle_base(documents).select(
+        "doc_id", F.size(shingles(F.col("toks"))).cast("long").alias("sz")
     )
 
 
 def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold)."""
-    sh = _shingled(documents)
-    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = _shingle_sizes(documents)
+    exploded = _shingle_rows(documents)
     pairs = (
         exploded.alias("a")
         .join(
@@ -97,10 +111,9 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFra
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """Per-doc MinHash signature: k=16 column mins over universal hashes."""
-    sh = _shingled(documents)
-    hashed = sh.select(
-        "doc_id", F.explode("sh").alias("shingle")
-    ).select("doc_id", md5_int(F.col("shingle"), 7).alias("h"))
+    hashed = _shingle_rows(documents).select(
+        "doc_id", md5_int(F.col("shingle"), 7).alias("h")
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -116,22 +129,29 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     bucket keys are uniform 16-byte strings — no skew hot-spots.
     """
     sig = minhash_signatures(documents)
-    bands = []
-    for j in range(MINHASH_BANDS):
-        cols = [
-            F.col(f"mh{j * MINHASH_ROWS + r}").cast("string")
-            for r in range(MINHASH_ROWS)
-        ]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(j).cast("long").alias("band_id"),
-                F.md5(F.concat_ws("-", *cols)).alias("band_hash"),
-            )
+    # Explode one array of (band_id, band_hash) structs instead of unioning
+    # per-band projections: a union would duplicate the (expensive) signature
+    # aggregation subtree once per band AND defeat exchange reuse in the
+    # self-join below — 8× recomputation. With a single identical subtree on
+    # both join sides, Spark reuses the aggregation exchange (one compute).
+    band_structs = [
+        F.struct(
+            F.lit(j).cast("long").alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"mh{j * MINHASH_ROWS + r}").cast("string")
+                        for r in range(MINHASH_ROWS)
+                    ],
+                )
+            ).alias("band_hash"),
         )
-    buckets = bands[0]
-    for b in bands[1:]:
-        buckets = buckets.unionByName(b)
+        for j in range(MINHASH_BANDS)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
     pairs = (
         buckets.alias("a")
         .join(
