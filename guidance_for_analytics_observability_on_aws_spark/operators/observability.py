@@ -317,6 +317,21 @@ def log_enrich(tm: DataFrame) -> DataFrame:
     )
 
 
+def log_search(tm: DataFrame) -> DataFrame:
+    """O17: log text search (saved-search parity: level + substring match),
+    aggregated per application run."""
+    logs = log_enrich(tm)
+    hits = logs.filter(
+        (F.col("level") == "ERROR") & F.col("message").like("%stage 1%")
+    )
+    return hits.groupBy("app_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("executor_id").alias("n_executors"),
+        F.min("log_time_ms").alias("first_hit_ms"),
+        F.max("log_time_ms").alias("last_hit_ms"),
+    )
+
+
 def error_rate(tm: DataFrame) -> DataFrame:
     """O12: per-hour error-level log ratio (spark-logs level analytics)."""
     hour_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 3600000

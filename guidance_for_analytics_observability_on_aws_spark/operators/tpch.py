@@ -178,6 +178,60 @@ def rollup_priority_status(orders: DataFrame) -> DataFrame:
     )
 
 
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """T9: promo revenue share per brand (TPC-H Q14 shape; exercises part).
+
+    part is broadcast (it is a dimension); revenue stays integer-cents.
+    """
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue_cents()).otherwise(F.lit(0))
+    agg = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(revenue_cents()).alias("revenue_cents"),
+        F.sum(promo).alias("promo_revenue_cents"),
+    )
+    return agg.select(
+        "*",
+        (F.col("promo_revenue_cents") / F.col("revenue_cents")).alias("promo_share"),
+    )
+
+
+def events_funnel(events: DataFrame) -> DataFrame:
+    """T10: signup → click → purchase funnel (ordered-sequence detection).
+
+    Single aggregation per user computing the earliest timestamp of each
+    step, then ordered-existence checks — no self-joins, one shuffle.
+    """
+    ms = F.expr("ts DIV 1000000")
+    steps = events.select("user_id", "event_type", ms.alias("ev_ms"))
+    per_user = steps.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ev_ms"))).alias("first_signup_ms"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ev_ms"))).alias("first_click_ms"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ev_ms"))).alias(
+            "first_purchase_ms"
+        ),
+    )
+    signed = F.col("first_signup_ms").isNotNull()
+    clicked = signed & F.col("first_click_ms").isNotNull() & (
+        F.col("first_click_ms") > F.col("first_signup_ms")
+    )
+    purchased = clicked & F.col("first_purchase_ms").isNotNull() & (
+        F.col("first_purchase_ms") > F.col("first_click_ms")
+    )
+    flags = per_user.select(
+        "user_id",
+        signed.alias("did_signup"),
+        clicked.alias("signup_then_click"),
+        purchased.alias("full_funnel"),
+    )
+    return flags.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("did_signup"), 1).otherwise(0)).alias("n_signup"),
+        F.sum(F.when(F.col("signup_then_click"), 1).otherwise(0)).alias("n_signup_click"),
+        F.sum(F.when(F.col("full_funnel"), 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
 def asof_join_attribution(events: DataFrame) -> DataFrame:
     """T8: as-of join — for each purchase, the latest prior click of the
     same user (attribution shape).

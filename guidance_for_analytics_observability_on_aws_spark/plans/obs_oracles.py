@@ -284,3 +284,34 @@ SELECT metric_time_ms - metric_time_ms % 300000 AS window_start_ms,
 FROM task_metrics
 GROUP BY 1, 2
 """
+
+OBS_ORACLES["obs_log_search"] = f"""
+WITH {TELEMETRY_CTE},
+enriched AS (
+  SELECT app_id, executor_id, metric_time_ms AS log_time_ms,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'WARN'
+              ELSE 'INFO' END AS level,
+         'task ' || CAST(task_id AS VARCHAR) || '.0 in stage '
+           || CAST(stage_id AS VARCHAR) || '.0 (TID '
+           || CAST(task_id AS VARCHAR) || ')' AS mdc_task_name,
+         task_id
+  FROM task_metrics
+),
+msgs AS (
+  SELECT app_id, executor_id, log_time_ms, level,
+         '[Stage ' || regexp_extract(mdc_task_name, 'stage (\\d+\\.\\d+)', 1)
+           || ' - Task ' || regexp_extract(mdc_task_name, 'task (\\d+\\.\\d+)', 1)
+           || ' - Thread ' || CAST(task_id % 16 AS VARCHAR) || '] level=' || level
+           AS message
+  FROM enriched
+)
+SELECT app_id,
+       COUNT(*) AS n_hits,
+       COUNT(DISTINCT executor_id) AS n_executors,
+       MIN(log_time_ms) AS first_hit_ms,
+       MAX(log_time_ms) AS last_hit_ms
+FROM msgs
+WHERE level = 'ERROR' AND message LIKE '%stage 1%'
+GROUP BY 1
+"""

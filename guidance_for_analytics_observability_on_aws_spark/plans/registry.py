@@ -59,6 +59,7 @@ _OBS_BUILDERS = {
     "obs_executor_utilization": lambda s, d: obs.executor_utilization(_tm(s, d)),
     "obs_session_windows": lambda s, d: obs.session_windows(_tm(s, d)),
     "stream_metrics_window": lambda s, d: obs.stream_metrics_window(_tm(s, d)),
+    "obs_log_search": lambda s, d: obs.log_search(_tm(s, d)),
 }
 for _name, _b in _OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])
@@ -99,6 +100,10 @@ _TPCH_BUILDERS = {
     "asof_join_attribution": lambda s, d: tpch.asof_join_attribution(
         load_tables(s, d)["events"]
     ),
+    "promo_revenue_share": lambda s, d: (
+        lambda t: tpch.promo_revenue_share(t["lineitem"], t["part"])
+    )(load_tables(s, d)),
+    "events_funnel": lambda s, d: tpch.events_funnel(load_tables(s, d)["events"]),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])

@@ -129,3 +129,44 @@ SELECT event_id AS purchase_event_id, user_id, ev_ms AS purchase_ms,
 FROM enriched
 WHERE event_type = 'purchase'
 """
+
+TPCH_ORACLES["promo_revenue_share"] = f"""
+WITH agg AS (
+  SELECT p_brand,
+         COUNT(*) AS n_items,
+         CAST(SUM({REV}) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REV} ELSE 0 END) AS BIGINT)
+           AS promo_revenue_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT *, promo_revenue_cents / revenue_cents AS promo_share FROM agg
+"""
+
+TPCH_ORACLES["events_funnel"] = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup_ms,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click_ms,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase_ms
+  FROM events
+  GROUP BY 1
+),
+flags AS (
+  SELECT user_id,
+         first_signup_ms IS NOT NULL AS did_signup,
+         first_signup_ms IS NOT NULL AND first_click_ms IS NOT NULL
+           AND first_click_ms > first_signup_ms AS signup_then_click,
+         first_signup_ms IS NOT NULL AND first_click_ms IS NOT NULL
+           AND first_click_ms > first_signup_ms
+           AND first_purchase_ms IS NOT NULL
+           AND first_purchase_ms > first_click_ms AS full_funnel
+  FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN did_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN signup_then_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+       CAST(SUM(CASE WHEN full_funnel THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM flags
+"""

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+The reference's ObservabilityClient keeps a mutable per-process buffer
+(records since last flush) across events (``ObservabilityClient.scala:
+84-105``). The Spark-first equivalent of "mutable operator state that
+outlives a batch" is keyed state in Structured Streaming. This module
+implements the buffer counter as an ``applyInPandasWithState`` operator:
+per executor, persist (records_seen, flush_count) across micro-batches and
+emit one row per batch with the updated totals + how many size-triggered
+flushes occurred (batchSize=100 parity).
+
+State is a two-int struct → bounded per key; with RocksDB state store this
+scales to millions of keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.telemetry import task_metrics
+from .collector import events_stream
+
+OUTPUT_SCHEMA = (
+    "executor_id string, batch_records bigint, total_records bigint, "
+    "total_flushes bigint"
+)
+STATE_SCHEMA = "total_records bigint, total_flushes bigint"
+
+BATCH_SIZE = 100  # reference default (Utils.scala:103-105)
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    batch_records = 0
+    for pdf in pdfs:
+        batch_records += len(pdf)
+    if state.exists:
+        total_records, total_flushes = state.get
+    else:
+        total_records, total_flushes = 0, 0
+    new_total = total_records + batch_records
+    new_flushes = new_total // BATCH_SIZE
+    state.update((new_total, new_flushes))
+    yield pd.DataFrame(
+        {
+            "executor_id": [key[0]],
+            "batch_records": [batch_records],
+            "total_records": [new_total],
+            "total_flushes": [new_flushes],
+        }
+    )
+
+
+def run_stateful_buffer_counter(
+    spark: SparkSession, sf_dir: str, sink_name: str = "gfaooa_stateful_sink"
+) -> DataFrame:
+    """Run the stateful buffer counter to completion (availableNow)."""
+    tm = task_metrics(events_stream(spark, sf_dir))
+    counted = (
+        tm.groupBy("executor_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)

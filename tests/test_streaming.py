@@ -41,3 +41,24 @@ def test_windowed_rollup_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_buffer_counter(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.streaming.stateful import (
+        run_stateful_buffer_counter,
+    )
+
+    out = run_stateful_buffer_counter(spark, sf_dir, "stateful_test_sink")
+    rows = out.collect()
+    assert rows
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    want = {
+        r["executor_id"]: r["n"]
+        for r in tm.groupBy("executor_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # One availableNow pass: per-executor totals must equal the batch counts,
+    # flush count = total // 100 (reference batchSize).
+    got = {r["executor_id"]: (r["total_records"], r["total_flushes"]) for r in rows}
+    assert set(got) == set(want)
+    for ex, n in want.items():
+        assert got[ex] == (n, n // 100)
