@@ -22,11 +22,22 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine6, dot, quantize, sq_norm
 
 
-def _quantized(embeddings: DataFrame) -> DataFrame:
+def _quantized(embeddings: DataFrame, barrier_key: str = "vec_id") -> DataFrame:
+    """Quantized vectors + norms, materialized behind a shuffle barrier.
+
+    Without the repartition, Catalyst can defer the quantize/norm
+    projections past the pair join and re-evaluate them per OUTPUT PAIR.
+    The exchange forces them to be computed once per input row, and
+    partitioning by the downstream join key co-locates the join so the
+    shuffle is not wasted work (~7% at sf0.1 where pair fan-out is small;
+    the win grows with the pair/input ratio, which is the 100 TB posture).
+    """
     qv = quantize(F.col("embedding"))
-    return embeddings.select(
-        "vec_id", "label", qv.alias("qv")
-    ).withColumn("nrm", sq_norm(F.col("qv")))
+    return (
+        embeddings.select("vec_id", "label", qv.alias("qv"))
+        .withColumn("nrm", sq_norm(F.col("qv")))
+        .repartition(barrier_key)
+    )
 
 
 def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
@@ -40,7 +51,7 @@ def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.98) -> DataFrame:
     """D5: near-duplicate pairs by cosine ≥ threshold within label blocks."""
-    q = _quantized(augmented_embeddings(embeddings))
+    q = _quantized(augmented_embeddings(embeddings), barrier_key="label")
     a, b = q.alias("a"), q.alias("b")
     pairs = a.join(
         b,
