@@ -162,6 +162,33 @@ def cardinality_tiles(tm: DataFrame) -> DataFrame:
     )
 
 
+def cardinality_tiles_approx(tm: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """O19: HLL-sketch cardinality tiles — the 100 TB scale path for O5.
+
+    ``countDistinct`` shuffles every distinct key; at 100 TB the
+    app_id×stage_id key set no longer fits a reducer. HyperLogLog++
+    sketches (``approx_count_distinct``) are fixed-size (~kB at rsd=0.05),
+    merge associatively map-side, and make the whole query one narrow
+    pass + a single tiny final merge. Same tile layout as
+    :func:`cardinality_tiles`; values are within ``rsd`` relative error
+    (asserted against the exact tiles in ``tests/test_plans.py``), so
+    there is no exact DuckDB oracle — the driver records the rows-only
+    check for this query.
+    """
+    return tm.select(
+        F.approx_count_distinct("app_name", rsd).alias("n_apps"),
+        F.approx_count_distinct("app_id", rsd).alias("n_runs"),
+        F.approx_count_distinct(
+            F.concat_ws("/", F.col("app_id"), F.col("job_id").cast("string")), rsd
+        ).alias("n_jobs"),
+        F.approx_count_distinct(
+            F.concat_ws("/", F.col("app_id"), F.col("stage_id").cast("string")), rsd
+        ).alias("n_stages"),
+        F.approx_count_distinct("executor_id", rsd).alias("n_executors"),
+        F.count(F.lit(1)).alias("n_tasks"),
+    )
+
+
 def date_histogram(tm: DataFrame) -> DataFrame:
     """O6: hourly date-histogram per application.
 

@@ -109,7 +109,9 @@ def token_count(documents: DataFrame) -> DataFrame:
     per_doc = documents.select(
         "source",
         F.size(toks).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), F.lit(0)))
+        # regexp_count == len(regexp_extract_all) but never materializes the
+        # match array — constant memory per row regardless of document size.
+        F.regexp_count(F.lower("text"), F.lit(BPE_PATTERN))
         .cast("long")
         .alias("bpe_tokens"),
     )

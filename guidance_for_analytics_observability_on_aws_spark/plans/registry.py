@@ -154,6 +154,14 @@ _TEXT_BUILDERS = {
 for _name, _b in _TEXT_BUILDERS.items():
     _register(_name, _b, TEXT_ORACLES[_name])
 
+# Rows-only: HLL sketch values are engine-specific (no exact DuckDB oracle);
+# accuracy vs the exact tiles is asserted in tests/test_plans.py.
+_register(
+    "obs_cardinality_approx",
+    lambda s, d: obs.cardinality_tiles_approx(_tm(s, d)),
+    None,
+)
+
 # Rows-only (non-SQL-expressible): Arrow-batched decode stub via mapInPandas.
 _register(
     "mm_decode_frames",

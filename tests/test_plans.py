@@ -1,0 +1,110 @@
+"""Physical-plan assertions — the 100 TB posture, enforced.
+
+These tests pin the *shape* of the executed plans, not their results:
+small dims stay broadcast, filters reach the parquet scans, the hot path
+stays inside WholeStageCodegen, and no operator silently falls back to
+row-at-a-time Python. A refactor that keeps results correct but regresses
+any of these would pass the oracle gate and still be wrong at scale —
+this file is what catches it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from guidance_for_analytics_observability_on_aws_spark.plans.registry import REGISTRY
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+BROADCAST_QUERIES = [
+    "star_join_broadcast",
+    "tpch_q5_local_supplier",
+    "tpch_q3_shipping_priority",
+    "promo_revenue_share",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_QUERIES)
+def test_small_dims_are_broadcast(spark, sf_dir, name):
+    plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "SortMergeJoin" not in plan or name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+    ), f"{name}: unexpected sort-merge join for a dim-join query"
+
+
+def test_filters_pushed_to_parquet_scan(spark, sf_dir):
+    # Q3 filters mktsegment + two date bounds; all should reach the scans.
+    df = REGISTRY["tpch_q3_shipping_priority"].builder(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [" in explained
+    pushed = [
+        line
+        for line in explained.splitlines()
+        if "PushedFilters" in line and "PushedFilters: []" not in line
+    ]
+    assert pushed, "no non-empty PushedFilters on any scan"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # lineitem has 16 columns; Q1 touches 7. ReadSchema must not be SELECT *.
+    df = REGISTRY["tpch_q1_pricing_summary"].builder(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    schema_lines = [l for l in explained.splitlines() if "ReadSchema" in l]
+    assert schema_lines and all("l_comment" not in l for l in schema_lines)
+
+
+def test_hot_path_stays_in_codegen(spark, sf_dir):
+    # Under AQE the codegen stages only appear in the FINAL plan, so run
+    # the query first and then read the adaptively-executed plan back.
+    df = REGISTRY["tpch_q1_pricing_summary"].builder(spark, sf_dir)
+    df.collect()  # a write would plan its own QueryExecution; collect finalizes this one
+    plan = _executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" is the simple-string marker for a WholeStageCodegen stage.
+    assert "*(" in plan, f"no codegen stage in final plan:\n{plan}"
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir):
+    """Row-at-a-time Python (BatchEvalPython) is banned in every query.
+
+    Arrow-batched pandas plans (mm_decode_frames) are the one sanctioned
+    Python path, per the multimodal spec.
+    """
+    for name, spec in REGISTRY.items():
+        if name == "stream_collector_pipeline":
+            continue  # runs a streaming job on build; covered in test_streaming
+        plan = _executed_plan(spec.builder(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF in plan"
+        if name != "mm_decode_frames":
+            assert "MapInPandas" not in plan, f"{name}: unexpected pandas path"
+
+
+def test_approx_cardinality_close_to_exact(spark, sf_dir):
+    exact = REGISTRY["obs_cardinality"].builder(spark, sf_dir).collect()[0]
+    approx = REGISTRY["obs_cardinality_approx"].builder(spark, sf_dir).collect()[0]
+    assert approx["n_tasks"] == exact["n_tasks"]  # plain count stays exact
+    for tile in ("n_apps", "n_runs", "n_jobs", "n_stages", "n_executors"):
+        e, a = exact[tile], approx[tile]
+        assert abs(a - e) <= max(2, 0.10 * e), f"{tile}: approx {a} vs exact {e}"
+
+
+def test_approx_cardinality_is_single_pass(spark, sf_dir):
+    # The scale rationale: one partial_aggregate over sketches, no
+    # expand/distinct shuffle like the exact multi-countDistinct plan.
+    plan = _executed_plan(REGISTRY["obs_cardinality_approx"].builder(spark, sf_dir))
+    assert "Expand" not in plan
+    exact_plan = _executed_plan(REGISTRY["obs_cardinality"].builder(spark, sf_dir))
+    assert "Expand" in exact_plan  # documents what the sketch path avoids

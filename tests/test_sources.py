@@ -1,0 +1,102 @@
+"""JSON log ingestion + partitioned sink tests (sources/logs_json.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from guidance_for_analytics_observability_on_aws_spark.sources.logs_json import (
+    corrupt_log_events,
+    normalize_log_events,
+    read_log_events,
+    write_partitioned_telemetry,
+)
+from guidance_for_analytics_observability_on_aws_spark.sources.schemas import LOG_SCHEMA
+from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+
+def _write_log_lines(path: str) -> None:
+    events = [
+        {
+            "appName": "etl-app",
+            "appId": "app-001",
+            "executorId": "1",
+            "level": "ERROR",
+            "message": "boom",
+            "timeMillis": 1700000000123,
+            "taskName": "task 3.0 in stage 7.0 (TID 3)",
+        },
+        {
+            "appName": "etl-app",
+            "appId": "app-001",
+            "executorId": "2",
+            "level": "INFO",
+            "message": "ok",
+            "timeMillis": 1700000001456,
+            "taskName": "task 12.0 in stage 7.0 (TID 12)",
+        },
+        {
+            "appName": "etl-app",
+            "appId": "app-002",
+            "executorId": "driver",
+            "level": "WARN",
+            "message": "no mdc",
+            "timeMillis": 1700000002789,
+            "taskName": None,
+        },
+    ]
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+        f.write('{"appName": "broken", "level": ')  # truncated line
+        f.write("\n")
+
+
+def test_json_log_roundtrip(spark, tmp_path):
+    src = tmp_path / "logs"
+    src.mkdir()
+    _write_log_lines(str(src))
+
+    raw = read_log_events(spark, str(src))
+    norm = normalize_log_events(raw)
+    rows = {r["executor_id"]: r for r in norm.collect()}
+
+    assert set(norm.columns) == {f.name for f in LOG_SCHEMA.fields}
+    assert len(rows) == 3
+    assert rows["1"]["task_id"] == 3
+    assert rows["1"]["parsed_task_id"] == "3.0"
+    assert rows["1"]["parsed_stage_id"] == "7.0"
+    assert rows["1"]["message"] == "[Stage 7.0 - Task 3.0] boom"
+    assert rows["driver"]["parsed_task_id"] == ""  # no MDC → empty extract
+    assert rows["driver"]["task_id"] is None
+    assert rows["driver"]["message"] == "[Stage  - Task ] no mdc"
+
+    bad = corrupt_log_events(raw).collect()
+    assert len(bad) == 1 and bad[0]["raw_line"].startswith('{"appName": "broken"')
+
+
+def test_partitioned_telemetry_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "telemetry")
+    tm = task_metrics(load_tables(spark, sf_dir)["events"]).limit(500)
+    write_partitioned_telemetry(tm, out)
+
+    # Physical layout: metrics_type=…/metric_date=… directories exist.
+    type_dirs = [d for d in os.listdir(out) if d.startswith("metrics_type=")]
+    assert type_dirs
+    day_dirs = os.listdir(os.path.join(out, type_dirs[0]))
+    assert any(d.startswith("metric_date=") for d in day_dirs)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+
+    # Partition pruning: a day filter must prune, not scan, other days.
+    one_day = back.select("metric_date").distinct().limit(1).collect()[0][0]
+    pruned = back.filter(F.col("metric_date") == F.lit(one_day))
+    explained = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in explained
+    assert pruned.count() > 0
