@@ -179,3 +179,15 @@ def _stream_pipeline(s, d):
 
 
 _register("stream_collector_pipeline", _stream_pipeline, None)
+
+
+# Rows-only: streaming twin of obs_stage_agg_skewness — foreachBatch closes
+# stages with the exact batch plan; row-parity with O2 asserted in
+# tests/test_streaming.py.
+def _stream_stage_agg(s, d):
+    from ..streaming.collector import run_streaming_stage_agg
+
+    return run_streaming_stage_agg(s, d)
+
+
+_register("stream_stage_agg", _stream_stage_agg, None)

@@ -85,6 +85,45 @@ def run_collector_pipeline(
     )
 
 
+def run_streaming_stage_agg(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin of O2: per-stage skewness computed at stage close.
+
+    The reference aggregates a stage's task metrics when the stage
+    completes, with all of the stage's tasks in hand
+    (``CustomMetricsListener.scala:146-188``) — the skewness formula
+    ``max(abs(x - avg(x))) / range(x)`` needs two passes over the group, so
+    it is not a single-pass streaming aggregate. ``foreachBatch`` is the
+    Spark-first equivalent of "at stage close": each micro-batch runs the
+    exact BATCH ``stage_agg_skewness`` plan over the stages it contains and
+    appends them to the sink. Stages are contiguous in event time, so with
+    micro-batch boundaries aligned to stage boundaries (availableNow here =
+    one batch = all stages closed) the output is row-identical to the batch
+    operator — asserted in ``tests/test_streaming.py``.
+    """
+    from ..operators.observability import stage_agg_skewness
+
+    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_stageagg_")
+    tm = task_metrics(events_stream(spark, sf_dir))
+
+    def _close_stages(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            stage_agg_skewness(batch_df)
+            .write.mode("append")
+            .parquet(f"{out}/stage_agg")
+        )
+
+    q = (
+        tm.writeStream.foreachBatch(_close_stages)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{out}/stage_agg")
+
+
 def run_windowed_rollup(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:

@@ -96,3 +96,53 @@ def test_decode_stub_plumbing(spark, tables):
         assert r["frame_sha8"] == bytes(r["frame_bytes"]).hex()[:8]
     plan_n = multimodal.frame_sample_plan(docs).count()
     assert multimodal.decode_frames_stub(docs).count() == plan_n
+
+
+def test_salted_sum_equals_plain_groupby(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.skew import salted_sum
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_dir)["events"]
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in salted_sum(
+            events, ["event_type"], ["value"], salt_from="event_id", n_salts=16
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-6 * max(1.0, abs(s))
+
+
+def test_salted_broadcast_join_equals_plain_join(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.skew import (
+        salted_broadcast_join,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    fact, dim = t["orders"], t["customer"].select("c_custkey", "c_mktsegment")
+    salted = salted_broadcast_join(
+        fact.withColumnRenamed("o_custkey", "c_custkey"),
+        dim,
+        key="c_custkey",
+        salt_from="o_orderkey",
+        n_salts=4,
+    )
+    plain = fact.withColumnRenamed("o_custkey", "c_custkey").join(
+        dim, "c_custkey", "inner"
+    )
+    assert salted.count() == plain.count()
+    assert sorted(salted.columns) == sorted(plain.columns)
+    g = salted.groupBy("c_mktsegment").count().collect()
+    w = plain.groupBy("c_mktsegment").count().collect()
+    assert {r["c_mktsegment"]: r["count"] for r in g} == {
+        r["c_mktsegment"]: r["count"] for r in w
+    }

@@ -62,3 +62,19 @@ def test_stateful_buffer_counter(spark, sf_dir):
     assert set(got) == set(want)
     for ex, n in want.items():
         assert got[ex] == (n, n // 100)
+
+
+def test_streaming_stage_agg_matches_batch(spark, sf_dir, tmp_path):
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        stage_agg_skewness,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_stage_agg,
+    )
+
+    got = run_streaming_stage_agg(spark, sf_dir, str(tmp_path / "stageagg"))
+    batch = stage_agg_skewness(task_metrics(load_tables(spark, sf_dir)["events"]))
+    key = ["app_id", "job_id", "stage_id"]
+    got_rows = {tuple(r[k] for k in key): r.asDict() for r in got.collect()}
+    want_rows = {tuple(r[k] for k in key): r.asDict() for r in batch.collect()}
+    assert got_rows == want_rows
