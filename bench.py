@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_blas",
     "similarity_topk_bruteforce",
     "text_token_count",
     "text_quality_score",

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine6, dot, quantize, sq_norm
+from ..functions.vectors import QUANT, cosine6, dot, quantize, sq_norm
 
 
 def _quantized(embeddings: DataFrame, barrier_key: str = "vec_id") -> DataFrame:
@@ -145,3 +145,54 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "cell_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_near_dups_blas(embeddings: DataFrame, threshold: float = 0.98) -> DataFrame:
+    """D5 scale path: per-block BLAS pairwise cosine via ``applyInPandas``.
+
+    The declarative D5 computes each pair's dot product with
+    ``aggregate(zip_with(...))`` — higher-order functions are interpreted
+    per element, so a block of n vectors costs n²·d interpreted ops. This
+    variant ships each label block to an Arrow-batched pandas function and
+    lets one int64 ``Q @ Q.T`` matmul do the n²·d work in BLAS-style
+    vectorized loops, filtering pairs below threshold BEFORE they ever
+    become rows.
+
+    The arithmetic is bit-identical to D5: quantization multiplies float32
+    by 2^15 (an exponent shift — exact in every float width), the Gram
+    matrix is int64 (order-insensitive exact), and the final rounding
+    reproduces Spark/DuckDB ROUND (half away from zero). It therefore
+    shares D5's exact DuckDB oracle, and equality with D5 is asserted in
+    tests.
+
+    Scale posture: one block = one Arrow batch = one task; blocks are
+    independent, so parallelism = #blocks and memory is O(block²) only for
+    scores, which the threshold filter prunes before emission. Blocks too
+    big for one task should first be split by an LSH band (D3) — this
+    operator is the within-bucket scorer, not the blocker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    aug = augmented_embeddings(embeddings).repartition("label")
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float32
+        q = np.floor(mat * QUANT).astype(np.int64)  # ×2^15 is exact in f32
+        gram = q @ q.T
+        nrm = np.diag(gram).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            cos = gram / np.sqrt(np.outer(nrm, nrm))
+        # Spark/DuckDB ROUND(x, 6) = half AWAY from zero; np.round is
+        # half-to-even, so reproduce it explicitly.
+        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(len(ids), k=1)  # vec_a < vec_b by sort
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
+        )
+
+    return aug.groupBy("label").applyInPandas(_score_block, out_schema)

@@ -132,6 +132,14 @@ _DEDUP_BUILDERS = {
 for _name, _b in _DEDUP_BUILDERS.items():
     _register(_name, _b, DEDUP_ORACLES[_name])
 
+# D5's BLAS scale path computes the identical integer-exact cosines, so it
+# shares D5's exact oracle (equality with D5 also asserted in tests).
+_register(
+    "dedup_embedding_cosine_blas",
+    lambda s, d: similarity.embedding_near_dups_blas(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["dedup_embedding_cosine"],
+)
+
 
 # --- Groups X (text analysis) and M (multimodal) ---------------------------
 from .text_oracles import TEXT_ORACLES  # noqa: E402

