@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
     "star_join_broadcast",
     "window_running_totals",
     "asof_join_attribution",

@@ -271,3 +271,77 @@ def asof_join_attribution(events: DataFrame) -> DataFrame:
         "last_click_ms",
         (F.col("ev_ms") - F.col("last_click_ms")).alias("gap_ms"),
     )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """T11: order-priority check (TPC-H Q4 shape) — LEFT SEMI join.
+
+    EXISTS(lineitem shipped >60 days after order) per order, counted by
+    priority. The semi join stops probing an order on its first matching
+    lineitem and never widens the row — at 100 TB that is strictly less
+    shuffle + state than join-then-distinct.
+    """
+    f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    late = f.join(
+        lineitem,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def inactive_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T12: customers with no recent orders — LEFT ANTI join.
+
+    NOT EXISTS(order since cutoff) per customer. The anti join is the
+    Spark-native NOT IN that stays null-safe and streams map-side when the
+    right side fits a broadcast (here the filtered recent-orders key set).
+    """
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(F.broadcast(recent), "c_custkey", "leftanti")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+def q18_large_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: int = 300
+) -> DataFrame:
+    """T13: large-volume orders (TPC-H Q18 shape) — HAVING + IN-subquery.
+
+    The qualifying-keys aggregation (sum qty per order HAVING > threshold)
+    runs FIRST and shrinks to a tiny key set that semi-joins back — the
+    classic aggregate-then-join ordering that keeps the big join small.
+    """
+    qualifying = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(qualifying),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_date_ms"),
+            cents(F.col("o_totalprice")).alias("total_price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )

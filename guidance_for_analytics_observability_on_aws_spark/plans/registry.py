@@ -104,6 +104,15 @@ _TPCH_BUILDERS = {
         lambda t: tpch.promo_revenue_share(t["lineitem"], t["part"])
     )(load_tables(s, d)),
     "events_funnel": lambda s, d: tpch.events_funnel(load_tables(s, d)["events"]),
+    "tpch_q4_order_priority": lambda s, d: (
+        lambda t: tpch.q4_order_priority(t["orders"], t["lineitem"])
+    )(load_tables(s, d)),
+    "anti_join_inactive_customers": lambda s, d: (
+        lambda t: tpch.inactive_customers(t["customer"], t["orders"])
+    )(load_tables(s, d)),
+    "tpch_q18_large_orders": lambda s, d: (
+        lambda t: tpch.q18_large_orders(t["customer"], t["orders"], t["lineitem"])
+    )(load_tables(s, d)),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])

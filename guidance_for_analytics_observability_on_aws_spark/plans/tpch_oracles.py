@@ -170,3 +170,42 @@ SELECT COUNT(*) AS n_users,
        CAST(SUM(CASE WHEN full_funnel THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM flags
 """
+
+TPCH_ORACLES["tpch_q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1
+ORDER BY 1
+"""
+
+TPCH_ORACLES["anti_join_inactive_customers"] = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+)
+ORDER BY c_custkey
+"""
+
+TPCH_ORACLES["tpch_q18_large_orders"] = """
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_ms(o_orderdate) AS order_date_ms,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_cents,
+       total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 300
+) q ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
