@@ -237,6 +237,34 @@ def task_percentiles(tm: DataFrame) -> DataFrame:
     return ranked.groupBy("event_type").agg(*aggs)
 
 
+def task_percentiles_approx(tm: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """O22: sketch percentiles — the 100 TB scale path for O8.
+
+    O8's explicit order statistics sort every group (one total sort per
+    key — exact, but rank assignment at 100 TB means a full shuffle+sort
+    of the metric column). ``approx_percentile`` uses the KLL/GK sketch:
+    fixed memory per group, merged map-side, single pass, error bounded by
+    1/accuracy of the rank. Engine-specific sketch values → rows-only
+    driver check; closeness to the exact O8 values is asserted in
+    ``tests/test_plans.py``.
+    """
+    pcts = F.percentile_approx(
+        "value", [0.25, 0.5, 0.75, 0.99], F.lit(accuracy)
+    ).alias("pcts")
+    return (
+        tm.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_tasks"), pcts)
+        .select(
+            "event_type",
+            "n_tasks",
+            F.col("pcts")[0].alias("p25"),
+            F.col("pcts")[1].alias("p50"),
+            F.col("pcts")[2].alias("p75"),
+            F.col("pcts")[3].alias("p99"),
+        )
+    )
+
+
 def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
     """O9: batching-client semantics (ObservabilityClient.add parity).
 

@@ -345,3 +345,26 @@ def q18_large_orders(
         )
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
     )
+
+
+def cube_priority_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """T14: CUBE over priority × market segment (all four grouping sets).
+
+    Unlike T7's ROLLUP (a prefix hierarchy), CUBE emits every subset —
+    Spark plans both through a single Expand + one aggregation pass, so
+    the input is read once regardless of how many grouping sets there are.
+    """
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    agg = j.cube("o_orderpriority", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    return agg.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("c_mktsegment"),
+        "n_orders",
+        "total_cents",
+    )

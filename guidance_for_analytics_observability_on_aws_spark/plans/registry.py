@@ -179,6 +179,22 @@ _register(
     None,
 )
 
+# Rows-only: KLL sketch percentiles (scale path for obs_task_percentiles);
+# closeness to exact asserted in tests/test_plans.py.
+_register(
+    "obs_task_percentiles_approx",
+    lambda s, d: obs.task_percentiles_approx(_tm(s, d)),
+    None,
+)
+
+_register(
+    "cube_priority_segment",
+    lambda s, d: (lambda t: tpch.cube_priority_segment(t["orders"], t["customer"]))(
+        load_tables(s, d)
+    ),
+    TPCH_ORACLES["cube_priority_segment"],
+)
+
 # Rows-only (non-SQL-expressible): Arrow-batched decode stub via mapInPandas.
 _register(
     "mm_decode_frames",

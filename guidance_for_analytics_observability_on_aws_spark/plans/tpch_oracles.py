@@ -209,3 +209,12 @@ JOIN (
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey
 """
+
+TPCH_ORACLES["cube_priority_segment"] = """
+SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+       COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderpriority, c_mktsegment)
+"""

@@ -111,3 +111,46 @@ def test_approx_cardinality_is_single_pass(spark, sf_dir):
     assert "Expand" not in plan
     exact_plan = _executed_plan(REGISTRY["obs_cardinality"].builder(spark, sf_dir))
     assert "Expand" in exact_plan  # documents what the sketch path avoids
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    exact = {
+        r["event_type"]: r.asDict()
+        for r in REGISTRY["obs_task_percentiles"].builder(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r.asDict()
+        for r in REGISTRY["obs_task_percentiles_approx"].builder(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    # Sketch accuracy is a RANK guarantee, not a value guarantee (a heavy
+    # tail makes adjacent order statistics numerically far apart), so check
+    # each approx value's rank against the target rank.
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    vals = (
+        task_metrics(load_tables(spark, sf_dir)["events"])
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for et, e in exact.items():
+        a = approx[et]
+        assert a["n_tasks"] == e["n_tasks"]
+        group = sorted(vals[vals["event_type"] == et]["value"])
+        n = len(group)
+        for frac, p in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
+            rank = sum(1 for v in group if v <= a[p])
+            target = frac * n
+            assert abs(rank - target) <= max(2, 0.01 * n), (
+                f"{et}.{p}: approx {a[p]} has rank {rank}, target {target:.0f} of {n}"
+            )
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """No registered query may degenerate into an unconditional cross join."""
+    for name, spec in REGISTRY.items():
+        if name in ("stream_collector_pipeline", "stream_stage_agg"):
+            continue
+        plan = _executed_plan(spec.builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
