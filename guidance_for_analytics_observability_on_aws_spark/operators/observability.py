@@ -476,3 +476,27 @@ def stream_metrics_window(tm: DataFrame) -> DataFrame:
             "n_executors",
         )
     )
+
+
+def skew_timeline(tm: DataFrame) -> DataFrame:
+    """O23: hourly max-skewness timeline per application.
+
+    Parity with the data-skew dashboard's date histogram of max skewness
+    per appId (``deployment/infra/resources/lambda/opensearch-bootstrap/
+    resources/dashboards/data-skew.ndjson``): bucket the per-stage skew
+    aggregation by hour and take the bucket max. Runs on top of O2's
+    output — at scale this is a tiny aggregate over per-stage rows, not
+    a second pass over task metrics.
+    """
+    agg = stage_agg_skewness(tm)
+    hour_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 3600000
+    return (
+        agg.withColumn("hour_ms", hour_ms)
+        .groupBy("app_id", "hour_ms")
+        .agg(
+            F.max("input_bytes_read_skewness").alias("max_input_skewness"),
+            F.max("shuffle_bytes_read_skewness").alias("max_shuffle_skewness"),
+            F.count(F.lit(1)).alias("n_stages"),
+            F.sum("n_tasks").alias("n_tasks"),
+        )
+    )

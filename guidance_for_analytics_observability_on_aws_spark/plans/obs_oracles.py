@@ -315,3 +315,15 @@ FROM msgs
 WHERE level = 'ERROR' AND message LIKE '%stage 1%'
 GROUP BY 1
 """
+
+OBS_ORACLES["obs_skew_timeline"] = f"""
+{STAGE_AGG_CTES}
+SELECT app_id,
+       metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+       MAX(input_bytes_read_skewness) AS max_input_skewness,
+       MAX(shuffle_bytes_read_skewness) AS max_shuffle_skewness,
+       COUNT(*) AS n_stages,
+       CAST(SUM(n_tasks) AS BIGINT) AS n_tasks
+FROM stage_agg
+GROUP BY 1, 2
+"""

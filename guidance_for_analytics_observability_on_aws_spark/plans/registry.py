@@ -58,6 +58,7 @@ _OBS_BUILDERS = {
     "obs_error_rate": lambda s, d: obs.error_rate(_tm(s, d)),
     "obs_executor_utilization": lambda s, d: obs.executor_utilization(_tm(s, d)),
     "obs_session_windows": lambda s, d: obs.session_windows(_tm(s, d)),
+    "obs_skew_timeline": lambda s, d: obs.skew_timeline(_tm(s, d)),
     "stream_metrics_window": lambda s, d: obs.stream_metrics_window(_tm(s, d)),
     "obs_log_search": lambda s, d: obs.log_search(_tm(s, d)),
 }
@@ -224,3 +225,14 @@ def _stream_stage_agg(s, d):
 
 
 _register("stream_stage_agg", _stream_stage_agg, None)
+
+
+# Rows-only: native streaming session windows; row-parity with the batch
+# O14 sessionization asserted in tests/test_streaming.py.
+def _stream_sessions(s, d):
+    from ..streaming.collector import run_streaming_sessions
+
+    return run_streaming_sessions(s, d)
+
+
+_register("stream_session_windows", _stream_sessions, None)

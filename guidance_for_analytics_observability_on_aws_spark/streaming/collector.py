@@ -146,3 +146,51 @@ def run_windowed_rollup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_sessions(
+    spark: SparkSession, sf_dir: str, gap_s: int = 1800
+) -> DataFrame:
+    """O24: NATIVE streaming session windows (gap-merged state), run to
+    completion — the streaming twin of the batch O14 gap sessionization.
+
+    ``session_window`` keeps per-key open-session state and merges an event
+    into a session while it lands within ``gap_s`` of the session end —
+    semantically the batch lag-gap rule (ties at exactly gap differ: batch
+    ``> gap`` starts a session, streaming merges strictly-inside only;
+    the driver data has millisecond-random timestamps, so exact-gap ties
+    do not occur, and the parity test would catch one if it did).
+    Complete-mode memory sink for the same end-of-stream reason as
+    :func:`run_windowed_rollup`; update mode is rejected for session
+    windows and append withholds trailing open sessions.
+    """
+    name = "gfaooa_sessions_sink"
+    tm = task_metrics(events_stream(spark, sf_dir))
+    sess = (
+        tm.withWatermark("metric_time", "30 minutes")
+        .groupBy(
+            F.session_window(F.col("metric_time"), f"{gap_s} seconds").alias("sw"),
+            F.col("executor_id"),
+        )
+        .agg(
+            F.min("metric_time_ms").alias("session_start_ms"),
+            F.max("metric_time_ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "executor_id",
+            "session_start_ms",
+            "session_end_ms",
+            "n_events",
+            (F.col("session_end_ms") - F.col("session_start_ms")).alias("duration_ms"),
+        )
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -78,3 +78,23 @@ def test_streaming_stage_agg_matches_batch(spark, sf_dir, tmp_path):
     got_rows = {tuple(r[k] for k in key): r.asDict() for r in got.collect()}
     want_rows = {tuple(r[k] for k in key): r.asDict() for r in batch.collect()}
     assert got_rows == want_rows
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        session_windows,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_sessions,
+    )
+
+    got = {
+        (r["executor_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"], r["duration_ms"])
+        for r in run_streaming_sessions(spark, sf_dir).collect()
+    }
+    batch = session_windows(task_metrics(load_tables(spark, sf_dir)["events"]))
+    want = {
+        (r["executor_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"], r["duration_ms"])
+        for r in batch.collect()
+    }
+    assert got == want
