@@ -153,6 +153,53 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """X6: rolling-hash winnowing fingerprint (Schleimer et al., SIGMOD'03
+    — the MOSS algorithm).
+
+    Hash every character ``k``-gram of the document, slide a window of
+    ``w`` consecutive gram hashes, keep each window's minimum; the distinct
+    selected hashes are the document fingerprint, summarized to one md5
+    signature. Guarantees a match for any shared run of ``k + w - 1``
+    characters, independent of position.
+
+    Scale shape: the whole fingerprint is per-row array arithmetic
+    (``sequence``/``transform``/``slice``/``array_min`` — JVM codegen, no
+    Python), so there is NO explode and NO shuffle until the final
+    group-by on the (tiny, high-entropy) signature key. Documents
+    fingerprint independently → embarrassingly parallel at 100 TB.
+    """
+    n = F.length("text")
+    gram_hash = lambda i: F.conv(  # noqa: E731 — md5_int over a rolling slice
+        F.substring(F.md5(F.substr(F.col("text"), i, F.lit(k))), 1, 12), 16, 10
+    ).cast("long")
+    gh = F.transform(F.sequence(F.lit(1), n - (k - 1)), gram_hash)
+    docs = documents.filter(n >= k + w - 1).select("doc_id", gh.alias("gh"))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size("gh") - (w - 1)),
+        lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("gh").cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(wmins)).alias("fp"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.size("fp").cast("long").alias("n_selected"),
+        F.md5(F.array_join(F.col("fp").cast("array<string>"), ",")).alias("signature"),
+    )
+    return per_doc.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+        F.min("n_grams").alias("n_grams"),
+        F.min("n_selected").alias("n_selected"),
+        F.array_join(
+            F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+        ).alias("doc_ids"),
+    )
+
+
 def stats_by_source(documents: DataFrame) -> DataFrame:
     """X5: corpus statistics per source × lang."""
     agg = documents.groupBy("source", "lang").agg(

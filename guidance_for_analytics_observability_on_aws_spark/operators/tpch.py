@@ -347,6 +347,129 @@ def q18_large_orders(
     )
 
 
+def q13_customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T15: customer order-count distribution (TPC-H Q13 shape).
+
+    LEFT OUTER join keeps zero-order customers (the `c_count = 0` bucket),
+    then a second aggregation turns per-customer counts into a histogram.
+    Both aggregations partial-aggregate map-side; the second one's input is
+    already tiny (one row per customer), and its key space (distinct order
+    counts) is trivially small, so the plan is one real shuffle + one cheap
+    one at any scale.
+    """
+    counts = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+                "o_custkey", "o_orderkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q19_discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """T16: disjunctive-predicate revenue (TPC-H Q19 shape).
+
+    Three OR'd brand×size×quantity predicate groups over lineitem⋈part.
+    The join-key predicate stays conjunctive so the broadcast hash join is
+    still planned; the disjunction is evaluated post-join inside
+    WholeStageCodegen, and the `l_quantity <= 30` envelope (implied by all
+    three branches) is stated separately so it pushes down to the lineitem
+    scan and prunes row groups before the join.
+    """
+    j = lineitem.filter(F.col("l_quantity") <= 30).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        j.filter(b1 | b2 | b3)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue_cents()).alias("revenue_cents"),
+        )
+    )
+
+
+def q22_dormant_high_balance(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T17: dormant high-balance customers (TPC-H Q22 shape).
+
+    Scalar aggregate subquery (average positive balance) + LEFT ANTI join
+    (customers with no orders at all), grouped by market segment. The
+    threshold is integer cents via BIGINT division so the comparison is
+    bit-identical across engines; the 1-row aggregate is cross-broadcast,
+    never a shuffle.
+    """
+    bal_cents = cents(F.col("c_acctbal"))
+    threshold = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(
+                "CAST(SUM(FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT) DIV COUNT(*)"
+            ).alias("avg_bal_cents")
+        )
+    )
+    rich = (
+        customer.join(F.broadcast(threshold))
+        .filter(bal_cents > F.col("avg_bal_cents"))
+    )
+    dormant = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "leftanti"
+    )
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(bal_cents).alias("total_acctbal_cents"),
+    )
+
+
+def q12_priority_by_status(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """T18: conditional-count aggregation (TPC-H Q12 shape; the driver
+    schema has no `l_shipmode`, so `l_linestatus` plays the grouping
+    column).
+
+    High-priority vs other order counts per line status for lineitems
+    shipped in 1997 — one join, one aggregation, the CASE counts fold into
+    the same partial aggregate.
+    """
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = orders.join(f, F.col("o_orderkey") == F.col("l_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def cube_priority_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """T14: CUBE over priority × market segment (all four grouping sets).
 

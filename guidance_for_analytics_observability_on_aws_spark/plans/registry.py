@@ -114,6 +114,18 @@ _TPCH_BUILDERS = {
     "tpch_q18_large_orders": lambda s, d: (
         lambda t: tpch.q18_large_orders(t["customer"], t["orders"], t["lineitem"])
     )(load_tables(s, d)),
+    "tpch_q13_customer_distribution": lambda s, d: (
+        lambda t: tpch.q13_customer_distribution(t["customer"], t["orders"])
+    )(load_tables(s, d)),
+    "tpch_q19_discounted_revenue": lambda s, d: (
+        lambda t: tpch.q19_discounted_revenue(t["lineitem"], t["part"])
+    )(load_tables(s, d)),
+    "tpch_q22_dormant_balance": lambda s, d: (
+        lambda t: tpch.q22_dormant_high_balance(t["customer"], t["orders"])
+    )(load_tables(s, d)),
+    "tpch_q12_priority_by_status": lambda s, d: (
+        lambda t: tpch.q12_priority_by_status(t["orders"], t["lineitem"])
+    )(load_tables(s, d)),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
@@ -162,6 +174,9 @@ _TEXT_BUILDERS = {
     "text_token_count": lambda s, d: textops.token_count(load_tables(s, d)["documents"]),
     "text_fingerprint": lambda s, d: textops.fingerprint(load_tables(s, d)["documents"]),
     "docs_stats_by_source": lambda s, d: textops.stats_by_source(
+        load_tables(s, d)["documents"]
+    ),
+    "text_winnow_fingerprint": lambda s, d: textops.winnow_fingerprint(
         load_tables(s, d)["documents"]
     ),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
@@ -236,3 +251,15 @@ def _stream_sessions(s, d):
 
 
 _register("stream_session_windows", _stream_sessions, None)
+
+
+# Rows-only: watermarked dropDuplicates over a deliberately-duplicated
+# delivery; exact-once parity with batch distinct asserted in
+# tests/test_streaming.py.
+def _stream_dedup(s, d):
+    from ..streaming.collector import run_streaming_dedup
+
+    return run_streaming_dedup(s, d)
+
+
+_register("stream_dedup_ingest", _stream_dedup, None)

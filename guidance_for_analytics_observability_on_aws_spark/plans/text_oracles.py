@@ -146,3 +146,34 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, n_frames,
        frame_idx * 1000.0 / 24.0 AS frame_ts_ms
 FROM frames
 """
+
+TEXT_ORACLES["text_winnow_fingerprint"] = """
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - 8 + 2),
+           i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 12) AS BIGINT)) AS gh
+  FROM documents
+  WHERE len(text) >= 11
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(gh) AS BIGINT) AS n_grams,
+         list_sort(list_distinct(list_transform(range(1, len(gh) - 4 + 2),
+           j -> list_min(list_slice(gh, j, j + 3))))) AS fp
+  FROM grams
+),
+sigs AS (
+  SELECT doc_id, n_grams,
+         CAST(len(fp) AS BIGINT) AS n_selected,
+         md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS signature
+  FROM per_doc
+)
+SELECT signature,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+       CAST(MIN(n_selected) AS BIGINT) AS n_selected,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+FROM sigs
+GROUP BY 1
+"""

@@ -210,6 +210,59 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey
 """
 
+TPCH_ORACLES["tpch_q13_customer_distribution"] = """
+WITH counts AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM counts
+GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+TPCH_ORACLES["tpch_q19_discounted_revenue"] = f"""
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+"""
+
+TPCH_ORACLES["tpch_q22_dormant_balance"] = """
+WITH threshold AS (
+  SELECT CAST(SUM(FLOOR(c_acctbal * 100 + 0.5)) AS BIGINT) // COUNT(*) AS avg_bal_cents
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_cents
+FROM customer, threshold
+WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > avg_bal_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+TPCH_ORACLES["tpch_q12_priority_by_status"] = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
 TPCH_ORACLES["cube_priority_segment"] = """
 SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
        COALESCE(c_mktsegment, '(all)') AS c_mktsegment,

@@ -194,3 +194,38 @@ def run_streaming_sessions(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O25: exactly-once ingest dedup — watermarked ``dropDuplicates``.
+
+    The reference's client re-sends a whole batch on a retryable failure
+    (``ObservabilityClient.scala:281-289``), i.e. delivery is
+    at-least-once, and the OpenSearch index absorbs replays by document
+    id. The Spark-first equivalent of that idempotent sink is
+    ``dropDuplicates`` on the record key under a watermark: per-key state
+    is dropped once the key's event time falls behind the watermark, so
+    state stays bounded no matter how long the stream runs.
+
+    Exercised by replaying the source TWICE (self-union = a duplicated
+    delivery of every record); the output must collapse to the exact
+    single-copy rows — asserted against batch distinct in
+    ``tests/test_streaming.py``.
+    """
+    name = "gfaooa_dedup_sink"
+    doubled = events_stream(spark, sf_dir).unionAll(events_stream(spark, sf_dir))
+    dedup = (
+        task_metrics(doubled)
+        .withWatermark("metric_time", "30 minutes")
+        .dropDuplicates(["task_id"])
+        .select("task_id", "app_id", "metrics_type", "metric_time_ms", "value")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -98,3 +98,17 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_dedup,
+    )
+
+    got = run_streaming_dedup(spark, sf_dir)
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    want = tm.select("task_id", "app_id", "metrics_type", "metric_time_ms", "value")
+    # the doubled delivery must collapse to exactly the single-copy rows
+    assert got.count() == want.count()
+    key = lambda r: (r["task_id"], r["app_id"], r["metrics_type"], r["metric_time_ms"], r["value"])  # noqa: E731
+    assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
