@@ -106,6 +106,87 @@ def decode_frames_stub(documents: DataFrame, stride: int = 5) -> DataFrame:
     return plan.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
+def feature_extract(documents: DataFrame) -> DataFrame:
+    """M4: REAL content feature extraction over the payload column.
+
+    A 16-bin code-point-nibble histogram + summary moments per document —
+    the shape of a classical content-signature featurizer (byte histogram /
+    entropy), computed entirely with JVM-side array expressions: no decode,
+    no Python, no shuffle (per-row map). The histogram doubles as the
+    input feature vector for the similarity/dedup operators.
+    """
+    codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    base = documents.select(
+        "doc_id", modality.alias("modality"), codes.alias("codes")
+    )
+    hist = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.size(F.filter(F.col("codes"), lambda c: c % 16 == b)).cast(
+            "long"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "modality",
+        F.size("codes").cast("long").alias("n_units"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        F.array_join(hist.cast("array<string>"), ",").alias("nibble_hist"),
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, in_width bigint, in_height bigint, "
+    "out_width bigint, out_height bigint, resized_sha8 string"
+)
+
+
+def resize_images_stub(documents: DataFrame, target_w: int = 64) -> DataFrame:
+    """M5 (rows-only): image resize STUB via Arrow-batched ``mapInPandas``.
+
+    The real pixel work needs an image library this container does not
+    have, so the resample is a deterministic fake (md5 of the resize key);
+    everything around it is the real distributed plumbing: metadata-driven
+    routing to image rows only, aspect-ratio-preserving integer target
+    dims, Arrow batch transfer, stable output schema. Swap the body for
+    PIL/torchvision on a real cluster and nothing else changes.
+    """
+    plan = (
+        binary_meta(documents)
+        .filter(F.col("modality") == "image")
+        .select("doc_id", "width", "height")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w = pd.Series([target_w] * len(pdf), index=pdf.index)
+            out_h = (pdf["height"] * target_w // pdf["width"]).clip(lower=1)
+            keys = (
+                pdf["doc_id"].astype(str)
+                + ":" + out_w.astype(str) + ":" + out_h.astype(str)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_width": pdf["width"],
+                    "in_height": pdf["height"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_sha8": [
+                        hashlib.md5(k.encode()).hexdigest()[:8] for k in keys
+                    ],
+                }
+            )
+
+    return plan.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def decoded_frame_summary(documents: DataFrame, stride: int = 5) -> DataFrame:
     """Aggregated view of the decode stub (stable schema for rows-only check)."""
     decoded = decode_frames_stub(documents, stride)

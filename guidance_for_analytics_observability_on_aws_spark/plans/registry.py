@@ -183,6 +183,9 @@ _TEXT_BUILDERS = {
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]
     ),
+    "mm_feature_extract": lambda s, d: multimodal.feature_extract(
+        load_tables(s, d)["documents"]
+    ),
 }
 for _name, _b in _TEXT_BUILDERS.items():
     _register(_name, _b, TEXT_ORACLES[_name])
@@ -215,6 +218,15 @@ _register(
 _register(
     "mm_decode_frames",
     lambda s, d: multimodal.decoded_frame_summary(load_tables(s, d)["documents"]),
+    None,
+)
+
+# Rows-only: Arrow-batched resize stub (real metadata routing + plumbing,
+# deterministic fake resample); dims/determinism asserted in
+# tests/test_operators.py.
+_register(
+    "mm_resize",
+    lambda s, d: multimodal.resize_images_stub(load_tables(s, d)["documents"]),
     None,
 )
 

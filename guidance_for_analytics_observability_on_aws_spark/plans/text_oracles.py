@@ -177,3 +177,21 @@ SELECT signature,
 FROM sigs
 GROUP BY 1
 """
+
+TEXT_ORACLES["mm_feature_extract"] = """
+WITH codes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents
+)
+SELECT doc_id,
+       modality,
+       CAST(len(codes) AS BIGINT) AS n_units,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       array_to_string(list_transform(range(0, 16),
+         b -> CAST(len(list_filter(codes, c -> c % 16 = b)) AS VARCHAR)), ',') AS nibble_hist
+FROM codes
+"""

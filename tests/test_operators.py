@@ -159,3 +159,24 @@ def test_blas_near_dups_equals_declarative(spark, sf_dir):
     a = {tuple(r) for r in embedding_near_dups(emb).collect()}
     b = {tuple(r) for r in embedding_near_dups_blas(emb).collect()}
     assert a and a == b
+
+
+def test_resize_stub_dims_and_determinism(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
+        binary_meta,
+        resize_images_stub,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = resize_images_stub(docs).collect()
+    n_images = binary_meta(docs).filter("modality = 'image'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        assert r["out_width"] == 64
+        # aspect-ratio-preserving integer downscale, floored at 1
+        assert r["out_height"] == max(1, r["in_height"] * 64 // r["in_width"])
+        assert len(r["resized_sha8"]) == 8
+    # deterministic across runs
+    again = {(r["doc_id"], r["resized_sha8"]) for r in resize_images_stub(docs).collect()}
+    assert again == {(r["doc_id"], r["resized_sha8"]) for r in out}
