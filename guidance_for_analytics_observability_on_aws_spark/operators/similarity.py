@@ -147,6 +147,77 @@ def topk_ivf(
     )
 
 
+def topk_ann_lsh(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_bits: int = 6,
+    q_lo: int = 100,
+    q_hi: int = 116,
+) -> DataFrame:
+    """D9: LSH-bucketed ANN — the random-hyperplane alternative to IVF (D7).
+
+    Sign-of-dot-product hashing (Charikar SimHash family): each vector gets
+    an ``n_bits``-bit signature, bit b = sign(v · anchor_b), anchors being
+    the first ``n_bits`` data vectors (a fixed, deterministic hyperplane
+    set both engines can reproduce). Vectors sharing a signature land in
+    the same bucket; queries do exact cosine ONLY within their bucket.
+
+    Scale posture vs D7: no assignment argmax pass — signatures are one
+    broadcast-anchors map (narrow), and the candidate join key space is
+    bounded by 2^n_bits regardless of data size. Bucket skew is the
+    AQE-skew-join case; raising n_bits splits buckets geometrically.
+    """
+    q = _quantized(embeddings)
+    anchors = q.filter(F.col("vec_id") < n_bits).select(
+        F.col("vec_id").alias("bit_idx"), F.col("qv").alias("a_qv")
+    )
+    bits = q.join(F.broadcast(anchors)).select(
+        "vec_id",
+        (
+            F.when(dot(F.col("qv"), F.col("a_qv")) >= 0, 1)
+            .otherwise(0)
+            .cast("long")
+            * F.expr("CAST(POWER(2, bit_idx) AS BIGINT)")
+        ).alias("bit_val"),
+    )
+    sig = bits.groupBy("vec_id").agg(F.sum("bit_val").alias("sig"))
+    bucketed = q.join(sig, "vec_id")
+    queries = bucketed.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("q_sig"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sig").alias("c_sig"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = F.broadcast(queries).join(
+        cand,
+        (F.col("q_sig") == F.col("c_sig"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        F.col("q_sig").alias("sig"),
+        "neighbor_id",
+        cosine6(
+            dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "sig", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dups_blas(embeddings: DataFrame, threshold: float = 0.98) -> DataFrame:
     """D5 scale path: per-block BLAS pairwise cosine via ``applyInPandas``.
 

@@ -470,6 +470,186 @@ def q12_priority_by_status(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """T19: forecasting revenue change (TPC-H Q6 shape) — pure scan-agg.
+
+    Every predicate is a simple column comparison, so the whole WHERE
+    clause reaches the parquet scan as PushedFilters and prunes row groups
+    before a single row is deserialized; the aggregation is one partial +
+    one 1-row final. This is the query whose plan should be "scan, filter,
+    agg" and literally nothing else at any scale.
+    """
+    f = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q15_top_supplier(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    """T20: top supplier (TPC-H Q15 shape) — view-max selection.
+
+    Quarterly revenue per supplier, then the supplier(s) whose revenue
+    equals the global max. The per-supplier aggregate is computed ONCE and
+    reused for both the max (1-row, cross-broadcast) and the final
+    selection — no recomputation, no correlated rescan; supplier is a
+    broadcast dim.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue_cents()).alias("total_revenue_cents"))
+    )
+    max_rev = rev.agg(F.max("total_revenue_cents").alias("max_rev"))
+    top = rev.join(F.broadcast(max_rev)).filter(
+        F.col("total_revenue_cents") == F.col("max_rev")
+    )
+    return (
+        supplier.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """T21: parts/supplier relationship (TPC-H Q16 shape) — DISTINCT count
+    with an exclusion list.
+
+    Distinct suppliers per (brand, type, size) over the lineitem
+    part↔supplier relation (the driver schema has no partsupp), excluding
+    one brand and blacklisted suppliers (negative balance plays the
+    "complaints" predicate). The blacklist is tiny → broadcast LEFT ANTI;
+    the distinct-count shuffles once on the grouping key with the suppkey
+    de-dup folded into the same aggregation.
+    """
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.filter(F.col("p_brand") != "Brand#45")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftanti",
+        )
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q17_small_qty_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """T22: small-quantity-order revenue (TPC-H Q17 shape) — correlated
+    AVG subquery, decorrelated.
+
+    `l_quantity < 0.2 * avg(l_quantity per part)` is rewritten as the
+    exact integer predicate `5 * qty * cnt < sum_qty`, so the comparison
+    is BIGINT-exact in every engine. The brand filter runs FIRST (broadcast
+    part dim), the per-part average is computed over only the filtered
+    lineitems, and the join back is on the same key — one narrow shuffle
+    on l_partkey, reused by both the aggregate and the join under AQE.
+    """
+    li = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#23")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(
+        per_part, F.col("l_partkey") == F.col("pp_partkey")
+    ).filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.coalesce(
+            F.sum(cents(F.col("l_extendedprice"))), F.lit(0).cast("long")
+        ).alias("total_extprice_cents"),
+    ).select(
+        "n_items",
+        "total_extprice_cents",
+        (F.col("total_extprice_cents") / 100.0 / 7.0).alias("avg_yearly"),
+    )
+
+
+def q21_waiting_supplier(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """T23: suppliers who kept orders waiting (TPC-H Q21 shape) — the
+    EXISTS + NOT-EXISTS double-correlation, decorrelated to one pass.
+
+    "Late" is `l_shipdate > o_orderdate + 90 days` (the driver schema has
+    no commit/receipt dates). A supplier qualifies on an order iff it was
+    late, the order had other suppliers, and NONE of the others were late.
+    Instead of two correlated rescans of lineitem (the literal SQL), one
+    per-order aggregation computes #distinct suppliers and #distinct late
+    suppliers; late rows then join that tiny per-order summary — lineitem
+    is read once and shuffled once on l_orderkey.
+    """
+    f = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = f.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_rows = (
+        f.filter("is_late")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    qualifying = late_rows.join(
+        per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        ),
+        F.col("l_orderkey") == F.col("po_orderkey"),
+    )
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.sum("n_rows").alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
 def cube_priority_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """T14: CUBE over priority × market segment (all four grouping sets).
 

@@ -212,3 +212,34 @@ SELECT query_id, cell_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
 DEDUP_ORACLES["similarity_ivf"] = DEDUP_ORACLES["similarity_ivf"].replace(
     "FROM ranked_src", "FROM scored"
 )
+
+DEDUP_ORACLES["similarity_ann_lsh"] = f"""
+{_BASE_QUANT_CTES},
+anchors AS (
+  SELECT vec_id AS bit_idx, qv AS a_qv FROM norms WHERE vec_id < 6
+),
+sigs AS (
+  SELECT n.vec_id,
+         CAST(SUM(CASE WHEN {dot_sql("n.qv", "a.a_qv")} >= 0 THEN 1 ELSE 0 END
+              * CAST(POWER(2, a.bit_idx) AS BIGINT)) AS BIGINT) AS sig
+  FROM norms n CROSS JOIN anchors a
+  GROUP BY 1
+),
+bucketed AS (
+  SELECT n.vec_id, n.qv, n.nrm, s.sig FROM norms n JOIN sigs s USING (vec_id)
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, qs.sig, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM bucketed qs
+  JOIN bucketed c ON qs.sig = c.sig AND qs.vec_id != c.vec_id
+  WHERE qs.vec_id >= 100 AND qs.vec_id < 116
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, sig, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""

@@ -126,6 +126,21 @@ _TPCH_BUILDERS = {
     "tpch_q12_priority_by_status": lambda s, d: (
         lambda t: tpch.q12_priority_by_status(t["orders"], t["lineitem"])
     )(load_tables(s, d)),
+    "tpch_q6_forecast_revenue": lambda s, d: tpch.q6_forecast_revenue(
+        load_tables(s, d)["lineitem"]
+    ),
+    "tpch_q15_top_supplier": lambda s, d: (
+        lambda t: tpch.q15_top_supplier(t["lineitem"], t["supplier"])
+    )(load_tables(s, d)),
+    "tpch_q16_supplier_counts": lambda s, d: (
+        lambda t: tpch.q16_supplier_counts(t["lineitem"], t["part"], t["supplier"])
+    )(load_tables(s, d)),
+    "tpch_q17_small_qty_revenue": lambda s, d: (
+        lambda t: tpch.q17_small_qty_revenue(t["lineitem"], t["part"])
+    )(load_tables(s, d)),
+    "tpch_q21_waiting_supplier": lambda s, d: (
+        lambda t: tpch.q21_waiting_supplier(t["lineitem"], t["orders"], t["supplier"])
+    )(load_tables(s, d)),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
@@ -150,6 +165,9 @@ _DEDUP_BUILDERS = {
         load_tables(s, d)["embeddings"]
     ),
     "similarity_ivf": lambda s, d: similarity.topk_ivf(load_tables(s, d)["embeddings"]),
+    "similarity_ann_lsh": lambda s, d: similarity.topk_ann_lsh(
+        load_tables(s, d)["embeddings"]
+    ),
 }
 for _name, _b in _DEDUP_BUILDERS.items():
     _register(_name, _b, DEDUP_ORACLES[_name])

@@ -263,6 +263,84 @@ GROUP BY 1
 ORDER BY 1
 """
 
+TPCH_ORACLES["tpch_q6_forecast_revenue"] = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+TPCH_ORACLES["tpch_q15_top_supplier"] = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(SUM({REV}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+TPCH_ORACLES["tpch_q16_supplier_counts"] = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+TPCH_ORACLES["tpch_q17_small_qty_revenue"] = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'
+),
+pp AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty, COUNT(*) AS cnt
+  FROM li GROUP BY 1
+),
+small AS (
+  SELECT COUNT(*) AS n_items,
+         COALESCE(CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT), 0)
+           AS total_extprice_cents
+  FROM li JOIN pp USING (l_partkey)
+  WHERE 5 * qty * cnt < sum_qty
+)
+SELECT n_items, total_extprice_cents,
+       total_extprice_cents / 100.0 / 7.0 AS avg_yearly
+FROM small
+"""
+
+TPCH_ORACLES["tpch_q21_waiting_supplier"] = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+"""
+
 TPCH_ORACLES["cube_priority_segment"] = """
 SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
        COALESCE(c_mktsegment, '(all)') AS c_mktsegment,

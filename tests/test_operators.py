@@ -180,3 +180,22 @@ def test_resize_stub_dims_and_determinism(spark, sf_dir):
     # deterministic across runs
     again = {(r["doc_id"], r["resized_sha8"]) for r in resize_images_stub(docs).collect()}
     assert again == {(r["doc_id"], r["resized_sha8"]) for r in out}
+
+
+def test_ann_lsh_buckets_and_ranks(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import topk_ann_lsh
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = topk_ann_lsh(emb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        # every query's results come from a single bucket (its own signature)
+        assert len({r["sig"] for r in rs}) == 1
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)

@@ -83,7 +83,11 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir):
     Arrow-batched pandas plans (mm_decode_frames) are the one sanctioned
     Python path, per the multimodal spec.
     """
-    pandas_sanctioned = {"mm_decode_frames", "dedup_embedding_cosine_blas"}
+    pandas_sanctioned = {
+        "mm_decode_frames",
+        "mm_resize",
+        "dedup_embedding_cosine_blas",
+    }
     for name, spec in REGISTRY.items():
         if name in ("stream_collector_pipeline", "stream_stage_agg"):
             continue  # run streaming jobs on build; covered in test_streaming
