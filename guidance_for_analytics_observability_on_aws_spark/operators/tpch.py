@@ -621,32 +621,193 @@ def q21_waiting_supplier(
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         ).alias("is_late"),
     )
-    per_order = f.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
-    )
-    late_rows = (
-        f.filter("is_late")
+    # One pass: the explicit l_orderkey repartition satisfies BOTH the
+    # (l_orderkey, l_suppkey) grouping (hash on a subset of the keys
+    # clusters the full key) and the per-order window partitioning, so
+    # lineitem is read once and shuffled once; the per-order stats are
+    # window aggregates over the already-clustered per-pair rows — no
+    # second scan, no self-join, no countDistinct expansion.
+    per_pair = (
+        f.repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_rows")
+        )
     )
-    qualifying = late_rows.join(
-        per_order.filter(
-            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-        ),
-        F.col("l_orderkey") == F.col("po_orderkey"),
+    wo = Window.partitionBy("l_orderkey")
+    enriched = per_pair.select(
+        "*",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum(F.when(F.col("late_rows") > 0, 1).otherwise(0))
+        .over(wo)
+        .alias("n_late_supp"),
+    )
+    qualifying = enriched.filter(
+        (F.col("late_rows") > 0)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
     )
     return (
         qualifying.groupBy("l_suppkey")
-        .agg(F.sum("n_rows").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .join(
             F.broadcast(supplier.select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+def q7_volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    na: str = "NATION_18",
+    nb: str = "NATION_19",
+) -> DataFrame:
+    """T24: volume shipping between two nations (TPC-H Q7 shape).
+
+    Bidirectional nation-pair trade per year. Both nation dims are
+    pre-filtered to the two names BEFORE broadcast, so the big joins only
+    keep rows that can possibly qualify; the direction disjunction is
+    evaluated on two broadcast-joined tiny columns post-join.
+    """
+    two = nation.filter(F.col("n_name").isin(na, nb))
+    sn = two.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = two.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == na) & (F.col("cust_nation") == nb))
+            | ((F.col("supp_nation") == nb) & (F.col("cust_nation") == na))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(revenue_cents()).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_3",
+) -> DataFrame:
+    """T25: national market share (TPC-H Q8 shape).
+
+    Share of one nation's suppliers in a region's market for one part
+    type, per year. Numerator and denominator are the SAME aggregation
+    pass (conditional sum over exact integer cents), so the share is one
+    scan and the division is computed from deterministic aggregates.
+    """
+    amer_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_nk"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("cn_nk"), "leftsemi")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_nk"))
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == target_nation, revenue_cents()).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_revenue_cents"),
+        F.sum(revenue_cents()).alias("total_revenue_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue_cents",
+        "total_revenue_cents",
+        (F.col("nation_revenue_cents") / F.col("total_revenue_cents")).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+def q20_excess_share_suppliers(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """T26: dominant-share suppliers (TPC-H Q20 shape, adapted — the
+    driver schema has no partsupp.availqty).
+
+    Suppliers who shipped MORE than a quarter of any widget part's 1997
+    volume. The literal SQL is a nested correlated aggregate (share of a
+    per-part total); here the same l_partkey clustering serves both the
+    per-(part,supplier) aggregation and the per-part window total — one
+    scan, one shuffle, exact integer compare `4·supp_qty > total_qty`.
+    """
+    widget_parts = part.filter(F.col("p_name").like("%widget")).select("p_partkey")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(
+        F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
+    per_ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    enriched = per_ps.select(
+        "*",
+        F.sum("supp_qty").over(Window.partitionBy("l_partkey")).alias("total_qty"),
+    )
+    qualifying = (
+        enriched.filter(F.lit(4) * F.col("supp_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
 
 

@@ -141,6 +141,22 @@ _TPCH_BUILDERS = {
     "tpch_q21_waiting_supplier": lambda s, d: (
         lambda t: tpch.q21_waiting_supplier(t["lineitem"], t["orders"], t["supplier"])
     )(load_tables(s, d)),
+    "tpch_q7_volume_shipping": lambda s, d: (
+        lambda t: tpch.q7_volume_shipping(
+            t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+        )
+    )(load_tables(s, d)),
+    "tpch_q8_market_share": lambda s, d: (
+        lambda t: tpch.q8_market_share(
+            t["lineitem"], t["orders"], t["customer"], t["supplier"],
+            t["nation"], t["region"], t["part"],
+        )
+    )(load_tables(s, d)),
+    "tpch_q20_excess_share": lambda s, d: (
+        lambda t: tpch.q20_excess_share_suppliers(
+            t["lineitem"], t["part"], t["supplier"]
+        )
+    )(load_tables(s, d)),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])

@@ -341,6 +341,75 @@ GROUP BY 1
 ORDER BY numwait DESC, s_name
 """
 
+TPCH_ORACLES["tpch_q7_volume_shipping"] = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({REV}) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+TPCH_ORACLES["tpch_q8_market_share"] = f"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {REV} ELSE 0 END) AS BIGINT)
+           AS nation_revenue_cents,
+         CAST(SUM({REV}) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    )
+  GROUP BY 1
+)
+SELECT o_year, nation_revenue_cents, total_revenue_cents,
+       nation_revenue_cents / CAST(total_revenue_cents AS DOUBLE) AS mkt_share
+FROM agg
+ORDER BY o_year
+"""
+
+TPCH_ORACLES["tpch_q20_excess_share"] = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(qty) AS BIGINT) AS supp_qty
+  FROM li GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_qty FROM li GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN per_ps ON s_suppkey = l_suppkey
+JOIN per_part USING (l_partkey)
+WHERE 4 * supp_qty > total_qty
+ORDER BY s_suppkey
+"""
+
 TPCH_ORACLES["cube_priority_segment"] = """
 SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
        COALESCE(c_mktsegment, '(all)') AS c_mktsegment,
