@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     "tpch_q10_returned_items",
     "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier",
     "star_join_broadcast",
     "window_running_totals",
     "asof_join_attribution",
@@ -43,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding_cosine_blas",
     "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
     "text_token_count",
     "text_quality_score",
 ]

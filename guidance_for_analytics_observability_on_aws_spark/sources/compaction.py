@@ -1,0 +1,72 @@
+"""Small-file compaction for streaming sinks — table maintenance.
+
+A continuously-appending sink (the collector's micro-batches, the
+partitioned telemetry sink) accretes many small files; at 100 TB that
+means scan tasks dominated by open/footer overhead and a throttled
+namenode/object-store listing. Compaction rewrites a dataset into files
+sized near a target, preserving the partition layout. The reference
+delegates this to OpenSearch's segment merging — a parquet lake needs it
+as an explicit job.
+
+Scale posture: the file count is computed from the ACTUAL byte size on
+disk (not row counts), the rewrite is a single shuffle-free coalesce when
+shrinking or a hash repartition when partition-local balance matters, and
+the output goes to a NEW directory — compact-then-swap, never an in-place
+rewrite that could torch data on job failure.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dataset_bytes(path: str) -> int:
+    """Total bytes of parquet data files under ``path`` (recursive)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, name))
+    return total
+
+
+def plan_file_count(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> int:
+    return max(1, math.ceil(dataset_bytes(path) / target_file_bytes))
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite ``src`` into ``dst`` with ~``target_file_bytes`` files.
+
+    Unpartitioned: ``coalesce(n)`` — a narrow, shuffle-free merge of input
+    splits into ``n`` output files. Partitioned: hash-repartition on the
+    partition columns plus a salt bounded by ``n``, so each output task
+    writes whole partition directories without one giant file per
+    partition value. Returns the planned file count ``n``.
+    """
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compact_dataset writes to a NEW directory (compact-then-swap)")
+    n = plan_file_count(src, target_file_bytes)
+    df = spark.read.parquet(src)
+    if partition_cols:
+        salt = F.hash(*[F.col(c) for c in df.columns]) % n
+        (
+            df.repartition(n, *[F.col(c) for c in partition_cols], salt)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(dst)
+        )
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -100,3 +100,76 @@ def test_partitioned_telemetry_sink(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters: [" in explained
     assert pruned.count() > 0
+
+
+def test_csv_log_roundtrip(spark, tmp_path):
+    from guidance_for_analytics_observability_on_aws_spark.sources.logs_csv import read_log_events_csv
+
+    src = tmp_path / "csv_logs"
+    src.mkdir()
+    with open(src / "part-0.csv", "w") as f:
+        f.write("appName,appId,executorId,level,message,timeMillis,taskName\n")
+        f.write('etl-app,app-001,1,ERROR,boom,1700000000123,"task 3.0 in stage 7.0 (TID 3)"\n')
+        f.write("etl-app,app-002,driver,WARN,no mdc,1700000002789,\n")
+        f.write("etl-app,app-003,2,INFO,bad time,NOT_A_NUMBER,x\n")  # corrupt long
+
+    raw = read_log_events_csv(spark, str(src))
+    norm = normalize_log_events(raw)
+    rows = {r["executor_id"]: r for r in norm.collect()}
+    assert set(norm.columns) == {f.name for f in LOG_SCHEMA.fields}
+    assert len(rows) == 2
+    assert rows["1"]["message"] == "[Stage 7.0 - Task 3.0] boom"
+    assert rows["1"]["task_id"] == 3
+    assert rows["driver"]["task_id"] is None
+    bad = corrupt_log_events(raw).collect()
+    assert len(bad) == 1 and "NOT_A_NUMBER" in bad[0]["raw_line"]
+
+
+def _parquet_files(path):
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compaction_unpartitioned(spark, sf_dir, tmp_path):
+    from guidance_for_analytics_observability_on_aws_spark.sources.compaction import (
+        compact_dataset,
+        dataset_bytes,
+    )
+
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.repartition(24).write.parquet(src)
+    assert len(_parquet_files(src)) == 24
+
+    n = compact_dataset(spark, src, dst, target_file_bytes=dataset_bytes(src))
+    assert n == 1 and len(_parquet_files(dst)) == 1
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
+
+
+def test_compaction_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    from guidance_for_analytics_observability_on_aws_spark.sources.compaction import compact_dataset
+
+    src, dst = str(tmp_path / "part_many"), str(tmp_path / "part_few")
+    ev = load_tables(spark, sf_dir)["events"].withColumn(
+        "bucket", (F.col("event_id") % 3).cast("int")
+    )
+    ev.repartition(16).write.partitionBy("bucket").parquet(src)
+    before = len(_parquet_files(src))
+
+    compact_dataset(spark, src, dst, target_file_bytes=1 << 40, partition_cols=["bucket"])
+    after = len(_parquet_files(dst))
+    assert after < before
+    assert sorted(d for d in os.listdir(dst) if d.startswith("bucket=")) == [
+        "bucket=0", "bucket=1", "bucket=2",
+    ]
+    a = sorted(map(tuple, spark.read.parquet(src).select("event_id", "bucket").collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).select("event_id", "bucket").collect()))
+    assert a == b
+
+    import pytest
+    with pytest.raises(ValueError):
+        compact_dataset(spark, src, src)
