@@ -39,11 +39,15 @@ def stage_agg_skewness(tm: DataFrame) -> DataFrame:
     ``skewness = max(|x - avg(x)|) / range(x)`` with ``range==0 → 1``,
     computed for inputBytesRead and shuffleBytesRead; plus the max of each.
 
-    Two-pass plan: tiny per-stage stats aggregate, broadcast back, second
-    aggregate for the max-relative-distance. Avoids a sort-based window over
-    the full fact table.
+    Single-pass plan: ``max(|x - avg|)`` is always attained at an extreme,
+    so it equals ``greatest(max - avg, avg - min)`` — bit-identical in
+    IEEE doubles (subtraction by a common value is monotone, negation is
+    exact), which means min/max/sum/count in ONE aggregation suffice. No
+    join-back, no second scan of the fact table, map-side partial
+    aggregation all the way — at 100 TB this is one shuffle of tiny
+    per-stage partials instead of two passes over every task row.
     """
-    stats = tm.groupBy(*STAGE_KEYS).agg(
+    agg = tm.groupBy(*STAGE_KEYS).agg(
         F.count(F.lit(1)).alias("n_tasks"),
         F.sum("input_bytes_read").alias("sum_in"),
         F.max("input_bytes_read").alias("max_input_bytes_read"),
@@ -53,26 +57,18 @@ def stage_agg_skewness(tm: DataFrame) -> DataFrame:
         F.min("shuffle_bytes_read").alias("min_sh"),
         F.max("metric_time_ms").alias("metric_time_ms"),
     )
-    joined = tm.select(*STAGE_KEYS, "input_bytes_read", "shuffle_bytes_read").join(
-        F.broadcast(stats), STAGE_KEYS
-    )
-    carry = [
-        "n_tasks",
-        "sum_in",
-        "max_input_bytes_read",
-        "min_in",
-        "sum_sh",
-        "max_shuffle_bytes_read",
-        "min_sh",
-        "metric_time_ms",
-    ]
-    agg = joined.groupBy(*STAGE_KEYS, *carry).agg(
-        F.max(F.abs(F.col("input_bytes_read") - F.col("sum_in") / F.col("n_tasks"))).alias(
-            "max_in_dist"
-        ),
-        F.max(
-            F.abs(F.col("shuffle_bytes_read") - F.col("sum_sh") / F.col("n_tasks"))
-        ).alias("max_sh_dist"),
+    avg_in = F.col("sum_in") / F.col("n_tasks")
+    avg_sh = F.col("sum_sh") / F.col("n_tasks")
+    agg = agg.withColumns(
+        {
+            "max_in_dist": F.greatest(
+                F.col("max_input_bytes_read") - avg_in, avg_in - F.col("min_in")
+            ),
+            "max_sh_dist": F.greatest(
+                F.col("max_shuffle_bytes_read") - avg_sh,
+                avg_sh - F.col("min_sh"),
+            ),
+        }
     )
     range_in = F.when(
         F.col("max_input_bytes_read") - F.col("min_in") == 0, F.lit(1)
