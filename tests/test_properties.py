@@ -1,0 +1,53 @@
+"""Property-based tests (hypothesis) for formula-critical operators.
+
+The skewness rewrite relies on a float-arithmetic identity — these tests
+attack it with adversarial inputs instead of trusting the fixture data.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    stage_agg_skewness,
+)
+
+task_bytes = st.lists(
+    st.integers(min_value=0, max_value=2**50), min_size=1, max_size=40
+)
+
+
+def _reference_skewness(xs: list[int]) -> float:
+    """The literal reference formula (CustomMetricsListener.scala:146-188):
+    max(|x - avg|) / range, range==0 -> 1, evaluated per-row like the
+    listener's fold over task metrics."""
+    avg = sum(xs) / len(xs)
+    max_dist = max(abs(x - avg) for x in xs)
+    rng = max(xs) - min(xs)
+    return max_dist / (rng if rng != 0 else 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(task_bytes, task_bytes)
+def test_single_pass_skewness_matches_reference_formula(spark, ins, shs):
+    n = max(len(ins), len(shs))
+    ins = (ins * n)[:n]
+    shs = (shs * n)[:n]
+    rows = [
+        ("app", "app-1", 1, 1, i, i, ins[i], shs[i], 1000 + i)
+        for i in range(n)
+    ]
+    tm = spark.createDataFrame(
+        rows,
+        "app_name string, app_id string, job_id long, stage_id long, "
+        "task_id long, partition_id long, input_bytes_read long, "
+        "shuffle_bytes_read long, metric_time_ms long",
+    )
+    out = stage_agg_skewness(tm).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["input_bytes_read_skewness"] == _reference_skewness(ins)
+    assert row["shuffle_bytes_read_skewness"] == _reference_skewness(shs)
+    assert row["max_input_bytes_read"] == max(ins)
+    assert row["n_tasks"] == n
