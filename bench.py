@@ -39,8 +39,13 @@ BENCH_QUERIES = [
     "star_join_broadcast",
     "window_running_totals",
     "asof_join_attribution",
+    "obs_anomaly_zscore",
+    "obs_counter_rate",
     # LLM-pipeline
     "dedup_exact",
+    "train_val_split",
+    "pack_sequences",
+    "dup_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine_blas",

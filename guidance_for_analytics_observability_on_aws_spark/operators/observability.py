@@ -496,3 +496,149 @@ def skew_timeline(tm: DataFrame) -> DataFrame:
             F.sum("n_tasks").alias("n_tasks"),
         )
     )
+
+
+def counter_rate(tm: DataFrame) -> DataFrame:
+    """O26: per-executor metric rate-of-change (Prometheus ``rate()``
+    semantics, counter-reset aware).
+
+    For each executor's event sequence (ordered by time, task_id as the
+    deterministic tiebreak): ``rate = delta_bytes * 1000 / delta_ms``, and
+    when the counter goes backwards (a reset) the post-reset absolute value
+    plays the delta — the standard monotone-counter recovery rule. All
+    arithmetic is BIGINT except the single final division (IEEE-identical
+    across engines). One window shuffle keyed by executor (bounded
+    cardinality); rows where ``delta_ms == 0`` (same-millisecond ties)
+    are excluded deterministically.
+    """
+    w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
+    d = (
+        tm.select("executor_id", "task_id", "metric_time_ms", "input_bytes_read")
+        .withColumns(
+            {
+                "delta_bytes": F.col("input_bytes_read")
+                - F.lag("input_bytes_read").over(w),
+                "delta_ms": F.col("metric_time_ms")
+                - F.lag("metric_time_ms").over(w),
+            }
+        )
+        .filter(F.col("delta_ms") > 0)
+    )
+    eff = F.when(F.col("delta_bytes") >= 0, F.col("delta_bytes")).otherwise(
+        F.col("input_bytes_read")
+    )
+    return d.select(
+        "executor_id",
+        "task_id",
+        "metric_time_ms",
+        "delta_ms",
+        (eff * 1000 / F.col("delta_ms")).alias("rate_bytes_per_s"),
+    )
+
+
+def gap_fill(tm: DataFrame) -> DataFrame:
+    """O27: minute-grid gap-fill with forward-fill (dashboard sparklines
+    over sparse telemetry).
+
+    Build each executor's dense minute grid (``sequence`` + explode — the
+    grid is generated, never shuffled), left-join the observed per-minute
+    max, forward-fill with ``last(ignorenulls)``, then roll up per hour so
+    the result is dashboard-sized. Grid size is span-bounded (minutes per
+    executor), independent of event volume — the 100 TB posture is the
+    same grid with more observed minutes.
+    """
+    minute = F.expr("metric_time_ms DIV 60000")
+    observed = tm.groupBy(
+        "executor_id", minute.alias("minute")
+    ).agg(F.max("input_bytes_read").alias("minute_bytes"))
+    span = tm.groupBy("executor_id").agg(
+        F.min(minute).alias("min_minute"),
+        F.max(minute).alias("max_minute"),
+    )
+    grid = span.select(
+        "executor_id",
+        F.explode(F.sequence(F.col("min_minute"), F.col("max_minute"))).alias(
+            "minute"
+        ),
+    )
+    wff = (
+        Window.partitionBy("executor_id")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(observed, ["executor_id", "minute"], "left").select(
+        "executor_id",
+        "minute",
+        F.col("minute_bytes").isNotNull().alias("is_observed"),
+        F.last("minute_bytes", ignorenulls=True).over(wff).alias("filled_bytes"),
+    )
+    return filled.groupBy(
+        "executor_id", F.expr("minute DIV 60").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum(F.col("is_observed").cast("long")).alias("n_observed"),
+        F.sum("filled_bytes").alias("sum_filled_bytes"),
+    )
+
+
+def anomaly_zscore(tm: DataFrame, window_n: int = 20, z_threshold: int = 3) -> DataFrame:
+    """O28: rolling z-score anomaly flags in EXACT integer arithmetic.
+
+    A point is anomalous when ``|x - mean| > z * stddev`` over the trailing
+    ``window_n`` samples per executor. Cross-multiplying the sample-stddev
+    definition clears every division and square root:
+
+        (n*x - s)^2 * (n-1)  >  z^2 * n * (n*ssq - s^2)
+
+    — all BIGINT (bounds: x <= ~6e5 at any sf, n = 20, so the largest term
+    stays < 2^62), hence bit-exact in both engines with zero float-rounding
+    boundary risk. One window shuffle keyed by executor.
+    """
+    w = (
+        Window.partitionBy("executor_id")
+        .orderBy("metric_time_ms", "task_id")
+        .rowsBetween(-(window_n - 1), Window.currentRow)
+    )
+    x = F.col("input_bytes_read")
+    d = tm.select("executor_id", "task_id", "metric_time_ms", x.alias("x")).withColumns(
+        {
+            "n": F.count(F.lit(1)).over(w),
+            "s": F.sum("x").over(w),
+            "ssq": F.sum(F.col("x") * F.col("x")).over(w),
+        }
+    )
+    full = d.filter(F.col("n") == window_n)
+    num = (F.col("n") * F.col("x") - F.col("s"))
+    score_num = num * num * (F.col("n") - 1)
+    score_den = (
+        F.lit(z_threshold * z_threshold)
+        * F.col("n")
+        * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s"))
+    )
+    return (
+        full.withColumns(
+            {"score_num": score_num, "score_den": score_den}
+        )
+        .filter(F.col("score_num") > F.col("score_den"))
+        .select("executor_id", "task_id", "metric_time_ms", "x", "score_num", "score_den")
+    )
+
+
+def log_templates(tm: DataFrame) -> DataFrame:
+    """O29: log template mining (digit-normalized message clustering —
+    the Drain-style first approximation used by log-analytics stores).
+
+    Masks every digit run in the enriched message to ``#`` and aggregates
+    per template: volume, distinct executors/apps, first/last seen. The
+    group key is the (tiny) template space, so map-side partial
+    aggregation collapses virtually all volume before the shuffle.
+    """
+    logs = log_enrich(tm)
+    template = F.regexp_replace("message", r"\d+", "#")
+    return logs.groupBy(template.alias("template"), F.col("level")).agg(
+        F.count(F.lit(1)).alias("n_logs"),
+        F.countDistinct("executor_id").alias("n_executors"),
+        F.countDistinct("app_id").alias("n_apps"),
+        F.min("log_time_ms").alias("first_seen_ms"),
+        F.max("log_time_ms").alias("last_seen_ms"),
+    )

@@ -1,0 +1,177 @@
+"""Training-data pipeline operators — corpus curation at 100 TB.
+
+These are the dataset-engineering operations a large-scale LLM training
+pipeline layers on top of the dedup/text groups: deterministic train/val
+splitting, stratified sampling, context-window sequence packing, and
+transitive duplicate-group resolution (connected components over the
+MinHash-LSH candidate graph).
+
+Scale posture:
+- Split/sample/pack are all hash- or window-based per-row arithmetic over a
+  single shuffle keyed by a bounded-cardinality column (``source``) — no
+  driver-side state, no skewable joins.
+- ``dup_groups`` is the one genuinely iterative operator: min-label
+  propagation over the candidate-pair graph. The edge list is the OUTPUT of
+  LSH banding (orders of magnitude smaller than the corpus), each iteration
+  is one self-join + aggregation on that small edge set, and convergence is
+  bounded by component diameter (tiny for dup clusters — dups of a doc are
+  dups of each other). Lineage is truncated per iteration with
+  ``localCheckpoint`` so plans stay flat.
+
+Every op is engine-portable-exact: md5-derived hash buckets, BIGINT token
+arithmetic, and ASCII-ordered hex-string sampling keys reproduce
+bit-identically in the DuckDB oracles (``plans/pipeline_oracles.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+from ..functions.text import tokens
+from .dedup import dedup_minhash_lsh
+
+#: train/val/test bucket boundaries out of 100.
+SPLIT_TRAIN, SPLIT_VAL = 90, 95
+
+#: per-source stratified sample size.
+SAMPLE_PER_STRATUM = 50
+
+#: context window (tokens) for sequence packing.
+PACK_CONTEXT = 512
+
+
+def train_val_split(documents: DataFrame) -> DataFrame:
+    """P1: deterministic hash-based train/val/test split summary.
+
+    The split key is content-independent (doc_id hash) so re-runs and
+    incremental appends land every document in the same split — the
+    property a training pipeline needs for leak-free eval sets. The 16-bit
+    md5 prefix is uniform, so expected shares are 90/5/5.
+    """
+    bucket = md5_int(F.col("doc_id").cast("string"), 4) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    per_doc = documents.select(
+        split.alias("split"),
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def sample_stratified(documents: DataFrame) -> DataFrame:
+    """P2: exact deterministic stratified sample (N docs per source).
+
+    Rank inside each stratum by an md5 sampling key — a uniform permutation
+    of the stratum, so the top-N prefix IS a uniform random sample, yet
+    fully reproducible across engines (hex strings compare identically in
+    ASCII). One window shuffle keyed by ``source``; rank short-circuits at
+    N per partition (rank filter pushes into the window's sort via
+    ``WindowGroupLimit``).
+    """
+    sample_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        documents.select("doc_id", "source", sample_key.alias("sample_key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= SAMPLE_PER_STRATUM)
+        .select("source", "rank", "doc_id", "sample_key")
+    )
+
+
+def pack_sequences(documents: DataFrame) -> DataFrame:
+    """P3: next-fit sequence packing into fixed context windows.
+
+    Orders each source's documents deterministically (doc_id), takes the
+    running token count, and assigns every document to the context-window
+    bin its first token lands in: ``bin = floor(cumsum_before / C)``.
+    Pure window arithmetic — one shuffle on ``source``, no iterative
+    bin-state — which is what makes it viable at 100 TB (true first-fit
+    packing is inherently sequential; next-fit is its streaming
+    approximation and is the standard choice in training pipelines).
+    """
+    per_doc = documents.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    binned = per_doc.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("ws_tokens").over(w) - F.col("ws_tokens")) / F.lit(PACK_CONTEXT)
+        ).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """P4: transitive duplicate groups — connected components over the
+    MinHash-LSH candidate graph (D3's output).
+
+    Iterative min-label propagation: every vertex repeatedly takes the
+    minimum label among itself and its neighbors until fixpoint. Converges
+    in <= diameter iterations; duplicate clusters are near-cliques so this
+    is 2-3 rounds in practice. Each round is one join edge->label + one
+    groupBy on the (small) edge list, with ``localCheckpoint`` truncating
+    lineage so the plan does not grow with iterations — the standard
+    scalable CC formulation when components are small (the dup-cluster
+    regime); large-diameter graphs would use large-star/small-star.
+    """
+    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    # init: label(v) = min(v, min neighbor) — one propagation round for free
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("src", F.least(F.col("src"), F.col("nbr_min")).alias("group_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_group"))
+        )
+        new_labels = (
+            labels.join(nbr, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("group_id"), F.coalesce(F.col("nbr_group"), F.col("group_id"))).alias(
+                    "group_id"
+                ),
+                F.col("group_id").alias("old_group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("group_id") != F.col("old_group_id")).count()
+        labels = new_labels.drop("old_group_id")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.sort_array(F.collect_list("src")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -267,3 +267,32 @@ def embedding_near_dups_blas(embeddings: DataFrame, threshold: float = 0.98) -> 
         )
 
     return aug.groupBy("label").applyInPandas(_score_block, out_schema)
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """D10: per-label centroid of the quantized embeddings.
+
+    ``posexplode`` fans each vector into (dim, component) rows; the
+    group-by on (label, dim) partial-aggregates map-side, so the shuffle
+    carries one partial per (label, dim, partition) — bounded by
+    ``n_labels * n_dims * n_partitions`` regardless of corpus size. The
+    BIGINT component sums are order-insensitive-exact; the centroid is one
+    final IEEE division. This is the building block for IVF training /
+    k-means style corpus clustering at 100 TB.
+    """
+    q = embeddings.select("label", quantize(F.col("embedding")).alias("qv"))
+    exploded = q.select("label", F.posexplode("qv").alias("dim0", "qval"))
+    return (
+        exploded.groupBy("label", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("qval").alias("sum_q"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            "sum_q",
+            (F.col("sum_q") / F.col("n_vecs")).alias("centroid_q"),
+        )
+    )

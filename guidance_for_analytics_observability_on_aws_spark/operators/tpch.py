@@ -832,3 +832,79 @@ def cube_priority_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
         "n_orders",
         "total_cents",
     )
+
+
+def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
+    """T27: PIVOT — order status fanned into columns per priority.
+
+    Uses the real ``groupBy().pivot()`` operator with an explicit value
+    list (no extra distinct-values scan); Catalyst compiles it to a single
+    conditional aggregation pass, so it shuffles exactly once on the
+    (tiny) priority key. Money goes through integer cents.
+    """
+    base = orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    p = base.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("price_cents").alias("cents")
+    )
+    out = [F.col("o_orderpriority")]
+    for status in ("F", "O", "P"):
+        out.append(
+            F.coalesce(F.col(f"{status}_n"), F.lit(0)).cast("long").alias(f"n_{status.lower()}")
+        )
+        out.append(
+            F.coalesce(F.col(f"{status}_cents"), F.lit(0)).cast("long").alias(
+                f"cents_{status.lower()}"
+            )
+        )
+    return p.select(*out)
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """T28: cohort retention matrix (app/run cardinality dashboard analytics
+    generalized to the classic D0/D1/..-retention shape).
+
+    Cohort = each user's first active day; cell (cohort_day, day_offset) =
+    distinct users from that cohort active that day. Two aggregations over
+    the (user, day) distinct set — which is itself map-side-combinable.
+    The cohort dimension joins back via broadcast (one row per user: small
+    relative to events; at true 100 TB user-cardinality it flips to a
+    shuffle join automatically — the plan stays correct either way).
+    """
+    day = F.expr("(ts DIV 1000000) DIV 86400000")
+    active = events.select(F.col("user_id"), day.alias("day")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+def window_lead_lag_ntile(orders: DataFrame) -> DataFrame:
+    """T29: window-function suite — lead/lag/ntile/percent_rank/first/last
+    in ONE window pass per customer.
+
+    All six functions share a single window spec, so Catalyst evaluates
+    them in one Window operator over one sort — no repeated shuffles.
+    percent_rank's only float op is one final division; money is integer
+    cents throughout.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pc = cents(F.col("o_totalprice"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        pc.alias("price_cents"),
+        F.lag(pc).over(w).alias("prev_price_cents"),
+        F.lead(pc).over(w).alias("next_price_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first(pc).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_price_cents"),
+        (pc - F.lag(pc).over(w)).alias("delta_cents"),
+    )

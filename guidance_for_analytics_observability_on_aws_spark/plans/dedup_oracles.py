@@ -77,7 +77,9 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
     for j in range(MINHASH_BANDS)
 )
 
-DEDUP_ORACLES["dedup_minhash_lsh"] = f"""
+# CTE chain ending in per-doc LSH band buckets — shared by the D3 oracle and
+# the pipeline group's dup_groups (connected components) oracle.
+MINHASH_BUCKET_CTES = f"""
 {_SHINGLED_CTES},
 hashed AS (
   SELECT doc_id, {md5_int_sql("shingle", 7)} AS h
@@ -90,7 +92,10 @@ sig AS (
 ),
 buckets AS (
 {_BAND_SELECTS}
-)
+)"""
+
+DEDUP_ORACLES["dedup_minhash_lsh"] = f"""
+{MINHASH_BUCKET_CTES}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        COUNT(DISTINCT a.band_id) AS n_shared_bands
 FROM buckets a
@@ -242,4 +247,20 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, sig, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""
+
+DEDUP_ORACLES["embedding_centroids"] = f"""
+WITH q AS (
+  SELECT label, {QUANTIZE_SQL} AS qv FROM embeddings
+),
+exploded AS (
+  SELECT label, unnest(qv) AS qval,
+         CAST(generate_subscripts(qv, 1) AS BIGINT) AS dim
+  FROM q
+)
+SELECT label, dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(qval) AS BIGINT) AS sum_q,
+       CAST(SUM(qval) AS BIGINT) / COUNT(*) AS centroid_q
+FROM exploded GROUP BY 1, 2
 """

@@ -327,3 +327,96 @@ SELECT app_id,
 FROM stage_agg
 GROUP BY 1, 2
 """
+
+OBS_ORACLES["obs_counter_rate"] = f"""
+WITH {TELEMETRY_CTE},
+d AS (
+  SELECT executor_id, task_id, metric_time_ms, input_bytes_read,
+         input_bytes_read - LAG(input_bytes_read) OVER ({_W_EXEC}) AS delta_bytes,
+         metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) AS delta_ms
+  FROM task_metrics
+)
+SELECT executor_id, task_id, metric_time_ms, delta_ms,
+       CAST((CASE WHEN delta_bytes >= 0 THEN delta_bytes
+                  ELSE input_bytes_read END) * 1000 AS BIGINT) / delta_ms
+         AS rate_bytes_per_s
+FROM d WHERE delta_ms > 0
+"""
+
+OBS_ORACLES["obs_gap_fill"] = f"""
+WITH {TELEMETRY_CTE},
+observed AS (
+  SELECT executor_id, metric_time_ms // 60000 AS minute,
+         MAX(input_bytes_read) AS minute_bytes
+  FROM task_metrics GROUP BY 1, 2
+),
+span AS (
+  SELECT executor_id, MIN(minute) AS min_minute, MAX(minute) AS max_minute
+  FROM observed GROUP BY 1
+),
+grid AS (
+  SELECT executor_id, unnest(generate_series(min_minute, max_minute)) AS minute
+  FROM span
+),
+filled AS (
+  SELECT g.executor_id, g.minute,
+         o.minute_bytes IS NOT NULL AS is_observed,
+         LAST_VALUE(o.minute_bytes IGNORE NULLS) OVER (
+           PARTITION BY g.executor_id ORDER BY g.minute
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_bytes
+  FROM grid g
+  LEFT JOIN observed o ON o.executor_id = g.executor_id AND o.minute = g.minute
+)
+SELECT executor_id, minute // 60 AS hour,
+       COUNT(*) AS n_minutes,
+       CAST(SUM(CASE WHEN is_observed THEN 1 ELSE 0 END) AS BIGINT) AS n_observed,
+       CAST(SUM(filled_bytes) AS BIGINT) AS sum_filled_bytes
+FROM filled GROUP BY 1, 2
+"""
+
+OBS_ORACLES["obs_anomaly_zscore"] = f"""
+WITH {TELEMETRY_CTE},
+d AS (
+  SELECT executor_id, task_id, metric_time_ms, input_bytes_read AS x,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(input_bytes_read) OVER w AS BIGINT) AS s,
+         CAST(SUM(input_bytes_read * input_bytes_read) OVER w AS BIGINT) AS ssq
+  FROM task_metrics
+  WINDOW w AS ({_W_EXEC} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT executor_id, task_id, metric_time_ms, x,
+       (n * x - s) * (n * x - s) * (n - 1) AS score_num,
+       9 * n * (n * ssq - s * s) AS score_den
+FROM d
+WHERE n = 20
+  AND (n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * ssq - s * s)
+"""
+
+OBS_ORACLES["obs_log_templates"] = f"""
+WITH {TELEMETRY_CTE},
+enriched AS (
+  SELECT app_id, executor_id, metric_time_ms AS log_time_ms, task_id,
+         CASE WHEN event_type = 'error' THEN 'ERROR'
+              WHEN event_type = 'purchase' THEN 'WARN'
+              ELSE 'INFO' END AS level,
+         'task ' || CAST(task_id AS VARCHAR) || '.0 in stage '
+           || CAST(stage_id AS VARCHAR) || '.0 (TID '
+           || CAST(task_id AS VARCHAR) || ')' AS mdc_task_name
+  FROM task_metrics
+),
+msgs AS (
+  SELECT app_id, executor_id, log_time_ms, level,
+         '[Stage ' || regexp_extract(mdc_task_name, 'stage (\\d+\\.\\d+)', 1)
+           || ' - Task ' || regexp_extract(mdc_task_name, 'task (\\d+\\.\\d+)', 1)
+           || ' - Thread ' || CAST(task_id % 16 AS VARCHAR) || '] level=' || level
+           AS message
+  FROM enriched
+)
+SELECT regexp_replace(message, '\\d+', '#', 'g') AS template, level,
+       COUNT(*) AS n_logs,
+       COUNT(DISTINCT executor_id) AS n_executors,
+       COUNT(DISTINCT app_id) AS n_apps,
+       MIN(log_time_ms) AS first_seen_ms,
+       MAX(log_time_ms) AS last_seen_ms
+FROM msgs GROUP BY 1, 2
+"""

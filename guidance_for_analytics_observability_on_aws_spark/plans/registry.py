@@ -14,7 +14,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import dedup, multimodal, pipeline, similarity, textops
 from ..operators import observability as obs
 from ..operators import tpch
 from ..sources.tables import load_tables
@@ -61,6 +61,10 @@ _OBS_BUILDERS = {
     "obs_skew_timeline": lambda s, d: obs.skew_timeline(_tm(s, d)),
     "stream_metrics_window": lambda s, d: obs.stream_metrics_window(_tm(s, d)),
     "obs_log_search": lambda s, d: obs.log_search(_tm(s, d)),
+    "obs_counter_rate": lambda s, d: obs.counter_rate(_tm(s, d)),
+    "obs_gap_fill": lambda s, d: obs.gap_fill(_tm(s, d)),
+    "obs_anomaly_zscore": lambda s, d: obs.anomaly_zscore(_tm(s, d)),
+    "obs_log_templates": lambda s, d: obs.log_templates(_tm(s, d)),
 }
 for _name, _b in _OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])
@@ -157,6 +161,13 @@ _TPCH_BUILDERS = {
             t["lineitem"], t["part"], t["supplier"]
         )
     )(load_tables(s, d)),
+    "pivot_status_by_priority": lambda s, d: tpch.pivot_status_by_priority(
+        load_tables(s, d)["orders"]
+    ),
+    "events_retention": lambda s, d: tpch.events_retention(load_tables(s, d)["events"]),
+    "window_lead_lag_ntile": lambda s, d: tpch.window_lead_lag_ntile(
+        load_tables(s, d)["orders"]
+    ),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
@@ -195,6 +206,31 @@ _register(
     lambda s, d: similarity.embedding_near_dups_blas(load_tables(s, d)["embeddings"]),
     DEDUP_ORACLES["dedup_embedding_cosine"],
 )
+
+_register(
+    "embedding_centroids",
+    lambda s, d: similarity.embedding_centroids(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["embedding_centroids"],
+)
+
+
+# --- Group P: training-data pipeline ----------------------------------------
+from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
+
+_PIPELINE_BUILDERS = {
+    "train_val_split": lambda s, d: pipeline.train_val_split(
+        load_tables(s, d)["documents"]
+    ),
+    "sample_stratified": lambda s, d: pipeline.sample_stratified(
+        load_tables(s, d)["documents"]
+    ),
+    "pack_sequences": lambda s, d: pipeline.pack_sequences(
+        load_tables(s, d)["documents"]
+    ),
+    "dup_groups": lambda s, d: pipeline.dup_groups(load_tables(s, d)["documents"]),
+}
+for _name, _b in _PIPELINE_BUILDERS.items():
+    _register(_name, _b, PIPELINE_ORACLES[_name])
 
 
 # --- Groups X (text analysis) and M (multimodal) ---------------------------

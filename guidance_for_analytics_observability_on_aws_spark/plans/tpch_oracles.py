@@ -418,3 +418,46 @@ SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (o_orderpriority, c_mktsegment)
 """
+
+_CENTS = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 END), 0) AS BIGINT) AS n_{s.lower()},\n"
+    f"       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '{s}' THEN {_CENTS} END), 0) AS BIGINT) AS cents_{s.lower()}"
+    for s in ("F", "O", "P")
+)
+
+TPCH_ORACLES["pivot_status_by_priority"] = f"""
+SELECT o_orderpriority,
+       {_PIVOT_COLS}
+FROM orders GROUP BY 1
+"""
+
+TPCH_ORACLES["events_retention"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY 1
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM active a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+TPCH_ORACLES["window_lead_lag_ntile"] = f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey, {_CENTS} AS price_cents, o_orderdate
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents,
+       LAG(price_cents) OVER w AS prev_price_cents,
+       LEAD(price_cents) OVER w AS next_price_cents,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       FIRST_VALUE(price_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS first_price_cents,
+       price_cents - LAG(price_cents) OVER w AS delta_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -199,3 +199,110 @@ def test_ann_lsh_buckets_and_ranks(spark, sf_dir):
         assert len({r["sig"] for r in rs}) == 1
         cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dup_groups_cover_pair_graph(spark, tables):
+    """Every LSH candidate pair must land in one group; group ids are the
+    component minimum (union-find ground truth computed driver-side)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups,
+    )
+
+    pairs = (
+        dedup.dedup_minhash_lsh(tables["documents"])
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want: dict[int, list[int]] = {}
+    for v in parent:
+        want.setdefault(find(v), []).append(v)
+    want_groups = {
+        min(m): ",".join(str(d) for d in sorted(m)) for m in want.values() if len(m) >= 2
+    }
+
+    got = {r.group_id: r.doc_ids for r in dup_groups(tables["documents"]).collect()}
+    assert got == want_groups
+
+
+def test_anomaly_zscore_matches_float_formula(spark, tables):
+    """The exact-integer inequality must agree with the float z-score > 3
+    definition (checked per-row against pandas rolling stats)."""
+    import pandas as pd
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        anomaly_zscore,
+    )
+
+    tm = task_metrics(tables["events"])
+    flagged = {
+        (r.executor_id, r.task_id)
+        for r in anomaly_zscore(tm).collect()
+    }
+    pdf = (
+        tm.select("executor_id", "task_id", "metric_time_ms", "input_bytes_read")
+        .toPandas()
+        .sort_values(["executor_id", "metric_time_ms", "task_id"])
+    )
+    want = set()
+    for exec_id, g in pdf.groupby("executor_id"):
+        x = g["input_bytes_read"].astype(float)
+        mean = x.rolling(20).mean()
+        std = x.rolling(20).std()
+        hits = g[(std > 0) & ((x - mean).abs() > 3 * std)]
+        want |= {(exec_id, t) for t in hits["task_id"]}
+    assert flagged == want
+
+
+def test_pack_sequences_bin_assignment(spark, tables):
+    """bin == floor(cumulative-tokens-before / 512), recomputed driver-side."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import tokens
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        PACK_CONTEXT,
+        pack_sequences,
+    )
+
+    per_doc = (
+        tables["documents"]
+        .select("doc_id", "source", F.size(tokens(F.col("text"))).alias("t"))
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    per_doc["before"] = per_doc.groupby("source")["t"].cumsum() - per_doc["t"]
+    per_doc["bin"] = per_doc["before"] // PACK_CONTEXT
+    want = (
+        per_doc.groupby(["source", "bin"])
+        .agg(n_docs=("doc_id", "size"), bin_tokens=("t", "sum"))
+        .reset_index()
+    )
+    got = pack_sequences(tables["documents"]).toPandas()
+    merged = got.merge(want, on=["source", "bin"], suffixes=("", "_want"))
+    assert len(merged) == len(got) == len(want)
+    assert (merged["n_docs"] == merged["n_docs_want"]).all()
+    assert (merged["bin_tokens"] == merged["bin_tokens_want"]).all()
+
+
+def test_train_val_split_shares(spark, tables):
+    """Hash split must be exhaustive, disjoint, and roughly 90/5/5."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        train_val_split,
+    )
+
+    got = train_val_split(tables["documents"]).toPandas()
+    total_docs = tables["documents"].count()
+    assert got["n_docs"].sum() == total_docs
+    shares = got.groupby("split")["n_docs"].sum() / total_docs
+    assert 0.8 < shares.get("train", 0) < 0.97
+    assert shares.get("val", 0) < 0.12 and shares.get("test", 0) < 0.12
