@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "similarity_ann_lsh",
     "text_token_count",
     "text_quality_score",
+    "text_pii_redact",
+    "merge_scd1_customers",
 ]
 
 

@@ -209,3 +209,55 @@ def stats_by_source(documents: DataFrame) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
     )
     return agg.select("*", (F.col("total_chars") / F.col("n_docs")).alias("avg_chars"))
+
+
+#: Portable PII patterns (identical RE2/Java-regex subset in both engines).
+PII_EMAIL = r"[a-z0-9]+@[a-z]+\.com"
+PII_PHONE = r"555-[0-9]{4}"
+
+
+def _pii_planted(documents: DataFrame) -> DataFrame:
+    """Deterministically plant synthetic PII (the driver corpus has none):
+    every 10th doc gets an email, every 15th a phone — pure per-row
+    projection mirrored verbatim by the oracle CTE."""
+    email = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")
+    )
+    phone = F.lit(" call 555-0199 today")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 10 == 0, F.concat(t, email)).otherwise(t)
+    t = F.when(F.col("doc_id") % 15 == 0, F.concat(t, phone)).otherwise(t)
+    return documents.select("doc_id", "source", t.alias("text"))
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """X7: PII detection + redaction accounting (pre-training scrub pass).
+
+    Counts email/phone matches per document, masks them with typed tokens,
+    and aggregates per source: docs touched, total matches by class, and an
+    order-insensitive BIGINT checksum of the redacted texts (md5-derived)
+    proving both engines produced byte-identical scrubbed output. All
+    JVM-side regexp expressions — the scrub is a narrow map, shuffle-free
+    until the final tiny per-source aggregate.
+    """
+    planted = _pii_planted(documents)
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    per_doc = planted.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+    from ..functions.hashing import md5_int
+
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum(((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).cast("long")).alias(
+            "n_redacted_docs"
+        ),
+        F.sum(md5_int(F.col("redacted"), 12)).alias("redacted_checksum"),
+    )

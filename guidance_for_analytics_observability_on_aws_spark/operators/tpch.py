@@ -908,3 +908,95 @@ def window_lead_lag_ntile(orders: DataFrame) -> DataFrame:
         ).alias("first_price_cents"),
         (pc - F.lag(pc).over(w)).alias("delta_cents"),
     )
+
+
+def set_ops_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T30: set operators — INTERSECT / EXCEPT between two customer key sets
+    (high-balance vs recently-active), reduced to one summary row.
+
+    Spark compiles INTERSECT/EXCEPT to left-semi/left-anti hash joins over
+    distinct keys — the same shuffle-once shape as any keyed join, so the
+    operators scale like joins, not like sorts.
+    """
+    high = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    active = (
+        orders.filter(F.col("o_orderdate") >= "1998-01-01")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    n_both = high.intersect(active).agg(F.count(F.lit(1)).alias("n_both"))
+    n_high_only = high.subtract(active).agg(F.count(F.lit(1)).alias("n_high_only"))
+    n_active_only = active.subtract(high).agg(
+        F.count(F.lit(1)).alias("n_active_only")
+    )
+    return n_both.crossJoin(n_high_only).crossJoin(n_active_only)
+
+
+def merge_scd1_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T31: CDC-style SCD1 merge (MERGE INTO semantics) as a FULL OUTER join.
+
+    The change set is derived from 1998 orders (spend delta per customer,
+    plus synthetic brand-new keys to exercise the insert path). Each output
+    row is classified insert/update/keep and the merged balance computed
+    with COALESCE — the standard engine-agnostic upsert plan. One shuffle
+    on the merge key; at warehouse scale the delta side is typically small
+    enough for a broadcast, which AQE picks automatically.
+    """
+    delta = (
+        orders.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("delta_cents"))
+    )
+    inserts = delta.filter(F.col("custkey") % 100 == 0).select(
+        (F.col("custkey") + 1000000).alias("custkey"), "delta_cents"
+    )
+    changes = delta.unionByName(inserts)
+    base = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        cents(F.col("c_acctbal")).alias("balance_cents"),
+    )
+    merged = base.join(changes, "custkey", "full_outer").select(
+        "custkey",
+        F.when(F.col("balance_cents").isNull(), "insert")
+        .when(F.col("delta_cents").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+        (
+            F.coalesce(F.col("balance_cents"), F.lit(0))
+            + F.coalesce(F.col("delta_cents"), F.lit(0))
+        ).alias("new_balance_cents"),
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("new_balance_cents").alias("sum_balance_cents"),
+        F.min("custkey").alias("min_custkey"),
+        F.max("custkey").alias("max_custkey"),
+    )
+
+
+def grouping_sets_mixed(orders: DataFrame) -> DataFrame:
+    """T32: explicit GROUPING SETS — a non-hierarchical mix ((priority),
+    (status), ()) that neither ROLLUP nor CUBE expresses, plus grouping_id
+    to disambiguate aggregate rows.
+
+    Like T7/T14 this compiles to one Expand + ONE aggregation pass — the
+    input is scanned once no matter how many sets are requested.
+    """
+    agg = orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+    )
+    return agg.select(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("o_orderpriority"),
+        F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("o_orderstatus"),
+        "gid",
+        "n_orders",
+        "total_cents",
+    )

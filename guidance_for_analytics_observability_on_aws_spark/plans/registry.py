@@ -168,6 +168,15 @@ _TPCH_BUILDERS = {
     "window_lead_lag_ntile": lambda s, d: tpch.window_lead_lag_ntile(
         load_tables(s, d)["orders"]
     ),
+    "set_ops_customers": lambda s, d: (
+        lambda t: tpch.set_ops_customers(t["customer"], t["orders"])
+    )(load_tables(s, d)),
+    "merge_scd1_customers": lambda s, d: (
+        lambda t: tpch.merge_scd1_customers(t["customer"], t["orders"])
+    )(load_tables(s, d)),
+    "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
+        load_tables(s, d)["orders"]
+    ),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
@@ -249,6 +258,7 @@ _TEXT_BUILDERS = {
     "text_winnow_fingerprint": lambda s, d: textops.winnow_fingerprint(
         load_tables(s, d)["documents"]
     ),
+    "text_pii_redact": lambda s, d: textops.pii_redact(load_tables(s, d)["documents"]),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]

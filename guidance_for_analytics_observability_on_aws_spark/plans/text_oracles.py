@@ -195,3 +195,34 @@ SELECT doc_id,
          b -> CAST(len(list_filter(codes, c -> c % 16 = b)) AS VARCHAR)), ',') AS nibble_hist
 FROM codes
 """
+
+from ..operators.textops import PII_EMAIL, PII_PHONE  # noqa: E402
+from ..functions.hashing import md5_int_sql  # noqa: E402
+
+TEXT_ORACLES["text_pii_redact"] = f"""
+WITH planted AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 10 = 0
+               THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE text END)
+         || (CASE WHEN doc_id % 15 = 0 THEN ' call 555-0199 today' ELSE '' END)
+           AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM planted
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted_docs,
+       CAST(SUM({md5_int_sql("redacted", 12)}) AS BIGINT) AS redacted_checksum
+FROM per_doc GROUP BY 1
+"""

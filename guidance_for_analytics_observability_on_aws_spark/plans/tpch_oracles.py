@@ -461,3 +461,59 @@ SELECT o_custkey, o_orderkey, price_cents,
 FROM base
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+TPCH_ORACLES["set_ops_customers"] = """
+WITH high AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+),
+active AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+)
+SELECT
+  (SELECT COUNT(*) FROM (SELECT custkey FROM high INTERSECT SELECT custkey FROM active)) AS n_both,
+  (SELECT COUNT(*) FROM (SELECT custkey FROM high EXCEPT SELECT custkey FROM active)) AS n_high_only,
+  (SELECT COUNT(*) FROM (SELECT custkey FROM active EXCEPT SELECT custkey FROM high)) AS n_active_only
+"""
+
+TPCH_ORACLES["merge_scd1_customers"] = f"""
+WITH delta AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM({_CENTS}) AS BIGINT) AS delta_cents
+  FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+  GROUP BY 1
+),
+changes AS (
+  SELECT custkey, delta_cents FROM delta
+  UNION ALL
+  SELECT custkey + 1000000, delta_cents FROM delta WHERE custkey % 100 = 0
+),
+base AS (
+  SELECT c_custkey AS custkey,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents
+  FROM customer
+),
+merged AS (
+  SELECT COALESCE(b.custkey, c.custkey) AS custkey,
+         CASE WHEN b.balance_cents IS NULL THEN 'insert'
+              WHEN c.delta_cents IS NULL THEN 'keep'
+              ELSE 'update' END AS merge_action,
+         COALESCE(b.balance_cents, 0) + COALESCE(c.delta_cents, 0) AS new_balance_cents
+  FROM base b FULL OUTER JOIN changes c ON b.custkey = c.custkey
+)
+SELECT merge_action,
+       COUNT(*) AS n_rows,
+       CAST(SUM(new_balance_cents) AS BIGINT) AS sum_balance_cents,
+       MIN(custkey) AS min_custkey,
+       MAX(custkey) AS max_custkey
+FROM merged GROUP BY 1
+"""
+
+TPCH_ORACLES["grouping_sets_mixed"] = f"""
+SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+       COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_CENTS}) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""

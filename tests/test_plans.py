@@ -158,3 +158,40 @@ def test_no_cartesian_products(spark, sf_dir):
             continue
         plan = _executed_plan(spec.builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """S6: joining two tables bucketed on the join key must plan with ZERO
+    shuffles (the write-once-join-many layout for fact⋈fact at scale)."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir)
+    write_bucketed(
+        t["orders"], "b_orders", str(tmp_path / "b_orders"), "o_custkey", 8
+    )
+    write_bucketed(
+        t["customer"], "b_customer", str(tmp_path / "b_customer"), "c_custkey", 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real SMJ so absence-of-Exchange proves bucket co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey", "c_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # results still correct vs a plain join
+        want = t["orders"].join(
+            t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
