@@ -642,3 +642,66 @@ def log_templates(tm: DataFrame) -> DataFrame:
         F.min("log_time_ms").alias("first_seen_ms"),
         F.max("log_time_ms").alias("last_seen_ms"),
     )
+
+
+#: Count-Min sketch geometry: d hash rows × w buckets (fixed memory).
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
+    """O30: top-k heavy hitters via a Count-Min sketch (Cormode &
+    Muthukrishnan '05) — the fixed-memory scale path for "top talkers"
+    dashboard tiles.
+
+    The sketch is d×w = 256 counters REGARDLESS of key cardinality: each
+    event increments one bucket per hash row (exploded map-side, partially
+    aggregated), and a key's estimate is the MIN over its d buckets —
+    always an overestimate, never under. At 100 TB the sketch table is the
+    only shuffled state; candidate keys join against it via broadcast.
+    md5-derived hashing keeps the sketch deterministic and engine-portable
+    (exact DuckDB oracle), unlike RNG-seeded implementations.
+    """
+    from ..functions.hashing import md5_int
+
+    def bucket_rows(key: F.Column) -> F.Column:
+        """(row_id, bucket) struct array for a key — one entry per hash row."""
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("row_id"),
+                    (md5_int(F.concat(F.lit(f"cms{i}:"), key), 8) % CMS_WIDTH).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+
+    rows = tm.select(
+        F.col("executor_id").alias("key"),
+        F.explode(bucket_rows(F.col("executor_id"))).alias("rb"),
+    ).select("key", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
+    sketch = rows.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    keys = tm.groupBy(F.col("executor_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    key_buckets = keys.select(
+        "key",
+        "exact_n",
+        F.explode(bucket_rows(F.col("key"))).alias("rb"),
+    ).select(
+        "key", "exact_n", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket")
+    )
+    est = (
+        key_buckets.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    w = Window.orderBy(F.col("est_n").desc(), F.col("key"))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "key", "est_n", "exact_n")
+    )

@@ -261,3 +261,28 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         ),
         F.sum(md5_int(F.col("redacted"), 12)).alias("redacted_checksum"),
     )
+
+
+def bigram_stats(documents: DataFrame, top_n: int = 5) -> DataFrame:
+    """X8: top-N bigrams per language (corpus n-gram statistics).
+
+    Bigrams are built per-row with ``transform(sequence(...))`` — pure JVM
+    array arithmetic, no self-join — then exploded once into the count
+    aggregation. The per-group top-N goes through WindowGroupLimit, so each
+    partition only keeps N candidates pre-shuffle.
+    """
+    toks = tokens(F.col("text"))
+    base = documents.select("lang", toks.alias("t")).filter(F.size("t") >= 2)
+    bigrams = base.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("lang", "rank", "bigram", "n")
+    )

@@ -420,3 +420,47 @@ SELECT regexp_replace(message, '\\d+', '#', 'g') AS template, level,
        MAX(log_time_ms) AS last_seen_ms
 FROM msgs GROUP BY 1, 2
 """
+
+from ..functions.hashing import md5_int_sql as _mi  # noqa: E402
+from ..operators.observability import CMS_DEPTH, CMS_WIDTH  # noqa: E402
+
+_CMS_EVENT_ROWS = "\n  UNION ALL\n".join(
+    "  SELECT executor_id AS key, CAST({i} AS BIGINT) AS row_id, "
+    "{h} % {w} AS bucket FROM task_metrics".format(
+        i=i, w=CMS_WIDTH, h=_mi("'cms{}:' || executor_id".format(i), 8)
+    )
+    for i in range(CMS_DEPTH)
+)
+_CMS_KEY_ROWS = "\n  UNION ALL\n".join(
+    "  SELECT key, exact_n, CAST({i} AS BIGINT) AS row_id, "
+    "{h} % {w} AS bucket FROM keys".format(
+        i=i, w=CMS_WIDTH, h=_mi("'cms{}:' || key".format(i), 8)
+    )
+    for i in range(CMS_DEPTH)
+)
+
+OBS_ORACLES["obs_heavy_hitters_cms"] = f"""
+WITH {TELEMETRY_CTE},
+rows_ AS (
+{_CMS_EVENT_ROWS}
+),
+sketch AS (
+  SELECT row_id, bucket, COUNT(*) AS c FROM rows_ GROUP BY 1, 2
+),
+keys AS (
+  SELECT executor_id AS key, COUNT(*) AS exact_n FROM task_metrics GROUP BY 1
+),
+key_buckets AS (
+{_CMS_KEY_ROWS}
+),
+est AS (
+  SELECT kb.key, kb.exact_n, MIN(s.c) AS est_n
+  FROM key_buckets kb JOIN sketch s USING (row_id, bucket)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY est_n DESC, key) AS BIGINT) AS rank
+  FROM est
+)
+SELECT rank, key, est_n, exact_n FROM ranked WHERE rank <= 20
+"""

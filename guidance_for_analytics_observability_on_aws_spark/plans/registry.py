@@ -65,6 +65,7 @@ _OBS_BUILDERS = {
     "obs_gap_fill": lambda s, d: obs.gap_fill(_tm(s, d)),
     "obs_anomaly_zscore": lambda s, d: obs.anomaly_zscore(_tm(s, d)),
     "obs_log_templates": lambda s, d: obs.log_templates(_tm(s, d)),
+    "obs_heavy_hitters_cms": lambda s, d: obs.heavy_hitters_cms(_tm(s, d)),
 }
 for _name, _b in _OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])
@@ -259,6 +260,7 @@ _TEXT_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "text_pii_redact": lambda s, d: textops.pii_redact(load_tables(s, d)["documents"]),
+    "text_bigram_stats": lambda s, d: textops.bigram_stats(load_tables(s, d)["documents"]),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]

@@ -226,3 +226,25 @@ SELECT source,
        CAST(SUM({md5_int_sql("redacted", 12)}) AS BIGINT) AS redacted_checksum
 FROM per_doc GROUP BY 1
 """
+
+TEXT_ORACLES["text_bigram_stats"] = """
+WITH base AS (
+  SELECT lang, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+bigrams AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM base WHERE len(t) >= 2
+),
+counts AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, bigram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
+              AS BIGINT) AS rank
+  FROM counts
+)
+SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 5
+"""

@@ -306,3 +306,15 @@ def test_train_val_split_shares(spark, tables):
     shares = got.groupby("split")["n_docs"].sum() / total_docs
     assert 0.8 < shares.get("train", 0) < 0.97
     assert shares.get("val", 0) < 0.12 and shares.get("test", 0) < 0.12
+
+
+def test_cms_estimate_never_underestimates(spark, tables):
+    """Count-Min property: est_n >= exact_n for every reported key."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        heavy_hitters_cms,
+    )
+
+    tm = task_metrics(tables["events"])
+    rows = heavy_hitters_cms(tm).collect()
+    assert rows, "sketch returned no heavy hitters"
+    assert all(r.est_n >= r.exact_n for r in rows)

@@ -112,3 +112,66 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     assert got.count() == want.count()
     key = lambda r: (r["task_id"], r["app_id"], r["metrics_type"], r["metric_time_ms"], r["value"])  # noqa: E731
     assert {key(r) for r in got.collect()} == {key(r) for r in want.collect()}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Events older than the watermark must be excluded from windowed
+    aggregation state (bounded-state guarantee at 100 TB stream volume)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    out = str(tmp_path / "wm_out")
+
+    def run(_: str) -> set:
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .json(str(d))
+            .withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "5 minutes"), F.col("k"))
+            .count()
+            .select(F.col("window.start").alias("ws"), "k", "count")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.ws.strftime("%H:%M"), r["count"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    (d / "f1.json").write_text(
+        "\n".join(
+            [
+                json.dumps({"ts": "2024-01-01T09:00:00.000Z", "k": "a"}),
+                json.dumps({"ts": "2024-01-01T10:00:00.000Z", "k": "a"}),
+            ]
+        )
+    )
+    got1 = run("wm_run1")  # commits watermark 10:00 - 30min = 09:30
+
+    # second delivery: one event behind the persisted watermark (dropped),
+    # one fresh event that advances it
+    (d / "f2.json").write_text(
+        "\n".join(
+            [
+                json.dumps({"ts": "2024-01-01T09:05:00.000Z", "k": "a"}),
+                json.dumps({"ts": "2024-01-01T11:00:00.000Z", "k": "a"}),
+            ]
+        )
+    )
+    got2 = run("wm_run2")  # cumulative: parquet sink appends across runs
+
+    assert got1 == {("09:00", 1)}
+    # 09:05 (late) never counted; 11:00 window stays open past end-of-stream
+    assert got2 == {("09:00", 1), ("10:00", 1)}
