@@ -705,3 +705,108 @@ def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("rank", "key", "est_n", "exact_n")
     )
+
+
+def error_rate_moving_avg(tm: DataFrame, window_hours: int = 7) -> DataFrame:
+    """O32: centered moving average over the hourly error-rate series
+    (dashboard trend-line smoothing).
+
+    Built on O12's hourly rollup — the window runs over the (tiny)
+    per-hour series, not the raw events, so the moving average costs
+    nothing at any scale. RANGE frame on the hour key handles missing
+    hours correctly (a gap contributes nothing instead of shifting the
+    frame). Counts stay BIGINT; the average is one final division.
+    """
+    hourly = error_rate(tm)
+    half = (window_hours // 2) * 3600000
+    w = (
+        Window.orderBy("hour_ms").rangeBetween(-half, half)
+    )
+    return hourly.select(
+        "hour_ms",
+        "n_logs",
+        "n_errors",
+        "error_ratio",
+        F.sum("n_errors").over(w).alias("window_errors"),
+        F.sum("n_logs").over(w).alias("window_logs"),
+        (F.sum("n_errors").over(w) / F.sum("n_logs").over(w)).alias("ma_error_ratio"),
+    )
+
+
+#: Static alert rules: (rule_id, metric, threshold) — greater-than semantics.
+ALERT_RULES = [
+    (1, "input_bytes_read", 200000),
+    (2, "run_time_ms", 3200),
+    (3, "shuffle_bytes_read", 100000),
+    (4, "peak_execution_memory", 800000),
+]
+
+
+def alert_rules(tm: DataFrame) -> DataFrame:
+    """O33: threshold alerting — a rules table joined against the metric
+    stream (monitor/alert parity for the reference's dashboards).
+
+    Rules are a literal broadcast dimension; each event row is checked
+    against every rule via stack + filter (one narrow pass, no shuffle
+    until the per-rule violation rollup). Adding rules is data, not code —
+    the operational property an alerting pipeline needs.
+    """
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(rid).cast("long").alias("rule_id"),
+                F.lit(metric).alias("metric"),
+                F.lit(thr).cast("long").alias("threshold"),
+            )
+            for rid, metric, thr in ALERT_RULES
+        ]
+    )
+    exploded = tm.select(
+        "app_id", "executor_id", "task_id", "metric_time_ms",
+        *[c for c in ("input_bytes_read", "run_time_ms", "shuffle_bytes_read",
+                      "peak_execution_memory")],
+        F.explode(rules).alias("r"),
+    )
+    value = (
+        F.when(F.col("r.metric") == "input_bytes_read", F.col("input_bytes_read"))
+        .when(F.col("r.metric") == "run_time_ms", F.col("run_time_ms"))
+        .when(F.col("r.metric") == "shuffle_bytes_read", F.col("shuffle_bytes_read"))
+        .otherwise(F.col("peak_execution_memory"))
+    )
+    violations = exploded.select(
+        F.col("r.rule_id").alias("rule_id"),
+        F.col("r.metric").alias("metric"),
+        F.col("r.threshold").alias("threshold"),
+        "app_id",
+        "executor_id",
+        value.alias("value"),
+    ).filter(F.col("value") > F.col("threshold"))
+    return violations.groupBy("rule_id", "metric", "threshold").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct("app_id").alias("n_apps"),
+        F.countDistinct("executor_id").alias("n_executors"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """O34: semi-structured payload analytics via VariantType.
+
+    ``parse_json`` → binary variant → typed ``variant_get`` extraction —
+    Spark 4's columnar semi-structured path (shredded access, no
+    per-query string re-parsing, unlike ``get_json_object``). Aggregates
+    the extracted field per event class. The oracle uses DuckDB's native
+    JSON extraction; values are integer-exact.
+    """
+    v = F.parse_json("props")
+    per = events.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )

@@ -464,3 +464,69 @@ ranked AS (
 )
 SELECT rank, key, est_n, exact_n FROM ranked WHERE rank <= 20
 """
+
+from ..operators.observability import ALERT_RULES  # noqa: E402
+
+OBS_ORACLES["obs_error_rate_moving_avg"] = f"""
+WITH {TELEMETRY_CTE},
+hourly AS (
+  SELECT metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+         COUNT(*) AS n_logs,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)
+           AS error_ratio
+  FROM task_metrics
+  GROUP BY 1
+)
+SELECT hour_ms, n_logs, n_errors, error_ratio,
+       CAST(SUM(n_errors) OVER w AS BIGINT) AS window_errors,
+       CAST(SUM(n_logs) OVER w AS BIGINT) AS window_logs,
+       CAST(SUM(n_errors) OVER w AS BIGINT) / CAST(SUM(n_logs) OVER w AS BIGINT)
+         AS ma_error_ratio
+FROM hourly
+WINDOW w AS (ORDER BY hour_ms RANGE BETWEEN 10800000 PRECEDING AND 10800000 FOLLOWING)
+"""
+
+_RULES_VALUES = ",\n         ".join(
+    f"({rid}, '{metric}', {thr})" for rid, metric, thr in ALERT_RULES
+)
+
+OBS_ORACLES["obs_alert_rules"] = f"""
+WITH {TELEMETRY_CTE},
+rules(rule_id, metric, threshold) AS (
+  VALUES {_RULES_VALUES}
+),
+checked AS (
+  SELECT r.rule_id, r.metric, CAST(r.threshold AS BIGINT) AS threshold,
+         t.app_id, t.executor_id,
+         CASE r.metric
+           WHEN 'input_bytes_read' THEN t.input_bytes_read
+           WHEN 'run_time_ms' THEN t.run_time_ms
+           WHEN 'shuffle_bytes_read' THEN t.shuffle_bytes_read
+           ELSE t.peak_execution_memory
+         END AS value
+  FROM task_metrics t CROSS JOIN rules r
+)
+SELECT CAST(rule_id AS BIGINT) AS rule_id, metric, threshold,
+       COUNT(*) AS n_violations,
+       COUNT(DISTINCT app_id) AS n_apps,
+       COUNT(DISTINCT executor_id) AS n_executors,
+       MAX(value) AS max_value
+FROM checked
+WHERE value > threshold
+GROUP BY 1, 2, 3
+"""
+
+OBS_ORACLES["obs_props_variant_stats"] = """
+WITH per AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM per GROUP BY 1
+"""

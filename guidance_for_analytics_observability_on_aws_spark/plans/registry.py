@@ -66,6 +66,11 @@ _OBS_BUILDERS = {
     "obs_anomaly_zscore": lambda s, d: obs.anomaly_zscore(_tm(s, d)),
     "obs_log_templates": lambda s, d: obs.log_templates(_tm(s, d)),
     "obs_heavy_hitters_cms": lambda s, d: obs.heavy_hitters_cms(_tm(s, d)),
+    "obs_error_rate_moving_avg": lambda s, d: obs.error_rate_moving_avg(_tm(s, d)),
+    "obs_alert_rules": lambda s, d: obs.alert_rules(_tm(s, d)),
+    "obs_props_variant_stats": lambda s, d: obs.props_variant_stats(
+        load_tables(s, d)["events"]
+    ),
 }
 for _name, _b in _OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])

@@ -195,3 +195,72 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """The optimizer must inject a runtime bloom filter on the probe side
+    of a shuffle join whose build side is selectively filtered — at 100 TB
+    this prunes probe rows before the shuffle instead of after the join.
+    (Thresholds lowered because the test tables are tiny; the assert pins
+    that the capability is wired, not the default trigger sizes.)"""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, sf_dir)
+        j = t["lineitem"].join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j.groupBy("o_orderstatus").count()._jdf.queryExecution()
+        assert "bloom_filter_agg" in plan.optimizedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE must split a skewed shuffle-join partition at runtime (the
+    no-code-change answer to hot keys at 100 TB; thresholds lowered to
+    provoke it on synthetic data — the assert pins the capability)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        )
+        uniform = spark.range(20000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        j = hot.unionAll(uniform).join(right, "k")
+        assert len(j.collect()) == 220000
+        # same QueryExecution: AQE's final plan shows the skew split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
