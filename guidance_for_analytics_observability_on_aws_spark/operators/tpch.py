@@ -1000,3 +1000,32 @@ def grouping_sets_mixed(orders: DataFrame) -> DataFrame:
         "n_orders",
         "total_cents",
     )
+
+
+def events_transition_matrix(events: DataFrame) -> DataFrame:
+    """T33: event-transition matrix (Markov next-step counts per user
+    journey) — the path-analysis primitive behind funnel dashboards.
+
+    One window pass (lead over each user's time-ordered events) then a
+    count per (from, to) pair; the matrix is |event_types|² rows, so the
+    final aggregation is tiny at any scale. Transition probability is one
+    final division against the per-source window total.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "user_id",
+        F.col("event_type").alias("from_event"),
+        F.lead("event_type").over(w).alias("to_event"),
+    ).filter(F.col("to_event").isNotNull())
+    counts = steps.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    wt = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        "n_users",
+        (F.col("n_transitions") / F.sum("n_transitions").over(wt)).alias("p_transition"),
+    )

@@ -183,6 +183,9 @@ _TPCH_BUILDERS = {
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
+    "events_transition_matrix": lambda s, d: tpch.events_transition_matrix(
+        load_tables(s, d)["events"]
+    ),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])
@@ -316,6 +319,19 @@ _register(
     lambda s, d: multimodal.resize_images_stub(load_tables(s, d)["documents"]),
     None,
 )
+
+
+# Rows-only: LIVE self-observation — runs a real marker workload, harvests
+# its actual task metrics from the status REST API (CustomMetricsListener
+# parity), and aggregates them with the O2 skewness plan. Values are
+# run-dependent by nature (real runtimes/bytes), hence no SQL oracle.
+def _live_collector(s, d):
+    from ..sources.live_metrics import live_stage_skewness
+
+    return live_stage_skewness(s, d)
+
+
+_register("obs_live_collector", _live_collector, None)
 
 
 # Rows-only: real Structured Streaming ingest (O16) — runs availableNow to

@@ -517,3 +517,23 @@ SELECT COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
+
+TPCH_ORACLES["events_transition_matrix"] = """
+WITH steps AS (
+  SELECT user_id, event_type AS from_event,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_event
+  FROM events
+),
+counts AS (
+  SELECT from_event, to_event,
+         COUNT(*) AS n_transitions,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM steps WHERE to_event IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_event, to_event, n_transitions, n_users,
+       n_transitions / CAST(SUM(n_transitions) OVER (PARTITION BY from_event)
+                            AS BIGINT) AS p_transition
+FROM counts
+"""

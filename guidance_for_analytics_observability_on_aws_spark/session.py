@@ -25,7 +25,11 @@ def get_spark(app_name: str = "analytics-observability-spark") -> SparkSession:
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as bigint nanos
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI serves the status REST API the live collector reads
+        # (sources/live_metrics.py); port 0 = pick any free port.
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()

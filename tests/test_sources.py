@@ -173,3 +173,39 @@ def test_compaction_partitioned_preserves_layout(spark, sf_dir, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         compact_dataset(spark, src, src)
+
+
+def test_live_collector_reads_real_metrics(spark, sf_dir):
+    """The live collector must surface REAL task metrics (nonzero input
+    bytes for a parquet scan, shuffle bytes for a groupBy) with the
+    stage→job mapping reconstructed — CustomMetricsListener parity over
+    the status REST API."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.live_metrics import (
+        live_task_metrics,
+        stage_to_job_map,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].groupBy("l_returnflag").count().collect()
+
+    m = live_task_metrics(spark).cache()
+    assert m.count() > 0
+    totals = m.agg(
+        F.sum("input_bytes_read").alias("inb"),
+        F.sum("shuffle_bytes_read").alias("shb"),
+        F.sum("run_time_ms").alias("rt"),
+    ).collect()[0]
+    assert totals.inb > 0, "no real input bytes collected"
+    assert totals.shb > 0, "no real shuffle bytes collected"
+    assert totals.rt > 0
+    # stage→job bookkeeping (reference onJobStart parity)
+    jobs = stage_to_job_map(spark)
+    assert jobs, "no stage→job mapping"
+    mapped = {r.job_id for r in m.select("job_id").distinct().collect()}
+    assert mapped - {-1}, "no task rows mapped to a job"
+    m.unpersist()
