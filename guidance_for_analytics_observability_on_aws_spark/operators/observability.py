@@ -742,14 +742,12 @@ ALERT_RULES = [
 ]
 
 
-def alert_rules(tm: DataFrame) -> DataFrame:
-    """O33: threshold alerting — a rules table joined against the metric
-    stream (monitor/alert parity for the reference's dashboards).
+def alert_violations(tm: DataFrame) -> DataFrame:
+    """Per-event rule-violation rows (the pre-rollup alert stream).
 
-    Rules are a literal broadcast dimension; each event row is checked
-    against every rule via stack + filter (one narrow pass, no shuffle
-    until the per-rule violation rollup). Adding rules is data, not code —
-    the operational property an alerting pipeline needs.
+    Split out so the streaming twin can persist raw violations per
+    micro-batch and still compute exact global distinct counts in its
+    final rollup (per-batch distinct partials do not merge).
     """
     rules = F.array(
         *[
@@ -773,7 +771,7 @@ def alert_rules(tm: DataFrame) -> DataFrame:
         .when(F.col("r.metric") == "shuffle_bytes_read", F.col("shuffle_bytes_read"))
         .otherwise(F.col("peak_execution_memory"))
     )
-    violations = exploded.select(
+    return exploded.select(
         F.col("r.rule_id").alias("rule_id"),
         F.col("r.metric").alias("metric"),
         F.col("r.threshold").alias("threshold"),
@@ -781,12 +779,28 @@ def alert_rules(tm: DataFrame) -> DataFrame:
         "executor_id",
         value.alias("value"),
     ).filter(F.col("value") > F.col("threshold"))
+
+
+def alert_rollup(violations: DataFrame) -> DataFrame:
+    """Aggregate violation rows to the per-rule dashboard summary."""
     return violations.groupBy("rule_id", "metric", "threshold").agg(
         F.count(F.lit(1)).alias("n_violations"),
         F.countDistinct("app_id").alias("n_apps"),
         F.countDistinct("executor_id").alias("n_executors"),
         F.max("value").alias("max_value"),
     )
+
+
+def alert_rules(tm: DataFrame) -> DataFrame:
+    """O33: threshold alerting — a rules table joined against the metric
+    stream (monitor/alert parity for the reference's dashboards).
+
+    Rules are a literal broadcast dimension; each event row is checked
+    against every rule via stack + filter (one narrow pass, no shuffle
+    until the per-rule violation rollup). Adding rules is data, not code —
+    the operational property an alerting pipeline needs.
+    """
+    return alert_rollup(alert_violations(tm))
 
 
 def props_variant_stats(events: DataFrame) -> DataFrame:

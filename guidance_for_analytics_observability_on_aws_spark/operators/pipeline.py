@@ -135,6 +135,10 @@ def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        # The edge list is the LSH OUTPUT — tiny relative to the corpus.
+        # Collapse to a few partitions so each propagation round schedules
+        # a handful of tasks instead of shuffle.partitions' worth.
+        .coalesce(8)
         .localCheckpoint(eager=True)
     )
     # init: label(v) = min(v, min neighbor) — one propagation round for free

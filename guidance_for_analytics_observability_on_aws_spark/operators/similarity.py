@@ -296,3 +296,39 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
             (F.col("sum_q") / F.col("n_vecs")).alias("centroid_q"),
         )
     )
+
+
+def knn_classify(embeddings: DataFrame, k: int = 5, n_queries: int = 8) -> DataFrame:
+    """D11: k-nearest-neighbor classification — majority label among the
+    brute-force top-k, deterministic tie-break (higher count, then lower
+    label). Composes D6's ranked neighbors with a broadcast label lookup;
+    the expensive part is the existing top-k plan, the vote is a tiny
+    aggregate over k·n_queries rows.
+    """
+    ranked = topk_bruteforce(embeddings, k=k, n_queries=n_queries)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")
+    )
+    votes = (
+        ranked.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "n_votes")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "predicted_label",
+        "n_votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

@@ -264,3 +264,24 @@ SELECT label, dim,
        CAST(SUM(qval) AS BIGINT) / COUNT(*) AS centroid_q
 FROM exploded GROUP BY 1, 2
 """
+
+DEDUP_ORACLES["similarity_knn_classify"] = f"""
+WITH knn AS ({DEDUP_ORACLES["similarity_topk_bruteforce"]}),
+votes AS (
+  SELECT k.query_id, e.label AS neighbor_label, COUNT(*) AS n_votes
+  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, neighbor_label AS predicted_label, n_votes
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY n_votes DESC, neighbor_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT b.query_id, b.predicted_label, b.n_votes,
+       e.label AS true_label,
+       b.predicted_label = e.label AS correct
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+"""

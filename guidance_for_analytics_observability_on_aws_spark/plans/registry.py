@@ -231,6 +231,12 @@ _register(
     DEDUP_ORACLES["embedding_centroids"],
 )
 
+_register(
+    "similarity_knn_classify",
+    lambda s, d: similarity.knn_classify(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["similarity_knn_classify"],
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
@@ -378,3 +384,15 @@ def _stream_dedup(s, d):
 
 
 _register("stream_dedup_ingest", _stream_dedup, None)
+
+
+# Rows-only: streaming alert engine — foreachBatch applies the exact batch
+# violation plan per micro-batch; rollup row-parity with obs_alert_rules
+# asserted in tests/test_streaming.py.
+def _stream_alerts(s, d):
+    from ..streaming.collector import run_streaming_alerts
+
+    return run_streaming_alerts(s, d)
+
+
+_register("stream_alert_rules", _stream_alerts, None)

@@ -229,3 +229,32 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_streaming_alerts(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O37: streaming twin of the alert-rules engine — every micro-batch is
+    checked against the rules dimension with the EXACT batch plan via
+    ``foreachBatch`` (alerts fire as data arrives, the operational mode of
+    the reference's monitor dashboards). Final rollup is row-identical to
+    the batch ``alert_rules`` output, asserted in ``tests/test_streaming.py``.
+    """
+    from ..operators.observability import alert_rollup, alert_violations
+
+    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_alerts_")
+
+    def _check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # persist raw violation rows: counts/distincts then roll up exactly
+        # across batches (aggregated partials would not merge distincts)
+        alert_violations(batch_df).write.mode("append").parquet(f"{out}/alerts")
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_check_batch)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return alert_rollup(spark.read.parquet(f"{out}/alerts"))

@@ -175,3 +175,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got1 == {("09:00", 1)}
     # 09:05 (late) never counted; 11:00 window stays open past end-of-stream
     assert got2 == {("09:00", 1), ("10:00", 1)}
+
+
+def test_streaming_alerts_match_batch(spark, sf_dir, tmp_path):
+    """O37: the streaming alert engine's final rollup must be row-identical
+    to the batch alert_rules output."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_rules,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_alerts,
+    )
+
+    got = {
+        tuple(r)
+        for r in run_streaming_alerts(spark, sf_dir, str(tmp_path / "alerts")).collect()
+    }
+    want = {
+        tuple(r) for r in alert_rules(task_metrics(load_tables(spark, sf_dir)["events"])).collect()
+    }
+    assert got == want and got
