@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "asof_join_attribution",
     "obs_anomaly_zscore",
     "obs_counter_rate",
+    "obs_heavy_hitters_cms",
+    "obs_alert_rules",
+    "events_transition_matrix",
     # LLM-pipeline
     "dedup_exact",
     "train_val_split",

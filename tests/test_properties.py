@@ -51,3 +51,37 @@ def test_single_pass_skewness_matches_reference_formula(spark, ins, shs):
     assert row["shuffle_bytes_read_skewness"] == _reference_skewness(shs)
     assert row["max_input_bytes_read"] == max(ins)
     assert row["n_tasks"] == n
+
+
+import math
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    anomaly_zscore,
+)
+
+metric_values = st.lists(
+    st.integers(min_value=0, max_value=600_000), min_size=20, max_size=40
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(metric_values)
+def test_integer_zscore_identity(spark, xs):
+    """The cross-multiplied BIGINT inequality must agree with the float
+    |z| > 3 definition on every trailing-20 window (sample stddev)."""
+    rows = [("e", i, 1000 + i, x) for i, x in enumerate(xs)]
+    tm = spark.createDataFrame(
+        rows,
+        "executor_id string, task_id long, metric_time_ms long, "
+        "input_bytes_read long",
+    )
+    flagged = {r.task_id for r in anomaly_zscore(tm).collect()}
+    want = set()
+    for i in range(19, len(xs)):
+        window = xs[i - 19 : i + 1]
+        n = len(window)
+        mean = sum(window) / n
+        var = sum((v - mean) ** 2 for v in window) / (n - 1)
+        if var > 0 and abs(xs[i] - mean) > 3 * math.sqrt(var):
+            want.add(i)
+    assert flagged == want
