@@ -332,3 +332,83 @@ def knn_classify(embeddings: DataFrame, k: int = 5, n_queries: int = 8) -> DataF
         "true_label",
         (F.col("predicted_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def embedding_kmeans(
+    embeddings: DataFrame, k: int = 8, max_iter: int = 5
+) -> DataFrame:
+    """D12: Lloyd's k-means over quantized embeddings — the second genuinely
+    iterative operator (alongside P4's connected components).
+
+    Classic Spark iteration shape: centroids live on the DRIVER (k×d floats
+    — tiny), each round broadcasts them as literals into a narrow
+    assignment pass (zip_with squared distance, argmin via struct-min) and
+    one partial-aggregated groupBy recomputes sums/counts. No shuffle of
+    the corpus itself, ever; per-round cost is one map + one tiny agg, and
+    the driver loop stops early when assignments stop moving. This is the
+    IVF-training path for D7 at 100 TB.
+
+    Returns per-cluster summary (sizes, integer inertia) — rows-only check
+    (float inertia is summation-order dependent; convergence properties are
+    asserted in tests instead).
+    """
+    q = _quantized(embeddings).select("vec_id", "qv")
+    first = q.filter(F.col("vec_id") < k).collect()
+    centroids = {r.vec_id: [float(x) for x in r.qv] for r in first}
+    n_dims = len(first[0].qv)
+
+    assigned = None
+    for _ in range(max_iter):
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("c"),
+                )
+                for cid, vec in sorted(centroids.items())
+            ]
+        )
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = q.select(
+            "vec_id",
+            "qv",
+            F.array_min(
+                F.transform(
+                    cent_arr,
+                    lambda s: F.struct(
+                        dist(s["c"]).alias("d"), s["cid"].alias("cid")
+                    ),
+                )
+            ).alias("best"),
+        ).select(
+            "vec_id",
+            "qv",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.d").alias("d2"),
+        )
+        sums = (
+            scored.select("cluster_id", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cluster_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centroids: dict[int, list[float]] = {}
+        for r in sums:
+            new_centroids.setdefault(r.cluster_id, [0.0] * n_dims)[r.dim] = r.s / r.n
+        if not new_centroids:
+            break
+        moved = new_centroids != centroids
+        centroids = new_centroids
+        assigned = scored
+        if not moved:
+            break
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.sum("d2")).cast("long").alias("inertia_floor"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )

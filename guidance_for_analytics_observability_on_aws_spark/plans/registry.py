@@ -237,6 +237,15 @@ _register(
     DEDUP_ORACLES["similarity_knn_classify"],
 )
 
+# Rows-only: Lloyd's k-means (iterative, driver-held centroids; float
+# inertia is summation-order dependent so there is no exact SQL oracle).
+# Convergence + coverage asserted in tests/test_operators.py.
+_register(
+    "embedding_kmeans",
+    lambda s, d: similarity.embedding_kmeans(load_tables(s, d)["embeddings"]),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402

@@ -318,3 +318,20 @@ def test_cms_estimate_never_underestimates(spark, tables):
     rows = heavy_hitters_cms(tm).collect()
     assert rows, "sketch returned no heavy hitters"
     assert all(r.est_n >= r.exact_n for r in rows)
+
+
+def test_kmeans_converges_and_covers(spark, tables):
+    """Lloyd's refinement must not increase total inertia, and every vector
+    is assigned to exactly one cluster."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        embedding_kmeans,
+    )
+
+    n = tables["embeddings"].count()
+    one = embedding_kmeans(tables["embeddings"], max_iter=1).collect()
+    five = embedding_kmeans(tables["embeddings"], max_iter=5).collect()
+    assert sum(r.n_vecs for r in five) == n
+    assert sum(r.n_vecs for r in one) == n
+    inertia_1 = sum(r.inertia_floor for r in one)
+    inertia_5 = sum(r.inertia_floor for r in five)
+    assert inertia_5 <= inertia_1 + len(five)  # floor slack per cluster

@@ -209,3 +209,40 @@ def test_live_collector_reads_real_metrics(spark, sf_dir):
     mapped = {r.job_id for r in m.select("job_id").distinct().collect()}
     assert mapped - {-1}, "no task rows mapped to a job"
     m.unpersist()
+
+
+def test_retention_drops_only_aged_partitions(spark, sf_dir, tmp_path):
+    """S7: retention must delete exactly the metric_date partitions older
+    than the cutoff and leave surviving data byte-identical (the deletion
+    half of the reference's daily index rotation)."""
+    from datetime import date
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.logs_json import (
+        write_partitioned_telemetry,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.retention import (
+        apply_retention,
+        list_date_partitions,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = str(tmp_path / "telemetry")
+    write_partitioned_telemetry(tm, out)
+
+    parts = list_date_partitions(out)
+    assert parts, "sink produced no date partitions"
+    dates = sorted({d for d, _ in parts})
+    cutoff = dates[len(dates) // 2]
+
+    keep_count = spark.read.parquet(out).filter(f"metric_date >= '{cutoff}'").count()
+    deleted = apply_retention(out, cutoff)
+    assert deleted, "nothing deleted despite partitions older than cutoff"
+    survivors = spark.read.parquet(out)
+    assert survivors.count() == keep_count
+    assert survivors.filter(f"metric_date < '{cutoff}'").count() == 0
