@@ -196,3 +196,38 @@ def decoded_frame_summary(documents: DataFrame, stride: int = 5) -> DataFrame:
         F.max("frame_idx").alias("last_frame"),
         F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
     )
+
+
+def audio_chunk_plan(documents: DataFrame, chunk_ms: int = 10000) -> DataFrame:
+    """M6: audio chunking plan — fixed-duration windows from metadata.
+
+    The time-domain twin of M2's frame sampling: chunk boundaries and exact
+    per-chunk sample counts are planned entirely from (duration, rate)
+    metadata — the decode stage later touches only the chunks it needs.
+    Sample counts stay exact integers (rates are multiples of 8 kHz, so
+    ``ms * rate DIV 1000`` never truncates).
+    """
+    audio = binary_meta(documents).filter(
+        (F.col("modality") == "audio") & (F.col("duration_ms") >= 1)
+    )
+    chunks = audio.select(
+        "doc_id",
+        "sample_rate",
+        "duration_ms",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.col("duration_ms") - 1) / chunk_ms).cast("long"),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * chunk_ms
+    end = F.least(start + chunk_ms, F.col("duration_ms"))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("chunk_start_ms"),
+        end.alias("chunk_end_ms"),
+        F.expr(f"(least(chunk_idx * {chunk_ms} + {chunk_ms}, duration_ms)"
+               f" - chunk_idx * {chunk_ms}) * sample_rate DIV 1000").alias("n_samples"),
+    )

@@ -291,6 +291,9 @@ _TEXT_BUILDERS = {
     "mm_feature_extract": lambda s, d: multimodal.feature_extract(
         load_tables(s, d)["documents"]
     ),
+    "mm_audio_chunks": lambda s, d: multimodal.audio_chunk_plan(
+        load_tables(s, d)["documents"]
+    ),
 }
 for _name, _b in _TEXT_BUILDERS.items():
     _register(_name, _b, TEXT_ORACLES[_name])

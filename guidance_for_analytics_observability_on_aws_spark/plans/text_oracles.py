@@ -248,3 +248,25 @@ ranked AS (
 )
 SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 5
 """
+
+TEXT_ORACLES["mm_audio_chunks"] = """
+WITH meta AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 5) AS sample_rate,
+         n_chars * 10 AS duration_ms
+  FROM documents
+  WHERE doc_id % 3 = 1 AND n_chars * 10 >= 1
+),
+chunks AS (
+  SELECT doc_id, sample_rate, duration_ms,
+         unnest(generate_series(0, CAST(FLOOR((duration_ms - 1) / 10000) AS BIGINT)))
+           AS chunk_idx
+  FROM meta
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * 10000 AS chunk_start_ms,
+       LEAST(chunk_idx * 10000 + 10000, duration_ms) AS chunk_end_ms,
+       (LEAST(chunk_idx * 10000 + 10000, duration_ms) - chunk_idx * 10000)
+         * sample_rate // 1000 AS n_samples
+FROM chunks
+"""
