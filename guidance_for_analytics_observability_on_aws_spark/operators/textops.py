@@ -286,3 +286,41 @@ def bigram_stats(documents: DataFrame, top_n: int = 5) -> DataFrame:
         .filter(F.col("rank") <= top_n)
         .select("lang", "rank", "bigram", "n")
     )
+
+
+#: Fixed probe terms for the index-lookup demonstration query.
+INDEX_PROBE_TERMS = ["the", "data", "spark", "error"]
+
+
+def inverted_index(documents: DataFrame, max_postings: int = 50) -> DataFrame:
+    """X9: inverted-index build + term lookup — the OpenSearch-style
+    text-search backbone the reference's store provides, as Spark tables.
+
+    Index build: distinct (token, doc_id) postings → per-token document
+    frequency + a capped, sorted posting list (bounded output per term —
+    the real store pages long posting lists the same way). Lookup: the
+    probe-term dimension broadcasts against the index. At 100 TB the index
+    is itself a partitioned table keyed by token; this query IS its build
+    job plus a point lookup.
+    """
+    postings = (
+        documents.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    index = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, max_postings).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    probes = F.array(*[F.lit(t) for t in INDEX_PROBE_TERMS])
+    probe_df = documents.sparkSession.range(1).select(
+        F.explode(probes).alias("term")
+    )
+    return index.join(F.broadcast(probe_df), "term").select(
+        "term", "doc_freq", "postings_head"
+    )

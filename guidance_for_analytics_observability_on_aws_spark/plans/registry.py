@@ -284,6 +284,9 @@ _TEXT_BUILDERS = {
     ),
     "text_pii_redact": lambda s, d: textops.pii_redact(load_tables(s, d)["documents"]),
     "text_bigram_stats": lambda s, d: textops.bigram_stats(load_tables(s, d)["documents"]),
+    "text_inverted_index": lambda s, d: textops.inverted_index(
+        load_tables(s, d)["documents"]
+    ),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]

@@ -270,3 +270,19 @@ SELECT doc_id, chunk_idx,
          * sample_rate // 1000 AS n_samples
 FROM chunks
 """
+
+TEXT_ORACLES["text_inverted_index"] = """
+WITH postings AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+),
+index_t AS (
+  SELECT term, COUNT(*) AS doc_freq,
+         array_to_string(list_sort(list(doc_id))[1:50], ',') AS postings_head
+  FROM postings WHERE term != ''
+  GROUP BY 1
+)
+SELECT term, doc_freq, postings_head
+FROM index_t
+WHERE term IN ('the', 'data', 'spark', 'error')
+"""
