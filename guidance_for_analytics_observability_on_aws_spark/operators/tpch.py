@@ -1029,3 +1029,30 @@ def events_transition_matrix(events: DataFrame) -> DataFrame:
         "n_users",
         (F.col("n_transitions") / F.sum("n_transitions").over(wt)).alias("p_transition"),
     )
+
+
+def orders_seasonality(orders: DataFrame) -> DataFrame:
+    """T34: monthly revenue with calendar-correct MoM/YoY deltas.
+
+    The month key is ``year*12 + month`` so RANGE frames address exact
+    calendar offsets: ``RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING`` reads
+    the same month last year (NULL if absent) — positional ``lag`` would
+    silently mis-align across gaps. One aggregation + one window over the
+    (tiny) month series.
+    """
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("long")
+    monthly = orders.groupBy(month_idx.alias("month_idx")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+    w1 = Window.orderBy("month_idx").rangeBetween(-1, -1)
+    w12 = Window.orderBy("month_idx").rangeBetween(-12, -12)
+    return monthly.select(
+        "month_idx",
+        (F.col("month_idx") / 12).cast("long").alias("year"),
+        (F.col("month_idx") % 12 + 1).alias("month"),
+        "n_orders",
+        "revenue_cents",
+        (F.col("revenue_cents") - F.first("revenue_cents").over(w1)).alias("mom_delta_cents"),
+        (F.col("revenue_cents") - F.first("revenue_cents").over(w12)).alias("yoy_delta_cents"),
+    )

@@ -186,6 +186,9 @@ _TPCH_BUILDERS = {
     "events_transition_matrix": lambda s, d: tpch.events_transition_matrix(
         load_tables(s, d)["events"]
     ),
+    "orders_seasonality": lambda s, d: tpch.orders_seasonality(
+        load_tables(s, d)["orders"]
+    ),
 }
 for _name, _b in _TPCH_BUILDERS.items():
     _register(_name, _b, TPCH_ORACLES[_name])

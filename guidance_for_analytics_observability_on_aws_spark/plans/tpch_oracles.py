@@ -537,3 +537,25 @@ SELECT from_event, to_event, n_transitions, n_users,
                             AS BIGINT) AS p_transition
 FROM counts
 """
+
+TPCH_ORACLES["orders_seasonality"] = f"""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS month_idx,
+         COUNT(*) AS n_orders,
+         CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month_idx,
+       month_idx // 12 AS year,
+       month_idx % 12 + 1 AS month,
+       n_orders,
+       revenue_cents,
+       revenue_cents - FIRST_VALUE(revenue_cents) OVER (
+         ORDER BY month_idx RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING)
+         AS mom_delta_cents,
+       revenue_cents - FIRST_VALUE(revenue_cents) OVER (
+         ORDER BY month_idx RANGE BETWEEN 12 PRECEDING AND 12 PRECEDING)
+         AS yoy_delta_cents
+FROM monthly
+"""
