@@ -131,6 +131,23 @@ def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     scalable CC formulation when components are small (the dup-cluster
     regime); large-diameter graphs would use large-star/small-star.
     """
+    return (
+        dup_labels(documents, max_iter)
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.sort_array(F.collect_list("src")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def dup_labels(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(doc_id=src, group_id) membership labels for every doc that appears
+    in the MinHash-LSH candidate graph — the converged min-label state P4
+    summarizes and P5's curation pipeline consumes."""
     pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -169,13 +186,66 @@ def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = new_labels.drop("old_group_id")
         if changed == 0:
             break
-    return (
-        labels.groupBy("group_id")
-        .agg(
+    return labels
+
+
+def curation_pipeline(documents: DataFrame) -> DataFrame:
+    """P5: the end-to-end corpus-curation funnel — what an LLM training-data
+    pipeline actually runs nightly, as ONE composed Spark job:
+
+        raw corpus → exact dedup (byte hash, keep lowest doc_id)
+                   → near-dup removal (P4's connected components: drop
+                     non-canonical members of every MinHash dup group)
+                   → quality filter (X2's score >= 0.5)
+
+    Emits one row per stage with surviving doc/token counts — the
+    funnel report a curation run publishes. Each stage is the existing
+    operator's semantics verbatim, so the whole funnel inherits their
+    exact-oracle arithmetic and scale shapes (hash dedup: one shuffle;
+    CC: iterative over the tiny pair graph; quality: narrow map).
+    """
+    from ..functions.text import corpus
+    from .textops import STOPWORDS
+
+    c = corpus(documents)
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        / F.size(toks)
+    )
+    quality = F.least(
+        F.lit(1.0),
+        0.2
+        + 0.5 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * F.least(F.size(toks) / 200.0, F.lit(1.0)),
+    )
+    per_doc = c.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    w_fp = Window.partitionBy("fp")
+    s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    non_canonical = dup_labels(documents).filter(
+        F.col("group_id") != F.col("src")
+    ).select(F.col("src").alias("doc_id"))
+    s2 = s1.join(non_canonical, "doc_id", "left_anti")
+    s3 = s2.filter(F.col("quality") >= 0.5)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(
-                F.sort_array(F.collect_list("src")).cast("array<string>"), ","
-            ).alias("doc_ids"),
+            F.sum("n_tokens").alias("n_tokens"),
         )
-        .filter(F.col("n_docs") >= 2)
+
+    return (
+        stage(per_doc, "0_raw")
+        .unionByName(stage(s1, "1_exact_dedup"))
+        .unionByName(stage(s2, "2_near_dedup"))
+        .unionByName(stage(s3, "3_quality"))
     )

@@ -73,7 +73,9 @@ FROM binned GROUP BY 1, 2
 # dup_groups: the D3 bucket CTE chain feeds a pair CTE; transitive closure +
 # min-label resolved with a recursive CTE (DuckDB's declarative equivalent of
 # the Spark side's iterative min-label propagation).
-PIPELINE_ORACLES["dup_groups"] = (
+# CC label chain: bucket CTEs + pair/edge/transitive-closure/label CTEs —
+# shared by dup_groups and the curation-pipeline funnel.
+CC_LABEL_CTES = (
     MINHASH_BUCKET_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,
 mh_pairs AS (
@@ -95,10 +97,59 @@ reach AS (
 ),
 labels AS (
   SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
+)"""
 )
+
+PIPELINE_ORACLES["dup_groups"] = (
+    CC_LABEL_CTES
+    + """
 SELECT group_id,
        COUNT(*) AS n_docs,
        array_to_string(list_sort(list(src)), ',') AS doc_ids
 FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+)
+
+_STOP_LIST_SQL = "['the','a','of','and','to','in','is','on','for','it']"
+
+PIPELINE_ORACLES["corpus_curation_pipeline"] = (
+    CC_LABEL_CTES
+    + f""",
+per_doc AS (
+  SELECT doc_id, md5(text) AS fp,
+         {_WS_TOKENS} AS n_tokens,
+         LEAST(1.0,
+           0.2
+           + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT)
+                        / CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) * 4,
+                        1.0)
+           + 0.3 * LEAST(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                        / 200.0, 1.0)) AS quality
+  FROM corpus
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM per_doc
+  ) WHERE doc_id = keep_id
+),
+non_canonical AS (
+  SELECT src AS doc_id FROM labels WHERE group_id != src
+),
+s2 AS (
+  SELECT s1.* FROM s1 LEFT JOIN non_canonical nc ON s1.doc_id = nc.doc_id
+  WHERE nc.doc_id IS NULL
+),
+s3 AS (
+  SELECT * FROM s2 WHERE quality >= 0.5
+)
+SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM per_doc
+UNION ALL
+SELECT '1_exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s1
+UNION ALL
+SELECT '2_near_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s2
+UNION ALL
+SELECT '3_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3
 """
 )

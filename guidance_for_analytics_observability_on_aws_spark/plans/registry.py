@@ -264,6 +264,9 @@ _PIPELINE_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "dup_groups": lambda s, d: pipeline.dup_groups(load_tables(s, d)["documents"]),
+    "corpus_curation_pipeline": lambda s, d: pipeline.curation_pipeline(
+        load_tables(s, d)["documents"]
+    ),
 }
 for _name, _b in _PIPELINE_BUILDERS.items():
     _register(_name, _b, PIPELINE_ORACLES[_name])
