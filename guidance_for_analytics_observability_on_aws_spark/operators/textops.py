@@ -324,3 +324,24 @@ def inverted_index(documents: DataFrame, max_postings: int = 50) -> DataFrame:
     return index.join(F.broadcast(probe_df), "term").select(
         "term", "doc_freq", "postings_head"
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """X10: language-ID confusion matrix — the evaluation layer over X1.
+
+    (actual, predicted) cell counts + per-cell share of the actual
+    language's row total; the matrix is |langs|² rows, so the extra
+    aggregation over X1's per-document predictions is free at any scale.
+    """
+    preds = lang_id(documents)
+    cells = preds.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("row_share"),
+        (F.col("actual_lang") == F.col("predicted_lang")).alias("is_diagonal"),
+    )

@@ -293,6 +293,9 @@ _TEXT_BUILDERS = {
     "text_inverted_index": lambda s, d: textops.inverted_index(
         load_tables(s, d)["documents"]
     ),
+    "text_lang_confusion": lambda s, d: textops.lang_confusion(
+        load_tables(s, d)["documents"]
+    ),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]

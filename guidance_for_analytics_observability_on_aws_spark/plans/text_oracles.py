@@ -286,3 +286,16 @@ SELECT term, doc_freq, postings_head
 FROM index_t
 WHERE term IN ('the', 'data', 'spark', 'error')
 """
+
+TEXT_ORACLES["text_lang_confusion"] = f"""
+WITH preds AS ({TEXT_ORACLES["text_lang_id"]}),
+cells AS (
+  SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM preds GROUP BY 1, 2
+)
+SELECT actual_lang, predicted_lang, n_docs,
+       n_docs / CAST(SUM(n_docs) OVER (PARTITION BY actual_lang) AS BIGINT)
+         AS row_share,
+       actual_lang = predicted_lang AS is_diagonal
+FROM cells
+"""
