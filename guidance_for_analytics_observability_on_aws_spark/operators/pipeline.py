@@ -205,7 +205,7 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     CC: iterative over the tiny pair graph; quality: narrow map).
     """
     from ..functions.text import corpus
-    from .textops import STOPWORDS
+    from .textops import STOPWORDS, quality_expr
 
     c = corpus(documents)
     toks = tokens(F.col("text"))
@@ -214,12 +214,7 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
         / F.size(toks)
     )
-    quality = F.least(
-        F.lit(1.0),
-        0.2
-        + 0.5 * F.least(stop_ratio * 4, F.lit(1.0))
-        + 0.3 * F.least(F.size(toks) / 200.0, F.lit(1.0)),
-    )
+    quality = quality_expr(stop_ratio, F.size(toks))
     per_doc = c.select(
         "doc_id",
         F.md5("text").alias("fp"),

@@ -62,6 +62,21 @@ def lang_id(documents: DataFrame, top_n: int = 20) -> DataFrame:
     )
 
 
+def quality_expr(stop_ratio, n_tokens):
+    """The X2 quality formula as a reusable Column expression.
+
+    Single source of truth shared by `quality_score` (X2) and
+    `curation_pipeline` (P5) so the funnel's "quality >= 0.5" gate can never
+    drift from the per-document score.
+    """
+    return F.least(
+        F.lit(1.0),
+        0.2
+        + 0.5 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * F.least(n_tokens / 200.0, F.lit(1.0)),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """X2: per-document quality score from length/stopword/shape signals."""
     toks = tokens(F.col("text"))
@@ -78,12 +93,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     stop_ratio = F.col("stopword_count") / F.col("n_tokens")
     avg_token_len = (F.col("n_chars_text") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
-    quality = F.least(
-        F.lit(1.0),
-        0.2
-        + 0.5 * F.least(stop_ratio * 4, F.lit(1.0))
-        + 0.3 * F.least(F.col("n_tokens") / 200.0, F.lit(1.0)),
-    )
+    quality = quality_expr(stop_ratio, F.col("n_tokens"))
     scored = base.select(
         "doc_id",
         "lang",

@@ -60,7 +60,9 @@ def compact_dataset(
     n = plan_file_count(src, target_file_bytes)
     df = spark.read.parquet(src)
     if partition_cols:
-        salt = F.hash(*[F.col(c) for c in df.columns]) % n
+        # pmod, not %: Spark's % keeps the dividend's sign, which would yield
+        # up to 2n-1 distinct salts and unbalance the planned file count.
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n))
         (
             df.repartition(n, *[F.col(c) for c in partition_cols], salt)
             .write.mode("overwrite")

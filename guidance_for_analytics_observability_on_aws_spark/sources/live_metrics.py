@@ -29,17 +29,32 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Timestamp layouts the status REST API has been observed to emit
+#: (with and without fractional seconds; GMT suffix or bare).
+_REST_TIME_FORMATS = (
+    "%Y-%m-%dT%H:%M:%S.%fGMT",
+    "%Y-%m-%dT%H:%M:%SGMT",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+)
+
+
 def _epoch_ms(launch_time) -> int:
-    """REST reports launchTime as ISO text with a GMT suffix."""
+    """REST reports launchTime as ISO text with a GMT suffix.
+
+    Raises on an unrecognized value rather than silently returning epoch 0,
+    which would quietly skew every time-bucketed rollup built on it.
+    """
     if isinstance(launch_time, (int, float)):
         return int(launch_time)
     if isinstance(launch_time, str):
-        try:
-            dt = datetime.strptime(launch_time, "%Y-%m-%dT%H:%M:%S.%fGMT")
+        for fmt in _REST_TIME_FORMATS:
+            try:
+                dt = datetime.strptime(launch_time, fmt)
+            except ValueError:
+                continue
             return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
-        except ValueError:
-            return 0
-    return 0
+    raise ValueError(f"unrecognized REST launchTime value: {launch_time!r}")
 
 #: Output schema — field-for-field CustomTaskMetrics parity.
 LIVE_TASK_METRICS_SCHEMA = (

@@ -211,13 +211,19 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivery of every record); the output must collapse to the exact
     single-copy rows — asserted against batch distinct in
     ``tests/test_streaming.py``.
+
+    The dedup key is the full record identity (task_id, app_id,
+    metric_time) — not task_id alone — so distinct records that ever
+    shared a task id would survive; only true replays collapse. Keeping
+    the event-time column in the key also lets Spark evict a key's state
+    as soon as it falls behind the watermark.
     """
     name = "gfaooa_dedup_sink"
     doubled = events_stream(spark, sf_dir).unionAll(events_stream(spark, sf_dir))
     dedup = (
         task_metrics(doubled)
         .withWatermark("metric_time", "30 minutes")
-        .dropDuplicates(["task_id"])
+        .dropDuplicates(["task_id", "app_id", "metric_time"])
         .select("task_id", "app_id", "metrics_type", "metric_time_ms", "value")
     )
     q = (
