@@ -824,3 +824,174 @@ def props_variant_stats(events: DataFrame) -> DataFrame:
         F.max("k").alias("max_k"),
         F.countDistinct("k").alias("n_distinct_k"),
     )
+
+
+def downsample_rollup(tm: DataFrame) -> DataFrame:
+    """O38: hierarchical continuous aggregate (multi-resolution rollup).
+
+    The dashboard pattern behind every time-series store (TimescaleDB
+    continuous aggregates, Prometheus recording rules, the reference's
+    per-day index rotation): aggregate raw records to a fine grain ONCE,
+    then derive every coarser grain FROM the fine partials — never a second
+    pass over raw data. Here: raw → per-minute partials (count/sum/max,
+    all BIGINT-exact and re-aggregable) → per-hour rollup of those
+    partials. At 100 TB the minute layer is what you'd persist; the hour
+    layer reads ~1/60th of it, and the plan keeps partial aggregation
+    map-side on the already-tiny input.
+    """
+    minute_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 60000
+    minutes = (
+        tm.withColumn("minute_ms", minute_ms)
+        .groupBy("app_id", "minute_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum("input_bytes_read").alias("sum_input_bytes"),
+            F.max("run_time_ms").alias("max_run_time_ms"),
+        )
+    )
+    hour_ms = F.col("minute_ms") - F.col("minute_ms") % 3600000
+    return (
+        minutes.withColumn("hour_ms", hour_ms)
+        .groupBy("app_id", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum("n_tasks").alias("n_tasks"),
+            F.sum("sum_input_bytes").alias("sum_input_bytes"),
+            F.max("max_run_time_ms").alias("max_run_time_ms"),
+        )
+    )
+
+
+def slo_burn_rate(tm: DataFrame) -> DataFrame:
+    """O39: multi-window SLO error-budget burn rate (SRE-workbook alerting).
+
+    SLO: 99% of log records are non-error. Burn rate = observed error
+    ratio / budget (1%). The standard fast-burn page fires when BOTH the
+    short (1h) and long (6h) windows burn hot — the two-window rule that
+    suppresses blips without missing sustained burns. The 6h window is an
+    exact-offset RANGE frame over the hour series (gap-correct: missing
+    hours do not stretch the window).
+
+    Every comparison is integer-exact via cross-multiplication
+    (``1000*err >= 144*total`` ⟺ ``burn >= 14.4``); the emitted burn
+    rates are ONE final division of exact BIGINTs (IEEE-identical across
+    engines).
+    """
+    hour_ms = F.col("metric_time_ms") - F.col("metric_time_ms") % 3600000
+    hours = (
+        tm.withColumn("hour_ms", hour_ms)
+        .groupBy("app_id", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_err"
+            ),
+        )
+    )
+    w6 = (
+        Window.partitionBy("app_id")
+        .orderBy("hour_ms")
+        .rangeBetween(-5 * 3600000, 0)
+    )
+    with6 = hours.select(
+        "app_id",
+        "hour_ms",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w6).alias("total_6h"),
+        F.sum("n_err").over(w6).alias("err_6h"),
+    )
+    return with6.select(
+        "app_id",
+        "hour_ms",
+        "n_total",
+        "n_err",
+        (F.col("n_err") * 100 / F.col("n_total")).alias("burn_1h"),
+        (F.col("err_6h") * 100 / F.col("total_6h")).alias("burn_6h"),
+        (
+            (F.col("n_err") * 1000 >= F.col("n_total") * 144)
+            & (F.col("err_6h") * 10 >= F.col("total_6h") * 60)
+        ).alias("page"),
+    )
+
+
+def value_histogram(tm: DataFrame, n_bins: int = 16, width: int = 100) -> DataFrame:
+    """O40: equi-width histogram of a metric (dashboard distribution panel).
+
+    ``bin = least(run_time_ms DIV width, n_bins-1)`` — pure integer
+    arithmetic, one aggregation with map-side combine; the share column is
+    a single final division of exact counts. The fixed-width formulation
+    (vs quantile bins) is the one that composes across partitions and
+    re-aggregates across time windows at any scale.
+    """
+    bin_idx = F.least(F.floor(F.col("run_time_ms") / width), F.lit(n_bins - 1)).cast(
+        "long"
+    )
+    binned = (
+        tm.withColumn("bin", bin_idx)
+        .groupBy("metrics_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_tasks"))
+    )
+    w = Window.partitionBy("metrics_type")
+    return binned.select(
+        "metrics_type",
+        "bin",
+        (F.col("bin") * width).alias("bin_lo"),
+        "n_tasks",
+        (F.col("n_tasks") * 100 / F.sum("n_tasks").over(w)).alias("pct"),
+    )
+
+
+def metric_log_correlate(tm: DataFrame, lookback_ms: int = 60000) -> DataFrame:
+    """O41: time-range correlation join — for every error log record, the
+    task-metric activity on the same executor in the preceding minute
+    (the "what was this executor doing when it errored" drill-down the
+    reference answers by pivoting dashboards between its logs and metrics
+    indexes).
+
+    Spark-first range join: a naive ``t BETWEEN t_err-60s AND t_err``
+    inequality join degenerates to a per-key cross product. Instead both
+    sides are bucketed to 60s epochs and each error probes exactly TWO
+    buckets (its own + the previous — any row ≤60s back lands in one of
+    them), making it an equi-join with bounded fan-out that AQE can
+    broadcast or shuffle normally; the exact range predicate then filters
+    within the two candidate buckets. The oracle states the naive
+    inequality join — identical results, different (non-scalable) plan.
+    """
+    errors = tm.filter(F.col("metrics_type") == "logs").select(
+        "executor_id",
+        F.col("task_id").alias("err_task_id"),
+        F.col("metric_time_ms").alias("err_ms"),
+    )
+    metrics = tm.filter(F.col("metrics_type") == "taskMetrics").select(
+        F.col("executor_id").alias("m_executor_id"),
+        F.col("metric_time_ms").alias("m_ms"),
+        "input_bytes_read",
+        F.floor(F.col("metric_time_ms") / lookback_ms).alias("m_bucket"),
+    )
+    probes = errors.select(
+        "*",
+        F.explode(
+            F.array(
+                F.floor(F.col("err_ms") / lookback_ms) - 1,
+                F.floor(F.col("err_ms") / lookback_ms),
+            )
+        ).alias("bucket"),
+    )
+    # The range predicate lives IN the join condition: an error whose
+    # candidate buckets hold only out-of-range rows must still survive with
+    # count 0, which a post-join filter would silently drop.
+    cond = (
+        (probes["executor_id"] == metrics["m_executor_id"])
+        & (probes["bucket"] == metrics["m_bucket"])
+        & (metrics["m_ms"] >= probes["err_ms"] - lookback_ms)
+        & (metrics["m_ms"] <= probes["err_ms"])
+    )
+    return (
+        probes.join(metrics, cond, "left")
+        .groupBy("executor_id", "err_task_id", "err_ms")
+        .agg(
+            F.count("m_ms").alias("n_metrics_60s"),
+            F.coalesce(F.sum("input_bytes_read"), F.lit(0)).alias("bytes_60s"),
+        )
+    )
