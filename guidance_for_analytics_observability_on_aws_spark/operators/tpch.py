@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.telemetry import normalize_events
+
 
 def cents(col: Column) -> Column:
     return F.floor(col * 100 + F.lit(0.5))
@@ -202,7 +204,8 @@ def events_funnel(events: DataFrame) -> DataFrame:
     Single aggregation per user computing the earliest timestamp of each
     step, then ordered-existence checks — no self-joins, one shuffle.
     """
-    ms = F.expr("ts DIV 1000000")
+    events = normalize_events(events)
+    ms = F.unix_millis(F.col("ts"))
     steps = events.select("user_id", "event_type", ms.alias("ev_ms"))
     per_user = steps.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ev_ms"))).alias("first_signup_ms"),
@@ -241,7 +244,8 @@ def asof_join_attribution(events: DataFrame) -> DataFrame:
     no pairwise range-join blowup (contrast: join-then-filter is O(clicks ×
     purchases) per user).
     """
-    ms = F.expr("ts DIV 1000000")
+    events = normalize_events(events)
+    ms = F.unix_millis(F.col("ts"))
     base = events.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
         "user_id",
@@ -874,7 +878,8 @@ def events_retention(events: DataFrame) -> DataFrame:
     relative to events; at true 100 TB user-cardinality it flips to a
     shuffle join automatically — the plan stays correct either way).
     """
-    day = F.expr("(ts DIV 1000000) DIV 86400000")
+    events = normalize_events(events)
+    day = F.expr("unix_millis(ts) DIV 86400000")
     active = events.select(F.col("user_id"), day.alias("day")).distinct()
     cohort = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (

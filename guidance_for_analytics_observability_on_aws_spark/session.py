@@ -22,8 +22,6 @@ def get_spark(app_name: str = "analytics-observability-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.ts is parquet TIMESTAMP(NANOS); read as bigint nanos
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # UI serves the status REST API the live collector reads
         # (sources/live_metrics.py); port 0 = pick any free port.
@@ -43,7 +41,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
     comparisons go through naive timestamps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:

@@ -54,8 +54,39 @@ ID_COLUMNS = [
 ]
 
 
+def normalize_events(events: DataFrame) -> DataFrame:
+    """Return ``events`` with ``ts`` as a session-timezone TIMESTAMP,
+    whatever the on-disk encoding.
+
+    The driver has shipped the events table with ``ts`` as bigint
+    epoch-nanos (round 1) and as parquet ``timestamp[us]``/TIMESTAMP_NTZ
+    (round 2+); every consumer goes through this adapter so a future
+    re-encoding changes exactly one function. With the session timezone
+    pinned to UTC (``session.tune_session``), the NTZ→LTZ cast is a pure
+    relabel and ``unix_millis(ts)`` equals DuckDB's ``epoch_ms(ts)`` on
+    the same naive value.
+
+    Works on batch and streaming DataFrames alike (schema is static).
+    """
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type is None:
+        return events
+    if ts_type in ("bigint", "long"):
+        # epoch-nanos: integer DIV keeps full precision (double division
+        # would lose bits above 2^53).
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type.startswith("timestamp"):
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts has unsupported type {ts_type!r}; expected bigint "
+        "epoch-nanos or a timestamp type — the testdata encoding changed "
+        "again; extend normalize_events()."
+    )
+
+
 def task_metrics(events: DataFrame) -> DataFrame:
     """events → task-metrics records (CustomTaskMetrics parity)."""
+    events = normalize_events(events)
     u = F.col("user_id")
     e = F.col("event_id")
     v = F.col("value")
@@ -71,11 +102,8 @@ def task_metrics(events: DataFrame) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit("logs"))
         .otherwise(F.lit("taskMetrics"))
         .alias("metrics_type"),
-        # events.ts arrives as bigint nanos (parquet TIMESTAMP(NANOS) via
-        # nanosAsLong); integer DIV keeps full precision — a double division
-        # would lose bits above 2^53.
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("metric_time"),
-        F.expr("ts DIV 1000000").alias("metric_time_ms"),
+        F.col("ts").alias("metric_time"),
+        F.unix_millis(F.col("ts")).alias("metric_time_ms"),
         F.floor(v * 1024).alias("input_bytes_read"),
         F.floor(v).alias("input_records_read"),
         F.floor(v * 16).alias("run_time_ms"),

@@ -21,9 +21,17 @@ task_bytes = st.lists(
 def _reference_skewness(xs: list[int]) -> float:
     """The literal reference formula (CustomMetricsListener.scala:146-188):
     max(|x - avg|) / range, range==0 -> 1, evaluated per-row like the
-    listener's fold over task metrics."""
-    avg = sum(xs) / len(xs)
-    max_dist = max(abs(x - avg) for x in xs)
+    listener's fold over task metrics.
+
+    IEEE-faithful to the engines under test: Spark and DuckDB both compute
+    bigint/bigint division by casting EACH operand to double first, so the
+    sum is rounded to a double before the divide. Python's ``int / int``
+    instead correctly rounds the true rational quotient, which differs once
+    the exact sum exceeds 2**53 — ``float(sum(xs))`` reproduces the engines'
+    rounding.
+    """
+    avg = float(sum(xs)) / float(len(xs))
+    max_dist = max(abs(float(x) - avg) for x in xs)
     rng = max(xs) - min(xs)
     return max_dist / (rng if rng != 0 else 1)
 
