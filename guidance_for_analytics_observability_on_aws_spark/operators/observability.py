@@ -261,6 +261,35 @@ def task_percentiles_approx(tm: DataFrame, accuracy: int = 10000) -> DataFrame:
     )
 
 
+def input_bytes_percentiles(tm: DataFrame) -> DataFrame:
+    """O42: p25/50/75/99 of ``input_bytes_read`` per application run.
+
+    Exact column parity with the reference dashboard's percentile panel:
+    ``dashboards/data-skew.ndjson`` charts percentiles of
+    ``spark-task-metrics.inputBytesRead`` (field mapping in
+    ``deployment/.../templates/spark-task-metrics.json``) — O8 has the
+    same operator shape but summarizes ``value`` per event_type; a user
+    porting the dashboard needs THIS grouping/column. Same engine-portable
+    explicit order statistics as O8 (value at row floor((n-1)*p) of the
+    (bytes, task_id)-sorted group: no interpolation-convention drift).
+    """
+    w = Window.partitionBy("app_id").orderBy("input_bytes_read", "task_id")
+    ranked = (
+        tm.select("app_id", "input_bytes_read", "task_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("app_id")))
+    )
+    aggs = [F.max("n").alias("n_tasks")]
+    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
+        target = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(
+            F.max(F.when(F.col("rn") - 1 == target, F.col("input_bytes_read"))).alias(
+                name
+            )
+        )
+    return ranked.groupBy("app_id").agg(*aggs)
+
+
 def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
     """O9: batching-client semantics (ObservabilityClient.add parity).
 

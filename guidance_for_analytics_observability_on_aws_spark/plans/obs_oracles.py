@@ -530,3 +530,107 @@ SELECT event_type,
        COUNT(DISTINCT k) AS n_distinct_k
 FROM per GROUP BY 1
 """
+
+OBS_ORACLES["obs_downsample_rollup"] = f"""
+WITH {TELEMETRY_CTE},
+minutes AS (
+  SELECT app_id,
+         metric_time_ms - metric_time_ms % 60000 AS minute_ms,
+         COUNT(*) AS n_tasks,
+         CAST(SUM(input_bytes_read) AS BIGINT) AS sum_input_bytes,
+         MAX(run_time_ms) AS max_run_time_ms
+  FROM task_metrics
+  GROUP BY 1, 2
+)
+SELECT app_id,
+       minute_ms - minute_ms % 3600000 AS hour_ms,
+       COUNT(*) AS n_minutes,
+       CAST(SUM(n_tasks) AS BIGINT) AS n_tasks,
+       CAST(SUM(sum_input_bytes) AS BIGINT) AS sum_input_bytes,
+       MAX(max_run_time_ms) AS max_run_time_ms
+FROM minutes
+GROUP BY 1, 2
+"""
+
+OBS_ORACLES["obs_slo_burn_rate"] = f"""
+WITH {TELEMETRY_CTE},
+hours AS (
+  SELECT app_id,
+         metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+         COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+  FROM task_metrics
+  GROUP BY 1, 2
+),
+with6 AS (
+  SELECT app_id, hour_ms, n_total, n_err,
+         CAST(SUM(n_total) OVER (PARTITION BY app_id ORDER BY hour_ms
+              RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS total_6h,
+         CAST(SUM(n_err) OVER (PARTITION BY app_id ORDER BY hour_ms
+              RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_6h
+  FROM hours
+)
+SELECT app_id, hour_ms, n_total, n_err,
+       n_err * 100 / n_total AS burn_1h,
+       err_6h * 100 / total_6h AS burn_6h,
+       (n_err * 1000 >= n_total * 144) AND (err_6h * 10 >= total_6h * 60) AS page
+FROM with6
+"""
+
+OBS_ORACLES["obs_value_histogram"] = f"""
+WITH {TELEMETRY_CTE},
+binned AS (
+  SELECT metrics_type,
+         LEAST(CAST(FLOOR(run_time_ms / 100) AS BIGINT), 15) AS bin,
+         COUNT(*) AS n_tasks
+  FROM task_metrics
+  GROUP BY 1, 2
+)
+SELECT metrics_type, bin,
+       bin * 100 AS bin_lo,
+       n_tasks,
+       n_tasks * 100 / CAST(SUM(n_tasks) OVER (PARTITION BY metrics_type) AS BIGINT) AS pct
+FROM binned
+"""
+
+# O41's oracle states the NAIVE inequality range join — identical result
+# set to the bucketed-equi-join Spark plan, intentionally different
+# (non-scalable) physical strategy.
+OBS_ORACLES["obs_metric_log_correlate"] = f"""
+WITH {TELEMETRY_CTE},
+errors AS (
+  SELECT executor_id, task_id AS err_task_id, metric_time_ms AS err_ms
+  FROM task_metrics WHERE metrics_type = 'logs'
+),
+metrics AS (
+  SELECT executor_id AS m_executor_id, metric_time_ms AS m_ms, input_bytes_read
+  FROM task_metrics WHERE metrics_type = 'taskMetrics'
+)
+SELECT e.executor_id, e.err_task_id, e.err_ms,
+       COUNT(m.m_ms) AS n_metrics_60s,
+       CAST(COALESCE(SUM(m.input_bytes_read), 0) AS BIGINT) AS bytes_60s
+FROM errors e
+LEFT JOIN metrics m
+  ON e.executor_id = m.m_executor_id
+ AND m.m_ms >= e.err_ms - 60000
+ AND m.m_ms <= e.err_ms
+GROUP BY 1, 2, 3
+"""
+
+OBS_ORACLES["obs_input_bytes_percentiles"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT app_id, input_bytes_read, task_id,
+         ROW_NUMBER() OVER (PARTITION BY app_id ORDER BY input_bytes_read, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY app_id) AS n
+  FROM task_metrics
+)
+SELECT app_id,
+       CAST(MAX(n) AS BIGINT) AS n_tasks,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.25) AS BIGINT) THEN input_bytes_read END) AS p25,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) THEN input_bytes_read END) AS p50,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT) THEN input_bytes_read END) AS p75,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) THEN input_bytes_read END) AS p99
+FROM ranked
+GROUP BY 1
+"""
