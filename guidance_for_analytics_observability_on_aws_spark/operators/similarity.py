@@ -49,13 +49,44 @@ def augmented_embeddings(embeddings: DataFrame) -> DataFrame:
     return base.unionByName(copies)
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.98) -> DataFrame:
-    """D5: near-duplicate pairs by cosine ≥ threshold within label blocks."""
+#: Sub-blocks per label block in D5/D8. Work per join task is bounded by
+#: (largest_label_block / N_SPLITS)²; raise for bigger corpora.
+N_SPLITS = 4
+
+
+def _sub_block(col_name: str = "vec_id", n_splits: int = N_SPLITS) -> F.Column:
+    """Deterministic hash sub-block id in [0, n_splits)."""
+    return F.pmod(F.xxhash64(col_name), F.lit(n_splits))
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.98, n_splits: int = N_SPLITS
+) -> DataFrame:
+    """D5: near-duplicate pairs by cosine ≥ threshold within label blocks.
+
+    Bounded-block pairing: a plain label-keyed self-join puts an ENTIRE
+    label block in one join partition — at 100 TB the largest label would
+    be a single straggler task. Instead every vector gets a deterministic
+    hash sub-block ``sub ∈ [0, S)``; the probe side is replicated S ways
+    (``t ∈ [0, S)``) and the join key is the composite (label, t)=(label,
+    sub), so each task holds one (sub-block × sub-block) cross product:
+    memory and work per task drop S², key cardinality rises S×. Unlike an
+    LSH-band blocking key (D3's trick), this split is LOSSLESS — every
+    qualifying pair still meets in exactly one task (the one keyed by the
+    right-hand vector's sub-block), so the exact oracle is unchanged.
+    The S× probe replication is the same price the salted broadcast join
+    (operators/skew.py) pays, for the same reason.
+    """
     q = _quantized(augmented_embeddings(embeddings), barrier_key="label")
-    a, b = q.alias("a"), q.alias("b")
+    b = q.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
+    a = q.withColumn(
+        "t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)]))
+    ).alias("a")
     pairs = a.join(
         b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.t") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
@@ -236,37 +267,64 @@ def embedding_near_dups_blas(embeddings: DataFrame, threshold: float = 0.98) -> 
     shares D5's exact DuckDB oracle, and equality with D5 is asserted in
     tests.
 
-    Scale posture: one block = one Arrow batch = one task; blocks are
-    independent, so parallelism = #blocks and memory is O(block²) only for
-    scores, which the threshold filter prunes before emission. Blocks too
-    big for one task should first be split by an LSH band (D3) — this
-    operator is the within-bucket scorer, not the blocker.
+    Scale posture: one Arrow batch = one task = ONE BOUNDED sub-block
+    pair, never a whole label block. Each vector gets a deterministic hash
+    sub-block ``sub ∈ [0, S)`` and is fanned to every group ``(label, s1,
+    s2) = (label, min(sub,t), max(sub,t))`` for ``t ∈ [0, S)``; the group
+    scores the s1×s2 cross product (triangular when s1==s2). Every
+    qualifying pair lands in exactly one group, so the split is LOSSLESS —
+    same output as the unsplit scorer, same exact oracle — while per-task
+    memory drops S² and parallelism rises to #labels·S(S+1)/2 tasks. The
+    S× input fan-out is the bounded-task price (cf. the salted broadcast
+    join in operators/skew.py).
     """
     import numpy as np
     import pandas as pd
 
-    aug = augmented_embeddings(embeddings).repartition("label")
+    n_splits = N_SPLITS
+    fanned = (
+        augmented_embeddings(embeddings)
+        .withColumn("sub", _sub_block(n_splits=n_splits))
+        .withColumn("t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)])))
+        .withColumn("s1", F.least("sub", "t"))
+        .withColumn("s2", F.greatest("sub", "t"))
+    )
     out_schema = "vec_a long, vec_b long, cosine double"
 
     def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
+        s1, s2 = pdf["s1"].iloc[0], pdf["s2"].iloc[0]
         ids = pdf["vec_id"].to_numpy()
         mat = np.stack(pdf["embedding"].to_numpy())  # (n, d) float32
         q = np.floor(mat * QUANT).astype(np.int64)  # ×2^15 is exact in f32
-        gram = q @ q.T
-        nrm = np.diag(gram).astype(np.float64)
-        with np.errstate(invalid="ignore"):
-            cos = gram / np.sqrt(np.outer(nrm, nrm))
+        nrm = (q * q).sum(axis=1).astype(np.float64)
+        if s1 == s2:
+            gram = q @ q.T
+            with np.errstate(invalid="ignore"):
+                cos = gram / np.sqrt(np.outer(nrm, nrm))
+            ia, ib = np.triu_indices(len(ids), k=1)  # vec_a < vec_b by sort
+            id_a, id_b, scores = ids[ia], ids[ib], cos[ia, ib]
+        else:
+            left = (pdf["sub"] == s1).to_numpy()
+            right = ~left
+            gram = q[left] @ q[right].T
+            with np.errstate(invalid="ignore"):
+                cos = gram / np.sqrt(np.outer(nrm[left], nrm[right]))
+            la, rb = np.meshgrid(
+                np.arange(left.sum()), np.arange(right.sum()), indexing="ij"
+            )
+            id_l, id_r = ids[left][la.ravel()], ids[right][rb.ravel()]
+            id_a, id_b = np.minimum(id_l, id_r), np.maximum(id_l, id_r)
+            scores = cos.ravel()
         # Spark/DuckDB ROUND(x, 6) = half AWAY from zero; np.round is
         # half-to-even, so reproduce it explicitly.
-        cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
-        ia, ib = np.triu_indices(len(ids), k=1)  # vec_a < vec_b by sort
-        keep = cos[ia, ib] >= threshold
+        scores = np.sign(scores) * np.floor(np.abs(scores) * 1e6 + 0.5) / 1e6
+        keep = scores >= threshold
         return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
+            {"vec_a": id_a[keep], "vec_b": id_b[keep], "cosine": scores[keep]}
         )
 
-    return aug.groupBy("label").applyInPandas(_score_block, out_schema)
+    return fanned.groupBy("label", "s1", "s2").applyInPandas(_score_block, out_schema)
 
 
 def embedding_centroids(embeddings: DataFrame) -> DataFrame:

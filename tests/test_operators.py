@@ -161,6 +161,74 @@ def test_blas_near_dups_equals_declarative(spark, sf_dir):
     assert a and a == b
 
 
+def test_near_dup_sub_block_split_bounds_tasks(spark, sf_dir):
+    """The D5/D8 sub-block split must (a) bound every scored group well
+    below the full label block, (b) lose no pair vs an unsplit all-pairs
+    reference, and (c) put the composite (label, sub) key in the D5 join.
+    """
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _sub_block,
+        augmented_embeddings,
+        embedding_near_dups,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    aug = augmented_embeddings(emb).withColumn("sub", _sub_block())
+
+    # (a) group-size bound: largest (label, s1, s2) group ≤ 2× the largest
+    # per-sub-block slice, which is what one task actually holds.
+    label_max = aug.groupBy("label").count().agg(F.max("count")).first()[0]
+    slice_max = aug.groupBy("label", "sub").count().agg(F.max("count")).first()[0]
+    assert slice_max * 2 < label_max, "split did not reduce per-task block size"
+
+    # (b) lossless vs an unsplit all-pairs reference on a small slice.
+    small = emb.filter(F.col("vec_id") < 400)
+    got = {(r.vec_a, r.vec_b) for r in embedding_near_dups(small).collect()}
+    from guidance_for_analytics_observability_on_aws_spark.functions.vectors import (
+        cosine6,
+        dot,
+        quantize,
+        sq_norm,
+    )
+
+    q = (
+        augmented_embeddings(small)
+        .select("vec_id", "label", quantize(F.col("embedding")).alias("qv"))
+        .withColumn("nrm", sq_norm(F.col("qv")))
+    )
+    a, b = q.alias("a"), q.alias("b")
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine6(
+                dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.98)
+        .collect()
+    }
+    assert got == want
+
+    # (c) composite key reaches the physical join.
+    plan = (
+        embedding_near_dups(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pmod(xxhash64" in plan and "sub#" in plan, plan
+
+
 def test_resize_stub_dims_and_determinism(spark, sf_dir):
     from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
         binary_meta,
