@@ -67,8 +67,18 @@ def main() -> None:
     spark = get_spark("gfaooa-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers so timings measure query execution.
-    REGISTRY["obs_cardinality"].builder(spark, sf_dir).collect()
+    # Warm the JVM + parquet footers so timings measure query execution,
+    # one query per input family: events (codegen+shuffle), documents
+    # (regexp codegen), embeddings (higher-order fns + Arrow/pandas path).
+    for warm in (
+        "obs_cardinality",
+        "docs_stats_by_source",
+        "similarity_ivf",
+        "mm_decode_frames",  # spawns the Python/Arrow worker pool
+    ):
+        REGISTRY[warm].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
