@@ -1,5 +1,7 @@
 """DuckDB oracle SQL for the OLAP group (T), mirroring ``operators/tpch.py``."""
 
+from ..sources.telemetry import EPOCH_MS_SQL
+
 REV = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
 
 TPCH_ORACLES: dict[str, str] = {}
@@ -107,9 +109,9 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
-TPCH_ORACLES["asof_join_attribution"] = """
+TPCH_ORACLES["asof_join_attribution"] = f"""
 WITH base AS (
-  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ev_ms
+  SELECT event_id, user_id, event_type, {EPOCH_MS_SQL} AS ev_ms
   FROM events
   WHERE event_type IN ('click', 'purchase')
 ),
@@ -144,12 +146,12 @@ WITH agg AS (
 SELECT *, promo_revenue_cents / revenue_cents AS promo_share FROM agg
 """
 
-TPCH_ORACLES["events_funnel"] = """
+TPCH_ORACLES["events_funnel"] = f"""
 WITH per_user AS (
   SELECT user_id,
-         MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS first_signup_ms,
-         MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS first_click_ms,
-         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS first_purchase_ms
+         MIN(CASE WHEN event_type = 'signup' THEN {EPOCH_MS_SQL} END) AS first_signup_ms,
+         MIN(CASE WHEN event_type = 'click' THEN {EPOCH_MS_SQL} END) AS first_click_ms,
+         MIN(CASE WHEN event_type = 'purchase' THEN {EPOCH_MS_SQL} END) AS first_purchase_ms
   FROM events
   GROUP BY 1
 ),
@@ -432,9 +434,9 @@ SELECT o_orderpriority,
 FROM orders GROUP BY 1
 """
 
-TPCH_ORACLES["events_retention"] = """
+TPCH_ORACLES["events_retention"] = f"""
 WITH active AS (
-  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+  SELECT DISTINCT user_id, {EPOCH_MS_SQL} // 86400000 AS day FROM events
 ),
 cohort AS (
   SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY 1

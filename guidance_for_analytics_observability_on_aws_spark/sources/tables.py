@@ -139,12 +139,15 @@ _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # Re-apply on EVERY load, not just the first: the driver owns the
+    # session and may reset confs between queries; UTC must hold whenever a
+    # query is built or oracle timestamp comparisons silently drift.
+    tune_session(spark)
     per_session = _CACHE.get(spark)
     if per_session is None:
         per_session = {}
         _CACHE[spark] = per_session
     if sf_dir not in per_session:
-        tune_session(spark)
         loaded = {}
         for t in TABLES:
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")

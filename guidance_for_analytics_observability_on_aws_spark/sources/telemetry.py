@@ -121,8 +121,42 @@ def task_metrics(events: DataFrame) -> DataFrame:
     )
 
 
+def _events_ts_is_timestamp() -> bool:
+    """Peek at the on-disk events schema so the DuckDB oracle SQL matches
+    the encoding DuckDB will actually see.
+
+    The Spark side adapts per-DataFrame (:func:`normalize_events`), but
+    oracle SQL is static text run by the driver against raw parquet views —
+    it must be generated for the right encoding. Footer read is ~1 ms; on
+    any failure assume the current (timestamp) encoding.
+    """
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        for sf in ("sf0.01", "sf0.001", "sf0.1"):
+            path = f"/root/testdata/{sf}/events.parquet"
+            if os.path.exists(path):
+                t = str(pq.read_schema(path).field("ts").type)
+                return t.startswith("timestamp")
+    except Exception:
+        pass
+    return True
+
+
+if _events_ts_is_timestamp():
+    #: DuckDB expr: events.ts → epoch milliseconds (BIGINT).
+    EPOCH_MS_SQL = "epoch_ms(ts)"
+    #: DuckDB expr: events.ts → naive timestamp.
+    TS_TIMESTAMP_SQL = "ts"
+else:  # bigint epoch-nanos encoding (round-1 testdata)
+    EPOCH_MS_SQL = "(ts // 1000000)"
+    TS_TIMESTAMP_SQL = "make_timestamp(ts // 1000)"
+
+
 #: DuckDB CTE mirroring :func:`task_metrics` exactly (same names, same ops).
-TELEMETRY_CTE = """
+TELEMETRY_CTE = f"""
 task_metrics AS (
   SELECT
     'app-' || CAST(user_id % 4 AS VARCHAR) AS app_name,
@@ -133,8 +167,8 @@ task_metrics AS (
     'exec-' || CAST(user_id % 8 AS VARCHAR) AS executor_id,
     CAST(json_extract_string(props, '$.k') AS INTEGER) AS partition_id,
     CASE WHEN event_type = 'error' THEN 'logs' ELSE 'taskMetrics' END AS metrics_type,
-    ts AS metric_time,
-    epoch_ms(ts) AS metric_time_ms,
+    {TS_TIMESTAMP_SQL} AS metric_time,
+    {EPOCH_MS_SQL} AS metric_time_ms,
     CAST(FLOOR(value * 1024) AS BIGINT) AS input_bytes_read,
     CAST(FLOOR(value) AS BIGINT) AS input_records_read,
     CAST(FLOOR(value * 16) AS BIGINT) AS run_time_ms,

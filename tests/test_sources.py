@@ -246,3 +246,42 @@ def test_retention_drops_only_aged_partitions(spark, sf_dir, tmp_path):
     survivors = spark.read.parquet(out)
     assert survivors.count() == keep_count
     assert survivors.filter(f"metric_date < '{cutoff}'").count() == 0
+
+
+def test_normalize_events_adapts_both_encodings(spark, sf_dir):
+    """events.ts has shipped as bigint epoch-nanos AND as timestamp[us];
+    normalize_events must map both to the same timestamp column, and the
+    schema guard must reject anything else with one clear message."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        check_schema,
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        normalize_events,
+    )
+
+    ts_events = load_tables(spark, sf_dir)["events"]
+    assert dict(ts_events.dtypes)["ts"] == "timestamp"
+
+    # Re-encode as bigint nanos and round-trip through the adapter.
+    nanos = ts_events.withColumn("ts", F.unix_micros("ts") * 1000)
+    assert dict(nanos.dtypes)["ts"] == "bigint"
+    back = normalize_events(nanos)
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    want = ts_events.select("event_id", "ts").orderBy("event_id").limit(50).collect()
+    got = back.select("event_id", "ts").orderBy("event_id").limit(50).collect()
+    assert [r.ts for r in got] == [r.ts for r in want]
+
+    # Unsupported encoding fails loudly.
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="unsupported type"):
+        normalize_events(ts_events.withColumn("ts", F.col("ts").cast("string")))
+
+    # Schema guard names the drifting column.
+    with _pytest.raises(TypeError, match="event_id"):
+        check_schema(
+            "events", ts_events.withColumn("event_id", F.col("event_id").cast("int"))
+        )
