@@ -244,3 +244,114 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         .unionByName(stage(s2, "2_near_dedup"))
         .unionByName(stage(s3, "3_quality"))
     )
+
+
+#: Total token budget the mixture sampler (P7) realizes across sources.
+MIXTURE_BUDGET = 20000
+
+
+def decontaminate(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """P6: benchmark decontamination — flag training documents whose
+    3-token-shingle overlap with a held-out benchmark set exceeds
+    ``threshold``.
+
+    The step every serious LLM training pipeline runs before training
+    (n-gram overlap decontamination, as published for GPT-3/PaLM/Llama):
+    eval-set n-grams must not leak into the training corpus. Here the
+    "benchmark" is the deterministic ``doc_id % 25 == 0`` slice of the raw
+    documents; the corpus under test is the augmented corpus MINUS those
+    raw benchmark members — so the planted exact copies (+1,000,000) and
+    90%-truncations (+3,000,000) of benchmark docs are true positives the
+    operator must find, and unrelated docs only share the small-vocabulary
+    background rate.
+
+    Scale: the benchmark's distinct shingle set is tiny relative to the
+    corpus (benchmarks are fixed-size; corpora grow), so it BROADCASTS and
+    the corpus side stays one explode + one map-side-combined groupBy —
+    no shuffle of corpus shingles. At benchmark sizes past broadcast
+    range, drop the hint and the same plan shuffle-joins on the shingle
+    key.
+    """
+    from ..functions.text import corpus, shingles
+
+    toks = tokens(F.col("text"))
+    is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+    bench_sh = (
+        documents.filter(F.col("doc_id") % 25 == 0)
+        .select(toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(F.explode(shingles(F.col("toks"))).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp_sh = (
+        corpus(documents)
+        .filter(~is_bench)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(shingles(F.col("toks"))).alias("shingle"))
+    )
+    per_doc = (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    contamination = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        per_doc.filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            contamination.alias("contamination"),
+            (contamination >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFrame:
+    """P7: token-budget mixture realization — pick documents per source to
+    hit each source's share of a global token budget.
+
+    Training runs are specified as a data MIXTURE ("X% web, Y% code…");
+    this operator turns target weights into a concrete deterministic
+    document selection: each source's target is its integer share of the
+    budget, documents are ranked by an md5 permutation (uniform,
+    reproducible), and the per-source prefix whose cumulative token count
+    fits the target is selected. Weights here derive from the source name
+    (``(N % 3) + 1`` for ``srcN``) so the oracle reproduces them exactly.
+
+    Scale: one window shuffle keyed by ``source`` (bounded cardinality) +
+    one broadcast of the per-source targets; integer-exact arithmetic
+    throughout (targets via integer division, cumulative sums of BIGINTs).
+    """
+    wt = (F.substring("source", 4, 10).cast("long") % 3 + 1).alias("wt")
+    srcs = documents.select("source").distinct().select("source", wt)
+    total_w = srcs.agg(F.sum("wt").alias("total_w"))
+    targets = srcs.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "wt",
+        F.expr(f"({budget} * wt) DIV total_w").alias("target_tokens"),
+    )
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    cum = F.sum("ws_tokens").over(w)
+    ranked = per_doc.withColumn("cum_tokens", cum).join(
+        F.broadcast(targets), "source"
+    )
+    picked = F.col("cum_tokens") <= F.col("target_tokens")
+    return ranked.groupBy("source").agg(
+        F.max("wt").alias("weight"),
+        F.max("target_tokens").alias("target_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(picked, 1).otherwise(0)).alias("n_picked"),
+        F.sum(F.when(picked, F.col("ws_tokens")).otherwise(0)).alias("picked_tokens"),
+    )

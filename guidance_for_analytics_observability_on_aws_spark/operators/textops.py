@@ -355,3 +355,56 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         (F.col("n_docs") / F.sum("n_docs").over(w)).alias("row_share"),
         (F.col("actual_lang") == F.col("predicted_lang")).alias("is_diagonal"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """X11: within-document repetition signals (Gopher-style quality rules).
+
+    The Gopher/MassiveText filters drop documents dominated by repeated
+    content; the two signals that transfer to single-line documents are
+    the distinct-token ratio and the share of the document consumed by its
+    most frequent bigram. Per source this reports how many documents the
+    repetition rule (distinct ratio < 0.3 OR top-bigram share > 0.18)
+    would drop.
+
+    Shape: two explode → map-side-combined groupBy pyramids (token and
+    bigram), joined per doc, rolled up per source — all JVM expressions,
+    integer counts, and two final IEEE divisions reproduced exactly by the
+    oracle.
+    """
+    toks = tokens(F.col("text"))
+    base = documents.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    tok_rows = base.select("doc_id", "source", F.explode("toks").alias("token"))
+    per_tok = tok_rows.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    doc_tok = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_token_cnt"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("toks")) - 1),
+        lambda j: F.concat_ws(
+            " ", F.element_at(F.col("toks"), j), F.element_at(F.col("toks"), j + 1)
+        ),
+    )
+    big_rows = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    per_big = big_rows.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_big = per_big.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_bigram_cnt"),
+    )
+    per_doc = doc_tok.join(doc_big, "doc_id")
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_bigram_share = F.col("top_bigram_cnt") / F.col("n_bigrams")
+    flagged = (distinct_ratio < 0.3) | (top_bigram_share > 0.18)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).alias("n_flagged"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_distinct").alias("total_distinct"),
+        F.max(top_bigram_share).alias("max_top_bigram_share"),
+    )

@@ -153,3 +153,73 @@ UNION ALL
 SELECT '3_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3
 """
 )
+
+from ..functions.text import CORPUS_CTE, SHINGLES_SQL  # noqa: E402
+from ..operators.pipeline import MIXTURE_BUDGET  # noqa: E402
+
+PIPELINE_ORACLES["decontaminate"] = f"""
+WITH {CORPUS_CTE},
+corp_toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM corpus
+  WHERE NOT (doc_id < 1000000 AND doc_id % 25 = 0)
+),
+corp_sh AS (
+  SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM corp_toks WHERE len(toks) >= 3
+),
+bench_toks AS (
+  SELECT regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents WHERE doc_id % 25 = 0
+),
+bench AS (
+  SELECT DISTINCT unnest({SHINGLES_SQL}) AS shingle
+  FROM bench_toks WHERE len(toks) >= 3
+),
+per_doc AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM corp_sh c LEFT JOIN bench b ON c.shingle = b.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_overlap,
+       n_overlap / n_shingles AS contamination,
+       n_overlap / n_shingles >= 0.5 AS contaminated
+FROM per_doc
+WHERE n_overlap > 0
+"""
+
+PIPELINE_ORACLES["mixture_sample"] = f"""
+WITH srcs AS (
+  SELECT DISTINCT source, CAST(SUBSTR(source, 4) AS BIGINT) % 3 + 1 AS wt
+  FROM documents
+),
+tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM srcs),
+targets AS (
+  SELECT source, wt, ({MIXTURE_BUDGET} * wt) // total_w AS target_tokens
+  FROM srcs, tw
+),
+per_doc AS (
+  SELECT doc_id, source, {{_WS_TOKENS}} AS ws_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT p.source, ws_tokens,
+         CAST(SUM(ws_tokens) OVER (PARTITION BY p.source ORDER BY sample_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         t.wt, t.target_tokens
+  FROM per_doc p JOIN targets t USING (source)
+)
+SELECT source,
+       CAST(MAX(wt) AS BIGINT) AS weight,
+       CAST(MAX(target_tokens) AS BIGINT) AS target_tokens,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cum_tokens <= target_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_picked,
+       CAST(SUM(CASE WHEN cum_tokens <= target_tokens THEN ws_tokens ELSE 0 END) AS BIGINT) AS picked_tokens
+FROM ranked GROUP BY 1
+"""
+PIPELINE_ORACLES["mixture_sample"] = PIPELINE_ORACLES["mixture_sample"].replace(
+    "{_WS_TOKENS}", _WS_TOKENS
+)

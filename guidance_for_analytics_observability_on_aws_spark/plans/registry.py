@@ -254,6 +254,12 @@ _register(
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
 
 _PIPELINE_BUILDERS = {
+    "decontaminate": lambda s, d: pipeline.decontaminate(
+        load_tables(s, d)["documents"]
+    ),
+    "mixture_sample": lambda s, d: pipeline.mixture_sample(
+        load_tables(s, d)["documents"]
+    ),
     "train_val_split": lambda s, d: pipeline.train_val_split(
         load_tables(s, d)["documents"]
     ),
@@ -294,6 +300,9 @@ _TEXT_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "text_lang_confusion": lambda s, d: textops.lang_confusion(
+        load_tables(s, d)["documents"]
+    ),
+    "text_repetition_stats": lambda s, d: textops.repetition_stats(
         load_tables(s, d)["documents"]
     ),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
@@ -455,13 +464,15 @@ _PRIORITY = [
     "embedding_centroids",
     "similarity_knn_classify",
     "embedding_kmeans",
-    # P. training-data pipeline (5)
+    # P. training-data pipeline (7)
     "train_val_split",
     "sample_stratified",
     "pack_sequences",
     "dup_groups",
     "corpus_curation_pipeline",
-    # X. text analysis (10)
+    "decontaminate",
+    "mixture_sample",
+    # X. text analysis (11)
     "text_lang_id",
     "text_quality_score",
     "text_token_count",
@@ -472,6 +483,7 @@ _PRIORITY = [
     "text_bigram_stats",
     "text_inverted_index",
     "text_lang_confusion",
+    "text_repetition_stats",
     # M. multimodal (6)
     "mm_binary_meta",
     "mm_frame_sample",
@@ -495,10 +507,6 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    # Remaining never-checked rows-only entries (3) — slots 48-50
-    "obs_cardinality_approx",
-    "obs_task_percentiles_approx",
-    "stream_collector_pipeline",
 ]
 
 

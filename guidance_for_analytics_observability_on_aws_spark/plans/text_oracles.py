@@ -299,3 +299,40 @@ SELECT actual_lang, predicted_lang, n_docs,
        actual_lang = predicted_lang AS is_diagonal
 FROM cells
 """
+
+TEXT_ORACLES["text_repetition_stats"] = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(text, '\s+')) >= 2
+),
+tok_rows AS (SELECT doc_id, source, unnest(toks) AS token FROM base),
+per_tok AS (
+  SELECT doc_id, source, token, COUNT(*) AS cnt FROM tok_rows GROUP BY 1, 2, 3
+),
+doc_tok AS (
+  SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_token_cnt
+  FROM per_tok GROUP BY 1, 2
+),
+big_rows AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         j -> toks[j] || ' ' || toks[j + 1])) AS bigram
+  FROM base
+),
+per_big AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM big_rows GROUP BY 1, 2),
+doc_big AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt
+  FROM per_big GROUP BY 1
+),
+per_doc AS (SELECT * FROM doc_tok JOIN doc_big USING (doc_id))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_distinct / n_tokens < 0.3
+                      OR top_bigram_cnt / n_bigrams > 0.18
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+       MAX(top_bigram_cnt / n_bigrams) AS max_top_bigram_share
+FROM per_doc GROUP BY 1
+"""

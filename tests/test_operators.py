@@ -403,3 +403,43 @@ def test_kmeans_converges_and_covers(spark, tables):
     inertia_1 = sum(r.inertia_floor for r in one)
     inertia_5 = sum(r.inertia_floor for r in five)
     assert inertia_5 <= inertia_1 + len(five)  # floor slack per cluster
+
+
+def test_decontaminate_flags_planted_benchmark_copies(spark, sf_dir):
+    """Every exact copy (+1M) of a benchmark member (doc_id%25==0) must be
+    flagged contaminated; unrelated docs stay below threshold."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = decontaminate(docs).collect()
+    flagged = {r.doc_id for r in out if r.contaminated}
+    bench_ids = {r.doc_id for r in docs.filter("doc_id % 25 = 0").collect()}
+    planted_copies = {i + 1000000 for i in bench_ids}
+    assert planted_copies <= flagged
+    # Raw (non-augmented) docs share only background n-grams from the
+    # tiny synthetic vocabulary — a handful of short docs can exceed the
+    # threshold by chance, but the false-flag RATE must stay small.
+    n_raw = docs.count()
+    raw_flagged = {i for i in flagged if i < 1000000}
+    assert len(raw_flagged) < 0.05 * n_raw
+
+
+def test_mixture_sample_fills_targets(spark, sf_dir):
+    """Each source's picked tokens must fit its target and be maximal for
+    the deterministic ranking (next doc would overflow)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        MIXTURE_BUDGET,
+        mixture_sample,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = mixture_sample(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.picked_tokens <= r.target_tokens
+        assert 1 <= r.weight <= 3
+    assert sum(r.target_tokens for r in rows) <= MIXTURE_BUDGET
