@@ -264,3 +264,22 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_metric_log_correlate_is_equi_join(spark, sf_dir):
+    """O41's time-range correlation must compile to a HASH EQUI-JOIN on the
+    (executor, bucket) composite key with the range predicate as residual —
+    never a nested-loop/cartesian fallback (the naive inequality-join shape
+    the oracle deliberately states)."""
+    plan = _executed_plan(REGISTRY["obs_metric_log_correlate"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "bucket" in plan, "bucketed equi-key missing from join"
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """P6: the benchmark shingle dictionary must broadcast; the corpus side
+    must never shuffle its exploded shingles for the join."""
+    plan = _executed_plan(REGISTRY["decontaminate"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
