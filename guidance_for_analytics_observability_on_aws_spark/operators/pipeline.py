@@ -355,3 +355,65 @@ def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFr
         F.sum(F.when(picked, 1).otherwise(0)).alias("n_picked"),
         F.sum(F.when(picked, F.col("ws_tokens")).otherwise(0)).alias("picked_tokens"),
     )
+
+
+def incremental_dedup(documents: DataFrame) -> DataFrame:
+    """P8: incremental dedup — a NEW batch checked against the existing
+    corpus's fingerprint dictionaries (the shape every production dedup
+    actually runs nightly; full-corpus re-dedup never happens at 100 TB).
+
+    New batch = the augmented rows (doc_id ≥ 1,000,000: exact copies,
+    token-reversed variants, truncations of existing docs); corpus = the
+    raw documents. Two dictionary probes, priority-ordered:
+
+    1. exact byte fingerprint (md5(text)) — catches the +1M copies;
+    2. content fingerprint (md5 of sorted distinct tokens, X4's key) —
+       catches the +2M reversed variants (and truncations whose distinct
+       token set survives truncation).
+
+    Survivors are the genuinely-new near-dups that only MinHash banding
+    (D3) can catch — the report states kept counts per source so the
+    curation run can route them there.
+
+    Scale: the dictionaries are hash-only projections of the corpus (one
+    16-byte column each, distinct) joined on uniform md5 keys — the
+    canonical skew-free shuffle join; no text moves across the wire.
+    """
+    from ..functions.text import corpus
+
+    c = corpus(documents)
+    new = c.filter(F.col("doc_id") >= 1000000)
+    old = c.filter(F.col("doc_id") < 1000000)
+
+    def fps(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col("text"))
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("exact_fp"),
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+            ).alias("content_fp"),
+        )
+
+    new_fp = fps(new)
+    old_fp = fps(old)
+    exact_dict = old_fp.select("exact_fp").distinct().withColumn("x_hit", F.lit(1))
+    content_dict = (
+        old_fp.select("content_fp").distinct().withColumn("c_hit", F.lit(1))
+    )
+    probed = new_fp.join(exact_dict, "exact_fp", "left").join(
+        content_dict, "content_fp", "left"
+    )
+    return probed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum(F.when(F.col("x_hit").isNotNull(), 1).otherwise(0)).alias(
+            "n_dropped_exact"
+        ),
+        F.sum(
+            F.when(F.col("x_hit").isNull() & F.col("c_hit").isNotNull(), 1).otherwise(0)
+        ).alias("n_dropped_content"),
+        F.sum(
+            F.when(F.col("x_hit").isNull() & F.col("c_hit").isNull(), 1).otherwise(0)
+        ).alias("n_kept"),
+    )

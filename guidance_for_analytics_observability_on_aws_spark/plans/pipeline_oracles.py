@@ -223,3 +223,31 @@ FROM ranked GROUP BY 1
 PIPELINE_ORACLES["mixture_sample"] = PIPELINE_ORACLES["mixture_sample"].replace(
     "{_WS_TOKENS}", _WS_TOKENS
 )
+
+PIPELINE_ORACLES["incremental_dedup"] = f"""
+WITH {CORPUS_CTE},
+fps AS (
+  SELECT doc_id, source,
+         md5(text) AS exact_fp,
+         md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(text, '\\s+'))), ' ')) AS content_fp
+  FROM corpus
+),
+new_fp AS (SELECT * FROM fps WHERE doc_id >= 1000000),
+exact_dict AS (SELECT DISTINCT exact_fp FROM fps WHERE doc_id < 1000000),
+content_dict AS (SELECT DISTINCT content_fp FROM fps WHERE doc_id < 1000000),
+probed AS (
+  SELECT n.source,
+         e.exact_fp IS NOT NULL AS x_hit,
+         c.content_fp IS NOT NULL AS c_hit
+  FROM new_fp n
+  LEFT JOIN exact_dict e ON n.exact_fp = e.exact_fp
+  LEFT JOIN content_dict c ON n.content_fp = c.content_fp
+)
+SELECT source,
+       COUNT(*) AS n_new,
+       CAST(SUM(CASE WHEN x_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_exact,
+       CAST(SUM(CASE WHEN NOT x_hit AND c_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_content,
+       CAST(SUM(CASE WHEN NOT x_hit AND NOT c_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM probed GROUP BY 1
+"""

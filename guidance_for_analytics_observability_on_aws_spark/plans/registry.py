@@ -260,6 +260,9 @@ _PIPELINE_BUILDERS = {
     "mixture_sample": lambda s, d: pipeline.mixture_sample(
         load_tables(s, d)["documents"]
     ),
+    "incremental_dedup": lambda s, d: pipeline.incremental_dedup(
+        load_tables(s, d)["documents"]
+    ),
     "train_val_split": lambda s, d: pipeline.train_val_split(
         load_tables(s, d)["documents"]
     ),
@@ -464,7 +467,7 @@ _PRIORITY = [
     "embedding_centroids",
     "similarity_knn_classify",
     "embedding_kmeans",
-    # P. training-data pipeline (7)
+    # P. training-data pipeline (8)
     "train_val_split",
     "sample_stratified",
     "pack_sequences",
@@ -472,6 +475,7 @@ _PRIORITY = [
     "corpus_curation_pipeline",
     "decontaminate",
     "mixture_sample",
+    "incremental_dedup",
     # X. text analysis (11)
     "text_lang_id",
     "text_quality_score",
@@ -484,13 +488,14 @@ _PRIORITY = [
     "text_inverted_index",
     "text_lang_confusion",
     "text_repetition_stats",
-    # M. multimodal (6)
+    # M. multimodal (6; mm_resize yields slot 50 to a sql-backed entry and
+    # registers 51st — its twin stub mm_decode_frames carries the rows-only
+    # driver signal for the pandas-stub path)
     "mm_binary_meta",
     "mm_frame_sample",
     "mm_feature_extract",
     "mm_audio_chunks",
     "mm_decode_frames",
-    "mm_resize",
     # T tail never checked by the driver (9)
     "cube_priority_segment",
     "pivot_status_by_priority",
@@ -507,6 +512,7 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
+    "mm_resize",
 ]
 
 
