@@ -707,12 +707,11 @@ def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
             ]
         )
 
-    rows = tm.select(
-        F.col("executor_id").alias("key"),
-        F.explode(bucket_rows(F.col("executor_id"))).alias("rb"),
-    ).select("key", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket"))
-    sketch = rows.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-
+    # One corpus-wide pass ONLY: count per key (map-side combined), then
+    # hash each distinct key d times and weight its buckets by the count —
+    # counter = Σ key-counts per bucket, identical to incrementing per
+    # event, but the md5 work drops from |events|·d to |keys|·d and the
+    # shuffle carries key partials instead of exploded bucket rows.
     keys = tm.groupBy(F.col("executor_id").alias("key")).agg(
         F.count(F.lit(1)).alias("exact_n")
     )
@@ -722,6 +721,9 @@ def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
         F.explode(bucket_rows(F.col("key"))).alias("rb"),
     ).select(
         "key", "exact_n", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket")
+    )
+    sketch = key_buckets.groupBy("row_id", "bucket").agg(
+        F.sum("exact_n").alias("c")
     )
     est = (
         key_buckets.join(F.broadcast(sketch), ["row_id", "bucket"])
