@@ -434,6 +434,17 @@ def _stream_alerts(s, d):
 _register("stream_alert_rules", _stream_alerts, None)
 
 
+# Rows-only: stream-static anti-join dedup (streaming twin of P8); per-source
+# kept counts match the batch verdicts, asserted in tests/test_streaming.py.
+def _stream_inc_dedup(s, d):
+    from ..streaming.collector import run_streaming_incremental_dedup
+
+    return run_streaming_incremental_dedup(s, d)
+
+
+_register("stream_incremental_dedup", _stream_inc_dedup, None)
+
+
 # --- O38–O42: rollup / SLO / histogram / correlation / panel percentiles ----
 _LATE_OBS_BUILDERS = {
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),

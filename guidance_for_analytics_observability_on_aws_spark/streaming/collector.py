@@ -264,3 +264,65 @@ def run_streaming_alerts(
     )
     q.awaitTermination()
     return alert_rollup(spark.read.parquet(f"{out}/alerts"))
+
+
+def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of P8 (incremental dedup) — STREAM-STATIC anti-joins.
+
+    The arriving new-batch stream is probed against the STATIC corpus
+    fingerprint dictionaries (exact md5, then X4's sorted-distinct-token
+    content fingerprint). Stream-static joins keep NO state: the static
+    side is planned per micro-batch (broadcast here; a dictionary too big
+    to broadcast shuffle-joins the batch), so this runs forever at
+    constant memory — the property that makes dedup-on-ingest viable.
+
+    Kept rows stream to an append-mode sink; per-source kept counts must
+    equal the batch P8 ``n_kept`` verdicts, asserted in
+    ``tests/test_streaming.py``.
+    """
+    from ..functions.text import corpus, tokens
+
+    name = "gfaooa_incdedup_sink"
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def fps(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col("text"))
+        return df.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("exact_fp"),
+            F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+                "content_fp"
+            ),
+        )
+
+    new_stream = fps(corpus(stream).filter(F.col("doc_id") >= 1000000))
+    static_old = fps(
+        corpus(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
+            F.col("doc_id") < 1000000
+        )
+    )
+    exact_dict = static_old.select("exact_fp").distinct()
+    content_dict = static_old.select("content_fp").distinct()
+    kept = new_stream.join(F.broadcast(exact_dict), "exact_fp", "left_anti").join(
+        F.broadcast(content_dict), "content_fp", "left_anti"
+    )
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )

@@ -201,3 +201,26 @@ def test_streaming_alerts_match_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in alert_rules(task_metrics(load_tables(spark, sf_dir)["events"])).collect()
     }
     assert got == want and got
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
+    """Stream-static anti-join dedup must keep exactly the docs batch P8
+    reports as kept, per source."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        incremental_dedup,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_incremental_dedup,
+    )
+
+    got = {
+        r.source: r.n_kept
+        for r in run_streaming_incremental_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        r.source: r.n_kept
+        for r in incremental_dedup(load_tables(spark, sf_dir)["documents"]).collect()
+        if r.n_kept > 0
+    }
+    assert got == want
