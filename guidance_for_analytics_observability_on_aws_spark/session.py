@@ -23,6 +23,14 @@ def get_spark(app_name: str = "analytics-observability-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # RocksDB-backed streaming state: per-key state spills to local disk
+        # instead of the executor heap, which is what keeps long-running
+        # watermarked/session-window queries bounded at production scale.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         # UI serves the status REST API the live collector reads
         # (sources/live_metrics.py); port 0 = pick any free port.
         .config("spark.ui.enabled", "true")
@@ -41,6 +49,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
     comparisons go through naive timestamps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # Applies at streaming-query start, so it is runtime-settable.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     except Exception:
