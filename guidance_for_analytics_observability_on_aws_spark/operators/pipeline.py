@@ -417,3 +417,51 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
             F.when(F.col("x_hit").isNull() & F.col("c_hit").isNull(), 1).otherwise(0)
         ).alias("n_kept"),
     )
+
+
+def pack_sequences_distributed(documents: DataFrame) -> DataFrame:
+    """P3 scale path: next-fit packing via a TWO-PHASE distributed prefix
+    sum — result-identical to :func:`pack_sequences` (shares its oracle).
+
+    P3's single window per ``source`` is exact but puts a whole source in
+    one task — a straggler once any source outgrows one executor. The
+    classic fix is the two-phase scan: range-partition by the sort key,
+    compute partition-LOCAL prefix sums (each window partition is one
+    task's bounded slice), aggregate one total per partition, cumulate
+    those few totals, and add the previous-partition offset back. Every
+    window below partitions on (pid, source), so no task ever holds more
+    than its range slice; the offset table is #partitions × #sources rows
+    — broadcast freely.
+    """
+    per_doc = documents.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens")
+    )
+    # Range partitioning preserves the (source, doc_id) total order across
+    # partition boundaries, which is what makes local+offset == global.
+    sliced = per_doc.repartitionByRange(32, "source", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid", "source").orderBy("doc_id")
+    local = sliced.withColumn("local_cum", F.sum("ws_tokens").over(w_local))
+    totals = sliced.groupBy("pid", "source").agg(F.sum("ws_tokens").alias("pt"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "pid", "source", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).alias("offset")
+    )
+    glob = local.join(F.broadcast(offsets), ["pid", "source"]).withColumn(
+        "cum", F.col("local_cum") + F.col("offset")
+    )
+    binned = glob.withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("ws_tokens")) / F.lit(PACK_CONTEXT)).cast("long"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -280,6 +280,15 @@ _PIPELINE_BUILDERS = {
 for _name, _b in _PIPELINE_BUILDERS.items():
     _register(_name, _b, PIPELINE_ORACLES[_name])
 
+# P3's two-phase prefix-sum scale path is result-identical to the single
+# window formulation, so it shares P3's exact oracle (equality also
+# asserted in tests/test_operators.py).
+_register(
+    "pack_sequences_distributed",
+    lambda s, d: pipeline.pack_sequences_distributed(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["pack_sequences"],
+)
+
 
 # --- Groups X (text analysis) and M (multimodal) ---------------------------
 from .text_oracles import TEXT_ORACLES  # noqa: E402

@@ -443,3 +443,18 @@ def test_mixture_sample_fills_targets(spark, sf_dir):
         assert r.picked_tokens <= r.target_tokens
         assert 1 <= r.weight <= 3
     assert sum(r.target_tokens for r in rows) <= MIXTURE_BUDGET
+
+
+def test_pack_sequences_distributed_equals_single_window(spark, sf_dir):
+    """The two-phase prefix-sum packing must be row-identical to the
+    single-window P3 formulation."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        pack_sequences,
+        pack_sequences_distributed,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = {tuple(r) for r in pack_sequences(docs).collect()}
+    b = {tuple(r) for r in pack_sequences_distributed(docs).collect()}
+    assert a and a == b
