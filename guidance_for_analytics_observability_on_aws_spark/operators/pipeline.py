@@ -324,9 +324,11 @@ def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFr
     fits the target is selected. Weights here derive from the source name
     (``(N % 3) + 1`` for ``srcN``) so the oracle reproduces them exactly.
 
-    Scale: one window shuffle keyed by ``source`` (bounded cardinality) +
-    one broadcast of the per-source targets; integer-exact arithmetic
-    throughout (targets via integer division, cumulative sums of BIGINTs).
+    Scale: cumulative tokens come from the shared TWO-PHASE prefix sum
+    (:func:`_prefix_sum` — range-partitioned local windows + broadcast
+    offsets), so no task ever holds a whole source; plus one broadcast of
+    the per-source targets. Integer-exact arithmetic throughout (targets
+    via integer division, cumulative sums of BIGINTs).
     """
     wt = (F.substring("source", 4, 10).cast("long") % 3 + 1).alias("wt")
     srcs = documents.select("source").distinct().select("source", wt)
@@ -342,11 +344,10 @@ def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFr
         F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
     )
-    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
-    cum = F.sum("ws_tokens").over(w)
-    ranked = per_doc.withColumn("cum_tokens", cum).join(
-        F.broadcast(targets), "source"
+    cum = _prefix_sum(
+        per_doc, "source", ["sample_key", "doc_id"], "ws_tokens", "cum_tokens"
     )
+    ranked = cum.join(F.broadcast(targets), "source")
     picked = F.col("cum_tokens") <= F.col("target_tokens")
     return ranked.groupBy("source").agg(
         F.max("wt").alias("weight"),
@@ -419,42 +420,62 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def pack_sequences_distributed(documents: DataFrame) -> DataFrame:
-    """P3 scale path: next-fit packing via a TWO-PHASE distributed prefix
-    sum — result-identical to :func:`pack_sequences` (shares its oracle).
+def _prefix_sum(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_slices: int = 32,
+) -> DataFrame:
+    """TWO-PHASE distributed prefix sum of ``value_col`` over the total
+    order (``part_col``, ``*order_cols``) — the 100 TB replacement for a
+    single ``Window.partitionBy(part_col)`` cumulative sum, which puts an
+    entire partition key in one task.
 
-    P3's single window per ``source`` is exact but puts a whole source in
-    one task — a straggler once any source outgrows one executor. The
-    classic fix is the two-phase scan: range-partition by the sort key,
-    compute partition-LOCAL prefix sums (each window partition is one
-    task's bounded slice), aggregate one total per partition, cumulate
-    those few totals, and add the previous-partition offset back. Every
-    window below partitions on (pid, source), so no task ever holds more
-    than its range slice; the offset table is #partitions × #sources rows
-    — broadcast freely.
+    Phase 1: range-partition on the sort key (preserves the total order
+    across slice boundaries; ``order_cols`` must make rows unique) and
+    compute slice-LOCAL prefix sums — each window partition is one task's
+    bounded slice. Phase 2: each slice's total is the MAX of its local
+    cumsum (derived from the same materialized slices, so slice ids are
+    consistent by construction), the few totals are cumulated per
+    ``part_col``, and the previous-slice offset is broadcast back. The
+    offset table is ``n_slices × |part_col|`` rows.
+    """
+    sliced = df.repartitionByRange(n_slices, part_col, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid", part_col).orderBy(*order_cols)
+    local = sliced.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("_pid", part_col).agg(
+        F.max("_local_cum").alias("_pt")
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid", part_col, F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", part_col])
+        .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
+        .drop("_pid", "_local_cum", "_off")
+    )
+
+
+def pack_sequences_distributed(documents: DataFrame) -> DataFrame:
+    """P9: next-fit packing via the two-phase prefix sum
+    (:func:`_prefix_sum`) — result-identical to :func:`pack_sequences`
+    (shares its oracle), but no task ever holds a whole source: P3's
+    single window per ``source`` is exact yet serializes each source into
+    one straggler task once a source outgrows one executor.
     """
     per_doc = documents.select(
         "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens")
     )
-    # Range partitioning preserves the (source, doc_id) total order across
-    # partition boundaries, which is what makes local+offset == global.
-    sliced = per_doc.repartitionByRange(32, "source", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid", "source").orderBy("doc_id")
-    local = sliced.withColumn("local_cum", F.sum("ws_tokens").over(w_local))
-    totals = sliced.groupBy("pid", "source").agg(F.sum("ws_tokens").alias("pt"))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        "pid", "source", F.coalesce(F.sum("pt").over(w_off), F.lit(0)).alias("offset")
-    )
-    glob = local.join(F.broadcast(offsets), ["pid", "source"]).withColumn(
-        "cum", F.col("local_cum") + F.col("offset")
-    )
+    glob = _prefix_sum(per_doc, "source", ["doc_id"], "ws_tokens", "cum")
     binned = glob.withColumn(
         "bin",
         F.floor((F.col("cum") - F.col("ws_tokens")) / F.lit(PACK_CONTEXT)).cast("long"),
