@@ -93,3 +93,39 @@ def test_integer_zscore_identity(spark, xs):
         if var > 0 and abs(xs[i] - mean) > 3 * math.sqrt(var):
             want.add(i)
     assert flagged == want
+
+
+from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+    _prefix_sum,
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # part key
+        st.integers(min_value=0, max_value=10**6),  # value
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows_strategy)
+def test_two_phase_prefix_sum_equals_single_window(spark, rows):
+    """_prefix_sum must equal the single-window cumulative sum for any
+    distribution of partition keys and values, at any slice count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(i, f"p{p}", v) for i, (p, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, part string, val long")
+    got = {
+        (r.part, r.rid): r.cum
+        for r in _prefix_sum(df, "part", ["rid"], "val", "cum", n_slices=5).collect()
+    }
+    w = Window.partitionBy("part").orderBy("rid")
+    want = {
+        (r.part, r.rid): r.cum
+        for r in df.withColumn("cum", F.sum("val").over(w)).collect()
+    }
+    assert got == want
