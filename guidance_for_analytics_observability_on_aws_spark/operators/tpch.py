@@ -1061,3 +1061,39 @@ def orders_seasonality(orders: DataFrame) -> DataFrame:
         (F.col("revenue_cents") - F.first("revenue_cents").over(w1)).alias("mom_delta_cents"),
         (F.col("revenue_cents") - F.first("revenue_cents").over(w12)).alias("yoy_delta_cents"),
     )
+
+
+def merge_scd2_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """T35: SCD TYPE-2 history build — the versioned-dimension companion
+    to T31's SCD1 upsert.
+
+    Each of a customer's orders is a change event observed over time; the
+    output is the customer's full version history: one row per version
+    with [valid_from, valid_to) epoch-ms bounds (valid_to NULL on the
+    open/current version), an is_current flag, and the tracked attribute
+    (cumulative spend in cents) as of that version. One window pass per
+    customer — lead() supplies the expiry bound, the running sum supplies
+    the state — partitioned on the high-cardinality natural key, so
+    partitions stay small at any scale.
+    """
+    ev = orders.join(
+        customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("valid_from_ms"),
+        F.col("o_orderkey").alias("event_id"),
+        cents(F.col("o_totalprice")).alias("spend_cents"),
+    )
+    w = Window.partitionBy("custkey").orderBy("valid_from_ms", "event_id")
+    hist = ev.select(
+        "custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(w).alias("valid_to_ms"),
+        F.sum("spend_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("balance_cents"),
+    )
+    return hist.select(
+        "*", F.col("valid_to_ms").isNull().alias("is_current")
+    )

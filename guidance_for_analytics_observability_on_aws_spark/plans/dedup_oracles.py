@@ -285,3 +285,40 @@ SELECT b.query_id, b.predicted_label, b.n_votes,
        b.predicted_label = e.label AS correct
 FROM best b JOIN embeddings e ON e.vec_id = b.query_id
 """
+
+DEDUP_ORACLES["similarity_ivf_multiprobe"] = f"""
+{_BASE_QUANT_CTES},
+centroids AS (
+  SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm FROM norms WHERE vec_id < 8
+),
+cent_scored AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND({dot_sql("n.qv", "c.cent_qv")} /
+               sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cent_nrm AS DOUBLE)), 6) AS c_cos,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                            ORDER BY ROUND({dot_sql("n.qv", "c.cent_qv")} /
+                              sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cent_nrm AS DOUBLE)), 6) DESC,
+                            c.cent_id) AS rn
+  FROM norms n CROSS JOIN centroids c
+),
+assign AS (SELECT vec_id, cent_id AS cell_id FROM cent_scored WHERE rn = 1),
+probes AS (SELECT vec_id, cent_id AS probe_cell FROM cent_scored WHERE rn <= 2),
+cells AS (
+  SELECT n.vec_id, n.qv, n.nrm, a.cell_id FROM norms n JOIN assign a USING (vec_id)
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM cells qs
+  JOIN probes p ON p.vec_id = qs.vec_id
+  JOIN cells c ON p.probe_cell = c.cell_id AND qs.vec_id != c.vec_id
+  WHERE qs.vec_id >= 8 AND qs.vec_id < 24
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
+"""

@@ -180,6 +180,9 @@ _TPCH_BUILDERS = {
     "merge_scd1_customers": lambda s, d: (
         lambda t: tpch.merge_scd1_customers(t["customer"], t["orders"])
     )(load_tables(s, d)),
+    "merge_scd2_customers": lambda s, d: (
+        lambda t: tpch.merge_scd2_customers(t["customer"], t["orders"])
+    )(load_tables(s, d)),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -219,6 +222,12 @@ _DEDUP_BUILDERS = {
 }
 for _name, _b in _DEDUP_BUILDERS.items():
     _register(_name, _b, DEDUP_ORACLES[_name])
+
+_register(
+    "similarity_ivf_multiprobe",
+    lambda s, d: similarity.topk_ivf_multiprobe(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["similarity_ivf_multiprobe"],
+)
 
 # D5's BLAS scale path computes the identical integer-exact cosines, so it
 # shares D5's exact oracle (equality with D5 also asserted in tests).

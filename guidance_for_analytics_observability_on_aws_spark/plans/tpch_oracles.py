@@ -561,3 +561,22 @@ SELECT month_idx,
          AS yoy_delta_cents
 FROM monthly
 """
+
+TPCH_ORACLES["merge_scd2_customers"] = """
+WITH ev AS (
+  SELECT o_custkey AS custkey,
+         epoch_ms(o_orderdate) AS valid_from_ms,
+         o_orderkey AS event_id,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS spend_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT custkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       valid_from_ms,
+       LEAD(valid_from_ms) OVER w AS valid_to_ms,
+       CAST(SUM(spend_cents) OVER (PARTITION BY custkey ORDER BY valid_from_ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS balance_cents,
+       LEAD(valid_from_ms) OVER w IS NULL AS is_current
+FROM ev
+WINDOW w AS (PARTITION BY custkey ORDER BY valid_from_ms, event_id)
+"""
