@@ -1026,3 +1026,30 @@ def metric_log_correlate(tm: DataFrame, lookback_ms: int = 60000) -> DataFrame:
             F.coalesce(F.sum("input_bytes_read"), F.lit(0)).alias("bytes_60s"),
         )
     )
+
+
+def task_percentiles_distributed(tm: DataFrame) -> DataFrame:
+    """O44: EXACT percentiles without a single-task sort — O8's scale path
+    that keeps exactness (O22's KLL sketch is the approximate one).
+
+    O8 ranks with one window per ``event_type``, which sorts an entire
+    group in one task. Here the global rank comes from the two-phase
+    prefix sum over unit counts (range-partition on the sort key → local
+    row numbers in bounded slices → cumulated slice offsets broadcast
+    back), so the heaviest task holds one range slice regardless of group
+    size. Selection is the same engine-portable order statistic (value at
+    row floor((n-1)·p)); result-identical to O8, shares its oracle.
+    """
+    from .pipeline import _prefix_sum
+
+    base = tm.select("event_type", "value", "task_id").withColumn("one", F.lit(1))
+    ranked = _prefix_sum(
+        base, "event_type", ["value", "task_id"], "one", "rn"
+    )
+    counts = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    withn = ranked.join(F.broadcast(counts), "event_type")
+    aggs = [F.max("n").alias("n_tasks")]
+    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
+        target = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(F.max(F.when(F.col("rn") - 1 == target, F.col("value"))).alias(name))
+    return withn.groupBy("event_type").agg(*aggs)

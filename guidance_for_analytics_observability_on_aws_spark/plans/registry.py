@@ -463,6 +463,15 @@ def _stream_inc_dedup(s, d):
 _register("stream_incremental_dedup", _stream_inc_dedup, None)
 
 
+# O44: O8's result-identical two-phase scale path shares O8's exact oracle
+# (equality also implied by both parity tests passing).
+_register(
+    "obs_task_percentiles_distributed",
+    lambda s, d: obs.task_percentiles_distributed(_tm(s, d)),
+    OBS_ORACLES["obs_task_percentiles"],
+)
+
+
 # --- O38–O42: rollup / SLO / histogram / correlation / panel percentiles ----
 _LATE_OBS_BUILDERS = {
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
