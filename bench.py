@@ -100,19 +100,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
     core_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    extended_total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": total,
+                # "value" keeps its round-1/2 meaning — the 35-query
+                # BENCH_QUERIES subtotal — so cross-round comparisons of
+                # the primary field stay like-for-like. The round-3
+                # additions are timed too and reported separately.
+                "value": core_total,
                 "unit": "sec",
-                # r1-comparable subtotal: BENCH_r01 timed exactly the 35
-                # BENCH_QUERIES; the round-3 additions widen coverage and
-                # are excluded here so cross-round totals compare
-                # like-for-like.
-                "core35_value": core_total,
+                "extended_value": extended_total,
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

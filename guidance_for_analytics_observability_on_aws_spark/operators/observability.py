@@ -215,22 +215,34 @@ def top_n_skew(tm: DataFrame, n: int = 20) -> DataFrame:
     ).limit(n)
 
 
-def task_percentiles(tm: DataFrame) -> DataFrame:
-    """O8: p25/50/75/99 per event_type via explicit lower order statistics.
+#: Percentile points every exact/approx percentile operator reports.
+PCT_POINTS = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]
 
-    Engine-portable percentile: the value at row index floor((n-1)*p) of the
-    (value, task_id)-sorted group — identical in any engine, no
-    interpolation-convention drift.
+
+def _order_stat_aggs(value_col: str) -> list:
+    """Shared engine-portable percentile selection: the value at row index
+    floor((n-1)*p) of the sorted group — identical in any engine, no
+    interpolation-convention drift. Expects the input to carry ``rn``
+    (1-based rank within the group) and ``n`` (group size); used by O8,
+    O42, and O44 so the convention can never diverge between them.
     """
+    aggs = [F.max("n").alias("n_tasks")]
+    for p, name in PCT_POINTS:
+        target = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(
+            F.max(F.when(F.col("rn") - 1 == target, F.col(value_col))).alias(name)
+        )
+    return aggs
+
+
+def task_percentiles(tm: DataFrame) -> DataFrame:
+    """O8: p25/50/75/99 per event_type via explicit lower order statistics
+    (:func:`_order_stat_aggs`)."""
     w = Window.partitionBy("event_type").orderBy("value", "task_id")
     ranked = tm.select("event_type", "value", "task_id").withColumn(
         "rn", F.row_number().over(w)
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-    aggs = [F.max("n").alias("n_tasks")]
-    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
-        target = F.floor((F.col("n") - 1) * F.lit(p))
-        aggs.append(F.max(F.when(F.col("rn") - 1 == target, F.col("value"))).alias(name))
-    return ranked.groupBy("event_type").agg(*aggs)
+    return ranked.groupBy("event_type").agg(*_order_stat_aggs("value"))
 
 
 def task_percentiles_approx(tm: DataFrame, accuracy: int = 10000) -> DataFrame:
@@ -245,7 +257,7 @@ def task_percentiles_approx(tm: DataFrame, accuracy: int = 10000) -> DataFrame:
     ``tests/test_plans.py``.
     """
     pcts = F.percentile_approx(
-        "value", [0.25, 0.5, 0.75, 0.99], F.lit(accuracy)
+        "value", [p for p, _ in PCT_POINTS], F.lit(accuracy)
     ).alias("pcts")
     return (
         tm.groupBy("event_type")
@@ -269,9 +281,8 @@ def input_bytes_percentiles(tm: DataFrame) -> DataFrame:
     ``spark-task-metrics.inputBytesRead`` (field mapping in
     ``deployment/.../templates/spark-task-metrics.json``) — O8 has the
     same operator shape but summarizes ``value`` per event_type; a user
-    porting the dashboard needs THIS grouping/column. Same engine-portable
-    explicit order statistics as O8 (value at row floor((n-1)*p) of the
-    (bytes, task_id)-sorted group: no interpolation-convention drift).
+    porting the dashboard needs THIS grouping/column. Selection via the
+    shared :func:`_order_stat_aggs` convention.
     """
     w = Window.partitionBy("app_id").orderBy("input_bytes_read", "task_id")
     ranked = (
@@ -279,15 +290,7 @@ def input_bytes_percentiles(tm: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("app_id")))
     )
-    aggs = [F.max("n").alias("n_tasks")]
-    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
-        target = F.floor((F.col("n") - 1) * F.lit(p))
-        aggs.append(
-            F.max(F.when(F.col("rn") - 1 == target, F.col("input_bytes_read"))).alias(
-                name
-            )
-        )
-    return ranked.groupBy("app_id").agg(*aggs)
+    return ranked.groupBy("app_id").agg(*_order_stat_aggs("input_bytes_read"))
 
 
 def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
@@ -939,9 +942,11 @@ def slo_burn_rate(tm: DataFrame) -> DataFrame:
         "n_err",
         (F.col("n_err") * 100 / F.col("n_total")).alias("burn_1h"),
         (F.col("err_6h") * 100 / F.col("total_6h")).alias("burn_6h"),
+        # burn_1h >= 14.4 ⟺ err*100/total >= 14.4 ⟺ err*1000 >= total*144;
+        # burn_6h >= 6    ⟺ err*100/total >= 6    ⟺ err*1000 >= total*60.
         (
             (F.col("n_err") * 1000 >= F.col("n_total") * 144)
-            & (F.col("err_6h") * 10 >= F.col("total_6h") * 60)
+            & (F.col("err_6h") * 1000 >= F.col("total_6h") * 60)
         ).alias("page"),
     )
 
@@ -1048,8 +1053,5 @@ def task_percentiles_distributed(tm: DataFrame) -> DataFrame:
     )
     counts = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     withn = ranked.join(F.broadcast(counts), "event_type")
-    aggs = [F.max("n").alias("n_tasks")]
-    for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]:
-        target = F.floor((F.col("n") - 1) * F.lit(p))
-        aggs.append(F.max(F.when(F.col("rn") - 1 == target, F.col("value"))).alias(name))
+    aggs = _order_stat_aggs("value")
     return withn.groupBy("event_type").agg(*aggs)

@@ -260,10 +260,11 @@ def decontaminate(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     eval-set n-grams must not leak into the training corpus. Here the
     "benchmark" is the deterministic ``doc_id % 25 == 0`` slice of the raw
     documents; the corpus under test is the augmented corpus MINUS those
-    raw benchmark members — so the planted exact copies (+1,000,000) and
-    90%-truncations (+3,000,000) of benchmark docs are true positives the
-    operator must find, and unrelated docs only share the small-vocabulary
-    background rate.
+    raw benchmark members — so the planted exact copies (+1,000,000,
+    built from the same %25==0 slice) are guaranteed true positives the
+    operator must find, while the reversed/truncated variants (+2M/+3M,
+    built from the %25==5/%25==10 slices, disjoint from the benchmark)
+    and all raw docs only share the small-vocabulary background rate.
 
     Scale: the benchmark's distinct shingle set is tiny relative to the
     corpus (benchmarks are fixed-size; corpora grow), so it BROADCASTS and
@@ -436,11 +437,11 @@ def _prefix_sum(
     Phase 1: range-partition on the sort key (preserves the total order
     across slice boundaries; ``order_cols`` must make rows unique) and
     compute slice-LOCAL prefix sums — each window partition is one task's
-    bounded slice. Phase 2: each slice's total is the MAX of its local
-    cumsum (derived from the same materialized slices, so slice ids are
-    consistent by construction), the few totals are cumulated per
-    ``part_col``, and the previous-slice offset is broadcast back. The
-    offset table is ``n_slices × |part_col|`` rows.
+    bounded slice. Phase 2: each slice's total (a plain SUM over the
+    windowed rows — sign-safe for negative values, and derived from the
+    same materialized slices so slice ids are consistent by construction)
+    is cumulated per ``part_col`` and the previous-slice offset broadcast
+    back. The offset table is ``n_slices × |part_col|`` rows.
     """
     sliced = df.repartitionByRange(n_slices, part_col, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
@@ -448,7 +449,7 @@ def _prefix_sum(
     w_local = Window.partitionBy("_pid", part_col).orderBy(*order_cols)
     local = sliced.withColumn("_local_cum", F.sum(value_col).over(w_local))
     totals = local.groupBy("_pid", part_col).agg(
-        F.max("_local_cum").alias("_pt")
+        F.sum(value_col).alias("_pt")
     )
     w_off = (
         Window.partitionBy(part_col)

@@ -573,7 +573,7 @@ with6 AS (
 SELECT app_id, hour_ms, n_total, n_err,
        n_err * 100 / n_total AS burn_1h,
        err_6h * 100 / total_6h AS burn_6h,
-       (n_err * 1000 >= n_total * 144) AND (err_6h * 10 >= total_6h * 60) AS page
+       (n_err * 1000 >= n_total * 144) AND (err_6h * 1000 >= total_6h * 60) AS page
 FROM with6
 """
 

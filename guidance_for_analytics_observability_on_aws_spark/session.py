@@ -22,6 +22,12 @@ def get_spark(app_name: str = "analytics-observability-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Round-1 testdata shipped events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark cannot read at all without this conf (it throws at
+        # scan time, before any schema guard runs). Harmless for the
+        # current timestamp[us] encoding; with it, BOTH historical
+        # encodings load and normalize_events() adapts the dtype.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB-backed streaming state: per-key state spills to local disk
         # instead of the executor heap, which is what keeps long-running
@@ -49,6 +55,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     comparisons go through naive timestamps.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static on some builds; only matters for TIMESTAMP(NANOS) files
     try:
         # Applies at streaming-query start, so it is runtime-settable.
         spark.conf.set(

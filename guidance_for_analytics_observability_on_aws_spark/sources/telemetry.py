@@ -132,11 +132,20 @@ def _events_ts_is_timestamp() -> bool:
     """
     import os
 
+    candidates = [
+        os.environ.get("SPARK_GRAFT_SF_DIR"),
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR"),
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.1",
+    ]
     try:
         import pyarrow.parquet as pq
 
-        for sf in ("sf0.01", "sf0.001", "sf0.1"):
-            path = f"/root/testdata/{sf}/events.parquet"
+        for d in candidates:
+            if not d:
+                continue
+            path = f"{d}/events.parquet"
             if os.path.exists(path):
                 t = str(pq.read_schema(path).field("ts").type)
                 return t.startswith("timestamp")

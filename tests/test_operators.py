@@ -458,3 +458,28 @@ def test_pack_sequences_distributed_equals_single_window(spark, sf_dir):
     a = {tuple(r) for r in pack_sequences(docs).collect()}
     b = {tuple(r) for r in pack_sequences_distributed(docs).collect()}
     assert a and a == b
+
+
+def test_slo_burn_rate_pages_on_sustained_burn(spark):
+    """Both-windows-hot must page; quiet apps must not. (The parity gate
+    cannot catch a threshold bug mirrored into the oracle — this pins the
+    semantics independently.)"""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        slo_burn_rate,
+    )
+
+    rows = []
+    # app 'hot': 6 hours at 20% errors -> burn_1h=20 (>=14.4), burn_6h=20 (>=6)
+    for h in range(6):
+        for i in range(10):
+            rows.append(("hot", h * 3600000 + i, "error" if i < 2 else "ok"))
+    # app 'quiet': 6 hours at 1% errors
+    for h in range(6):
+        for i in range(100):
+            rows.append(("quiet", h * 3600000 + i, "error" if i < 1 else "ok"))
+    tm = spark.createDataFrame(rows, "app_id string, metric_time_ms long, event_type string")
+    out = slo_burn_rate(tm).collect()
+    hot_pages = [r.page for r in out if r.app_id == "hot"]
+    quiet_pages = [r.page for r in out if r.app_id == "quiet"]
+    assert all(hot_pages) and len(hot_pages) == 6
+    assert not any(quiet_pages)

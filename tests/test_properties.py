@@ -102,7 +102,8 @@ from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import
 rows_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),   # part key
-        st.integers(min_value=0, max_value=10**6),  # value
+        # negatives included: slice totals must be sign-safe
+        st.integers(min_value=-(10**6), max_value=10**6),
     ),
     min_size=1,
     max_size=120,
