@@ -198,3 +198,60 @@ def dedup_simhash(documents: DataFrame) -> DataFrame:
         sim = term if sim is None else sim + term
     docs = bits.select("doc_id", sim.cast("long").alias("simhash"))
     return _group_output(docs, "simhash")
+
+
+def dedup_containment(documents: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """D14: partial-duplicate pairs by shingle CONTAINMENT — the dedup
+    family Jaccard misses.
+
+    A 90%-truncation of a long document has containment ≈ 1.0 w.r.t. its
+    parent (|A∩B|/|A|) while its Jaccard can sit well under a near-dup
+    threshold; containment is the standard measure for "document A is
+    inside document B" (subsumption/partial-dup detection, Broder's
+    resemblance-vs-containment distinction). Same shingle-join shape as
+    D2 and the same caveat: exact all-pairs within shared shingles is the
+    correctness baseline; at scale D3's banding prunes the candidate set
+    first. The planted +3,000,000 truncations are the true positives.
+    """
+    sizes = _shingle_sizes(documents)
+    exploded = _shingle_rows(documents)
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sz", "size_a"
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sz", "size_b"
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            "size_a",
+            "size_b",
+            (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
+            (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )

@@ -322,3 +322,24 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
 """
+
+DEDUP_ORACLES["dedup_containment"] = f"""
+{_SHINGLED_CTES},
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
+  FROM exploded a
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(intersection_size AS BIGINT) AS intersection_size,
+       sa.sz AS size_a, sb.sz AS size_b,
+       intersection_size / sa.sz AS containment_a,
+       intersection_size / sb.sz AS containment_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(intersection_size / sa.sz, intersection_size / sb.sz) >= 0.9
+"""

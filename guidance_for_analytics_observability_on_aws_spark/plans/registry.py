@@ -224,6 +224,12 @@ for _name, _b in _DEDUP_BUILDERS.items():
     _register(_name, _b, DEDUP_ORACLES[_name])
 
 _register(
+    "dedup_containment",
+    lambda s, d: dedup.dedup_containment(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_containment"],
+)
+
+_register(
     "similarity_ivf_multiprobe",
     lambda s, d: similarity.topk_ivf_multiprobe(load_tables(s, d)["embeddings"]),
     DEDUP_ORACLES["similarity_ivf_multiprobe"],

@@ -483,3 +483,26 @@ def test_slo_burn_rate_pages_on_sustained_burn(spark):
     quiet_pages = [r.page for r in out if r.app_id == "quiet"]
     assert all(hot_pages) and len(hot_pages) == 6
     assert not any(quiet_pages)
+
+
+def test_containment_finds_planted_truncations(spark, sf_dir):
+    """Every 90%-truncation (+3M) must pair with its parent at containment
+    ~1.0 — the partial-dup family Jaccard under-scores."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_containment,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = {
+        (r.doc_a, r.doc_b): max(r.containment_a, r.containment_b)
+        for r in dedup_containment(docs).collect()
+    }
+    parents = {
+        r.doc_id
+        for r in docs.filter("doc_id % 25 = 10").select("doc_id").collect()
+    }
+    planted = {(i, i + 3000000) for i in parents}
+    missing = planted - set(pairs)
+    assert not missing, f"truncation pairs not found: {sorted(missing)[:5]}"
+    assert all(pairs[p] >= 0.9 for p in planted)
