@@ -1097,3 +1097,36 @@ def merge_scd2_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
     return hist.select(
         "*", F.col("valid_to_ms").isNull().alias("is_current")
     )
+
+
+def customers_monthly_cohorts(orders: DataFrame) -> DataFrame:
+    """T36: monthly active/new/cumulative-distinct customers — the
+    incremental-distinct pattern.
+
+    A naive cumulative COUNT(DISTINCT) re-scans all history for every
+    month; the scalable identity is ``distinct-to-date = running sum of
+    first-seen counts``: each customer contributes to exactly the month
+    of their first order, so one min-aggregation + a running sum over the
+    tiny month axis replaces month× re-scans. The only corpus-wide work
+    is two map-side-combined aggregations; the final window runs over
+    #months rows (unpartitioned is fine at any corpus size — the axis,
+    not the data, bounds it).
+    """
+    mo = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long")
+    per = orders.select(F.col("o_custkey").alias("custkey"), mo.alias("mo"))
+    monthly = per.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("custkey").alias("n_active_customers"),
+    )
+    first_mo = per.groupBy("custkey").agg(F.min("mo").alias("mo"))
+    news = first_mo.groupBy("mo").agg(F.count(F.lit(1)).alias("n_new_customers"))
+    joined = monthly.join(news, "mo", "left").select(
+        "mo",
+        "n_orders",
+        "n_active_customers",
+        F.coalesce(F.col("n_new_customers"), F.lit(0)).alias("n_new_customers"),
+    )
+    w = Window.orderBy("mo").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "*", F.sum("n_new_customers").over(w).alias("cum_distinct_customers")
+    )

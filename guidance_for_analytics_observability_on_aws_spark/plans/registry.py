@@ -183,6 +183,9 @@ _TPCH_BUILDERS = {
     "merge_scd2_customers": lambda s, d: (
         lambda t: tpch.merge_scd2_customers(t["customer"], t["orders"])
     )(load_tables(s, d)),
+    "customers_monthly_cohorts": lambda s, d: tpch.customers_monthly_cohorts(
+        load_tables(s, d)["orders"]
+    ),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),

@@ -580,3 +580,28 @@ SELECT custkey,
 FROM ev
 WINDOW w AS (PARTITION BY custkey ORDER BY valid_from_ms, event_id)
 """
+
+TPCH_ORACLES["customers_monthly_cohorts"] = """
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT) AS mo
+  FROM orders
+),
+monthly AS (
+  SELECT mo, COUNT(*) AS n_orders,
+         CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_active_customers
+  FROM per GROUP BY 1
+),
+first_mo AS (SELECT custkey, MIN(mo) AS mo FROM per GROUP BY 1),
+news AS (SELECT mo, COUNT(*) AS n_new_customers FROM first_mo GROUP BY 1),
+joined AS (
+  SELECT m.mo, m.n_orders, m.n_active_customers,
+         CAST(COALESCE(n.n_new_customers, 0) AS BIGINT) AS n_new_customers
+  FROM monthly m LEFT JOIN news n USING (mo)
+)
+SELECT *,
+       CAST(SUM(n_new_customers) OVER (ORDER BY mo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_customers
+FROM joined
+"""
