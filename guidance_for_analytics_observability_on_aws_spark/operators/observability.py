@@ -681,55 +681,58 @@ CMS_DEPTH = 4
 CMS_WIDTH = 64
 
 
-def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
-    """O30: top-k heavy hitters via a Count-Min sketch (Cormode &
-    Muthukrishnan '05) — the fixed-memory scale path for "top talkers"
-    dashboard tiles.
-
-    The sketch is d×w = 256 counters REGARDLESS of key cardinality: each
-    event increments one bucket per hash row (exploded map-side, partially
-    aggregated), and a key's estimate is the MIN over its d buckets —
-    always an overestimate, never under. At 100 TB the sketch table is the
-    only shuffled state; candidate keys join against it via broadcast.
-    md5-derived hashing keeps the sketch deterministic and engine-portable
-    (exact DuckDB oracle), unlike RNG-seeded implementations.
-    """
+def _cms_bucket_rows(key: F.Column) -> F.Column:
+    """(row_id, bucket) struct array for a key — one entry per hash row."""
     from ..functions.hashing import md5_int
 
-    def bucket_rows(key: F.Column) -> F.Column:
-        """(row_id, bucket) struct array for a key — one entry per hash row."""
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("long").alias("row_id"),
-                    (md5_int(F.concat(F.lit(f"cms{i}:"), key), 8) % CMS_WIDTH).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(CMS_DEPTH)
-            ]
-        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row_id"),
+                (md5_int(F.concat(F.lit(f"cms{i}:"), key), 8) % CMS_WIDTH).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
 
-    # One corpus-wide pass ONLY: count per key (map-side combined), then
-    # hash each distinct key d times and weight its buckets by the count —
-    # counter = Σ key-counts per bucket, identical to incrementing per
-    # event, but the md5 work drops from |events|·d to |keys|·d and the
-    # shuffle carries key partials instead of exploded bucket rows.
+
+def cms_key_buckets(tm: DataFrame) -> DataFrame:
+    """Per-key counts fanned to their d CMS buckets — the sketch PARTIAL.
+
+    One corpus-wide pass ONLY: count per key (map-side combined), then
+    hash each distinct key d times and weight its buckets by the count —
+    counter = Σ key-counts per bucket, identical to incrementing per
+    event, but the md5 work drops from |events|·d to |keys|·d and the
+    shuffle carries key partials instead of exploded bucket rows.
+    Partials are MERGEABLE: summing them over any partition of the input
+    (micro-batches, days, clusters) yields the exact whole-input sketch —
+    what the streaming twin exploits.
+    """
     keys = tm.groupBy(F.col("executor_id").alias("key")).agg(
         F.count(F.lit(1)).alias("exact_n")
     )
-    key_buckets = keys.select(
+    return keys.select(
         "key",
         "exact_n",
-        F.explode(bucket_rows(F.col("key"))).alias("rb"),
+        F.explode(_cms_bucket_rows(F.col("key"))).alias("rb"),
     ).select(
-        "key", "exact_n", F.col("rb.row_id").alias("row_id"), F.col("rb.bucket").alias("bucket")
+        "key",
+        "exact_n",
+        F.col("rb.row_id").alias("row_id"),
+        F.col("rb.bucket").alias("bucket"),
     )
-    sketch = key_buckets.groupBy("row_id", "bucket").agg(
-        F.sum("exact_n").alias("c")
+
+
+def cms_topk(key_buckets: DataFrame, k: int = 20) -> DataFrame:
+    """Estimate + rank stage over (possibly merged) key-bucket partials."""
+    merged = key_buckets.groupBy("key", "row_id", "bucket").agg(
+        F.sum("exact_n").alias("exact_n")
     )
+    sketch = merged.groupBy("row_id", "bucket").agg(F.sum("exact_n").alias("c"))
     est = (
-        key_buckets.join(F.broadcast(sketch), ["row_id", "bucket"])
+        merged.join(F.broadcast(sketch), ["row_id", "bucket"])
         .groupBy("key", "exact_n")
         .agg(F.min("c").alias("est_n"))
     )
@@ -739,6 +742,22 @@ def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("rank", "key", "est_n", "exact_n")
     )
+
+
+def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
+    """O30: top-k heavy hitters via a Count-Min sketch (Cormode &
+    Muthukrishnan '05) — the fixed-memory scale path for "top talkers"
+    dashboard tiles.
+
+    The sketch is d×w = 256 counters REGARDLESS of key cardinality: each
+    event increments one bucket per hash row (via :func:`cms_key_buckets`
+    partials), and a key's estimate is the MIN over its d buckets —
+    always an overestimate, never under. At 100 TB the sketch table is the
+    only shuffled state; candidate keys join against it via broadcast.
+    md5-derived hashing keeps the sketch deterministic and engine-portable
+    (exact DuckDB oracle), unlike RNG-seeded implementations.
+    """
+    return cms_topk(cms_key_buckets(tm), k)
 
 
 def error_rate_moving_avg(tm: DataFrame, window_hours: int = 7) -> DataFrame:

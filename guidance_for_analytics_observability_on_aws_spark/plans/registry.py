@@ -472,6 +472,17 @@ def _stream_inc_dedup(s, d):
 _register("stream_incremental_dedup", _stream_inc_dedup, None)
 
 
+# Rows-only: mergeable-CMS streaming heavy hitters; merged-partial estimates
+# are row-identical to batch O30, asserted in tests/test_streaming.py.
+def _stream_heavy_hitters(s, d):
+    from ..streaming.collector import run_streaming_heavy_hitters
+
+    return run_streaming_heavy_hitters(s, d)
+
+
+_register("stream_heavy_hitters", _stream_heavy_hitters, None)
+
+
 # O44: O8's result-identical two-phase scale path shares O8's exact oracle
 # (equality also implied by both parity tests passing).
 _register(

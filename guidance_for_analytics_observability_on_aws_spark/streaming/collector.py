@@ -326,3 +326,34 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin of O30 — SKETCH MERGEABILITY in action.
+
+    Each micro-batch computes its own Count-Min partial (per-key counts
+    fanned to buckets, ``cms_key_buckets``) and appends it; the final
+    sketch is the SUM of the partials, whose counters are exactly the
+    whole-input sketch's counters — so the merged estimates are
+    row-identical to batch O30 (asserted in ``tests/test_streaming.py``).
+    This is the property that lets 100 TB top-talker dashboards maintain
+    a kilobyte of state per window instead of per-key counters.
+    """
+    from ..operators.observability import cms_key_buckets, cms_topk
+
+    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_cms_")
+
+    def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_key_buckets(batch_df).write.mode("append").parquet(f"{out}/partials")
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_sketch_batch)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return cms_topk(spark.read.parquet(f"{out}/partials"))

@@ -224,3 +224,27 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir):
         if r.n_kept > 0
     }
     assert got == want
+
+
+def test_streaming_cms_merge_equals_batch(spark, sf_dir):
+    """Summed micro-batch CMS partials must give exactly the batch
+    sketch's estimates (counter sums are the whole-input counters)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        heavy_hitters_cms,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_heavy_hitters,
+    )
+
+    got = {tuple(r) for r in run_streaming_heavy_hitters(spark, sf_dir).collect()}
+    want = {
+        tuple(r)
+        for r in heavy_hitters_cms(
+            task_metrics(load_tables(spark, sf_dir)["events"])
+        ).collect()
+    }
+    assert got and got == want
