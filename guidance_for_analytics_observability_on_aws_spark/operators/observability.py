@@ -215,6 +215,44 @@ def top_n_skew(tm: DataFrame, n: int = 20) -> DataFrame:
     ).limit(n)
 
 
+def skew_exemplars(tm: DataFrame, n_stages: int = 5, n_tasks: int = 3) -> DataFrame:
+    """O46: drill-down — for the top-N most input-skewed stages, the
+    heaviest exemplar tasks with their share of the stage's input.
+
+    The dashboard "click a skewed stage, see which tasks caused it"
+    pattern as ONE plan: the top-N stage summary (a handful of rows)
+    BROADCASTS back against the task table, so Spark filters the fact
+    scan by the tiny dim instead of rescanning per stage; a per-stage
+    window ranks only the surviving tasks. Shares O2/O7's aggregation
+    subtree; shares are exact bigint/bigint-into-double divisions.
+    """
+    top = top_n_skew(tm, n_stages).select(
+        *STAGE_KEYS,
+        "input_bytes_read_skewness",
+        F.col("max_input_bytes_read").alias("stage_max_input_bytes"),
+    )
+    joined = tm.select(
+        *STAGE_KEYS, "task_id", "input_bytes_read", "run_time_ms"
+    ).join(F.broadcast(top), STAGE_KEYS)
+    w = Window.partitionBy(*STAGE_KEYS).orderBy(
+        F.col("input_bytes_read").desc(), F.col("task_id")
+    )
+    stage_total = F.sum("input_bytes_read").over(Window.partitionBy(*STAGE_KEYS))
+    ranked = joined.withColumn("task_rank", F.row_number().over(w).cast("long")
+    ).withColumn("stage_input_bytes", stage_total)
+    return ranked.filter(F.col("task_rank") <= n_tasks).select(
+        *STAGE_KEYS,
+        "input_bytes_read_skewness",
+        "task_rank",
+        "task_id",
+        "input_bytes_read",
+        "run_time_ms",
+        (F.col("input_bytes_read") / F.col("stage_input_bytes")).alias(
+            "task_input_share"
+        ),
+    )
+
+
 #: Percentile points every exact/approx percentile operator reports.
 PCT_POINTS = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.99, "p99")]
 

@@ -634,3 +634,28 @@ SELECT app_id,
 FROM ranked
 GROUP BY 1
 """
+
+OBS_ORACLES["obs_skew_exemplars"] = f"""
+{STAGE_AGG_CTES},
+top AS (
+  SELECT app_name, app_id, job_id, stage_id, input_bytes_read_skewness
+  FROM stage_agg
+  ORDER BY input_bytes_read_skewness DESC, app_id, job_id, stage_id
+  LIMIT 5
+),
+tasks AS (
+  SELECT t.app_name, t.app_id, t.job_id, t.stage_id,
+         p.input_bytes_read_skewness, t.task_id, t.input_bytes_read, t.run_time_ms,
+         ROW_NUMBER() OVER (PARTITION BY t.app_name, t.app_id, t.job_id, t.stage_id
+                            ORDER BY t.input_bytes_read DESC, t.task_id) AS task_rank,
+         CAST(SUM(t.input_bytes_read) OVER (PARTITION BY t.app_name, t.app_id,
+              t.job_id, t.stage_id) AS BIGINT) AS stage_input_bytes
+  FROM task_metrics t
+  JOIN top p USING (app_name, app_id, job_id, stage_id)
+)
+SELECT app_name, app_id, job_id, stage_id, input_bytes_read_skewness,
+       CAST(task_rank AS BIGINT) AS task_rank, task_id, input_bytes_read,
+       run_time_ms,
+       input_bytes_read / stage_input_bytes AS task_input_share
+FROM tasks WHERE task_rank <= 3
+"""
