@@ -1112,3 +1112,48 @@ def task_percentiles_distributed(tm: DataFrame) -> DataFrame:
     withn = ranked.join(F.broadcast(counts), "event_type")
     aggs = _order_stat_aggs("value")
     return withn.groupBy("event_type").agg(*aggs)
+
+
+def executor_concurrency(tm: DataFrame) -> DataFrame:
+    """O47: peak task concurrency per executor via a SWEEP LINE — interval
+    overlap with NO self-join.
+
+    Each task occupies [metric_time_ms - run_time_ms, metric_time_ms); the
+    naive "how many tasks overlap" is an interval self-join (quadratic in
+    the worst case). The sweep-line formulation explodes each task into a
+    +1 start / -1 end event and takes a running sum per executor ordered
+    by (time, delta) — ends sort before starts at the same millisecond, so
+    touching intervals do not count as overlapping. One explode + one
+    window over per-executor event streams; peak = max of the running
+    level, with the earliest peak time reported deterministically.
+    """
+    ev = tm.select(
+        "executor_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("metric_time_ms") - F.col("run_time_ms")).alias("t_ms"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("metric_time_ms").alias("t_ms"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("executor_id", F.col("e.t_ms").alias("t_ms"), F.col("e.delta").alias("delta"))
+    w = (
+        Window.partitionBy("executor_id")
+        .orderBy("t_ms", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    level = ev.withColumn("level", F.sum("delta").over(w)).withColumn(
+        "peak", F.max("level").over(Window.partitionBy("executor_id"))
+    )
+    return level.groupBy("executor_id").agg(
+        F.max("level").alias("peak_concurrency"),
+        F.min(F.when(F.col("level") == F.col("peak"), F.col("t_ms"))).alias(
+            "peak_at_ms"
+        ),
+        F.count(F.lit(1)).alias("n_boundary_events"),
+    )

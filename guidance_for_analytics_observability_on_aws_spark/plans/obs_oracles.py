@@ -659,3 +659,28 @@ SELECT app_name, app_id, job_id, stage_id, input_bytes_read_skewness,
        input_bytes_read / stage_input_bytes AS task_input_share
 FROM tasks WHERE task_rank <= 3
 """
+
+OBS_ORACLES["obs_executor_concurrency"] = f"""
+WITH {TELEMETRY_CTE},
+ev AS (
+  SELECT executor_id, metric_time_ms - run_time_ms AS t_ms, 1 AS delta
+  FROM task_metrics
+  UNION ALL
+  SELECT executor_id, metric_time_ms AS t_ms, -1 AS delta
+  FROM task_metrics
+),
+swept AS (
+  SELECT executor_id, t_ms,
+         CAST(SUM(delta) OVER (PARTITION BY executor_id ORDER BY t_ms, delta
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS level
+  FROM ev
+),
+peaked AS (
+  SELECT *, MAX(level) OVER (PARTITION BY executor_id) AS peak FROM swept
+)
+SELECT executor_id,
+       CAST(MAX(level) AS BIGINT) AS peak_concurrency,
+       MIN(CASE WHEN level = peak THEN t_ms END) AS peak_at_ms,
+       COUNT(*) AS n_boundary_events
+FROM peaked GROUP BY 1
+"""

@@ -495,6 +495,7 @@ _register(
 # --- O38–O42: rollup / SLO / histogram / correlation / panel percentiles ----
 _LATE_OBS_BUILDERS = {
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
+    "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
     "obs_slo_burn_rate": lambda s, d: obs.slo_burn_rate(_tm(s, d)),
     "obs_value_histogram": lambda s, d: obs.value_histogram(_tm(s, d)),

@@ -506,3 +506,20 @@ def test_containment_finds_planted_truncations(spark, sf_dir):
     missing = planted - set(pairs)
     assert not missing, f"truncation pairs not found: {sorted(missing)[:5]}"
     assert all(pairs[p] >= 0.9 for p in planted)
+
+
+def test_executor_concurrency_sweep_line(spark):
+    """Hand example: [0,10),[5,15),[20,30) peaks at 2 (t=5); touching
+    intervals [0,10),[10,20) never count as overlapping."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        executor_concurrency,
+    )
+
+    rows = [("a", 10, 10), ("a", 15, 10), ("a", 30, 10),
+            ("b", 10, 10), ("b", 20, 10)]
+    tm = spark.createDataFrame(
+        rows, "executor_id string, metric_time_ms long, run_time_ms long"
+    )
+    out = {r.executor_id: r for r in executor_concurrency(tm).collect()}
+    assert out["a"].peak_concurrency == 2 and out["a"].peak_at_ms == 5
+    assert out["b"].peak_concurrency == 1 and out["b"].peak_at_ms == 0
