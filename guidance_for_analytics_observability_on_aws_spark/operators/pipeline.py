@@ -487,3 +487,55 @@ def pack_sequences_distributed(documents: DataFrame) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def split_leak_proof(documents: DataFrame) -> DataFrame:
+    """P10: near-dup-aware train/val/test split — eval-leakage prevention.
+
+    P1 hashes each doc independently, so two near-duplicates can land in
+    train AND val — the classic eval-set leak. Here the split key is the
+    doc's DUP GROUP canonical id (P4's connected-component label; a doc
+    outside the candidate graph is its own canonical), so every member of
+    a near-dup cluster lands in the same split by construction. Output is
+    the per-split summary plus ``n_cross_split_pairs`` — the number of
+    MinHash candidate pairs whose members sit in different splits, which
+    this construction forces to 0 (the oracle computes the same audit, so
+    a regression breaks parity AND the explicit zero).
+
+    Scale: P4's labels (edge-list-sized) broadcast-join the corpus; the
+    split decision is one md5 per doc.
+    """
+    from ..functions.text import corpus
+
+    c = corpus(documents).select("doc_id", "source", "text")
+    labels = dup_labels(documents).select(
+        F.col("src").alias("doc_id"), "group_id"
+    )
+    keyed = c.join(F.broadcast(labels), "doc_id", "left").withColumn(
+        "canonical_id", F.coalesce(F.col("group_id"), F.col("doc_id"))
+    )
+    bucket = md5_int(F.col("canonical_id").cast("string"), 4) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    assigned = keyed.select("doc_id", "source", split.alias("split"))
+    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    cross = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_cross_split_pairs"))
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return summary.crossJoin(F.broadcast(cross))

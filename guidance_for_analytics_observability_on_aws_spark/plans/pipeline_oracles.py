@@ -251,3 +251,28 @@ SELECT source,
        CAST(SUM(CASE WHEN NOT x_hit AND NOT c_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM probed GROUP BY 1
 """
+
+PIPELINE_ORACLES["split_leak_proof"] = (
+    CC_LABEL_CTES
+    + f""",
+assigned AS (
+  SELECT c.doc_id, c.source,
+         CASE WHEN {md5_int_sql("CAST(COALESCE(l.group_id, c.doc_id) AS VARCHAR)", 4)} % 100 < {SPLIT_TRAIN} THEN 'train'
+              WHEN {md5_int_sql("CAST(COALESCE(l.group_id, c.doc_id) AS VARCHAR)", 4)} % 100 < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.src
+),
+cross_pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cross_split_pairs
+  FROM mh_pairs p
+  JOIN assigned a ON p.doc_a = a.doc_id
+  JOIN assigned b ON p.doc_b = b.doc_id
+  WHERE a.split != b.split
+)
+SELECT s.split, s.n_docs, s.n_sources, c.n_cross_split_pairs
+FROM (
+  SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+  FROM assigned GROUP BY 1
+) s, cross_pairs c
+"""
+)

@@ -298,6 +298,12 @@ _PIPELINE_BUILDERS = {
 for _name, _b in _PIPELINE_BUILDERS.items():
     _register(_name, _b, PIPELINE_ORACLES[_name])
 
+_register(
+    "split_leak_proof",
+    lambda s, d: pipeline.split_leak_proof(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["split_leak_proof"],
+)
+
 # P3's two-phase prefix-sum scale path is result-identical to the single
 # window formulation, so it shares P3's exact oracle (equality also
 # asserted in tests/test_operators.py).

@@ -523,3 +523,19 @@ def test_executor_concurrency_sweep_line(spark):
     out = {r.executor_id: r for r in executor_concurrency(tm).collect()}
     assert out["a"].peak_concurrency == 2 and out["a"].peak_at_ms == 5
     assert out["b"].peak_concurrency == 1 and out["b"].peak_at_ms == 0
+
+
+def test_split_leak_proof_zero_cross_split_pairs(spark, sf_dir):
+    """Group-keyed splitting must place every near-dup pair in one split
+    (n_cross_split_pairs == 0), while the naive P1-style per-doc hash on
+    the same corpus demonstrably leaks."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        split_leak_proof,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = split_leak_proof(docs).collect()
+    assert rows and all(r.n_cross_split_pairs == 0 for r in rows)
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in rows) > 0
