@@ -489,6 +489,27 @@ def _stream_heavy_hitters(s, d):
 _register("stream_heavy_hitters", _stream_heavy_hitters, None)
 
 
+# Rows-only: table-maintenance jobs exposed as driver-checkable reports
+# (values depend on local file sizes/dates; semantics pinned in
+# tests/test_sources.py).
+def _compaction_report(s, d):
+    from ..sources.compaction import compaction_report
+
+    return compaction_report(s, d)
+
+
+_register("source_compaction_report", _compaction_report, None)
+
+
+def _retention_report(s, d):
+    from ..sources.retention import retention_report
+
+    return retention_report(s, d)
+
+
+_register("source_retention_report", _retention_report, None)
+
+
 # O44: O8's result-identical two-phase scale path shares O8's exact oracle
 # (equality also implied by both parity tests passing).
 _register(

@@ -72,3 +72,45 @@ def compact_dataset(
     else:
         df.coalesce(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a driver-checkable query: write a deliberately-fragmented
+    copy of the events table, compact it, and report before/after file
+    counts + row-count preservation. Values depend on local file sizes →
+    rows-only driver check; exact row preservation asserted here and in
+    ``tests/test_sources.py``.
+    """
+    import tempfile
+
+    from pyspark.sql import Row
+
+    work = tempfile.mkdtemp(prefix="gfaooa_compact_")
+    frag, dst = f"{work}/frag", f"{work}/compact"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def n_files(p: str) -> int:
+        return sum(
+            1
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_before = n_files(frag)
+    planned = compact_dataset(spark, frag, dst, target_file_bytes=64 * 1024 * 1024)
+    n_after = n_files(dst)
+    rows_src = events.count()
+    rows_dst = spark.read.parquet(dst).count()
+    return spark.createDataFrame(
+        [
+            Row(
+                n_files_before=n_before,
+                n_files_after=n_after,
+                planned_files=planned,
+                rows_preserved=(rows_src == rows_dst),
+                n_rows=rows_dst,
+            )
+        ]
+    )

@@ -45,3 +45,40 @@ def apply_retention(path: str, keep_since: date) -> list[str]:
             shutil.rmtree(part_path)
             deleted.append(part_path)
     return deleted
+
+
+def retention_report(spark, sf_dir: str):
+    """S7 as a driver-checkable query: build a date-partitioned telemetry
+    sink from events, apply a retention cutoff, and report kept/dropped
+    partition counts + the surviving row count. Rows-only driver check
+    (paths/dates are environment-local); exact partition-drop semantics
+    asserted in ``tests/test_sources.py``.
+    """
+    import tempfile
+    from datetime import timedelta
+
+    from pyspark.sql import Row
+
+    from ..sources.telemetry import task_metrics
+    from .logs_json import write_partitioned_telemetry
+
+    work = tempfile.mkdtemp(prefix="gfaooa_retention_")
+    tm = task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    write_partitioned_telemetry(tm, work)
+    parts = list_date_partitions(work)
+    dates = sorted(d for d, _ in parts)
+    cutoff = dates[len(dates) // 2] if dates else None
+    dropped = apply_retention(work, cutoff) if cutoff else []
+    remaining = list_date_partitions(work)
+    survivors = spark.read.option("basePath", work).parquet(work)
+    return spark.createDataFrame(
+        [
+            Row(
+                n_partitions_before=len(parts),
+                n_dropped=len(dropped),
+                n_partitions_after=len(remaining),
+                min_kept_date=str(min((d for d, _ in remaining), default="")),
+                n_rows_after=survivors.count(),
+            )
+        ]
+    )
