@@ -130,3 +130,33 @@ def test_two_phase_prefix_sum_equals_single_window(spark, rows):
         for r in df.withColumn("cum", F.sum("val").over(w)).collect()
     }
     assert got == want
+
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    executor_concurrency,
+)
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # end time
+        st.integers(min_value=1, max_value=50),   # duration
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(intervals_strategy)
+def test_sweep_line_peak_matches_brute_force(spark, ivals):
+    """Sweep-line peak concurrency must equal the brute-force maximum
+    overlap count over half-open intervals [end-dur, end)."""
+    rows = [("e", end, dur) for end, dur in ivals]
+    tm = spark.createDataFrame(
+        rows, "executor_id string, metric_time_ms long, run_time_ms long"
+    )
+    got = executor_concurrency(tm).collect()[0].peak_concurrency
+    spans = [(end - dur, end) for end, dur in ivals]
+    points = sorted({s for s, _ in spans})
+    want = max(sum(1 for s, e in spans if s <= p < e) for p in points)
+    assert got == want
