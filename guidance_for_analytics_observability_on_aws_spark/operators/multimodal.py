@@ -231,3 +231,32 @@ def audio_chunk_plan(documents: DataFrame, chunk_ms: int = 10000) -> DataFrame:
         F.expr(f"(least(chunk_idx * {chunk_ms} + {chunk_ms}, duration_ms)"
                f" - chunk_idx * {chunk_ms}) * sample_rate DIV 1000").alias("n_samples"),
     )
+
+
+def shard_manifest(documents: DataFrame, shard_bytes: int = 65536) -> DataFrame:
+    """M7: byte-balanced shard manifest for distributed media processing.
+
+    Media decode jobs are BYTE-bound, not row-bound: sharding by row count
+    gives one worker 10 GB of video while another gets thumbnails. The
+    manifest assigns every payload to the shard its FIRST byte lands in —
+    ``shard = floor(cum_bytes_before / shard_bytes)`` per modality, via
+    the shared two-phase prefix sum (no whole-modality window task). The
+    decode fleet then maps one task per (modality, shard) with bounded
+    input bytes — the manifest is the planning half of M3's decode.
+    """
+    from .pipeline import _prefix_sum
+
+    meta = binary_meta(documents).select("doc_id", "modality", "byte_len")
+    cum = _prefix_sum(meta, "modality", ["doc_id"], "byte_len", "cum_bytes")
+    sharded = cum.withColumn(
+        "shard",
+        F.floor((F.col("cum_bytes") - F.col("byte_len")) / F.lit(shard_bytes)).cast(
+            "long"
+        ),
+    )
+    return sharded.groupBy("modality", "shard").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("byte_len").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

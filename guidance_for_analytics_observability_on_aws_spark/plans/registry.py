@@ -351,6 +351,9 @@ _TEXT_BUILDERS = {
     "mm_audio_chunks": lambda s, d: multimodal.audio_chunk_plan(
         load_tables(s, d)["documents"]
     ),
+    "mm_shard_manifest": lambda s, d: multimodal.shard_manifest(
+        load_tables(s, d)["documents"]
+    ),
 }
 for _name, _b in _TEXT_BUILDERS.items():
     _register(_name, _b, TEXT_ORACLES[_name])

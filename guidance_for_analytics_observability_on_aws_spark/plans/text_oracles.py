@@ -336,3 +336,33 @@ SELECT source, COUNT(*) AS n_docs,
        MAX(top_bigram_cnt / n_bigrams) AS max_top_bigram_share
 FROM per_doc GROUP BY 1
 """
+
+# M7: DuckDB mirror of the shard manifest (modality/metadata derivation
+# matches mm_binary_meta's arithmetic; cumulative bytes via window).
+TEXT_ORACLES["mm_shard_manifest"] = """
+WITH meta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         CAST(SUM(byte_len) OVER (PARTITION BY modality ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_bytes
+  FROM meta
+),
+sharded AS (
+  SELECT *, CAST(FLOOR((cum_bytes - byte_len) / 65536) AS BIGINT) AS shard
+  FROM cum
+)
+SELECT modality, shard,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM sharded GROUP BY 1, 2
+"""
