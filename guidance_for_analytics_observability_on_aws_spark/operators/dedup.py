@@ -73,8 +73,11 @@ def _shingle_sizes(documents: DataFrame) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold)."""
+def _shingle_pair_intersections(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, intersection_size, size_a, size_b) for every document
+    pair sharing ≥1 shingle — the scaffolding D2 (Jaccard) and D14
+    (containment) both normalize; ONE definition so the join/size
+    semantics can never diverge between them."""
     sizes = _shingle_sizes(documents)
     exploded = _shingle_rows(documents)
     pairs = (
@@ -89,22 +92,26 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFra
         )
         .agg(F.count(F.lit(1)).alias("intersection_size"))
     )
-    out = (
+    return (
         pairs.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
                                .withColumnRenamed("sz", "size_a")), "doc_a")
         .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
                           .withColumnRenamed("sz", "size_b")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection_size",
-            "size_a",
-            "size_b",
-            (
-                F.col("intersection_size")
-                / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
-            ).alias("jaccard"),
-        )
+    )
+
+
+def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold)."""
+    out = _shingle_pair_intersections(documents).select(
+        "doc_a",
+        "doc_b",
+        "intersection_size",
+        "size_a",
+        "size_b",
+        (
+            F.col("intersection_size")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -213,44 +220,14 @@ def dedup_containment(documents: DataFrame, threshold: float = 0.9) -> DataFrame
     correctness baseline; at scale D3's banding prunes the candidate set
     first. The planted +3,000,000 truncations are the true positives.
     """
-    sizes = _shingle_sizes(documents)
-    exploded = _shingle_rows(documents)
-    pairs = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
-    )
-    out = (
-        pairs.join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sz", "size_a"
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sz", "size_b"
-                )
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection_size",
-            "size_a",
-            "size_b",
-            (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
-            (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
-        )
+    out = _shingle_pair_intersections(documents).select(
+        "doc_a",
+        "doc_b",
+        "intersection_size",
+        "size_a",
+        "size_b",
+        (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
+        (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
     )
     return out.filter(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold

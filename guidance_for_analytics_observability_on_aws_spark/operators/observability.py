@@ -229,7 +229,6 @@ def skew_exemplars(tm: DataFrame, n_stages: int = 5, n_tasks: int = 3) -> DataFr
     top = top_n_skew(tm, n_stages).select(
         *STAGE_KEYS,
         "input_bytes_read_skewness",
-        F.col("max_input_bytes_read").alias("stage_max_input_bytes"),
     )
     joined = tm.select(
         *STAGE_KEYS, "task_id", "input_bytes_read", "run_time_ms"

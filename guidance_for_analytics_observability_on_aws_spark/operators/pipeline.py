@@ -144,11 +144,19 @@ def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
     )
 
 
-def dup_labels(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+def dup_labels(
+    documents: DataFrame, max_iter: int = 15, pairs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id=src, group_id) membership labels for every doc that appears
     in the MinHash-LSH candidate graph — the converged min-label state P4
-    summarizes and P5's curation pipeline consumes."""
-    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    summarizes and P5's curation pipeline consumes.
+
+    ``pairs`` lets a caller that ALSO needs the candidate pairs (P10's
+    cross-split audit) compute the expensive MinHash/LSH job once and
+    share it, instead of the label pass re-deriving it.
+    """
+    if pairs is None:
+        pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -508,7 +516,14 @@ def split_leak_proof(documents: DataFrame) -> DataFrame:
     from ..functions.text import corpus
 
     c = corpus(documents).select("doc_id", "source", "text")
-    labels = dup_labels(documents).select(
+    # ONE MinHash/LSH job: the materialized pair list feeds both the label
+    # propagation and the cross-split audit below.
+    pairs = (
+        dedup_minhash_lsh(documents)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = dup_labels(documents, pairs=pairs).select(
         F.col("src").alias("doc_id"), "group_id"
     )
     keyed = c.join(F.broadcast(labels), "doc_id", "left").withColumn(
@@ -521,7 +536,6 @@ def split_leak_proof(documents: DataFrame) -> DataFrame:
         .otherwise("test")
     )
     assigned = keyed.select("doc_id", "source", split.alias("split"))
-    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     cross = (
         pairs.join(
             assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),

@@ -44,7 +44,10 @@ shingled AS (
 )
 """
 
-DEDUP_ORACLES["dedup_ngram_jaccard"] = f"""
+# Shared pair/size CTE scaffolding for D2 (Jaccard) and D14 (containment) —
+# one definition so the join/size semantics cannot diverge (mirrors
+# operators/dedup.py::_shingle_pair_intersections).
+_PAIR_SIZE_CTES = f"""
 {_SHINGLED_CTES},
 sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
 exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
@@ -53,7 +56,10 @@ pairs AS (
   FROM exploded a
   JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+DEDUP_ORACLES["dedup_ngram_jaccard"] = f"""
+{_PAIR_SIZE_CTES}
 SELECT doc_a, doc_b,
        CAST(intersection_size AS BIGINT) AS intersection_size,
        sa.sz AS size_a, sb.sz AS size_b,
@@ -324,15 +330,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 3
 """
 
 DEDUP_ORACLES["dedup_containment"] = f"""
-{_SHINGLED_CTES},
-sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
-exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
-  FROM exploded a
-  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
+{_PAIR_SIZE_CTES}
 SELECT doc_a, doc_b,
        CAST(intersection_size AS BIGINT) AS intersection_size,
        sa.sz AS size_a, sb.sz AS size_b,

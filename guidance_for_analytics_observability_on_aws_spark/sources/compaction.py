@@ -81,28 +81,33 @@ def compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; exact row preservation asserted here and in
     ``tests/test_sources.py``.
     """
+    import shutil
     import tempfile
 
     from pyspark.sql import Row
 
     work = tempfile.mkdtemp(prefix="gfaooa_compact_")
-    frag, dst = f"{work}/frag", f"{work}/compact"
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    events.repartition(64).write.mode("overwrite").parquet(frag)
+    try:
+        frag, dst = f"{work}/frag", f"{work}/compact"
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        events.repartition(64).write.mode("overwrite").parquet(frag)
 
-    def n_files(p: str) -> int:
-        return sum(
-            1
-            for root, _d, fs in os.walk(p)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        def n_files(p: str) -> int:
+            return sum(
+                1
+                for root, _d, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
 
-    n_before = n_files(frag)
-    planned = compact_dataset(spark, frag, dst, target_file_bytes=64 * 1024 * 1024)
-    n_after = n_files(dst)
-    rows_src = events.count()
-    rows_dst = spark.read.parquet(dst).count()
+        n_before = n_files(frag)
+        planned = compact_dataset(spark, frag, dst, target_file_bytes=64 * 1024 * 1024)
+        n_after = n_files(dst)
+        rows_src = events.count()
+        rows_dst = spark.read.parquet(dst).count()
+    finally:
+        # every reported value is already materialized — the copies can go
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         [
             Row(

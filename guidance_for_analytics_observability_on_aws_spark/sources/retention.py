@@ -54,8 +54,8 @@ def retention_report(spark, sf_dir: str):
     (paths/dates are environment-local); exact partition-drop semantics
     asserted in ``tests/test_sources.py``.
     """
+    import shutil
     import tempfile
-    from datetime import timedelta
 
     from pyspark.sql import Row
 
@@ -63,22 +63,28 @@ def retention_report(spark, sf_dir: str):
     from .logs_json import write_partitioned_telemetry
 
     work = tempfile.mkdtemp(prefix="gfaooa_retention_")
-    tm = task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    write_partitioned_telemetry(tm, work)
-    parts = list_date_partitions(work)
-    dates = sorted(d for d, _ in parts)
-    cutoff = dates[len(dates) // 2] if dates else None
-    dropped = apply_retention(work, cutoff) if cutoff else []
-    remaining = list_date_partitions(work)
-    survivors = spark.read.option("basePath", work).parquet(work)
+    try:
+        tm = task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        write_partitioned_telemetry(tm, work)
+        parts = list_date_partitions(work)
+        dates = sorted(d for d, _ in parts)
+        cutoff = dates[len(dates) // 2] if dates else None
+        dropped = apply_retention(work, cutoff) if cutoff else []
+        remaining = list_date_partitions(work)
+        survivors = spark.read.option("basePath", work).parquet(work)
+        n_rows_after = survivors.count()
+        min_kept = str(min((d for d, _ in remaining), default=""))
+    finally:
+        # every reported value is already materialized — the sink can go
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         [
             Row(
                 n_partitions_before=len(parts),
                 n_dropped=len(dropped),
                 n_partitions_after=len(remaining),
-                min_kept_date=str(min((d for d, _ in remaining), default="")),
-                n_rows_after=survivors.count(),
+                min_kept_date=min_kept,
+                n_rows_after=n_rows_after,
             )
         ]
     )

@@ -23,12 +23,30 @@ parquet.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.telemetry import task_metrics
+
+
+def _collected_and_cleaned(
+    spark: SparkSession, df: DataFrame, work: str | None
+) -> DataFrame:
+    """Materialize a SMALL result, then delete the runner's scratch dir.
+
+    The availableNow runners write sinks/checkpoints under a mkdtemp dir;
+    returning a lazy DataFrame over those files would leak the dir (it
+    must outlive the return). Every runner's result is an aggregate
+    (route counts, stage rows, top-k), so collecting it first lets the
+    scratch dir go immediately.
+    """
+    rows = df.collect()
+    if work:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, df.schema)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +84,8 @@ def run_collector_pipeline(
     metrics-pipeline routing in ``deployment/infra/resources/pipelines/
     metrics-pipeline.yaml``.
     """
-    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_stream_")
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_stream_")
+    out = out_dir or work
     tm = task_metrics(events_stream(spark, sf_dir))
     q = (
         tm.writeStream.format("parquet")
@@ -78,11 +97,12 @@ def run_collector_pipeline(
     )
     q.awaitTermination()
     routed = spark.read.parquet(f"{out}/routed")
-    return (
+    summary = (
         routed.groupBy("metrics_type")
         .agg(F.count(F.lit(1)).alias("n_records"))
         .orderBy("metrics_type")
     )
+    return _collected_and_cleaned(spark, summary, work)
 
 
 def run_streaming_stage_agg(
@@ -104,7 +124,8 @@ def run_streaming_stage_agg(
     """
     from ..operators.observability import stage_agg_skewness
 
-    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_stageagg_")
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_stageagg_")
+    out = out_dir or work
     tm = task_metrics(events_stream(spark, sf_dir))
 
     def _close_stages(batch_df: DataFrame, batch_id: int) -> None:
@@ -121,7 +142,9 @@ def run_streaming_stage_agg(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(f"{out}/stage_agg")
+    return _collected_and_cleaned(
+        spark, spark.read.parquet(f"{out}/stage_agg"), work
+    )
 
 
 def run_windowed_rollup(
@@ -248,7 +271,8 @@ def run_streaming_alerts(
     """
     from ..operators.observability import alert_rollup, alert_violations
 
-    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_alerts_")
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_alerts_")
+    out = out_dir or work
 
     def _check_batch(batch_df: DataFrame, batch_id: int) -> None:
         # persist raw violation rows: counts/distincts then roll up exactly
@@ -263,7 +287,9 @@ def run_streaming_alerts(
         .start()
     )
     q.awaitTermination()
-    return alert_rollup(spark.read.parquet(f"{out}/alerts"))
+    return _collected_and_cleaned(
+        spark, alert_rollup(spark.read.parquet(f"{out}/alerts")), work
+    )
 
 
 def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +369,8 @@ def run_streaming_heavy_hitters(
     """
     from ..operators.observability import cms_key_buckets, cms_topk
 
-    out = out_dir or tempfile.mkdtemp(prefix="gfaooa_cms_")
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_cms_")
+    out = out_dir or work
 
     def _sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
         cms_key_buckets(batch_df).write.mode("append").parquet(f"{out}/partials")
@@ -356,4 +383,6 @@ def run_streaming_heavy_hitters(
         .start()
     )
     q.awaitTermination()
-    return cms_topk(spark.read.parquet(f"{out}/partials"))
+    return _collected_and_cleaned(
+        spark, cms_topk(spark.read.parquet(f"{out}/partials")), work
+    )
