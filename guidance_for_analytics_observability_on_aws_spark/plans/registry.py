@@ -512,6 +512,35 @@ def _retention_report(s, d):
 
 _register("source_retention_report", _retention_report, None)
 
+# O21's salted aggregation with a HARD driver check: summing integer cents
+# is order-independent, so the salted two-stage result must be bit-equal to
+# the oracle's direct unsalted GROUP BY — the strongest possible evidence
+# the salting is lossless.
+def _salted_sum_cents(s, d):
+    from pyspark.sql import functions as F
+
+    from ..operators.skew import salted_sum
+
+    events = load_tables(s, d)["events"].withColumn(
+        "value_cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    return salted_sum(
+        events, ["event_type"], ["value_cents"], salt_from="event_id", n_salts=16
+    )
+
+
+_register(
+    "skew_salted_sum",
+    _salted_sum_cents,
+    """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1
+""",
+)
+
 
 # O44: O8's result-identical two-phase scale path shares O8's exact oracle
 # (equality also implied by both parity tests passing).
