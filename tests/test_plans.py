@@ -306,3 +306,11 @@ def test_driver_window_composition():
         "obs_input_bytes_percentiles",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """P2's rank<=N filter must push into the window sort as
+    WindowGroupLimit (partial top-N per partition before the shuffle) —
+    the property that keeps the sample cheap at any stratum size."""
+    plan = _executed_plan(REGISTRY["sample_stratified"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
