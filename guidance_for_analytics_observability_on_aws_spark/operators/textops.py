@@ -408,3 +408,42 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         F.sum("n_distinct").alias("total_distinct"),
         F.max(top_bigram_share).alias("max_top_bigram_share"),
     )
+
+
+def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """X12: per-source top-K distinctive terms — the TF-IDF kernel in
+    engine-exact arithmetic.
+
+    score = tf_source(token) × n_sources / df(token), the log-free TF-IDF
+    proxy (monotone in 1/df for fixed tf, so rankings match the log
+    variant) — numerator stays BIGINT-exact and the single final division
+    is IEEE-identical across engines, unlike ln() whose libm rounding can
+    differ. Two map-side-combined aggregation pyramids (term frequency,
+    document frequency over sources) + a per-source top-K window with
+    deterministic tie-break.
+    """
+    tok = documents.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_sources"))
+    n_sources = documents.select(
+        F.countDistinct("source").alias("n_sources")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "token",
+            "tf",
+            "df_sources",
+            (F.col("tf") * F.col("n_sources") / F.col("df_sources")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "token", "tf", "df_sources", "score")
+    )

@@ -341,6 +341,7 @@ _TEXT_BUILDERS = {
     "text_repetition_stats": lambda s, d: textops.repetition_stats(
         load_tables(s, d)["documents"]
     ),
+    "text_top_terms": lambda s, d: textops.top_terms(load_tables(s, d)["documents"]),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]

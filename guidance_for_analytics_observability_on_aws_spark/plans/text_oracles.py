@@ -366,3 +366,25 @@ SELECT modality, shard,
        MAX(doc_id) AS last_doc
 FROM sharded GROUP BY 1, 2
 """
+
+TEXT_ORACLES["text_top_terms"] = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT source, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df_sources FROM tf GROUP BY 1),
+ns AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+scored AS (
+  SELECT t.source, t.token, t.tf, d.df_sources,
+         t.tf * ns.n_sources / d.df_sources AS score
+  FROM tf t JOIN df d USING (token), ns
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY score DESC, token) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT source, rank, token, tf, df_sources, score
+FROM ranked WHERE rank <= 5
+"""
