@@ -415,6 +415,11 @@ def log_enrich(tm: DataFrame) -> DataFrame:
         "app_id",
         "executor_id",
         "task_id",
+        # Standalone thread id (CollectorAppender.scala:36-45 carries it as
+        # its own log-event field, not just inside the message): driver
+        # events have no real thread, so it is synthesized deterministically
+        # from the task id — the same value the message prefix embeds.
+        thread.alias("thread"),
         F.col("metric_time_ms").alias("log_time_ms"),
         level.alias("level"),
         task_name.alias("mdc_task_name"),

@@ -339,7 +339,11 @@ def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFr
     the per-source targets. Integer-exact arithmetic throughout (targets
     via integer division, cumulative sums of BIGINTs).
     """
-    wt = (F.substring("source", 4, 10).cast("long") % 3 + 1).alias("wt")
+    # Unbounded substring (3-arg F.substring would cap the suffix at its
+    # length argument) so Spark and the oracle share ONE parsing rule for
+    # the ``srcN`` naming contract; a non-numeric suffix is NULL on both
+    # sides (Spark cast ≡ DuckDB TRY_CAST).
+    wt = (F.expr("substring(source, 4)").cast("long") % 3 + 1).alias("wt")
     srcs = documents.select("source").distinct().select("source", wt)
     total_w = srcs.agg(F.sum("wt").alias("total_w"))
     targets = srcs.crossJoin(F.broadcast(total_w)).select(

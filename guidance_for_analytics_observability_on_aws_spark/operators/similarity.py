@@ -411,7 +411,17 @@ def embedding_kmeans(
     asserted in tests instead).
     """
     q = _quantized(embeddings).select("vec_id", "qv")
-    first = q.filter(F.col("vec_id") < k).collect()
+    # Seed centroids by md5-permutation top-k — deterministic (tests and
+    # reruns see identical seeds) yet hash-SPREAD across the corpus, unlike
+    # the first k ids, which can all sit inside one cluster when ids are
+    # assigned in insertion order. Top-k over an order is a bounded
+    # TakeOrderedAndProject, not a global sort.
+    first = (
+        q.withColumn("_seed_key", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_seed_key", "vec_id")
+        .limit(k)
+        .collect()
+    )
     centroids = {r.vec_id: [float(x) for x in r.qv] for r in first}
     n_dims = len(first[0].qv)
 

@@ -196,6 +196,7 @@ OBS_ORACLES["obs_log_enrich"] = f"""
 WITH {TELEMETRY_CTE},
 enriched AS (
   SELECT app_name, app_id, executor_id, task_id,
+         task_id % 16 AS thread,
          metric_time_ms AS log_time_ms,
          CASE WHEN event_type = 'error' THEN 'ERROR'
               WHEN event_type = 'purchase' THEN 'WARN'
@@ -211,8 +212,8 @@ parsed AS (
          regexp_extract(mdc_task_name, 'stage (\\d+\\.\\d+)', 1) AS parsed_stage_id
   FROM enriched
 )
-SELECT app_name, app_id, executor_id, task_id, log_time_ms, level, mdc_task_name,
-       parsed_task_id, parsed_stage_id,
+SELECT app_name, app_id, executor_id, task_id, thread, log_time_ms, level,
+       mdc_task_name, parsed_task_id, parsed_stage_id,
        '[Stage ' || parsed_stage_id || ' - Task ' || parsed_task_id
          || ' - Thread ' || CAST(task_id % 16 AS VARCHAR) || '] level=' || level
          AS message

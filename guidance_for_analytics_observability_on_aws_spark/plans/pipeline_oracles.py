@@ -192,7 +192,7 @@ WHERE n_overlap > 0
 
 PIPELINE_ORACLES["mixture_sample"] = f"""
 WITH srcs AS (
-  SELECT DISTINCT source, CAST(SUBSTR(source, 4) AS BIGINT) % 3 + 1 AS wt
+  SELECT DISTINCT source, TRY_CAST(SUBSTR(source, 4) AS BIGINT) % 3 + 1 AS wt
   FROM documents
 ),
 tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM srcs),

@@ -127,10 +127,14 @@ def _events_ts_is_timestamp() -> bool:
 
     The Spark side adapts per-DataFrame (:func:`normalize_events`), but
     oracle SQL is static text run by the driver against raw parquet views —
-    it must be generated for the right encoding. Footer read is ~1 ms; on
-    any failure assume the current (timestamp) encoding.
+    it must be generated for the right encoding. Footer reads are ~1 ms
+    each, so EVERY candidate dir is probed: a silent first-hit answer could
+    mask a dataset whose encodings disagree across scale factors. Any probe
+    failure or cross-dir disagreement emits a loud warning (never a silent
+    default) before falling back to the current (timestamp) encoding.
     """
     import os
+    import warnings
 
     candidates = [
         os.environ.get("SPARK_GRAFT_SF_DIR"),
@@ -141,17 +145,46 @@ def _events_ts_is_timestamp() -> bool:
     ]
     try:
         import pyarrow.parquet as pq
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in
+        warnings.warn(
+            f"events.ts encoding probe unavailable (pyarrow import failed: "
+            f"{exc!r}); assuming timestamp encoding for oracle SQL",
+            stacklevel=2,
+        )
+        return True
 
-        for d in candidates:
-            if not d:
-                continue
-            path = f"{d}/events.parquet"
-            if os.path.exists(path):
-                t = str(pq.read_schema(path).field("ts").type)
-                return t.startswith("timestamp")
-    except Exception:
-        pass
-    return True
+    found: dict[str, bool] = {}
+    for d in candidates:
+        if not d:
+            continue
+        path = f"{d}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        try:
+            t = str(pq.read_schema(path).field("ts").type)
+        except Exception as exc:
+            warnings.warn(
+                f"failed to probe events.ts encoding at {path}: {exc!r}",
+                stacklevel=2,
+            )
+            continue
+        found[path] = t.startswith("timestamp")
+    if not found:
+        warnings.warn(
+            "no readable events.parquet found under any candidate dir; "
+            "assuming timestamp encoding for oracle SQL",
+            stacklevel=2,
+        )
+        return True
+    answers = set(found.values())
+    if len(answers) > 1:
+        warnings.warn(
+            f"events.ts encoding DISAGREES across testdata dirs: {found}; "
+            "using the first candidate's encoding — oracle SQL may mismatch "
+            "for the other dirs",
+            stacklevel=2,
+        )
+    return next(iter(found.values()))
 
 
 if _events_ts_is_timestamp():

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -308,7 +309,10 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
     """
     from ..functions.text import corpus, tokens
 
-    name = "gfaooa_incdedup_sink"
+    # Unique per invocation: a fixed queryName would fail on a second
+    # concurrent run (duplicate active query) and silently overwrite the
+    # memory table on sequential reruns.
+    name = f"gfaooa_incdedup_sink_{uuid.uuid4().hex}"
     docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
         spark.readStream.schema(docs_schema)
@@ -346,12 +350,16 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    return (
+    result = _collected_and_cleaned(
+        spark,
         spark.table(name)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("source")
+        .orderBy("source"),
+        None,
     )
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def run_streaming_heavy_hitters(
