@@ -439,7 +439,7 @@ def _prefix_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str,
-    n_slices: int = 32,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """TWO-PHASE distributed prefix sum of ``value_col`` over the total
     order (``part_col``, ``*order_cols``) — the 100 TB replacement for a
@@ -454,7 +454,20 @@ def _prefix_sum(
     same materialized slices so slice ids are consistent by construction)
     is cumulated per ``part_col`` and the previous-slice offset broadcast
     back. The offset table is ``n_slices × |part_col|`` rows.
+
+    ``n_slices`` defaults to the session's ``spark.sql.shuffle.partitions``
+    — the knob a cluster already sizes to its data volume — so slice width
+    scales with the deployment instead of a fixed constant re-creating the
+    one-big-task problem at 100 TB. The RESULT is slice-count invariant
+    (property-tested across counts); only task granularity changes.
     """
+    if n_slices is None:
+        try:
+            n_slices = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
+            n_slices = 200
     sliced = df.repartitionByRange(n_slices, part_col, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

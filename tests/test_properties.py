@@ -132,6 +132,33 @@ def test_two_phase_prefix_sum_equals_single_window(spark, rows):
     assert got == want
 
 
+def test_prefix_sum_invariant_across_slice_counts(spark):
+    """The result must be IDENTICAL for any slice count — including the
+    session-default (n_slices=None → spark.sql.shuffle.partitions) added
+    for 100 TB sizing — since slice count only changes task granularity.
+    This invariance is the safety property that makes the dynamic default
+    a pure re-tuning, not a semantics change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [
+        (i, f"p{i % 4}", ((i * 37) % 201) - 100)  # negatives included
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(data, "rid long, part string, val long")
+    w = Window.partitionBy("part").orderBy("rid")
+    want = {
+        (r.part, r.rid): r.cum
+        for r in df.withColumn("cum", F.sum("val").over(w)).collect()
+    }
+    for n in (1, 3, 8, 64, None):
+        got = {
+            (r.part, r.rid): r.cum
+            for r in _prefix_sum(df, "part", ["rid"], "val", "cum", n_slices=n).collect()
+        }
+        assert got == want, f"n_slices={n} diverged"
+
+
 from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
     executor_concurrency,
 )
