@@ -101,7 +101,13 @@ def _shingle_pair_intersections(documents: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold)."""
+    """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold).
+
+    Correctness baseline (all-pairs within shared shingles — quadratic in
+    shingle document frequency). The wired production path at scale is
+    :func:`dedup_containment_banded` (D15), which runs this exact scoring
+    arithmetic over D3's LSH candidate pairs only.
+    """
     out = _shingle_pair_intersections(documents).select(
         "doc_a",
         "doc_b",
@@ -217,8 +223,10 @@ def dedup_containment(documents: DataFrame, threshold: float = 0.9) -> DataFrame
     inside document B" (subsumption/partial-dup detection, Broder's
     resemblance-vs-containment distinction). Same shingle-join shape as
     D2 and the same caveat: exact all-pairs within shared shingles is the
-    correctness baseline; at scale D3's banding prunes the candidate set
-    first. The planted +3,000,000 truncations are the true positives.
+    correctness baseline; the wired scale path is
+    :func:`dedup_containment_banded` (D15), which applies this same
+    containment arithmetic to D3's banded candidates only. The planted
+    +3,000,000 truncations are the true positives.
     """
     out = _shingle_pair_intersections(documents).select(
         "doc_a",
@@ -231,4 +239,108 @@ def dedup_containment(documents: DataFrame, threshold: float = 0.9) -> DataFrame
     )
     return out.filter(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    )
+
+
+def dedup_containment_banded(
+    documents: DataFrame,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.9,
+) -> DataFrame:
+    """D15: the PRODUCTION scale path for D2 (Jaccard) and D14
+    (containment) — exact shingle scoring restricted to D3's MinHash-LSH
+    candidate pairs instead of every co-shingle pair.
+
+    Why this shape survives 100×: the all-pairs scaffold
+    (:func:`_shingle_pair_intersections`) is quadratic in shared-shingle
+    fan-out, while here the expensive shingle self-join runs ONLY over
+    documents that appear in some LSH bucket pair — the corpus is first
+    cut to candidate docs (LSH output, orders of magnitude smaller than
+    the corpus), then scored exactly, then intersected with the candidate
+    PAIR set. Every surviving pair carries the same exact
+    jaccard/containment arithmetic as D2/D14, so precision vs the exact
+    baselines is 1.0 by construction; recall is the LSH banding bound
+    ``1-(1-s^r)^b`` (b=4 bands, r=4 rows), asserted against the exact
+    baselines on the planted truncations in ``tests/test_operators.py``.
+    Emits BOTH scores (Broder's resemblance and containment) so one pass
+    serves both dedup families.
+    """
+    # Materialize the two bounded intermediates exactly once
+    # (localCheckpoint, the split_leak_proof pattern): without it the
+    # MinHash/LSH subtree re-executes once per downstream reference (~5×,
+    # 41-Exchange plan measured). `cand` is the LSH edge list; `base` is
+    # one row (doc_id, toks) per CANDIDATE doc — both ≪ corpus at scale.
+    cand = (
+        dedup_minhash_lsh(documents)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    base = (
+        _shingle_base(documents)
+        .join(cand_docs, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # Same-projection explode as _shingle_rows (aliased-array explode would
+    # re-evaluate the shingle construction per element).
+    exploded = base.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
+    )
+    sizes = base.select(
+        "doc_id", F.size(shingles(F.col("toks"))).cast("long").alias("sz")
+    )
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection_size"))
+        # co-shingle pairs among candidate DOCS that are not candidate
+        # PAIRS drop here — scoring stays pruned to the LSH edge list.
+        .join(cand, ["doc_a", "doc_b"])
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sz", "size_a"
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sz", "size_b"
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection_size",
+            "size_a",
+            "size_b",
+            (
+                F.col("intersection_size")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
+            ).alias("jaccard"),
+            (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
+            (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
+        )
+    )
+    return scored.filter(
+        (F.col("jaccard") >= jaccard_threshold)
+        | (
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= containment_threshold
+        )
     )

