@@ -166,12 +166,15 @@ def dup_labels(
         .coalesce(8)
         .localCheckpoint(eager=True)
     )
-    # init: label(v) = min(v, min neighbor) — one propagation round for free
+    # init: label(v) = min(v, min neighbor) — one propagation round for
+    # free. NOT checkpointed: it is one tiny groupBy over the checkpointed
+    # edge list, so recomputing it inside the convergence probe (and in the
+    # caller's final aggregation when the probe converges immediately — the
+    # common near-clique case) is cheaper than an extra materialization job.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
         .select("src", F.least(F.col("src"), F.col("nbr_min")).alias("group_id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -179,21 +182,29 @@ def dup_labels(
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_group"))
         )
-        new_labels = (
+        # Convergence probe BEFORE materializing: dup clusters are
+        # near-cliques, so the free init round usually already converged —
+        # in that common case this is the loop's ONLY job (a count over the
+        # tiny joined edge list), with no checkpoint write and no second
+        # label table. Only an actual improvement pays for materialization.
+        changed = (
+            labels.join(nbr, "src")
+            .filter(F.col("nbr_group") < F.col("group_id"))
+            .count()
+        )
+        if changed == 0:
+            break
+        labels = (
             labels.join(nbr, "src", "left")
             .select(
                 "src",
-                F.least(F.col("group_id"), F.coalesce(F.col("nbr_group"), F.col("group_id"))).alias(
-                    "group_id"
-                ),
-                F.col("group_id").alias("old_group_id"),
+                F.least(
+                    F.col("group_id"),
+                    F.coalesce(F.col("nbr_group"), F.col("group_id")),
+                ).alias("group_id"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("group_id") != F.col("old_group_id")).count()
-        labels = new_labels.drop("old_group_id")
-        if changed == 0:
-            break
     return labels
 
 
