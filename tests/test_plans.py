@@ -291,21 +291,37 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
+    # r4 rotation: 39 sql + 11 rows-only (the never-checked runners get
+    # their first driver rows; see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql >= 47, f"only {n_sql} sql-backed entries in the driver window"
-    # the round-3 rotation targets: every D/P/X/M-group sql entry in view
+    assert n_sql == 39, f"{n_sql} sql-backed entries in the driver window"
+    # every entry whose LAST driver row is the r2 ts-failure must be back
+    # in view this round (post-fix evidence), spot-checked by group:
     for expected in (
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_embedding_cosine_blas",
-        "train_val_split",
-        "corpus_curation_pipeline",
-        "text_lang_id",
-        "mm_binary_meta",
-        "cube_priority_segment",
-        "obs_input_bytes_percentiles",
+        "obs_task_metrics",
+        "obs_stage_agg_skewness",
+        "obs_task_percentiles",
+        "obs_log_enrich",
+        "obs_heavy_hitters_cms",
+        "obs_alert_rules",
+        "asof_join_attribution",
+        "events_funnel",
+        # r3 post-slot-50 additions, first-ever exposure:
+        "merge_scd2_customers",
+        "skew_salted_sum",
+        "obs_executor_concurrency",
+        "split_leak_proof",
+        # new this round:
+        "dedup_containment_banded",
+        # never-checked rows-only runners:
+        "stream_collector_pipeline",
+        "obs_live_collector",
+        "source_retention_report",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
+    # and nothing already-green re-occupies a slot
+    for already_green in ("dedup_exact", "tpch_q1_pricing_summary", "text_lang_id"):
+        assert already_green not in first50
 
 
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
