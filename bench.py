@@ -82,6 +82,8 @@ BENCH_QUERIES_R4 = [
     "mm_shard_manifest",
     "pack_sequences_distributed",
     "merge_scd2_customers",
+    "embedding_dup_groups",
+    "text_tfidf_topk",
 ]
 
 

@@ -557,3 +557,36 @@ def topk_ivf_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def embedding_dup_groups(embeddings: DataFrame) -> DataFrame:
+    """D16: canonical near-dup GROUPS over the embedding-cosine pair graph
+    — P4's connected components applied to D5's edge list, so every
+    embedding near-dup cluster resolves to one keep_vec_id even when
+    membership is only transitive (A~B, B~C, cosine(A,C) < threshold).
+
+    This is the step that turns pairwise near-dup detection into an
+    actionable dedup verdict; curation drops every member whose vec_id is
+    not the group minimum. Scale shape inherited wholesale: the edge list
+    (≪ corpus) comes from D8's Arrow Gram-matrix scorer — bit-identical
+    pairs to the declarative D5 (asserted in tests), ~5× faster measured —
+    and the shared min-label propagation (pipeline.dup_labels) converges
+    in near-clique time over that edge list alone.
+    """
+    from .pipeline import dup_labels
+
+    pairs = embedding_near_dups_blas(embeddings).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = dup_labels(None, pairs=pairs)
+    return (
+        labels.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("src").alias("keep_vec_id"),
+            F.array_join(
+                F.sort_array(F.collect_list("src")).cast("array<string>"), ","
+            ).alias("vec_ids"),
+        )
+        .filter(F.col("n_vecs") >= 2)
+    )

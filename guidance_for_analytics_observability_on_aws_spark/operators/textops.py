@@ -447,3 +447,40 @@ def top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("source", "rank", "token", "tf", "df_sources", "score")
     )
+
+
+def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
+    """X13: per-DOCUMENT top-k keyword extraction by TF-IDF — the document
+    -level sibling of X12's per-source distinctive terms, and the standard
+    keyword/tag backbone of corpus exploration UIs.
+
+    Same engine-exact arithmetic as X12: score = tf_doc(term) × n_docs /
+    df(term) (log-free TF-IDF proxy; BIGINT-exact numerator, one IEEE
+    division). df counts DOCUMENTS containing the term, so it derives from
+    the same (doc_id, term) aggregate as tf — the plan reuses that
+    aggregation's exchange on both sides of the term join. The per-doc
+    top-k is a row_number window whose rank filter pushes into the sort as
+    WindowGroupLimit; partitions are doc-sized, so no straggler risk at
+    any corpus size.
+    """
+    tok = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            (F.col("tf") * F.col("n_docs") / F.col("df_docs")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df_docs", "score")
+    )

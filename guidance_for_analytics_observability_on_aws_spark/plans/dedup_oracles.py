@@ -376,3 +376,36 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE p.intersection_size / (sa.sz + sb.sz - p.intersection_size) >= 0.8
    OR GREATEST(p.intersection_size / sa.sz, p.intersection_size / sb.sz) >= 0.9
 """
+
+# D16: connected components over the D5 cosine pair graph — same recursive
+# transitive-closure pattern as the pipeline group's dup_groups oracle.
+DEDUP_ORACLES["embedding_dup_groups"] = (
+    _QUANT_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+cos_pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM norms a
+  JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({dot_sql("a.qv", "b.qv")} /
+              sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) >= 0.98
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cos_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM cos_pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
+)
+SELECT group_id,
+       COUNT(*) AS n_vecs,
+       MIN(src) AS keep_vec_id,
+       array_to_string(list_sort(list(src)), ',') AS vec_ids
+FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+)

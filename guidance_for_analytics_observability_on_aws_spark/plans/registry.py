@@ -239,6 +239,12 @@ _register(
 )
 
 _register(
+    "embedding_dup_groups",
+    lambda s, d: similarity.embedding_dup_groups(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["embedding_dup_groups"],
+)
+
+_register(
     "similarity_ivf_multiprobe",
     lambda s, d: similarity.topk_ivf_multiprobe(load_tables(s, d)["embeddings"]),
     DEDUP_ORACLES["similarity_ivf_multiprobe"],
@@ -348,6 +354,7 @@ _TEXT_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "text_top_terms": lambda s, d: textops.top_terms(load_tables(s, d)["documents"]),
+    "text_tfidf_topk": lambda s, d: textops.tfidf_topk(load_tables(s, d)["documents"]),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
         load_tables(s, d)["documents"]
@@ -519,6 +526,18 @@ def _retention_report(s, d):
 
 _register("source_retention_report", _retention_report, None)
 
+
+# Rows-only: stream-STREAM watermarked interval join (O48) — error stream ⋈
+# metric stream on executor + event-time range; rollup parity with the batch
+# twin asserted in tests/test_streaming.py.
+def _stream_metric_log_join(s, d):
+    from ..streaming.collector import run_streaming_metric_log_join
+
+    return run_streaming_metric_log_join(s, d)
+
+
+_register("stream_metric_log_join", _stream_metric_log_join, None)
+
 # O21's salted aggregation with a HARD driver check: summing integer cents
 # is order-independent, so the salted two-stage result must be bit-equal to
 # the oracle's direct unsalted GROUP BY — the strongest possible evidence
@@ -652,9 +671,13 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-52: head of the r5 window (see ledger above).
+    # slots 51-54: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the round-4 additions beyond slot 50.
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
+    "embedding_dup_groups",
+    "text_tfidf_topk",
+    "stream_metric_log_join",
 ]
 
 

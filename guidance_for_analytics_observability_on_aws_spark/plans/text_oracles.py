@@ -388,3 +388,25 @@ ranked AS (
 SELECT source, rank, token, tf, df_sources, score
 FROM ranked WHERE rank <= 5
 """
+
+TEXT_ORACLES["text_tfidf_topk"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df_docs,
+         t.tf * nd.n_docs / d.df_docs AS score
+  FROM tf t JOIN df d USING (term), nd
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df_docs, score
+FROM ranked WHERE rank <= 3
+"""

@@ -394,3 +394,71 @@ def run_streaming_heavy_hitters(
     return _collected_and_cleaned(
         spark, cms_topk(spark.read.parquet(f"{out}/partials")), work
     )
+
+
+def run_streaming_metric_log_join(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O48: stream-STREAM correlation join — the live twin of O41's
+    error↔metric drill-down, and the one streaming shape the engine did
+    not yet exercise.
+
+    Both sides are independent streams (error logs, task metrics) joined
+    on executor identity with the range predicate expressed on WATERMARKED
+    EVENT-TIME columns (``m_time BETWEEN err_time - 60s AND err_time``) —
+    the canonical Structured Streaming interval join. Because the range
+    rides on event time, the state store can EVICT rows once the watermark
+    passes their join horizon, so this runs forever at bounded state —
+    the property that makes a live "what was this executor doing when it
+    errored" view viable at 100 TB/day ingest (a non-event-time range
+    would accumulate state without bound). Batch parity: the same join +
+    rollup computed over the static table must match row-for-row,
+    asserted in ``tests/test_streaming.py``.
+    """
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_ssjoin_")
+    out = out_dir or work
+    errors = (
+        task_metrics(events_stream(spark, sf_dir))
+        .filter(F.col("metrics_type") == "logs")
+        .select(
+            F.col("executor_id").alias("e_executor_id"),
+            F.col("task_id").alias("err_task_id"),
+            F.col("metric_time").alias("err_time"),
+        )
+        .withWatermark("err_time", "10 minutes")
+    )
+    metrics = (
+        task_metrics(events_stream(spark, sf_dir))
+        .filter(F.col("metrics_type") == "taskMetrics")
+        .select(
+            F.col("executor_id").alias("m_executor_id"),
+            F.col("metric_time").alias("m_time"),
+            "input_bytes_read",
+        )
+        .withWatermark("m_time", "10 minutes")
+    )
+    cond = (
+        (F.col("e_executor_id") == F.col("m_executor_id"))
+        & (F.col("m_time") >= F.col("err_time") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("m_time") <= F.col("err_time"))
+    )
+    q = (
+        errors.join(metrics, cond)
+        .writeStream.format("parquet")
+        .option("path", f"{out}/pairs")
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(f"{out}/pairs")
+        .groupBy(F.col("e_executor_id").alias("executor_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("err_task_id").alias("n_errors_with_context"),
+            F.sum("input_bytes_read").alias("bytes_60s"),
+        )
+        .orderBy("executor_id")
+    )
+    return _collected_and_cleaned(spark, result, work)

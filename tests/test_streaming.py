@@ -248,3 +248,45 @@ def test_streaming_cms_merge_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got and got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """O48's watermarked stream-stream interval join must produce exactly
+    the rollup the equivalent static inner join computes (no late data in
+    the availableNow replay, so the watermark drops nothing)."""
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_metric_log_join,
+    )
+
+    got = {
+        r.executor_id: (r.n_pairs, r.n_errors_with_context, r.bytes_60s)
+        for r in run_streaming_metric_log_join(spark, sf_dir).collect()
+    }
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    errors = tm.filter(F.col("metrics_type") == "logs").select(
+        F.col("executor_id").alias("e_executor_id"),
+        F.col("task_id").alias("err_task_id"),
+        F.col("metric_time").alias("err_time"),
+    )
+    metrics = tm.filter(F.col("metrics_type") == "taskMetrics").select(
+        F.col("executor_id").alias("m_executor_id"),
+        F.col("metric_time").alias("m_time"),
+        "input_bytes_read",
+    )
+    cond = (
+        (F.col("e_executor_id") == F.col("m_executor_id"))
+        & (F.col("m_time") >= F.col("err_time") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("m_time") <= F.col("err_time"))
+    )
+    want = {
+        r.executor_id: (r.n_pairs, r.n_errors_with_context, r.bytes_60s)
+        for r in errors.join(metrics, cond)
+        .groupBy(F.col("e_executor_id").alias("executor_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("err_task_id").alias("n_errors_with_context"),
+            F.sum("input_bytes_read").alias("bytes_60s"),
+        )
+        .collect()
+    }
+    assert got and got == want
