@@ -67,19 +67,39 @@ def _shingle_rows(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_sizes(documents: DataFrame) -> DataFrame:
-    return _shingle_base(documents).select(
+def _jaccard_col() -> F.Column:
+    return (
+        F.col("intersection_size")
+        / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
+    ).alias("jaccard")
+
+
+def _containment_cols() -> list:
+    return [
+        (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
+        (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
+    ]
+
+
+def _shingle_pair_intersections(
+    documents: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, intersection_size, size_a, size_b) for every document
+    pair sharing ≥1 shingle — the scaffolding D2 (Jaccard), D14
+    (containment) and D15 (banded) all normalize; ONE definition so the
+    join/size semantics can never diverge between them. ``base`` lets D15
+    substitute a candidate-restricted (doc_id, toks) base while keeping
+    the identical join/size arithmetic."""
+    if base is None:
+        base = _shingle_base(documents)
+    sizes = base.select(
         "doc_id", F.size(shingles(F.col("toks"))).cast("long").alias("sz")
     )
-
-
-def _shingle_pair_intersections(documents: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, intersection_size, size_a, size_b) for every document
-    pair sharing ≥1 shingle — the scaffolding D2 (Jaccard) and D14
-    (containment) both normalize; ONE definition so the join/size
-    semantics can never diverge between them."""
-    sizes = _shingle_sizes(documents)
-    exploded = _shingle_rows(documents)
+    # Same-projection explode as _shingle_rows (aliased-array explode would
+    # re-evaluate the shingle construction per element).
+    exploded = base.select(
+        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
+    )
     pairs = (
         exploded.alias("a")
         .join(
@@ -114,10 +134,7 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFra
         "intersection_size",
         "size_a",
         "size_b",
-        (
-            F.col("intersection_size")
-            / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
-        ).alias("jaccard"),
+        _jaccard_col(),
     )
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -234,8 +251,7 @@ def dedup_containment(documents: DataFrame, threshold: float = 0.9) -> DataFrame
         "intersection_size",
         "size_a",
         "size_b",
-        (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
-        (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
+        *_containment_cols(),
     )
     return out.filter(
         F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
@@ -285,56 +301,21 @@ def dedup_containment_banded(
         .join(cand_docs, "doc_id")
         .localCheckpoint(eager=True)
     )
-    # Same-projection explode as _shingle_rows (aliased-array explode would
-    # re-evaluate the shingle construction per element).
-    exploded = base.select(
-        "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
-    )
-    sizes = base.select(
-        "doc_id", F.size(shingles(F.col("toks"))).cast("long").alias("sz")
-    )
-    pairs = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("intersection_size"))
-        # co-shingle pairs among candidate DOCS that are not candidate
-        # PAIRS drop here — scoring stays pruned to the LSH edge list.
-        .join(cand, ["doc_a", "doc_b"])
-    )
+    # The EXACT D2/D14 join/size arithmetic over the candidate-restricted
+    # base (one shared definition — see _shingle_pair_intersections), then
+    # pruned to candidate PAIRS: co-shingle pairs among candidate docs
+    # that are not LSH candidates drop here.
     scored = (
-        pairs.join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sz", "size_a"
-                )
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sz", "size_b"
-                )
-            ),
-            "doc_b",
-        )
+        _shingle_pair_intersections(documents, base=base)
+        .join(cand, ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
             "intersection_size",
             "size_a",
             "size_b",
-            (
-                F.col("intersection_size")
-                / (F.col("size_a") + F.col("size_b") - F.col("intersection_size"))
-            ).alias("jaccard"),
-            (F.col("intersection_size") / F.col("size_a")).alias("containment_a"),
-            (F.col("intersection_size") / F.col("size_b")).alias("containment_b"),
+            _jaccard_col(),
+            *_containment_cols(),
         )
     )
     return scored.filter(

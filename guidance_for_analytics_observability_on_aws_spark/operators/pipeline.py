@@ -118,7 +118,7 @@ def pack_sequences(documents: DataFrame) -> DataFrame:
     )
 
 
-def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
+def dup_groups(documents: DataFrame, max_iter: int = 50) -> DataFrame:
     """P4: transitive duplicate groups — connected components over the
     MinHash-LSH candidate graph (D3's output).
 
@@ -145,7 +145,7 @@ def dup_groups(documents: DataFrame, max_iter: int = 15) -> DataFrame:
 
 
 def dup_labels(
-    documents: DataFrame, max_iter: int = 15, pairs: DataFrame | None = None
+    documents: DataFrame, max_iter: int = 50, pairs: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id=src, group_id) membership labels for every doc that appears
     in the MinHash-LSH candidate graph — the converged min-label state P4
@@ -176,7 +176,7 @@ def dup_labels(
         .agg(F.min("dst").alias("nbr_min"))
         .select("src", F.least(F.col("src"), F.col("nbr_min")).alias("group_id"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter + 1):
         nbr = (
             edges.join(labels.withColumnRenamed("src", "dst"), "dst")
             .groupBy("src")
@@ -186,7 +186,10 @@ def dup_labels(
         # near-cliques, so the free init round usually already converged —
         # in that common case this is the loop's ONLY job (a count over the
         # tiny joined edge list), with no checkpoint write and no second
-        # label table. Only an actual improvement pays for materialization.
+        # label table. Deliberate tradeoff: a round that DOES improve
+        # re-evaluates the (tiny, checkpointed-input) nbr join once more
+        # when materializing — cheaper than taxing the common converged
+        # round with an nbr checkpoint job.
         changed = (
             labels.join(nbr, "src")
             .filter(F.col("nbr_group") < F.col("group_id"))
@@ -194,6 +197,18 @@ def dup_labels(
         )
         if changed == 0:
             break
+        if it == max_iter:
+            # Non-convergence must FAIL, not silently emit split groups:
+            # the oracles compute the full transitive closure, so a
+            # diameter > max_iter component would hash-mismatch anyway —
+            # loudly is better. Unreachable for dup graphs in practice
+            # (diameter ≈ cluster width), reachable only adversarially.
+            raise RuntimeError(
+                f"dup_labels: min-label propagation still improving after "
+                f"{max_iter} iterations ({changed} labels changed) — "
+                "component diameter exceeds max_iter; raise max_iter or "
+                "switch to large-star/small-star for this graph"
+            )
         labels = (
             labels.join(nbr, "src", "left")
             .select(
@@ -353,8 +368,9 @@ def mixture_sample(documents: DataFrame, budget: int = MIXTURE_BUDGET) -> DataFr
     # Unbounded substring (3-arg F.substring would cap the suffix at its
     # length argument) so Spark and the oracle share ONE parsing rule for
     # the ``srcN`` naming contract; a non-numeric suffix is NULL on both
-    # sides (Spark cast ≡ DuckDB TRY_CAST).
-    wt = (F.expr("substring(source, 4)").cast("long") % 3 + 1).alias("wt")
+    # sides — try_cast explicitly, because under Spark 4's default ANSI
+    # mode a plain cast THROWS on bad input while DuckDB TRY_CAST nulls.
+    wt = (F.expr("try_cast(substring(source, 4) as bigint)") % 3 + 1).alias("wt")
     srcs = documents.select("source").distinct().select("source", wt)
     total_w = srcs.agg(F.sum("wt").alias("total_w"))
     targets = srcs.crossJoin(F.broadcast(total_w)).select(

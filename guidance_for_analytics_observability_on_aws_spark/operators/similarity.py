@@ -583,10 +583,18 @@ def embedding_dup_groups(embeddings: DataFrame) -> DataFrame:
         labels.groupBy("group_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.min("src").alias("keep_vec_id"),
             F.array_join(
                 F.sort_array(F.collect_list("src")).cast("array<string>"), ","
             ).alias("vec_ids"),
         )
         .filter(F.col("n_vecs") >= 2)
+        # min-label CC labels every component with its minimum member, so
+        # the canonical survivor IS the group id — stated once, not
+        # re-aggregated as a second always-equal column.
+        .select(
+            "group_id",
+            F.col("group_id").alias("keep_vec_id"),
+            "n_vecs",
+            "vec_ids",
+        )
     )

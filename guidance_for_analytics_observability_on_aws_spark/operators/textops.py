@@ -456,12 +456,13 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
 
     Same engine-exact arithmetic as X12: score = tf_doc(term) × n_docs /
     df(term) (log-free TF-IDF proxy; BIGINT-exact numerator, one IEEE
-    division). df counts DOCUMENTS containing the term, so it derives from
-    the same (doc_id, term) aggregate as tf — the plan reuses that
-    aggregation's exchange on both sides of the term join. The per-doc
-    top-k is a row_number window whose rank filter pushes into the sort as
-    WindowGroupLimit; partitions are doc-sized, so no straggler risk at
-    any corpus size.
+    division). df counts DOCUMENTS containing the term (a second aggregate
+    over tf's output — the corpus is re-scanned for it, which at 100 TB a
+    caller amortizes by persisting the (doc_id, term, tf) aggregate when
+    computing both). The per-doc top-k is a row_number window whose rank
+    filter pushes into the sort as WindowGroupLimit (verified in the
+    physical plan); partitions are doc-sized, so no straggler risk at any
+    corpus size.
     """
     tok = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -403,8 +403,8 @@ labels AS (
   SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
 )
 SELECT group_id,
+       group_id AS keep_vec_id,
        COUNT(*) AS n_vecs,
-       MIN(src) AS keep_vec_id,
        array_to_string(list_sort(list(src)), ',') AS vec_ids
 FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
 """

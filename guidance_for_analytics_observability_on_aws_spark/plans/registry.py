@@ -671,8 +671,9 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-54: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the round-4 additions beyond slot 50.
+    # slots 51-55: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the three round-4 additions beyond
+    # slot 50 (D16, X13, O48).
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",

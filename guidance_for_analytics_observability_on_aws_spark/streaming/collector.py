@@ -442,9 +442,9 @@ def run_streaming_metric_log_join(
         & (F.col("m_time") >= F.col("err_time") - F.expr("INTERVAL 60 SECONDS"))
         & (F.col("m_time") <= F.col("err_time"))
     )
+    joined = errors.join(metrics, cond)
     q = (
-        errors.join(metrics, cond)
-        .writeStream.format("parquet")
+        joined.writeStream.format("parquet")
         .option("path", f"{out}/pairs")
         .option("checkpointLocation", f"{out}/_chk")
         .trigger(availableNow=True)
@@ -452,7 +452,10 @@ def run_streaming_metric_log_join(
     )
     q.awaitTermination()
     result = (
-        spark.read.parquet(f"{out}/pairs")
+        # Explicit schema: a zero-match run leaves the sink dir with only
+        # _spark_metadata, and schema inference would throw on it; the
+        # rollup must return its empty shape instead.
+        spark.read.schema(joined.schema).parquet(f"{out}/pairs")
         .groupBy(F.col("e_executor_id").alias("executor_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),

@@ -570,3 +570,20 @@ def test_split_leak_proof_zero_cross_split_pairs(spark, sf_dir):
     assert rows and all(r.n_cross_split_pairs == 0 for r in rows)
     assert {r.split for r in rows} <= {"train", "val", "test"}
     assert sum(r.n_docs for r in rows) > 0
+
+
+def test_mixture_sample_tolerates_non_numeric_source(spark):
+    """Under Spark 4's default ANSI mode a plain cast throws on 'srcX';
+    mixture_sample must NULL the weight instead (try_cast), matching the
+    oracle's TRY_CAST — pinned after a review caught the divergence."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "srcX", "a b c d", 7), (2, "src2", "a b c", 5), (3, "src2", "d e", 3)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    rows = {r.source: r for r in mixture_sample(df).collect()}
+    assert rows["srcX"].weight is None
+    assert rows["src2"].weight == 3  # (2 % 3) + 1
