@@ -89,9 +89,18 @@ def _shingle_pair_intersections(
     (containment) and D15 (banded) all normalize; ONE definition so the
     join/size semantics can never diverge between them. ``base`` lets D15
     substitute a candidate-restricted (doc_id, toks) base while keeping
-    the identical join/size arithmetic."""
+    the identical join/size arithmetic.
+
+    The (doc_id, toks) base is materialized ONCE (localCheckpoint): it is
+    referenced four times below (both self-join sides + both size lookups)
+    and Catalyst re-plans the whole corpus-union scan per reference
+    otherwise (16 parquet scans measured vs 1). Local timing is unchanged
+    (page cache absorbs the re-scans); the point is object-storage reads
+    at scale, where 4× corpus scans are 4× the cost. The self-join
+    fan-out, not the scans, dominates compute — which is D15's job to
+    prune."""
     if base is None:
-        base = _shingle_base(documents)
+        base = _shingle_base(documents).localCheckpoint(eager=True)
     sizes = base.select(
         "doc_id", F.size(shingles(F.col("toks"))).cast("long").alias("sz")
     )
