@@ -527,6 +527,18 @@ def _retention_report(s, d):
 _register("source_retention_report", _retention_report, None)
 
 
+# Rows-only: schema-evolution invariants (S8) — merged-footer read over two
+# file generations, NULL-fill + pruning semantics pinned in
+# tests/test_sources.py.
+def _evolution_report(s, d):
+    from ..sources.evolution import schema_evolution_report
+
+    return schema_evolution_report(s, d)
+
+
+_register("source_schema_evolution_report", _evolution_report, None)
+
+
 # Rows-only: stream-STREAM watermarked interval join (O48) — error stream ⋈
 # metric stream on executor + event-time range; rollup parity with the batch
 # twin asserted in tests/test_streaming.py.
@@ -671,14 +683,15 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-55: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the three round-4 additions beyond
-    # slot 50 (D16, X13, O48).
+    # slots 51-56: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the four round-4 additions beyond
+    # slot 50 (D16, X13, O48, S8).
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",
     "text_tfidf_topk",
     "stream_metric_log_join",
+    "source_schema_evolution_report",
 ]
 
 

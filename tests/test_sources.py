@@ -285,3 +285,49 @@ def test_normalize_events_adapts_both_encodings(spark, sf_dir):
         check_schema(
             "events", ts_events.withColumn("event_id", F.col("event_id").cast("int"))
         )
+
+
+def test_schema_evolution_invariants(spark, sf_dir):
+    """S8: merged-footer read across file generations must union the
+    schema, NULL-fill the added column for old rows exactly, and a filter
+    on the new column must select only new-generation rows."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.evolution import (
+        schema_evolution_report,
+    )
+
+    r = schema_evolution_report(spark, sf_dir).collect()[0]
+    assert r.rows_merged == 2 * r.rows_per_gen
+    assert r.rows_gen1_nullfilled == r.rows_per_gen   # old rows NULL-fill
+    assert r.rows_gen2 == r.rows_per_gen
+    assert r.rows_without_props == r.rows_per_gen     # dropped col NULLs too
+    assert r.rows_new_col_filter == r.rows_per_gen    # filter hits gen2 only
+    assert r.n_cols_merged == r.n_cols_gen1 + 2       # props + schema_rev
+
+
+def test_read_with_evolution_aligns_to_expected_schema(spark, sf_dir, tmp_path):
+    """The expected-schema alignment must add typed NULL columns for
+    fields no generation has, drop extras, and normalize order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.evolution import (
+        read_with_evolution,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    events.select("event_id", "user_id").write.parquet(str(tmp_path / "d"))
+    expected = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("future_col", StringType()),
+        ]
+    )
+    out = read_with_evolution(spark, str(tmp_path / "d"), expected=expected)
+    assert out.columns == ["event_id", "future_col"]  # extras dropped, ordered
+    assert out.filter(F.col("future_col").isNotNull()).count() == 0
+    assert out.count() == 100
