@@ -330,3 +330,14 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     the property that keeps the sample cheap at any stratum size."""
     plan = _executed_plan(REGISTRY["sample_stratified"].builder(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_banded_dedup_plan_reads_only_checkpoints(spark, sf_dir):
+    """D15's scoring join must consume ONLY the two localCheckpoint
+    materializations (candidate pairs + candidate-doc shingle base) — a
+    parquet scan in the final plan would mean the MinHash/LSH subtree is
+    being re-derived per reference (the 41-Exchange regression this
+    operator's checkpoints exist to prevent)."""
+    plan = _executed_plan(REGISTRY["dedup_containment_banded"].builder(spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed inputs
