@@ -84,6 +84,7 @@ BENCH_QUERIES_R4 = [
     "merge_scd2_customers",
     "embedding_dup_groups",
     "text_tfidf_topk",
+    "corpus_curation_pipeline_v2",
 ]
 
 

@@ -238,6 +238,32 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     exact-oracle arithmetic and scale shapes (hash dedup: one shuffle;
     CC: iterative over the tiny pair graph; quality: narrow map).
     """
+    return _curation_funnel(documents, dup_labels(documents))
+
+
+def curation_pipeline_v2(documents: DataFrame) -> DataFrame:
+    """P11: the curation funnel over the VERIFIED dup graph — near-dup
+    removal keyed by D15's banded-scored pairs instead of P5's raw LSH
+    candidates.
+
+    The semantic upgrade production pipelines actually want: LSH
+    candidates include band-collision false positives, so P5 can drop a
+    document that merely collided in one band. Here a document is only
+    dropped if an exact score over the candidate pair cleared the
+    Jaccard-0.8 or containment-0.9 bar (dedup_containment_banded), so
+    every removal is evidence-backed. Identical funnel scaffolding and
+    stage semantics otherwise — same exact-oracle arithmetic, with the
+    recursive-CTE closure running over the banded graph.
+    """
+    from .dedup import dedup_containment_banded
+
+    pairs = dedup_containment_banded(documents).select("doc_a", "doc_b")
+    return _curation_funnel(documents, dup_labels(None, pairs=pairs))
+
+
+def _curation_funnel(documents: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared P5/P11 funnel: exact dedup → drop non-canonical members of
+    ``labels``'s dup groups → quality filter; one summary row per stage."""
     from ..functions.text import corpus
     from .textops import STOPWORDS, quality_expr
 
@@ -259,7 +285,7 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
         F.col("doc_id") == F.col("keep_id")
     )
-    non_canonical = dup_labels(documents).filter(
+    non_canonical = labels.filter(
         F.col("group_id") != F.col("src")
     ).select(F.col("src").alias("doc_id"))
     s2 = s1.join(non_canonical, "doc_id", "left_anti")

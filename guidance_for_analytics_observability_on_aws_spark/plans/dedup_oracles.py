@@ -346,8 +346,10 @@ WHERE GREATEST(intersection_size / sa.sz, intersection_size / sb.sz) >= 0.9
 # SAME banding arithmetic (MINHASH_BUCKET_CTES) to form candidates, then the
 # same exact pair scoring as D2/D14, intersected. The all-pairs `pairs` CTE
 # is fine for the oracle (DuckDB at sf0.01); the Spark side is the one that
-# prunes before scoring.
-DEDUP_ORACLES["dedup_containment_banded"] = f"""
+# prunes before scoring. The chain ends in `banded_pairs` (the surviving
+# verified pairs) so the curation-funnel oracle (P11) can reuse it as its
+# dup graph.
+BANDED_PAIR_CTES = f"""
 {MINHASH_BUCKET_CTES},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -362,19 +364,30 @@ pairs AS (
   FROM exploded a
   JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT p.doc_a, p.doc_b,
-       CAST(p.intersection_size AS BIGINT) AS intersection_size,
-       sa.sz AS size_a, sb.sz AS size_b,
-       p.intersection_size / (sa.sz + sb.sz - p.intersection_size) AS jaccard,
-       p.intersection_size / sa.sz AS containment_a,
-       p.intersection_size / sb.sz AS containment_b
-FROM pairs p
-JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-WHERE p.intersection_size / (sa.sz + sb.sz - p.intersection_size) >= 0.8
-   OR GREATEST(p.intersection_size / sa.sz, p.intersection_size / sb.sz) >= 0.9
+),
+banded_scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(p.intersection_size AS BIGINT) AS intersection_size,
+         sa.sz AS size_a, sb.sz AS size_b,
+         p.intersection_size / (sa.sz + sb.sz - p.intersection_size) AS jaccard,
+         p.intersection_size / sa.sz AS containment_a,
+         p.intersection_size / sb.sz AS containment_b
+  FROM pairs p
+  JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+banded_pairs AS (
+  SELECT doc_a, doc_b FROM banded_scored
+  WHERE jaccard >= 0.8 OR GREATEST(containment_a, containment_b) >= 0.9
+)"""
+
+DEDUP_ORACLES["dedup_containment_banded"] = f"""
+{BANDED_PAIR_CTES}
+SELECT doc_a, doc_b, intersection_size, size_a, size_b,
+       jaccard, containment_a, containment_b
+FROM banded_scored
+WHERE jaccard >= 0.8 OR GREATEST(containment_a, containment_b) >= 0.9
 """
 
 # D16: connected components over the D5 cosine pair graph — same recursive

@@ -112,9 +112,11 @@ FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
 
 _STOP_LIST_SQL = "['the','a','of','and','to','in','is','on','for','it']"
 
-PIPELINE_ORACLES["corpus_curation_pipeline"] = (
-    CC_LABEL_CTES
-    + f""",
+# Shared P5/P11 funnel tail: expects a `labels` CTE (the dup-group
+# membership) and the corpus CTE to be in scope; the two funnels differ
+# ONLY in which pair graph feeds `labels` (LSH candidates vs D15's
+# verified banded pairs) — mirrored by operators/pipeline.py::_curation_funnel.
+_FUNNEL_TAIL = f""",
 per_doc AS (
   SELECT doc_id, md5(text) AS fp,
          {_WS_TOKENS} AS n_tokens,
@@ -152,7 +154,31 @@ SELECT '2_near_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s2
 UNION ALL
 SELECT '3_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3
 """
+
+PIPELINE_ORACLES["corpus_curation_pipeline"] = CC_LABEL_CTES + _FUNNEL_TAIL
+
+# P11: same funnel over the VERIFIED banded pair graph (D15's survivors).
+from .dedup_oracles import BANDED_PAIR_CTES  # noqa: E402
+
+_BANDED_CC_CTES = (
+    BANDED_PAIR_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM banded_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM banded_pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
+)"""
 )
+
+PIPELINE_ORACLES["corpus_curation_pipeline_v2"] = _BANDED_CC_CTES + _FUNNEL_TAIL
 
 from ..functions.text import CORPUS_CTE, SHINGLES_SQL  # noqa: E402
 from ..operators.pipeline import MIXTURE_BUDGET  # noqa: E402

@@ -311,6 +311,12 @@ for _name, _b in _PIPELINE_BUILDERS.items():
     _register(_name, _b, PIPELINE_ORACLES[_name])
 
 _register(
+    "corpus_curation_pipeline_v2",
+    lambda s, d: pipeline.curation_pipeline_v2(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["corpus_curation_pipeline_v2"],
+)
+
+_register(
     "split_leak_proof",
     lambda s, d: pipeline.split_leak_proof(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["split_leak_proof"],
@@ -683,15 +689,16 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-56: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the four round-4 additions beyond
-    # slot 50 (D16, X13, O48, S8).
+    # slots 51-57: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the five round-4 additions beyond
+    # slot 50 (D16, X13, O48, S8, P11).
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",
     "text_tfidf_topk",
     "stream_metric_log_join",
     "source_schema_evolution_report",
+    "corpus_curation_pipeline_v2",
 ]
 
 

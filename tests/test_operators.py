@@ -587,3 +587,23 @@ def test_mixture_sample_tolerates_non_numeric_source(spark):
     rows = {r.source: r for r in mixture_sample(df).collect()}
     assert rows["srcX"].weight is None
     assert rows["src2"].weight == 3  # (2 % 3) + 1
+
+
+def test_curation_v2_drops_subset_of_v1(spark, sf_dir):
+    """P11 keys near-dup removal on D15's VERIFIED pairs — a subgraph of
+    P5's raw LSH candidates — so it may only keep MORE docs at the
+    near-dedup stage, never fewer; earlier stages are identical and both
+    funnels are monotone."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        curation_pipeline,
+        curation_pipeline_v2,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    v1 = {r.stage: r.n_docs for r in curation_pipeline(docs).collect()}
+    v2 = {r.stage: r.n_docs for r in curation_pipeline_v2(docs).collect()}
+    assert v1["0_raw"] == v2["0_raw"]
+    assert v1["1_exact_dedup"] == v2["1_exact_dedup"]
+    assert v2["2_near_dedup"] >= v1["2_near_dedup"]
+    for v in (v1, v2):
+        assert v["0_raw"] >= v["1_exact_dedup"] >= v["2_near_dedup"] >= v["3_quality"]
