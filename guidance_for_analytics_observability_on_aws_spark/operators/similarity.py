@@ -404,12 +404,27 @@ def embedding_kmeans(
     one partial-aggregated groupBy recomputes sums/counts. No shuffle of
     the corpus itself, ever; per-round cost is one map + one tiny agg, and
     the driver loop stops early when assignments stop moving. This is the
-    IVF-training path for D7 at 100 TB.
+    IVF-training path for D7 at 100 TB — consumed by
+    :func:`topk_ivf_trained`.
 
     Returns per-cluster summary (sizes, integer inertia) — rows-only check
     (float inertia is summation-order dependent; convergence properties are
     asserted in tests instead).
     """
+    assigned = _kmeans_assignments(embeddings, k=k, max_iter=max_iter)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.floor(F.sum("d2")).cast("long").alias("inertia_floor"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
+
+
+def _kmeans_assignments(
+    embeddings: DataFrame, k: int = 8, max_iter: int = 5
+) -> DataFrame:
+    """Converged Lloyd assignment (vec_id, qv, cluster_id, d2) — the
+    training loop shared by D12's summary and D17's trained-IVF search."""
     q = _quantized(embeddings).select("vec_id", "qv")
     # Seed centroids by md5-permutation top-k — deterministic (tests and
     # reruns see identical seeds) yet hash-SPREAD across the corpus, unlike
@@ -474,11 +489,67 @@ def embedding_kmeans(
         assigned = scored
         if not moved:
             break
-    return assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.floor(F.sum("d2")).cast("long").alias("inertia_floor"),
-        F.min("vec_id").alias("min_vec_id"),
-        F.max("vec_id").alias("max_vec_id"),
+    return assigned
+
+
+def topk_ivf_trained(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    q_lo: int = 8,
+    q_hi: int = 24,
+    max_iter: int = 5,
+) -> DataFrame:
+    """D17: IVF search over TRAINED cells — D12's k-means centroids replace
+    D7's arbitrary first-``n_cells`` vectors as the coarse quantizer.
+
+    This closes the production IVF loop: train the quantizer on the data
+    distribution (balanced cells ≈ balanced candidate lists; an arbitrary
+    quantizer can leave one cell holding most of the corpus, which at
+    100 TB is a straggler AND a recall cliff for queries in dense
+    regions), then search a query's own cell exactly as D7 does. Search
+    cost shape is identical to D7 — centroid assignment is already
+    materialized by the training loop, the cell join is an equi-join, and
+    the per-query top-k is a WindowGroupLimit window. Rows-only check
+    (iterative training, like D12); recall vs brute-force asserted ≥ the
+    untrained D7 baseline in tests.
+    """
+    assigned = _kmeans_assignments(embeddings, k=n_cells, max_iter=max_iter)
+    cells = assigned.select("vec_id", "qv", F.col("cluster_id").alias("cell_id"))
+    cells = cells.withColumn("nrm", sq_norm(F.col("qv")))
+    queries = cells.filter(
+        (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell_id").alias("c_cell"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = F.broadcast(queries).join(
+        cand,
+        (F.col("cell_id") == F.col("c_cell"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "cell_id",
+        "neighbor_id",
+        cosine6(
+            dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell_id", "neighbor_id", "rank", "cosine")
     )
 
 

@@ -279,6 +279,15 @@ _register(
     None,
 )
 
+# Rows-only: D17 — IVF search over the k-means-TRAINED coarse quantizer
+# (iterative training, same no-oracle rationale as D12); cell balance and
+# recall-vs-untrained asserted in tests/test_operators.py.
+_register(
+    "similarity_ivf_trained",
+    lambda s, d: similarity.topk_ivf_trained(load_tables(s, d)["embeddings"]),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
@@ -689,9 +698,9 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-57: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the five round-4 additions beyond
-    # slot 50 (D16, X13, O48, S8, P11).
+    # slots 51-58: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the six round-4 additions beyond
+    # slot 50 (D16, X13, O48, S8, P11, D17).
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",
@@ -699,6 +708,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "source_schema_evolution_report",
     "corpus_curation_pipeline_v2",
+    "similarity_ivf_trained",
 ]
 
 

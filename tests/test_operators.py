@@ -607,3 +607,81 @@ def test_curation_v2_drops_subset_of_v1(spark, sf_dir):
     assert v2["2_near_dedup"] >= v1["2_near_dedup"]
     for v in (v1, v2):
         assert v["0_raw"] >= v["1_exact_dedup"] >= v["2_near_dedup"] >= v["3_quality"]
+
+
+def test_trained_ivf_cells_balanced_and_recall_comparable(spark, sf_dir):
+    """D17: the k-means-trained coarse quantizer must produce balanced
+    cells (the scale rationale — no straggler cell), cover every query
+    with a contiguous top-k, and hold recall comparable to the untrained
+    D7 baseline (trained beats it at sf0.01; small-sf noise allowed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.functions.vectors import (
+        cosine6,
+        dot,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _kmeans_assignments,
+        _quantized,
+        topk_ivf,
+        topk_ivf_trained,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sizes = [
+        r["count"]
+        for r in _kmeans_assignments(emb).groupBy("cluster_id").count().collect()
+    ]
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes)), f"unbalanced: {sizes}"
+
+    trained = topk_ivf_trained(emb).collect()
+    by_q = {}
+    for r in trained:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        assert len({x.cell_id for x in rs}) == 1  # own cell only
+
+    # recall vs exact top-3, compared against the untrained baseline
+    q = _quantized(emb)
+    queries = q.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    sc = (
+        F.broadcast(queries)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine6(
+                dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    tset = {}
+    for r in sc.withColumn("rank", F.row_number().over(w)).filter("rank<=3").collect():
+        tset.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(k, set()) & t) for k, t in tset.items()) / sum(
+            len(t) for t in tset.values()
+        )
+
+    r_trained = recall(trained)
+    r_untrained = recall(topk_ivf(emb).collect())
+    assert r_trained >= r_untrained - 0.15
+    assert r_trained > 0.1
