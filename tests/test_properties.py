@@ -187,3 +187,38 @@ def test_sweep_line_peak_matches_brute_force(spark, ivals):
     points = sorted({s for s, _ in spans})
     want = max(sum(1 for s, e in spans if s <= p < e) for p in points)
     assert got == want
+
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=12), min_size=2, max_size=16
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_banded_dedup_precision_on_random_corpora(spark, token_lists):
+    """D15's survivors must be a SUBSET of the exact D2∪D14 survivors on
+    ANY corpus — the 'precision 1.0 by construction' claim attacked with
+    random small-vocabulary documents (heavy shared-shingle fan-out, the
+    adversarial regime for banding), not just the fixture data."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_containment,
+        dedup_containment_banded,
+        dedup_ngram_jaccard,
+    )
+
+    rows = [
+        (i, " ".join(toks), "en", "src1", len(" ".join(toks)))
+        for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(docs).collect()
+    } | {(r.doc_a, r.doc_b) for r in dedup_containment(docs).collect()}
+    banded = {(r.doc_a, r.doc_b) for r in dedup_containment_banded(docs).collect()}
+    assert banded <= exact, f"false positives: {sorted(banded - exact)[:5]}"
