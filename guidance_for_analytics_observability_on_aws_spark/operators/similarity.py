@@ -97,10 +97,20 @@ def embedding_near_dups(
     return pairs.filter(F.col("cosine") >= threshold)
 
 
-def topk_bruteforce(embeddings: DataFrame, k: int = 5, n_queries: int = 8) -> DataFrame:
-    """D6: brute-force cosine top-k for query vectors (vec_id < n_queries)."""
+def topk_bruteforce(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_queries: int = 8,
+    q_lo: int = 0,
+    q_hi: int | None = None,
+) -> DataFrame:
+    """D6: brute-force cosine top-k for query vectors in ``[q_lo, q_hi)``
+    (``q_hi`` defaults to ``n_queries``, preserving the original
+    vec_id < n_queries contract the D6 oracle pins)."""
+    if q_hi is None:
+        q_hi = n_queries
     q = _quantized(embeddings)
-    queries = q.filter(F.col("vec_id") < n_queries).select(
+    queries = q.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"), F.col("nrm").alias("q_nrm")
     )
     cand = q.select(
@@ -423,9 +433,11 @@ def embedding_kmeans(
 def _kmeans_assignments(
     embeddings: DataFrame, k: int = 8, max_iter: int = 5
 ) -> DataFrame:
-    """Converged Lloyd assignment (vec_id, qv, cluster_id, d2) — the
+    """Converged Lloyd assignment (vec_id, qv, nrm, cluster_id, d2) — the
     training loop shared by D12's summary and D17's trained-IVF search."""
-    q = _quantized(embeddings).select("vec_id", "qv")
+    if max_iter < 1:
+        raise ValueError(f"k-means needs max_iter >= 1, got {max_iter}")
+    q = _quantized(embeddings).select("vec_id", "qv", "nrm")
     # Seed centroids by md5-permutation top-k — deterministic (tests and
     # reruns see identical seeds) yet hash-SPREAD across the corpus, unlike
     # the first k ids, which can all sit inside one cluster when ids are
@@ -437,6 +449,8 @@ def _kmeans_assignments(
         .limit(k)
         .collect()
     )
+    if not first:
+        raise ValueError("k-means requires a non-empty embeddings table")
     centroids = {r.vec_id: [float(x) for x in r.qv] for r in first}
     n_dims = len(first[0].qv)
 
@@ -459,6 +473,7 @@ def _kmeans_assignments(
         scored = q.select(
             "vec_id",
             "qv",
+            "nrm",
             F.array_min(
                 F.transform(
                     cent_arr,
@@ -470,6 +485,7 @@ def _kmeans_assignments(
         ).select(
             "vec_id",
             "qv",
+            "nrm",
             F.col("best.cid").alias("cluster_id"),
             F.col("best.d").alias("d2"),
         )
@@ -507,16 +523,20 @@ def topk_ivf_trained(
     distribution (balanced cells ≈ balanced candidate lists; an arbitrary
     quantizer can leave one cell holding most of the corpus, which at
     100 TB is a straggler AND a recall cliff for queries in dense
-    regions), then search a query's own cell exactly as D7 does. Search
-    cost shape is identical to D7 — centroid assignment is already
-    materialized by the training loop, the cell join is an equi-join, and
-    the per-query top-k is a WindowGroupLimit window. Rows-only check
-    (iterative training, like D12); recall vs brute-force asserted ≥ the
-    untrained D7 baseline in tests.
+    regions), then search a query's own cell exactly as D7 does. The
+    converged assignment is MATERIALIZED once (localCheckpoint) — it
+    feeds both join sides below, and a lazy plan would re-run the whole
+    Lloyd assignment pass per side; the cell join is an equi-join and the
+    per-query top-k is a WindowGroupLimit window. Rows-only check
+    (iterative training, like D12); recall vs brute-force asserted
+    comparable to the untrained D7 baseline in tests.
     """
-    assigned = _kmeans_assignments(embeddings, k=n_cells, max_iter=max_iter)
-    cells = assigned.select("vec_id", "qv", F.col("cluster_id").alias("cell_id"))
-    cells = cells.withColumn("nrm", sq_norm(F.col("qv")))
+    assigned = _kmeans_assignments(
+        embeddings, k=n_cells, max_iter=max_iter
+    ).localCheckpoint(eager=True)
+    cells = assigned.select(
+        "vec_id", "qv", "nrm", F.col("cluster_id").alias("cell_id")
+    )
     queries = cells.filter(
         (F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi)
     ).select(

@@ -382,13 +382,37 @@ banded_pairs AS (
   WHERE jaccard >= 0.8 OR GREATEST(containment_a, containment_b) >= 0.9
 )"""
 
+# The final SELECT consumes banded_pairs (not a re-stated predicate) so the
+# survivor definition lives in exactly ONE place for D15 and P11 alike.
 DEDUP_ORACLES["dedup_containment_banded"] = f"""
 {BANDED_PAIR_CTES}
-SELECT doc_a, doc_b, intersection_size, size_a, size_b,
-       jaccard, containment_a, containment_b
-FROM banded_scored
-WHERE jaccard >= 0.8 OR GREATEST(containment_a, containment_b) >= 0.9
+SELECT bs.doc_a, bs.doc_b, bs.intersection_size, bs.size_a, bs.size_b,
+       bs.jaccard, bs.containment_a, bs.containment_b
+FROM banded_scored bs
+JOIN banded_pairs USING (doc_a, doc_b)
 """
+
+
+def closure_ctes(pair_cte: str) -> str:
+    """edges/reach/labels connected-components CTE trio over a named pair
+    CTE with (doc_a, doc_b) columns — ONE definition of the transitive
+    closure + min-label rule, consumed by the P4/P5 (mh_pairs), P11
+    (banded_pairs) and D16 (cos_pairs) oracles. Requires the enclosing
+    WITH to be RECURSIVE."""
+    return f""",
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM {pair_cte}
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM {pair_cte}
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
+)"""
 
 # D16: connected components over the D5 cosine pair graph — same recursive
 # transitive-closure pattern as the pipeline group's dup_groups oracle.
@@ -401,20 +425,9 @@ cos_pairs AS (
   JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE ROUND({dot_sql("a.qv", "b.qv")} /
               sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) >= 0.98
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM cos_pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM cos_pairs
-),
-reach AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-labels AS (
-  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
-)
+)"""
+    + closure_ctes("cos_pairs")
+    + """
 SELECT group_id,
        group_id AS keep_vec_id,
        COUNT(*) AS n_vecs,

@@ -75,6 +75,8 @@ FROM binned GROUP BY 1, 2
 # the Spark side's iterative min-label propagation).
 # CC label chain: bucket CTEs + pair/edge/transitive-closure/label CTEs —
 # shared by dup_groups and the curation-pipeline funnel.
+from .dedup_oracles import closure_ctes  # noqa: E402
+
 CC_LABEL_CTES = (
     MINHASH_BUCKET_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,
@@ -84,20 +86,8 @@ mh_pairs AS (
   JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
-),
-reach AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-labels AS (
-  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
 )"""
+    + closure_ctes("mh_pairs")
 )
 
 PIPELINE_ORACLES["dup_groups"] = (
@@ -160,23 +150,9 @@ PIPELINE_ORACLES["corpus_curation_pipeline"] = CC_LABEL_CTES + _FUNNEL_TAIL
 # P11: same funnel over the VERIFIED banded pair graph (D15's survivors).
 from .dedup_oracles import BANDED_PAIR_CTES  # noqa: E402
 
-_BANDED_CC_CTES = (
-    BANDED_PAIR_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
-    + """,
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM banded_pairs
-  UNION
-  SELECT doc_b AS src, doc_a AS dst FROM banded_pairs
-),
-reach AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-labels AS (
-  SELECT src, LEAST(src, MIN(dst)) AS group_id FROM reach GROUP BY src
-)"""
-)
+_BANDED_CC_CTES = BANDED_PAIR_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + closure_ctes("banded_pairs")
 
 PIPELINE_ORACLES["corpus_curation_pipeline_v2"] = _BANDED_CC_CTES + _FUNNEL_TAIL
 

@@ -614,16 +614,9 @@ def test_trained_ivf_cells_balanced_and_recall_comparable(spark, sf_dir):
     cells (the scale rationale — no straggler cell), cover every query
     with a contiguous top-k, and hold recall comparable to the untrained
     D7 baseline (trained beats it at sf0.01; small-sf noise allowed)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from guidance_for_analytics_observability_on_aws_spark.functions.vectors import (
-        cosine6,
-        dot,
-    )
     from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
         _kmeans_assignments,
-        _quantized,
+        topk_bruteforce,
         topk_ivf,
         topk_ivf_trained,
     )
@@ -643,34 +636,10 @@ def test_trained_ivf_cells_balanced_and_recall_comparable(spark, sf_dir):
         assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
         assert len({x.cell_id for x in rs}) == 1  # own cell only
 
-    # recall vs exact top-3, compared against the untrained baseline
-    q = _quantized(emb)
-    queries = q.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    cand = q.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    sc = (
-        F.broadcast(queries)
-        .join(cand, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine6(
-                dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
+    # recall vs exact top-3 (D6's operator, generalized to the same query
+    # range — ONE definition of exact top-k), vs the untrained baseline
     tset = {}
-    for r in sc.withColumn("rank", F.row_number().over(w)).filter("rank<=3").collect():
+    for r in topk_bruteforce(emb, k=3, q_lo=8, q_hi=24).collect():
         tset.setdefault(r.query_id, set()).add(r.neighbor_id)
 
     def recall(rows):
