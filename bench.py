@@ -85,6 +85,7 @@ BENCH_QUERIES_R4 = [
     "embedding_dup_groups",
     "text_tfidf_topk",
     "corpus_curation_pipeline_v2",
+    "obs_alert_debounce",
 ]
 
 

@@ -1161,3 +1161,49 @@ def executor_concurrency(tm: DataFrame) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_boundary_events"),
     )
+
+
+def alert_debounce(
+    tm: DataFrame, bucket_ms: int = 60000, min_consecutive: int = 3
+) -> DataFrame:
+    """O49: alert DEBOUNCING (flap suppression) — an alert fires only when
+    the violating condition persists for ``min_consecutive`` consecutive
+    evaluation windows, the standard "for:" clause of alerting rules
+    (the reference's dashboards alert on error spikes; raw per-window
+    triggers flap on noisy executors).
+
+    Pure gaps-and-islands: violating minute-buckets per executor are
+    grouped into maximal consecutive runs via the classic
+    ``bucket − row_number()`` island key (consecutive buckets share it,
+    any gap starts a new island), then each island's length decides
+    ``fired``. One bucket aggregation + one window + one island
+    aggregation — all integer-exact, each partitioned by executor (bounded
+    cardinality), so the plan is two map-side-combined shuffles and a
+    per-executor sort at any volume.
+    """
+    errors = tm.filter(F.col("metrics_type") == "logs")
+    buckets = errors.groupBy(
+        "executor_id",
+        F.floor(F.col("metric_time_ms") / bucket_ms).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n_errors"))
+    w = Window.partitionBy("executor_id").orderBy("bucket")
+    islands = buckets.withColumn(
+        "island", F.col("bucket") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("executor_id", "island")
+        .agg(
+            (F.min("bucket") * bucket_ms).alias("island_start_ms"),
+            (F.max("bucket") * bucket_ms).alias("island_end_ms"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n_errors").alias("total_errors"),
+        )
+        .select(
+            "executor_id",
+            "island_start_ms",
+            "island_end_ms",
+            "n_buckets",
+            "total_errors",
+            (F.col("n_buckets") >= min_consecutive).alias("fired"),
+        )
+    )

@@ -685,3 +685,29 @@ SELECT executor_id,
        COUNT(*) AS n_boundary_events
 FROM peaked GROUP BY 1
 """
+
+OBS_ORACLES["obs_alert_debounce"] = f"""
+WITH {TELEMETRY_CTE.strip().rstrip()},
+buckets AS (
+  SELECT executor_id,
+         CAST(FLOOR(metric_time_ms / 60000) AS BIGINT) AS bucket,
+         COUNT(*) AS n_errors
+  FROM task_metrics
+  WHERE metrics_type = 'logs'
+  GROUP BY 1, 2
+),
+islands AS (
+  SELECT *,
+         bucket - ROW_NUMBER() OVER (PARTITION BY executor_id ORDER BY bucket)
+           AS island
+  FROM buckets
+)
+SELECT executor_id,
+       MIN(bucket) * 60000 AS island_start_ms,
+       MAX(bucket) * 60000 AS island_end_ms,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(n_errors) AS BIGINT) AS total_errors,
+       COUNT(*) >= 3 AS fired
+FROM islands
+GROUP BY executor_id, island
+"""

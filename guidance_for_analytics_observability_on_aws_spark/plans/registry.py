@@ -606,6 +606,7 @@ _register(
 
 # --- O38–O42: rollup / SLO / histogram / correlation / panel percentiles ----
 _LATE_OBS_BUILDERS = {
+    "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -698,9 +699,9 @@ _PRIORITY = [
     "obs_live_collector",
     "source_compaction_report",
     "source_retention_report",
-    # slots 51-58: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the six round-4 additions beyond
-    # slot 50 (D16, X13, O48, S8, P11, D17).
+    # slots 51-59: head of the r5 window (see ledger above) — the two
+    # deferred sketch entries, then the seven round-4 additions beyond
+    # slot 50 (D16, X13, O48, S8, P11, D17, O49).
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",
@@ -709,6 +710,7 @@ _PRIORITY = [
     "source_schema_evolution_report",
     "corpus_curation_pipeline_v2",
     "similarity_ivf_trained",
+    "obs_alert_debounce",
 ]
 
 

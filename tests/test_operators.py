@@ -654,3 +654,34 @@ def test_trained_ivf_cells_balanced_and_recall_comparable(spark, sf_dir):
     r_untrained = recall(topk_ivf(emb).collect())
     assert r_trained >= r_untrained - 0.15
     assert r_trained > 0.1
+
+
+def test_alert_debounce_islands_hand_example(spark):
+    """Gaps-and-islands semantics pinned: buckets {0,1,2} fire (3
+    consecutive), {5} and {7} are separate non-fired islands; a second
+    executor's identical buckets form independent islands."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_debounce,
+    )
+
+    rows = []
+    for ex, buckets in [("e1", [0, 0, 1, 2, 5, 7]), ("e2", [5, 6])]:
+        for b in buckets:
+            rows.append((ex, "logs", b * 60000 + 1))
+    tm = spark.createDataFrame(
+        rows, "executor_id string, metrics_type string, metric_time_ms long"
+    )
+    got = {
+        (r.executor_id, r.island_start_ms // 60000): (
+            r.n_buckets,
+            r.total_errors,
+            r.fired,
+        )
+        for r in alert_debounce(tm).collect()
+    }
+    assert got == {
+        ("e1", 0): (3, 4, True),   # buckets 0,1,2 (bucket 0 has 2 errors)
+        ("e1", 5): (1, 1, False),
+        ("e1", 7): (1, 1, False),
+        ("e2", 5): (2, 2, False),  # 2 consecutive < 3 -> suppressed
+    }
