@@ -1184,7 +1184,9 @@ def alert_debounce(
     errors = tm.filter(F.col("metrics_type") == "logs")
     buckets = errors.groupBy(
         "executor_id",
-        F.floor(F.col("metric_time_ms") / bucket_ms).alias("bucket"),
+        # integer DIV, not floor(double division) — keeps the whole plan
+        # genuinely integer-exact at any timestamp magnitude.
+        F.expr(f"metric_time_ms DIV {bucket_ms}").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n_errors"))
     w = Window.partitionBy("executor_id").orderBy("bucket")
     islands = buckets.withColumn(

@@ -687,10 +687,10 @@ FROM peaked GROUP BY 1
 """
 
 OBS_ORACLES["obs_alert_debounce"] = f"""
-WITH {TELEMETRY_CTE.strip().rstrip()},
+WITH {TELEMETRY_CTE},
 buckets AS (
   SELECT executor_id,
-         CAST(FLOOR(metric_time_ms / 60000) AS BIGINT) AS bucket,
+         metric_time_ms // 60000 AS bucket,
          COUNT(*) AS n_errors
   FROM task_metrics
   WHERE metrics_type = 'logs'

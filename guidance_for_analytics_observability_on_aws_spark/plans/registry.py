@@ -604,7 +604,9 @@ _register(
 )
 
 
-# --- O38–O42: rollup / SLO / histogram / correlation / panel percentiles ----
+# --- Late observability additions (O38-O49 tail): rollup / SLO / histogram /
+# correlation / panel percentiles / exemplars / concurrency / debounce.
+# Dict position is irrelevant to the driver window — _PRIORITY owns order.
 _LATE_OBS_BUILDERS = {
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
