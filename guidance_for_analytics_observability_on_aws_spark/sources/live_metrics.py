@@ -73,6 +73,77 @@ def _get(base: str, path: str):
         return json.load(r)
 
 
+def _task_metrics_via_status_store(spark: SparkSession, max_stages: int) -> list:
+    """Collect the same per-task rows from the driver's in-process
+    ``AppStatusStore`` — the store that BACKS the REST API and UI.
+
+    This is the fallback when ``spark.ui.enabled=false`` leaves no HTTP
+    endpoint to poll: the ``AppStatusListener`` that populates this store
+    always runs, so the identical TaskMetrics values remain reachable via
+    plain driver-side py4j getter calls (no callback server involved).
+    Functional parity target is unchanged: the reference listener's
+    per-finished-task accumulation (``CustomMetricsListener.scala:41-104``).
+    """
+    sc = spark.sparkContext
+    app_id, app_name = sc.applicationId, sc.appName
+    store = sc._jsc.sc().statusStore()
+
+    jobs: dict[int, int] = {}
+    job_list = store.jobsList(None)
+    for i in range(job_list.size()):
+        j = job_list.apply(i)
+        sids = j.stageIds()
+        for k in range(sids.size()):
+            jobs[sids.apply(k)] = j.jobId()
+
+    rows = []
+    empty_quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+    stage_list = store.stageList(None, False, False, empty_quantiles, None)
+    n_stages = 0
+    for i in range(stage_list.size()):
+        st = stage_list.apply(i)
+        if str(st.status()) != "COMPLETE":
+            continue
+        n_stages += 1
+        if n_stages > max_stages:
+            break
+        tasks = store.taskList(st.stageId(), st.attemptId(), 1_000_000)
+        for ti in range(tasks.size()):
+            t = tasks.apply(ti)
+            opt = t.taskMetrics()
+            if not opt.isDefined():
+                continue
+            m = opt.get()
+            inp, outp = m.inputMetrics(), m.outputMetrics()
+            shr, shw = m.shuffleReadMetrics(), m.shuffleWriteMetrics()
+            rows.append(
+                (
+                    app_name,
+                    app_id,
+                    jobs.get(st.stageId(), -1),
+                    st.stageId(),
+                    t.taskId(),
+                    t.executorId(),
+                    t.index(),
+                    "taskMetrics",
+                    t.launchTime().getTime(),
+                    inp.bytesRead(),
+                    inp.recordsRead(),
+                    m.executorRunTime(),
+                    # store reports cpuTime in ns; the reference ships ms
+                    m.executorCpuTime() // 1_000_000,
+                    m.peakExecutionMemory(),
+                    outp.bytesWritten(),
+                    outp.recordsWritten(),
+                    shr.localBytesRead() + shr.remoteBytesRead(),
+                    shr.recordsRead(),
+                    shw.bytesWritten(),
+                    shw.recordsWritten(),
+                )
+            )
+    return rows
+
+
 def stage_to_job_map(spark: SparkSession) -> dict[int, int]:
     """Reconstruct the listener's stage→job bookkeeping from /jobs."""
     base = spark.sparkContext.uiWebUrl
@@ -89,7 +160,12 @@ def live_task_metrics(spark: SparkSession, max_stages: int = 200) -> DataFrame:
     sc = spark.sparkContext
     base, app_id, app_name = sc.uiWebUrl, sc.applicationId, sc.appName
     rows = []
-    if not base:  # UI disabled in this session — no REST endpoint to poll
+    if not base:
+        # UI disabled — no REST endpoint, but the AppStatusStore that backs
+        # it still runs in-process.  Read the same values from there rather
+        # than silently reporting an empty metrics frame (which would make a
+        # spark.ui.enabled=false deployment look like a dead collector).
+        rows = _task_metrics_via_status_store(spark, max_stages)
         return spark.createDataFrame(rows, LIVE_TASK_METRICS_SCHEMA)
     jobs = stage_to_job_map(spark)
     stages = _get(base, f"applications/{app_id}/stages?status=complete")
@@ -150,4 +226,15 @@ def live_stage_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["lineitem"].groupBy("l_returnflag").agg(F.count(F.lit(1))).collect()
 
     tm = live_task_metrics(spark)
+    if not tm.head(1):
+        # The marker workload above GUARANTEES completed stages exist, so an
+        # empty collection here means the collector itself is broken — fail
+        # loudly (repo convention, cf. dup_labels' non-convergence raise)
+        # instead of emitting a 0-row "success".
+        raise RuntimeError(
+            "live collector returned no task metrics after the marker "
+            "workload; neither the REST endpoint (uiWebUrl="
+            f"{spark.sparkContext.uiWebUrl!r}) nor the in-process "
+            "AppStatusStore yielded completed-task rows"
+        )
     return stage_agg_skewness(tm)

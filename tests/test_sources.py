@@ -211,6 +211,39 @@ def test_live_collector_reads_real_metrics(spark, sf_dir):
     m.unpersist()
 
 
+def test_live_collector_status_store_fallback(spark, sf_dir):
+    """When spark.ui.enabled=false leaves no REST endpoint, the collector
+    must read the SAME TaskMetrics from the in-process AppStatusStore
+    instead of silently returning an empty frame (r4 driver row was 0
+    rows).  Exercise the fallback directly and check it reports real
+    input/shuffle bytes and a job mapping, like the REST path."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.live_metrics import (
+        LIVE_TASK_METRICS_SCHEMA,
+        _task_metrics_via_status_store,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].groupBy("l_returnflag").count().collect()
+
+    rows = _task_metrics_via_status_store(spark, max_stages=200)
+    assert rows, "status-store fallback collected no task rows"
+    df = spark.createDataFrame(rows, LIVE_TASK_METRICS_SCHEMA)
+    from pyspark.sql import functions as F
+
+    totals = df.agg(
+        F.sum("input_bytes_read").alias("inb"),
+        F.sum("shuffle_bytes_read").alias("shb"),
+        F.sum("run_time_ms").alias("rt"),
+    ).collect()[0]
+    assert totals.inb > 0, "no real input bytes via status store"
+    assert totals.shb > 0, "no real shuffle bytes via status store"
+    assert totals.rt > 0
+    assert {r[2] for r in rows} - {-1}, "no job mapping via status store"
+
+
 def test_retention_drops_only_aged_partitions(spark, sf_dir, tmp_path):
     """S7: retention must delete exactly the metric_date partitions older
     than the cutoff and leave surviving data byte-identical (the deletion
