@@ -1180,8 +1180,17 @@ def alert_debounce(
     aggregation — all integer-exact, each partitioned by executor (bounded
     cardinality), so the plan is two map-side-combined shuffles and a
     per-executor sort at any volume.
+
+    The violating condition is ERROR-level log events: in this repo's
+    telemetry mapping ``metrics_type='logs'`` coincides with
+    ``event_type='error'`` (→ level ERROR under the O11 mapping), but the
+    level predicate is stated explicitly so the operator stays
+    error-spike-only even on a telemetry frame where log records carry
+    INFO/WARN traffic too.
     """
-    errors = tm.filter(F.col("metrics_type") == "logs")
+    errors = tm.filter(
+        (F.col("metrics_type") == "logs") & (F.col("event_type") == "error")
+    )
     buckets = errors.groupBy(
         "executor_id",
         # integer DIV, not floor(double division) — keeps the whole plan

@@ -693,7 +693,7 @@ buckets AS (
          metric_time_ms // 60000 AS bucket,
          COUNT(*) AS n_errors
   FROM task_metrics
-  WHERE metrics_type = 'logs'
+  WHERE metrics_type = 'logs' AND event_type = 'error'
   GROUP BY 1, 2
 ),
 islands AS (

@@ -23,6 +23,7 @@ parquet.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -417,6 +418,15 @@ def run_streaming_metric_log_join(
     """
     work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_ssjoin_")
     out = out_dir or work
+    if out_dir and os.path.exists(os.path.join(out_dir, "_chk")):
+        # A pre-existing checkpoint would make the availableNow run a
+        # no-op while stale files under pairs/ are silently re-read as
+        # "results" — refuse instead (same reuse hazard the uuid
+        # queryName fix closed for run_streaming_incremental_dedup).
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds a streaming checkpoint "
+            "(_chk); pass a fresh directory per run or delete it first"
+        )
     errors = (
         task_metrics(events_stream(spark, sf_dir))
         .filter(F.col("metrics_type") == "logs")

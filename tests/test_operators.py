@@ -511,9 +511,11 @@ def test_containment_finds_planted_truncations(spark, sf_dir):
 def test_banded_containment_precision_and_recall(spark, sf_dir):
     """D15 vs the exact D2/D14 baselines: every banded survivor must be an
     exact survivor (precision 1.0 — scoring IS the exact arithmetic, only
-    candidate generation is pruned), and recall must beat the 4×4 banding
-    bound 1-(1-s^4)^4 ≈ 0.879 at s=0.8, both overall and on the planted
-    +3M truncations specifically (measured 0.99 / 0.96 at sf0.001)."""
+    candidate generation is pruned), and recall must stay near the 4×4
+    banding bound 1-(1-s^4)^4 ≈ 0.879 at s=0.8 — asserted with a 0.85
+    floor to absorb corpus-draw variance (measured 0.99 overall / 0.96 on
+    the planted +3M truncations at sf0.001), both overall and on the
+    planted truncations specifically."""
     from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
         dedup_containment,
         dedup_containment_banded,

@@ -290,3 +290,19 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got and got == want
+
+
+def test_streaming_metric_log_join_refuses_stale_checkpoint(spark, sf_dir, tmp_path):
+    """A caller-supplied out_dir with a leftover _chk checkpoint must be
+    refused: the availableNow run would be a no-op while old files under
+    pairs/ are re-read as fresh results."""
+    import pytest
+
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_metric_log_join,
+    )
+
+    stale = tmp_path / "reused"
+    (stale / "_chk").mkdir(parents=True)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_streaming_metric_log_join(spark, sf_dir, out_dir=str(stale))
