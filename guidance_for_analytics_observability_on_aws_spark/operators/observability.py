@@ -335,14 +335,73 @@ def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10
 
     Size-based batch sequencing plus time-threshold flush flags, per
     executor buffer (reference defaults: batchSize=100, timeThreshold=10s;
-    ``Utils.scala:103-113``).
+    ``Utils.scala:103-113``), plus the BACKING-OFF flush rule
+    (``ObservabilityClient.scala:299-306``): while the client is backing
+    off after a retryable send failure, ``add`` flushes only on the time
+    threshold — the size trigger is suspended until a flush succeeds (or
+    the client aborts and is replaced). ``backing_off`` carries the state
+    and ``flushed_by_size`` honors it; the state machine is the same
+    success-reset / retryable / abort unrolling as O10 (:func:`retry_backoff`),
+    evaluated here over the FULL event timeline so every ``add`` sees the
+    client state it would observe.
     """
     w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
-    return tm.select("executor_id", "task_id", "metric_time_ms").select(
+    ev = tm.select(
+        "executor_id",
+        "task_id",
+        "metric_time_ms",
+        (F.col("event_type") == "error").alias("is_fail"),
+        ((F.col("event_type") == "error") & (F.col("task_id") % 5 != 0)).alias(
+            "retryable"
+        ),
+    ).withColumn(
+        "run_id",
+        F.coalesce(
+            F.sum(F.when(~F.col("is_fail"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    # Segment positions computed over the full timeline: each run's single
+    # success sorts LAST within its (executor, run_id) partition, so it
+    # never shifts the failure positions before it and its own attempt
+    # value is irrelevant (state_after is 0 for successes regardless).
+    w_run = Window.partitionBy("executor_id", "run_id").orderBy(
+        "metric_time_ms", "task_id"
+    )
+    ev = ev.withColumn(
+        "nr_before",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_fail") & ~F.col("retryable"), 1).otherwise(0)
+            ).over(w_run.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    w_seg = Window.partitionBy("executor_id", "run_id", "nr_before").orderBy(
+        "metric_time_ms", "task_id"
+    )
+    ev = (
+        ev.withColumn("pos", F.row_number().over(w_seg))
+        .withColumn("attempt_no", (F.col("pos") - 1) % 6 + 1)
+        .withColumn(
+            "state_after",
+            F.when(~F.col("is_fail"), F.lit(0))  # success resets
+            .when(~F.col("retryable") | (F.col("attempt_no") == 6), F.lit(0))  # abort
+            .otherwise(F.lit(1)),  # retryable failure → backing off
+        )
+        .withColumn(
+            "backing_off",
+            F.coalesce(F.lag("state_after").over(w), F.lit(0)) == 1,
+        )
+    )
+    return ev.select(
         "executor_id",
         "task_id",
         F.row_number().over(w).alias("rn"),
         (F.col("metric_time_ms") - F.lag("metric_time_ms").over(w)).alias("gap_ms_raw"),
+        "backing_off",
     ).select(
         "executor_id",
         "task_id",
@@ -351,39 +410,103 @@ def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10
         (F.coalesce(F.col("gap_ms_raw"), F.lit(0)) >= time_threshold_s * 1000).alias(
             "flushed_by_time"
         ),
+        "backing_off",
+        (
+            (F.col("rn") % batch_size == 0) & ~F.col("backing_off")
+        ).alias("flushed_by_size"),
     )
 
 
 def retry_backoff(tm: DataFrame) -> DataFrame:
-    """O10: exponential back-off schedule for failed sends.
+    """O10: exponential back-off retry cycle for failed sends — full
+    client-state parity with ``ObservabilityClient.scala:281-293``:
 
-    Parity with ``ObservabilityClient``: INITIAL_BACKOFF=5, doubling,
-    MAX_BACKOFF=60, MAX_RETRIES=5 (``ObservabilityClient.scala:26-34``).
-    Error events model failed flushes; attempt 0 is the initial send.
+    * constants INITIAL_BACKOFF=5, doubling, MAX_BACKOFF=60, MAX_RETRIES=5
+      (``ObservabilityClient.scala:26-34``);
+    * a SUCCESSFUL flush resets the cycle (``backOff=INITIAL``,
+      ``retries=MAX``) — successes are the non-error telemetry events
+      interleaved on the same per-executor timeline;
+    * a RETRYABLE failure doubles the backoff (capped) and consumes a
+      retry; the flag is derived deterministically from the event payload
+      (``task_id % 5 <> 0`` ≈ the reference's RetryableException split);
+    * a NON-retryable failure — or a retryable one after retries are
+      exhausted — ABORTS the client (the reference throws
+      ``NonRetryableException``); the replacement client starts fresh.
+
+    Because a failure segment can span at most 6 events (5 retryable
+    retries + the aborting 6th) and every non-retryable failure terminates
+    its segment, the whole state machine unrolls into pure window
+    functions: successes partition failures into runs, preceding
+    non-retryable counts split runs at abort points, and fixed blocks of 6
+    split the all-retryable stretches at exhaustion aborts. No UDF, no
+    recursion, integer-exact — two narrow window passes per executor.
     """
-    errors = tm.filter(F.col("event_type") == "error")
     w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
-    attempt = ((F.row_number().over(w) - 1) % 6).cast("long")
-    backoff = F.when(attempt == 0, F.lit(0.0)).otherwise(
-        F.least(F.lit(5.0) * F.pow(F.lit(2.0), attempt.cast("double")), F.lit(60.0))
-    )
-    out = errors.select(
+    ev = tm.select(
         "executor_id",
         "task_id",
         "metric_time_ms",
-        attempt.alias("attempt_no"),
-        backoff.cast("long").alias("backoff_s"),
+        (F.col("event_type") == "error").alias("is_fail"),
+        ((F.col("event_type") == "error") & (F.col("task_id") % 5 != 0)).alias(
+            "retryable"
+        ),
+    ).withColumn(
+        # number of successful flushes before this event → failure-run id
+        "run_id",
+        F.coalesce(
+            F.sum(F.when(~F.col("is_fail"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    fails = ev.filter("is_fail")
+    w_run = Window.partitionBy("executor_id", "run_id").orderBy(
+        "metric_time_ms", "task_id"
+    )
+    fails = fails.withColumn(
+        # non-retryable failures BEFORE this one in the run: each one was an
+        # abort, so it closed its segment — rows after it start fresh
+        "nr_before",
+        F.coalesce(
+            F.sum(F.when(~F.col("retryable"), 1).otherwise(0)).over(
+                w_run.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    w_seg = Window.partitionBy("executor_id", "run_id", "nr_before").orderBy(
+        "metric_time_ms", "task_id"
+    )
+    sched = (
+        fails.withColumn("pos", F.row_number().over(w_seg))
+        # blocks of 6 consecutive retryables = exhaustion-abort restarts
+        .withColumn("attempt_no", ((F.col("pos") - 1) % 6 + 1).cast("long"))
+        .withColumn(
+            "aborted", ~F.col("retryable") | (F.col("attempt_no") == 6)
+        )
+        .withColumn(
+            "backoff_s",
+            F.when(F.col("aborted"), F.lit(0))
+            .when(F.col("attempt_no") == 1, F.lit(10))
+            .when(F.col("attempt_no") == 2, F.lit(20))
+            .when(F.col("attempt_no") == 3, F.lit(40))
+            .otherwise(F.lit(60))
+            .cast("long"),
+        )
     )
     wc = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
-    return out.select(
+    return sched.select(
         "executor_id",
         "task_id",
+        "retryable",
         "attempt_no",
         "backoff_s",
         F.sum("backoff_s").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "cumulative_wait_s"
         ),
-        (F.col("attempt_no") == 5).alias("retries_exhausted"),
+        (F.col("retryable") & (F.col("attempt_no") == 6)).alias("retries_exhausted"),
+        "aborted",
     )
 
 

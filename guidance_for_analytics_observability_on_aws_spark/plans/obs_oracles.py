@@ -157,39 +157,97 @@ GROUP BY 1
 
 OBS_ORACLES["obs_batch_flush"] = f"""
 WITH {TELEMETRY_CTE},
+ev AS (
+  SELECT executor_id, task_id, metric_time_ms,
+         event_type = 'error' AS is_fail,
+         event_type = 'error' AND task_id % 5 <> 0 AS retryable,
+         COALESCE(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+           OVER ({_W_EXEC} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS run_id
+  FROM task_metrics
+),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN is_fail AND NOT retryable THEN 1 ELSE 0 END)
+           OVER (PARTITION BY executor_id, run_id
+                 ORDER BY metric_time_ms, task_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nr_before
+  FROM ev
+),
+st AS (
+  SELECT *,
+         CASE WHEN NOT is_fail THEN 0
+              WHEN NOT retryable
+                OR (ROW_NUMBER() OVER (PARTITION BY executor_id, run_id, nr_before
+                    ORDER BY metric_time_ms, task_id) - 1) % 6 + 1 = 6 THEN 0
+              ELSE 1 END AS state_after
+  FROM seg
+),
 seq AS (
   SELECT executor_id, task_id,
          ROW_NUMBER() OVER ({_W_EXEC}) AS rn,
-         metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) AS gap_ms_raw
-  FROM task_metrics
+         metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) AS gap_ms_raw,
+         COALESCE(LAG(state_after) OVER ({_W_EXEC}), 0) = 1 AS backing_off
+  FROM st
 )
 SELECT executor_id, task_id,
        CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS batch_seq,
        COALESCE(gap_ms_raw, 0) AS gap_ms,
-       COALESCE(gap_ms_raw, 0) >= 10000 AS flushed_by_time
+       COALESCE(gap_ms_raw, 0) >= 10000 AS flushed_by_time,
+       backing_off,
+       rn % 100 = 0 AND NOT backing_off AS flushed_by_size
 FROM seq
 """
 
 OBS_ORACLES["obs_retry_backoff"] = f"""
 WITH {TELEMETRY_CTE},
-errors AS (
+ev AS (
   SELECT executor_id, task_id, metric_time_ms,
-         CAST((ROW_NUMBER() OVER ({_W_EXEC}) - 1) % 6 AS BIGINT) AS attempt_no
-  FROM task_metrics WHERE event_type = 'error'
+         event_type = 'error' AS is_fail,
+         event_type = 'error' AND task_id % 5 <> 0 AS retryable,
+         COALESCE(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+           OVER ({_W_EXEC} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS run_id
+  FROM task_metrics
+),
+fails AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN retryable THEN 0 ELSE 1 END)
+           OVER (PARTITION BY executor_id, run_id
+                 ORDER BY metric_time_ms, task_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nr_before
+  FROM ev WHERE is_fail
 ),
 sched AS (
-  SELECT executor_id, task_id, metric_time_ms, attempt_no,
-         CAST(CASE WHEN attempt_no = 0 THEN 0.0
-                   ELSE LEAST(5.0 * POWER(2.0, CAST(attempt_no AS DOUBLE)), 60.0)
-              END AS BIGINT) AS backoff_s
-  FROM errors
+  SELECT executor_id, task_id, metric_time_ms, retryable,
+         CAST((ROW_NUMBER() OVER (PARTITION BY executor_id, run_id, nr_before
+               ORDER BY metric_time_ms, task_id) - 1) % 6 + 1 AS BIGINT)
+           AS attempt_no
+  FROM fails
+),
+flags AS (
+  SELECT *,
+         (NOT retryable) OR attempt_no = 6 AS aborted
+  FROM sched
+),
+backoffs AS (
+  SELECT *,
+         CAST(CASE WHEN aborted THEN 0
+                   WHEN attempt_no = 1 THEN 10
+                   WHEN attempt_no = 2 THEN 20
+                   WHEN attempt_no = 3 THEN 40
+                   ELSE 60 END AS BIGINT) AS backoff_s
+  FROM flags
 )
-SELECT executor_id, task_id, attempt_no, backoff_s,
+SELECT executor_id, task_id, retryable, attempt_no, backoff_s,
        CAST(SUM(backoff_s) OVER ({_W_EXEC}
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cumulative_wait_s,
-       attempt_no = 5 AS retries_exhausted
-FROM sched
+       retryable AND attempt_no = 6 AS retries_exhausted,
+       aborted
+FROM backoffs
 """
 
 OBS_ORACLES["obs_log_enrich"] = f"""

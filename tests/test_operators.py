@@ -51,12 +51,64 @@ def test_backoff_schedule_caps(spark, tables):
     rows = retry_backoff(tm).collect()
     by_attempt = {}
     for r in rows:
-        by_attempt.setdefault(r["attempt_no"], set()).add(r["backoff_s"])
+        if not r["aborted"]:
+            by_attempt.setdefault(r["attempt_no"], set()).add(r["backoff_s"])
     # Reference: INITIAL_BACKOFF=5 doubling capped at MAX_BACKOFF=60.
-    assert by_attempt[0] == {0}
     assert by_attempt.get(1, {10}) == {10}
+    assert by_attempt.get(2, {20}) == {20}
+    assert by_attempt.get(3, {40}) == {40}
     assert by_attempt.get(4, {60}) == {60}
     assert by_attempt.get(5, {60}) == {60}
+    # aborts never schedule a wait
+    assert all(r["backoff_s"] == 0 for r in rows if r["aborted"])
+
+
+def test_retry_state_machine_hand_example(spark):
+    """ObservabilityClient.scala:281-306 parity on a hand-built timeline.
+
+    One executor; task_id % 5 == 0 marks a failure NON-retryable.
+    Timeline (F=failure, S=success):
+      F(1) F(2) F(3) F(4) F(6) F(7)  — six retryables: attempts 1..6,
+                                       backoffs 10,20,40,60,60 then
+                                       exhaustion ABORT (backoff 0)
+      F(8) F(5)                      — fresh client: retryable attempt 1
+                                       (10s), then NON-retryable abort
+      S(9)                           — success resets
+      F(11) S(12)                    — attempt 1 again after reset
+    And batch_flush must report backing_off exactly while a retryable
+    failure is pending un-reset.
+    """
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        batch_flush,
+    )
+
+    ids = [1, 2, 3, 4, 6, 7, 8, 5, 9, 11, 12]
+    errors = {1, 2, 3, 4, 6, 7, 8, 5, 11}
+    rows = [
+        ("e1", tid, 1000 * (i + 1), "error" if tid in errors else "view")
+        for i, tid in enumerate(ids)
+    ]
+    tm = spark.createDataFrame(
+        rows, "executor_id string, task_id long, metric_time_ms long, event_type string"
+    )
+    out = {r.task_id: r for r in retry_backoff(tm).collect()}
+    assert set(out) == errors
+    expect = {
+        1: (1, 10, False), 2: (2, 20, False), 3: (3, 40, False),
+        4: (4, 60, False), 6: (5, 60, False), 7: (6, 0, True),
+        8: (1, 10, False), 5: (2, 0, True), 11: (1, 10, False),
+    }
+    for tid, (att, bo, ab) in expect.items():
+        r = out[tid]
+        assert (r.attempt_no, r.backoff_s, r.aborted) == (att, bo, ab), (
+            tid, r.attempt_no, r.backoff_s, r.aborted)
+    assert out[7].retries_exhausted and not out[5].retries_exhausted
+    # backing_off state seen by each add(): true iff previous event left
+    # the client backing off (retryable failure, not aborted, not reset)
+    bo = {r.task_id: r.backing_off for r in batch_flush(tm).collect()}
+    #            1      2     3     4     6     7     8      5     9     11     12
+    want_bo = [False, True, True, True, True, True, False, True, False, False, True]
+    assert [bo[t] for t in ids] == want_bo
 
 
 def test_minhash_lsh_finds_planted_exact_dups(spark, tables):
