@@ -57,12 +57,17 @@ def _shingle_base(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_rows(documents: DataFrame) -> DataFrame:
+def _shingle_rows(
+    documents: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, shingle) rows — explode IN THE SAME projection that builds
     the array: exploding a previously-projected array alias makes Spark
     re-evaluate the (transform+distinct) construction per emitted element,
-    a ~50× slowdown measured at sf0.1."""
-    return _shingle_base(documents).select(
+    a ~50× slowdown measured at sf0.1. ``base`` lets a caller share one
+    materialized (doc_id, toks) base across several consumers."""
+    if base is None:
+        base = _shingle_base(documents)
+    return base.select(
         "doc_id", F.explode(shingles(F.col("toks"))).alias("shingle")
     )
 
@@ -148,7 +153,9 @@ def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFra
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(documents: DataFrame) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """Per-doc MinHash signature: k=16 column mins over universal hashes.
 
     Measured note: a shuffle-free per-row formulation (``aggregate`` over
@@ -160,7 +167,7 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     (the shuffle carries one 16-long partial per doc per partition, not
     the shingle fan-out). Kept the codegen-friendly formulation.
     """
-    hashed = _shingle_rows(documents).select(
+    hashed = _shingle_rows(documents, base=base).select(
         "doc_id", md5_int(F.col("shingle"), 7).alias("h")
     )
     aggs = [
@@ -170,14 +177,16 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+def dedup_minhash_lsh(
+    documents: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
     """D3: MinHash + LSH banding candidate pairs.
 
     Scale path for D2: pairs only form inside (band, band_signature)
     buckets; the band signature is an md5 over the band's minhash row, so
     bucket keys are uniform 16-byte strings — no skew hot-spots.
     """
-    sig = minhash_signatures(documents)
+    sig = minhash_signatures(documents, base=base)
     # Explode one array of (band_id, band_hash) structs instead of unioning
     # per-band projections: a union would duplicate the (expensive) signature
     # aggregation subtree once per band AND defeat exchange reuse in the
@@ -290,13 +299,18 @@ def dedup_containment_banded(
     Emits BOTH scores (Broder's resemblance and containment) so one pass
     serves both dedup families.
     """
-    # Materialize the two bounded intermediates exactly once
-    # (localCheckpoint, the split_leak_proof pattern): without it the
-    # MinHash/LSH subtree re-executes once per downstream reference (~5×,
-    # 41-Exchange plan measured). `cand` is the LSH edge list; `base` is
-    # one row (doc_id, toks) per CANDIDATE doc — both ≪ corpus at scale.
+    # ONE corpus scan: the (doc_id, toks) base is derived from documents
+    # exactly once and materialized (localCheckpoint, the split_leak_proof
+    # pattern), then shared into BOTH the MinHash/LSH candidate pass and
+    # the candidate-restricted exact-scoring pass — previously each
+    # re-derived it from raw documents (two full corpus scans; at 100 TB
+    # the second scan is pure object-storage cost). `cand` is likewise
+    # materialized: without it the LSH subtree re-executes once per
+    # downstream reference (~5×, 41-Exchange plan measured). `cand` is the
+    # LSH edge list; `base` one row per CANDIDATE doc — both ≪ corpus.
+    base_all = _shingle_base(documents).localCheckpoint(eager=True)
     cand = (
-        dedup_minhash_lsh(documents)
+        dedup_minhash_lsh(documents, base=base_all)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -306,8 +320,7 @@ def dedup_containment_banded(
         .distinct()
     )
     base = (
-        _shingle_base(documents)
-        .join(cand_docs, "doc_id")
+        base_all.join(cand_docs, "doc_id")
         .localCheckpoint(eager=True)
     )
     # The EXACT D2/D14 join/size arithmetic over the candidate-restricted

@@ -341,3 +341,23 @@ def test_banded_dedup_plan_reads_only_checkpoints(spark, sf_dir):
     plan = _executed_plan(REGISTRY["dedup_containment_banded"].builder(spark, sf_dir))
     assert "Scan parquet" not in plan
     assert "Scan ExistingRDD" in plan  # the checkpointed inputs
+
+
+def test_banded_dedup_single_corpus_scan(spark, sf_dir, monkeypatch):
+    """The (doc_id, toks) shingle base must be DERIVED FROM documents
+    exactly once and shared into both the MinHash/LSH pass and the
+    candidate-restricted scoring pass — a second _shingle_base call means
+    a second full corpus scan at 100 TB."""
+    from guidance_for_analytics_observability_on_aws_spark.operators import dedup
+
+    calls = []
+    real = dedup._shingle_base
+
+    def counting(documents):
+        calls.append(1)
+        return real(documents)
+
+    monkeypatch.setattr(dedup, "_shingle_base", counting)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.dedup_containment_banded(docs)
+    assert len(calls) == 1, f"_shingle_base derived {len(calls)}× from documents"
