@@ -122,30 +122,44 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4:
-        # Builder inside the timed section: iterative operators (dup_groups)
-        # run actions while building, and plan construction is real work too.
-        t0 = time.perf_counter()
-        df = REGISTRY[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Two full passes; per-query MIN defends the record against transient
+    # machine load (BENCH_r04 was inflated 20-100% by a loaded host while
+    # a clean re-run matched r3 to 0.1%). Steady-state minima are also the
+    # honest basis for the 100 TB throughput claims.
+    all_names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+    passes: list[dict[str, float]] = []
+    for _ in range(2):
+        timings: dict[str, float] = {}
+        for name in all_names:
+            # Builder inside the timed section: iterative operators
+            # (dup_groups) run actions while building, and plan
+            # construction is real work too.
+            t0 = time.perf_counter()
+            df = REGISTRY[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        passes.append(timings)
 
-    core_total = round(sum(timings[n] for n in BENCH_QUERIES), 3)
-    extended_total = round(sum(timings.values()), 3)
+    first = passes[0]
+    best = {n: min(p[n] for p in passes) for n in all_names}
+    core_total = round(sum(first[n] for n in BENCH_QUERIES), 3)
+    extended_total = round(sum(first.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                # "value" keeps its round-1/2 meaning — the 35-query
-                # BENCH_QUERIES subtotal — so cross-round comparisons of
-                # the primary field stay like-for-like. The round-3
-                # additions are timed too and reported separately.
+                # "value" keeps its round-1/2 meaning — the FIRST-pass
+                # 35-query BENCH_QUERIES subtotal — so cross-round
+                # comparisons of the primary field stay like-for-like.
+                # *_min fields carry the per-query minima across passes.
                 "value": core_total,
                 "unit": "sec",
+                "value_min": round(sum(best[n] for n in BENCH_QUERIES), 3),
                 "extended_value": extended_total,
-                "n_queries": len(timings),
-                "queries": timings,
+                "extended_value_min": round(sum(best.values()), 3),
+                "n_queries": len(first),
+                "queries": first,
+                "queries_min": best,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
