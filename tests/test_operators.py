@@ -457,6 +457,42 @@ def test_kmeans_converges_and_covers(spark, tables):
     assert inertia_5 <= inertia_1 + len(five)  # floor slack per cluster
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """Quality gate for D12 (and the D17 quantizer it trains): on a corpus
+    of 4 well-separated planted clusters, Lloyd's must recover the planted
+    partition EXACTLY — same-cluster points share a cluster_id, distinct
+    clusters get distinct ids. Deterministic (md5 seeding, fixed corpus),
+    so any future regression in seeding/assignment/update logic trips it.
+    """
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _kmeans_assignments,
+    )
+
+    dims, per_cluster = 8, 25
+    rows = []
+    for c in range(4):
+        for i in range(per_cluster):
+            # center: 100 in dim c; jitter ±0.3 on a rotating dim
+            vec = [0.0] * dims
+            vec[c] = 100.0
+            vec[(c + 1 + i % 3) % dims] += (i % 7 - 3) * 0.1
+            rows.append((c * 1000 + i, vec, c))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = _kmeans_assignments(df, k=4, max_iter=10).select(
+        "vec_id", "cluster_id"
+    ).collect()
+    by_planted: dict[int, set] = {}
+    for r in got:
+        by_planted.setdefault(r.vec_id // 1000, set()).add(r.cluster_id)
+    assert len(by_planted) == 4 and all(len(s) == 1 for s in by_planted.values()), (
+        by_planted
+    )
+    ids = [next(iter(s)) for s in by_planted.values()]
+    assert len(set(ids)) == 4, f"planted clusters merged: {by_planted}"
+
+
 def test_decontaminate_flags_planted_benchmark_copies(spark, sf_dir):
     """Every exact copy (+1M) of a benchmark member (doc_id%25==0) must be
     flagged contaminated; unrelated docs stay below threshold."""
