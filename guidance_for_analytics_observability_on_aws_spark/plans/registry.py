@@ -626,84 +626,32 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # entries only (insertion order), so the window ROTATES each round until
 # every entry has a green driver row. Ledger (also in SURVEY §2):
 #   r1+r2 window: O1-O34 core + T1-T26  → r2 rows were the events.ts
-#     regression fails; the fix (sources/telemetry.py normalize_events)
-#     landed in r3 but these entries had rotated OUT of the r3 window.
+#     regression fails; fix verified by the r4 window.
 #   r3 window:    D1-D12, P1-P8, X1-X11, M1-M4+decode, T tail (T14, T27-34),
 #     O38-O42 → 48 hash-exact green + 2 rows-only ran, 0 fails.
-#   r4 window (this one, 50 slots exactly):
-#     slots 1-26  — the 26 entries whose LAST driver row is the r2 ts-fail:
-#                   re-acquire green post-fix evidence (r2-window order);
-#     slots 27-39 — the 13 r3 additions registered post-slot-50, never
-#                   driver-checked (incl. rows-only mm_resize);
-#     slot  40    — dedup_containment_banded, new this round (sql);
-#     slots 41-50 — the 10 never-checked rows-only runners (streaming +
-#                   source maintenance + live collector).
-#   Deferred to the r5 window (slots 51-52): obs_cardinality_approx and
-#     obs_task_percentiles_approx — never driver-checked, but their
-#     accuracy is locally asserted against exact twins that ARE hash-green,
-#     so they carry the least marginal evidence. Everything after them
-#     already holds a green driver row from r1-r3.
+#   r4 window:    re-exposed r2-fail entries + r3 post-slot-50 additions +
+#     D15 + the 10 never-checked rows-only runners → 39 hash-exact green +
+#     11 rows-only ran, 0 fails (obs_live_collector's row was 0 rows — the
+#     UI-off silent-empty bug, fixed since).
+#   r5 window (this one, 50 slots exactly):
+#     slots 1-9   — the 9 entries with NO driver row yet (local-oracle-green
+#                   only): the two sketch scale-paths, then the r4 additions
+#                   registered beyond slot 50. Closes the coverage ledger —
+#                   after this round every registry entry has driver evidence.
+#     slot  10    — obs_live_collector, re-exposed post-fix (AppStatusStore
+#                   fallback + fail-loud guard) so its driver row is
+#                   non-trivial instead of the r4 0-row record.
+#     slots 11-13 — entries whose CODE changed since their r4-green row:
+#                   O9/O10 (full retry/batching state machine, new oracles)
+#                   and D15 (single shared shingle-base derivation).
+#     slots 14-37 — oldest-evidence backfill: the r2-green T group + O34
+#                   (last green row is round 2; re-acquire fresh evidence).
+#     slots 38-50 — r3-green backfill: the D group + decontaminate and
+#                   mixture_sample (rows-only embedding_kmeans excluded in
+#                   favor of hash-checked sql entries).
 # This changes dict ORDER only — names, builders, oracles are untouched.
 _PRIORITY = [
-    # slots 1-26: last driver row = r2 ts-fail; fix verified locally in r3,
-    # now re-exposed for hard driver evidence (reference dashboard core).
-    "obs_task_metrics",
-    "obs_stage_agg_skewness",
-    "obs_skew_distribution",
-    "obs_app_summary",
-    "obs_cardinality",
-    "obs_date_histogram",
-    "obs_top_n_skew",
-    "obs_task_percentiles",
-    "obs_batch_flush",
-    "obs_retry_backoff",
-    "obs_log_enrich",
-    "obs_error_rate",
-    "obs_executor_utilization",
-    "obs_session_windows",
-    "obs_skew_timeline",
-    "stream_metrics_window",
-    "obs_log_search",
-    "obs_counter_rate",
-    "obs_gap_fill",
-    "obs_anomaly_zscore",
-    "obs_log_templates",
-    "obs_heavy_hitters_cms",
-    "obs_error_rate_moving_avg",
-    "obs_alert_rules",
-    "asof_join_attribution",
-    "events_funnel",
-    # slots 27-39: r3 additions that registered after slot 50 — first-ever
-    # driver exposure.
-    "merge_scd2_customers",
-    "customers_monthly_cohorts",
-    "dedup_containment",
-    "similarity_ivf_multiprobe",
-    "split_leak_proof",
-    "pack_sequences_distributed",
-    "text_top_terms",
-    "mm_shard_manifest",
-    "skew_salted_sum",
-    "obs_task_percentiles_distributed",
-    "obs_skew_exemplars",
-    "obs_executor_concurrency",
-    "mm_resize",
-    # slot 40: new this round.
-    "dedup_containment_banded",
-    # slots 41-50: never-checked rows-only runners.
-    "stream_collector_pipeline",
-    "stream_stage_agg",
-    "stream_session_windows",
-    "stream_dedup_ingest",
-    "stream_alert_rules",
-    "stream_incremental_dedup",
-    "stream_heavy_hitters",
-    "obs_live_collector",
-    "source_compaction_report",
-    "source_retention_report",
-    # slots 51-59: head of the r5 window (see ledger above) — the two
-    # deferred sketch entries, then the seven round-4 additions beyond
-    # slot 50 (D16, X13, O48, S8, P11, D17, O49).
+    # slots 1-9: never driver-checked — first exposure.
     "obs_cardinality_approx",
     "obs_task_percentiles_approx",
     "embedding_dup_groups",
@@ -713,6 +661,51 @@ _PRIORITY = [
     "corpus_curation_pipeline_v2",
     "similarity_ivf_trained",
     "obs_alert_debounce",
+    # slot 10: re-exposed post-fix (r4 row was 0 rows).
+    "obs_live_collector",
+    # slots 11-13: code changed since the r4-green row.
+    "obs_batch_flush",
+    "obs_retry_backoff",
+    "dedup_containment_banded",
+    # slots 14-37: oldest evidence (r2-green) backfill.
+    "obs_props_variant_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "star_join_broadcast",
+    "window_running_totals",
+    "rollup_priority_status",
+    "promo_revenue_share",
+    "tpch_q4_order_priority",
+    "anti_join_inactive_customers",
+    "tpch_q18_large_orders",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_balance",
+    "tpch_q12_priority_by_status",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q20_excess_share",
+    # slots 38-50: r3-green backfill (D group + P heads).
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_ivf",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine_blas",
+    "embedding_centroids",
+    "similarity_knn_classify",
+    "decontaminate",
+    "mixture_sample",
 ]
 
 

@@ -757,9 +757,13 @@ def test_alert_debounce_islands_hand_example(spark):
     rows = []
     for ex, buckets in [("e1", [0, 0, 1, 2, 5, 7]), ("e2", [5, 6])]:
         for b in buckets:
-            rows.append((ex, "logs", b * 60000 + 1))
+            rows.append((ex, "logs", "error", b * 60000 + 1))
+    # a non-error log record in a firing bucket must NOT count
+    rows.append(("e1", "logs", "warn", 1))
     tm = spark.createDataFrame(
-        rows, "executor_id string, metrics_type string, metric_time_ms long"
+        rows,
+        "executor_id string, metrics_type string, event_type string,"
+        " metric_time_ms long",
     )
     got = {
         (r.executor_id, r.island_start_ms // 60000): (

@@ -291,37 +291,36 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r4 rotation: 39 sql + 11 rows-only (the never-checked runners get
-    # their first driver rows; see the _PRIORITY ledger comment).
+    # r5 rotation: 44 sql + 6 rows-only (see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 39, f"{n_sql} sql-backed entries in the driver window"
-    # every entry whose LAST driver row is the r2 ts-failure must be back
-    # in view this round (post-fix evidence), spot-checked by group:
+    assert n_sql == 44, f"{n_sql} sql-backed entries in the driver window"
+    # the 9 entries with no driver row yet MUST lead the window — this is
+    # the round that closes the coverage ledger:
+    never_checked = (
+        "obs_cardinality_approx",
+        "obs_task_percentiles_approx",
+        "embedding_dup_groups",
+        "text_tfidf_topk",
+        "stream_metric_log_join",
+        "source_schema_evolution_report",
+        "corpus_curation_pipeline_v2",
+        "similarity_ivf_trained",
+        "obs_alert_debounce",
+    )
+    assert tuple(first50[:9]) == never_checked
+    # re-exposures: the fixed live collector (r4 row was 0 rows) and the
+    # three entries whose code changed since their r4-green rows:
     for expected in (
-        "obs_task_metrics",
-        "obs_stage_agg_skewness",
-        "obs_task_percentiles",
-        "obs_log_enrich",
-        "obs_heavy_hitters_cms",
-        "obs_alert_rules",
-        "asof_join_attribution",
-        "events_funnel",
-        # r3 post-slot-50 additions, first-ever exposure:
-        "merge_scd2_customers",
-        "skew_salted_sum",
-        "obs_executor_concurrency",
-        "split_leak_proof",
-        # new this round:
-        "dedup_containment_banded",
-        # never-checked rows-only runners:
-        "stream_collector_pipeline",
         "obs_live_collector",
-        "source_retention_report",
+        "obs_batch_flush",
+        "obs_retry_backoff",
+        "dedup_containment_banded",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # and nothing already-green re-occupies a slot
-    for already_green in ("dedup_exact", "tpch_q1_pricing_summary", "text_lang_id"):
-        assert already_green not in first50
+    # backfill holds only already-green entries; fresh r4-greens whose code
+    # is unchanged must NOT re-occupy scarce slots:
+    for fresh_green in ("obs_task_metrics", "merge_scd2_customers", "split_leak_proof"):
+        assert fresh_green not in first50
 
 
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
