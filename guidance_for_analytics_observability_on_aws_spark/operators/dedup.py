@@ -177,16 +177,10 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def dedup_minhash_lsh(
-    documents: DataFrame, base: DataFrame | None = None
-) -> DataFrame:
-    """D3: MinHash + LSH banding candidate pairs.
-
-    Scale path for D2: pairs only form inside (band, band_signature)
-    buckets; the band signature is an md5 over the band's minhash row, so
-    bucket keys are uniform 16-byte strings — no skew hot-spots.
-    """
-    sig = minhash_signatures(documents, base=base)
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) LSH candidate pairs from a MinHash
+    signature frame — the banding join D3, D15 and D18 all share; ONE
+    definition so the bucket/pair semantics can never diverge."""
     # Explode one array of (band_id, band_hash) structs instead of unioning
     # per-band projections: a union would duplicate the (expensive) signature
     # aggregation subtree once per band AND defeat exchange reuse in the
@@ -222,6 +216,72 @@ def dedup_minhash_lsh(
         .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
     )
     return pairs
+
+
+def dedup_minhash_lsh(
+    documents: DataFrame, base: DataFrame | None = None
+) -> DataFrame:
+    """D3: MinHash + LSH banding candidate pairs.
+
+    Scale path for D2: pairs only form inside (band, band_signature)
+    buckets; the band signature is an md5 over the band's minhash row, so
+    bucket keys are uniform 16-byte strings — no skew hot-spots.
+    """
+    return _lsh_candidate_pairs(minhash_signatures(documents, base=base))
+
+
+def dedup_minhash_estimate(
+    documents: DataFrame, min_matching: int = 13
+) -> DataFrame:
+    """D18: Jaccard ESTIMATED from MinHash signature agreement alone — the
+    sketch-only dedup verdict, no shingle re-scoring at any point.
+
+    D15 re-scores LSH candidates with exact Jaccard, which still has to
+    re-derive shingles for every candidate document. At full corpus scale
+    the standard next step (Broder's estimator) decides from the
+    signatures already in hand: ``P[minhash_i(A) = minhash_i(B)] = J(A,B)``
+    for a min-wise hash family, so the fraction of agreeing components is
+    an unbiased Jaccard estimate with error ~1/sqrt(k). Per-pair cost
+    becomes k integer compares on 16-long signatures — the text never
+    crosses the wire, and the whole plan is the banding join plus two
+    signature equi-joins (signatures ≪ corpus).
+
+    With k=16 the estimate has 1/16 granularity, so ``min_matching = 13``
+    realizes a 0.8 threshold (13/16 = 0.8125 ≥ 0.8 > 12/16).
+    ``est_jaccard = n_matching/16`` is an exact binary fraction —
+    bit-identical across engines. Precision/recall vs the exact-scored
+    D15 verdicts is pinned in tests.
+    """
+    k = len(MINHASH_AB)
+    # One signature computation feeds the banding join AND both scoring
+    # sides; without the checkpoint Catalyst re-derives the corpus-wide
+    # aggregation per reference (3 full corpus scans at object-store cost).
+    sig = minhash_signatures(documents).localCheckpoint(eager=True)
+    pairs = _lsh_candidate_pairs(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(k)],
+    )
+    n_matching = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        n_matching = term if n_matching is None else n_matching + term
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            n_matching.cast("long").alias("n_matching"),
+        )
+        .filter(F.col("n_matching") >= min_matching)
+        .withColumn("est_jaccard", F.col("n_matching") / F.lit(k))
+    )
 
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:

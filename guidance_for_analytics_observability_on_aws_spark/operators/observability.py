@@ -1341,3 +1341,112 @@ def alert_debounce(
             (F.col("n_buckets") >= min_consecutive).alias("fired"),
         )
     )
+
+
+def straggler_detect(tm: DataFrame, min_run_time_ms: int = 100) -> DataFrame:
+    """O50: per-stage STRAGGLER tasks — run time > 1.5× the stage median.
+
+    The reference's data-skew dashboards surface skewed *stages*
+    (``data-skew.ndjson`` range buckets over the skewness fields); the
+    follow-up question a user always asks is "which tasks are dragging
+    this stage" — speculative-execution-style straggler detection. Median,
+    not mean, so one extreme task cannot mask itself by inflating its own
+    baseline.
+
+    Integer-exact throughout: the median is carried as ``median_x2`` (the
+    sum of the two middle order statistics — twice the median, always a
+    BIGINT) and the 1.5× threshold becomes the cross-multiplied predicate
+    ``4·run_time > 3·median_x2``, so there is no float boundary anywhere;
+    the reported ``ratio`` is one final IEEE division of exact integers.
+
+    Plan shape: one per-stage window (rank by run time — bounded
+    partitions, stages have at most a few thousand tasks), one tiny
+    per-stage aggregate, and a join back that AQE broadcast-converts
+    (stage stats ≪ task table). Tasks under ``min_run_time_ms`` are never
+    flagged (sub-100ms "stragglers" are scheduler noise, and degenerate
+    all-zero stages would otherwise flag everything).
+    """
+    w = Window.partitionBy(*STAGE_KEYS).orderBy("run_time_ms", "task_id")
+    ranked = (
+        tm.select(*STAGE_KEYS, "task_id", "executor_id", "run_time_ms")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*STAGE_KEYS)))
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("n DIV 2 + 1")
+    stats = ranked.groupBy(*STAGE_KEYS).agg(
+        F.max("n").alias("n_tasks"),
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("run_time_ms")))
+            + F.sum(F.when(F.col("rn") == hi, F.col("run_time_ms")))
+        ).alias("median_x2"),
+    )
+    return (
+        tm.select(*STAGE_KEYS, "task_id", "executor_id", "run_time_ms")
+        .join(stats, STAGE_KEYS)
+        .filter(
+            (F.col("run_time_ms") >= min_run_time_ms)
+            & (F.col("run_time_ms") * 4 > F.col("median_x2") * 3)
+        )
+        .select(
+            *STAGE_KEYS,
+            "task_id",
+            "executor_id",
+            "run_time_ms",
+            "n_tasks",
+            "median_x2",
+            ((F.col("run_time_ms") * 2) / F.col("median_x2")).alias("ratio"),
+        )
+    )
+
+
+def log_sample(tm: DataFrame, per_key: int = 5) -> DataFrame:
+    """O51: deterministic head-sampling rate limiter for log records — at
+    most ``per_key`` log events survive per (executor, minute).
+
+    The reference ships EVERY log event through the ingestion pipeline
+    (``CollectorAppender`` → logs-pipeline); at 100 TB-scale log volume
+    the standard mitigation is head sampling with a per-key budget so an
+    executor in a crash loop cannot flood the sink while quiet executors
+    keep full fidelity. Selection is ranked by an md5 sampling key
+    (uniform, content-independent, reproducible across engines and runs —
+    the same property P1/P2 rely on), never "first N by arrival", which
+    would bias toward whatever the scheduler ran first.
+
+    ``n_logs`` (the pre-sampling count per key) rides along so downstream
+    rate computations can re-weight: kept_count/n_logs is the exact
+    inverse sampling fraction. The rank filter plans as WindowGroupLimit —
+    per-partition partial top-N before the shuffle — so the cost is the
+    one bounded-key shuffle regardless of how hot a key gets.
+    """
+    logs = tm.filter(F.col("metrics_type") == "logs")
+    keyed = logs.select(
+        "executor_id",
+        F.expr("metric_time_ms DIV 60000 * 60000").alias("minute_ms"),
+        "task_id",
+        "app_id",
+        "metric_time_ms",
+        F.md5(F.concat_ws("-", "app_id", F.col("task_id").cast("string"))).alias(
+            "sample_key"
+        ),
+    )
+    w = Window.partitionBy("executor_id", "minute_ms").orderBy(
+        "sample_key", "task_id"
+    )
+    wn = Window.partitionBy("executor_id", "minute_ms")
+    # n_logs BEFORE the rank so the rank filter sits directly above its
+    # Window and InferWindowGroupLimit can rewrite it.
+    return (
+        keyed.withColumn("n_logs", F.count(F.lit(1)).over(wn))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_key)
+        .select(
+            "executor_id",
+            "minute_ms",
+            "task_id",
+            "app_id",
+            "metric_time_ms",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "n_logs",
+        )
+    )

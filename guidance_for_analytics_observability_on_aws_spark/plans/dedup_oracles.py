@@ -435,3 +435,31 @@ SELECT group_id,
 FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
 """
 )
+
+_MH_MATCH = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(len(MINHASH_AB))
+)
+
+DEDUP_ORACLES["dedup_minhash_estimate"] = f"""
+{MINHASH_BUCKET_CTES},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(DISTINCT a.band_id) AS n_shared_bands
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         CAST({_MH_MATCH} AS BIGINT) AS n_matching
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, n_shared_bands, n_matching,
+       n_matching / {len(MINHASH_AB)} AS est_jaccard
+FROM scored
+WHERE n_matching >= 13
+"""

@@ -769,3 +769,53 @@ SELECT executor_id,
 FROM islands
 GROUP BY executor_id, island
 """
+
+OBS_ORACLES["obs_straggler_detect"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT app_name, app_id, job_id, stage_id, task_id, run_time_ms,
+         ROW_NUMBER() OVER (PARTITION BY app_name, app_id, job_id, stage_id
+                            ORDER BY run_time_ms, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY app_name, app_id, job_id, stage_id) AS n
+  FROM task_metrics
+),
+stats AS (
+  SELECT app_name, app_id, job_id, stage_id,
+         MAX(n) AS n_tasks,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN run_time_ms END)
+            + SUM(CASE WHEN rn = n // 2 + 1 THEN run_time_ms END)
+            AS BIGINT) AS median_x2
+  FROM ranked
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t.app_name, t.app_id, t.job_id, t.stage_id, t.task_id, t.executor_id,
+       t.run_time_ms, s.n_tasks, s.median_x2,
+       (t.run_time_ms * 2) / s.median_x2 AS ratio
+FROM task_metrics t
+JOIN stats s USING (app_name, app_id, job_id, stage_id)
+WHERE t.run_time_ms >= 100 AND t.run_time_ms * 4 > s.median_x2 * 3
+"""
+
+OBS_ORACLES["obs_log_sample"] = f"""
+WITH {TELEMETRY_CTE},
+keyed AS (
+  SELECT executor_id,
+         metric_time_ms // 60000 * 60000 AS minute_ms,
+         task_id, app_id, metric_time_ms,
+         md5(app_id || '-' || CAST(task_id AS VARCHAR)) AS sample_key
+  FROM task_metrics
+  WHERE metrics_type = 'logs'
+),
+sampled AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY executor_id, minute_ms) AS n_logs,
+         ROW_NUMBER() OVER (PARTITION BY executor_id, minute_ms
+                            ORDER BY sample_key, task_id) AS sample_rank
+  FROM keyed
+)
+SELECT executor_id, minute_ms, task_id, app_id, metric_time_ms,
+       CAST(sample_rank AS BIGINT) AS sample_rank,
+       CAST(n_logs AS BIGINT) AS n_logs
+FROM sampled
+WHERE sample_rank <= 5
+"""

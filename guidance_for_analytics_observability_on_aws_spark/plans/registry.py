@@ -239,6 +239,12 @@ _register(
 )
 
 _register(
+    "dedup_minhash_estimate",
+    lambda s, d: dedup.dedup_minhash_estimate(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_minhash_estimate"],
+)
+
+_register(
     "embedding_dup_groups",
     lambda s, d: similarity.embedding_dup_groups(load_tables(s, d)["embeddings"]),
     DEDUP_ORACLES["embedding_dup_groups"],
@@ -609,6 +615,8 @@ _register(
 # Dict position is irrelevant to the driver window — _PRIORITY owns order.
 _LATE_OBS_BUILDERS = {
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
+    "obs_straggler_detect": lambda s, d: obs.straggler_detect(_tm(s, d)),
+    "obs_log_sample": lambda s, d: obs.log_sample(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -706,6 +714,10 @@ _PRIORITY = [
     "similarity_knn_classify",
     "decontaminate",
     "mixture_sample",
+    # slots 51+: r6-window head — new this round, never driver-checked.
+    "obs_straggler_detect",
+    "obs_log_sample",
+    "dedup_minhash_estimate",
 ]
 
 

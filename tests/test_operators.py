@@ -779,3 +779,97 @@ def test_alert_debounce_islands_hand_example(spark):
         ("e1", 7): (1, 1, False),
         ("e2", 5): (2, 2, False),  # 2 consecutive < 3 -> suppressed
     }
+
+
+def test_straggler_detect_hand_example(spark):
+    """Median/threshold semantics pinned: odd and even stage sizes, the
+    1.5x-median cutoff exclusive, and the sub-100ms floor."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        straggler_detect,
+    )
+
+    rows = []
+    # stage A (odd n=5): run times 100,100,200,200,1000 -> median 200,
+    # straggler iff rt > 300 -> only the 1000ms task.
+    for tid, rt in enumerate([100, 100, 200, 200, 1000]):
+        rows.append(("app", "run", 1, 1, tid, "e1", rt))
+    # stage B (even n=4): 100,200,400,400 -> median_x2 = 600 (median 300),
+    # straggler iff 4*rt > 1800 i.e. rt > 450 -> none (400 is not > 450).
+    for tid, rt in enumerate([100, 200, 400, 400]):
+        rows.append(("app", "run", 1, 2, 100 + tid, "e2", rt))
+    # stage C: 50, 10000 -> median_x2 = 10050; 4*10000 > 3*10050 -> flagged;
+    # the 50ms task is under the floor AND under threshold.
+    rows.append(("app", "run", 1, 3, 200, "e3", 50))
+    rows.append(("app", "run", 1, 3, 201, "e3", 10000))
+    tm = spark.createDataFrame(
+        rows,
+        "app_name string, app_id string, job_id long, stage_id long,"
+        " task_id long, executor_id string, run_time_ms long",
+    )
+    got = {(r.stage_id, r.task_id): (r.median_x2, r.ratio) for r in
+           straggler_detect(tm).collect()}
+    assert got == {
+        (1, 4): (400, 5.0),      # 1000 vs median 200
+        (3, 201): (10050, 20000 / 10050),
+    }
+
+
+def test_log_sample_budget_and_determinism(spark, sf_dir):
+    """At most 5 kept per (executor, minute); n_logs carries the true
+    pre-sampling count; selection is content-independent (re-run equal)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        log_sample,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = log_sample(tm).toPandas()
+    per_key = out.groupby(["executor_id", "minute_ms"]).size()
+    assert (per_key <= 5).all()
+    # kept == min(5, n_logs) per key: the sampler never drops below budget
+    for (_, _), grp in out.groupby(["executor_id", "minute_ms"]):
+        assert len(grp) == min(5, grp["n_logs"].iloc[0])
+    # total log volume is preserved in n_logs
+    n_logs_total = int(
+        tm.filter("metrics_type = 'logs'").count()
+    )
+    assert int(out.drop_duplicates(["executor_id", "minute_ms"])["n_logs"].sum()) == n_logs_total
+    again = log_sample(tm).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+
+
+def test_minhash_estimate_vs_exact_scores(spark, sf_dir):
+    """D18's signature-agreement estimate must land within the k=16
+    estimator error of the EXACT Jaccard on every pair it emits, and its
+    verdicts must recover the planted exact dups (est 16/16) that D15
+    confirms."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_minhash_estimate,
+        dedup_ngram_jaccard,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_estimate(docs).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs, threshold=0.0).collect()
+    }
+    assert est, "estimator returned no pairs"
+    # planted exact copies (doc_id + 1000000) must appear with est = 1.0
+    planted = [p for p in exact if p[1] == p[0] + 1000000 and exact[p] == 1.0]
+    for p in planted:
+        assert est.get(p) == 1.0, f"exact copy {p} not at est 1.0"
+    # every emitted estimate is within 3*sigma (sigma ~ sqrt(J(1-J)/16),
+    # bounded by 0.125) of the true Jaccard
+    for pair, e in est.items():
+        true_j = exact.get(pair, 0.0)
+        assert abs(e - true_j) <= 3 * 0.125, (
+            f"{pair}: est {e} vs exact {true_j}"
+        )

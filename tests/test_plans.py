@@ -360,3 +360,19 @@ def test_banded_dedup_single_corpus_scan(spark, sf_dir, monkeypatch):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dedup.dedup_containment_banded(docs)
     assert len(calls) == 1, f"_shingle_base derived {len(calls)}× from documents"
+
+
+def test_log_sample_uses_window_group_limit(spark, sf_dir):
+    """O51's rank<=5 filter must rewrite as WindowGroupLimit so a hot
+    (executor, minute) key costs a per-partition partial top-5, not a full
+    sorted materialization of every log record in the key."""
+    plan = _executed_plan(REGISTRY["obs_log_sample"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_straggler_stats_join_is_broadcast(spark, sf_dir):
+    """O50's join-back of per-stage medians against the task table must
+    broadcast the stats side (one row per stage << task rows) — a
+    shuffle join here would re-shuffle the whole task table at 100 TB."""
+    plan = _executed_plan(REGISTRY["obs_straggler_detect"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
