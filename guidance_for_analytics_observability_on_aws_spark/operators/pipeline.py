@@ -623,3 +623,99 @@ def split_leak_proof(documents: DataFrame) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
     )
     return summary.crossJoin(F.broadcast(cross))
+
+
+def dataset_card_report(documents: DataFrame) -> DataFrame:
+    """P12: per-source dataset card — the datasheet row a training-data
+    registry keeps per corpus slice (docs, tokens, language mix, exact-dup
+    rate, quality-band distribution).
+
+    Every number a "Datasheets for Datasets"-style card needs that this
+    engine can derive deterministically, in THREE tiny aggregations over
+    one shared per-document pass:
+    - volume: ``n_docs``, ``total_ws_tokens``;
+    - language mix: ``n_langs`` plus the dominant language and its count
+      (per-source rank-1 window over per-lang counts — bounded keys);
+    - exact-dup load: ``n_dup_docs`` = docs in excess of one per distinct
+      md5(text) within the source (the docs D1 would drop), and the
+      derived ``dup_ratio``;
+    - quality mix: band counts under the shared X2 formula
+      (:func:`..textops.quality_expr` — single source of truth, so the
+      card can never disagree with the curation funnel's gate).
+
+    All counts are BIGINT; ``dup_ratio`` is one final IEEE division.
+    Scale shape: one corpus pass into per-doc signals, then groupBys on
+    ``source`` / ``(source, lang)`` / ``(source, fingerprint)`` — the
+    fingerprint groupBy is the same one-shuffle-on-a-16-byte-key plan as
+    D1; everything after is per-source rows (tiny).
+    """
+    from ..functions.text import corpus, tokens
+    from .textops import STOPWORDS, quality_expr
+
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_doc = corpus(documents).select(
+        "source",
+        "lang",
+        F.md5("text").alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality_expr(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks),
+            F.size(toks),
+        ).alias("quality"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_ws_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("quality") >= 0.8, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_quality"),
+        F.sum(
+            F.when((F.col("quality") >= 0.5) & (F.col("quality") < 0.8), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_medium_quality"),
+        F.sum(F.when(F.col("quality") < 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_quality"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("lang_docs")
+    )
+    wl = Window.partitionBy("source").orderBy(
+        F.col("lang_docs").desc(), F.col("lang")
+    )
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_docs").alias("top_lang_docs"),
+        )
+    )
+    dups = (
+        per_doc.groupBy("source", "fingerprint")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("source")
+        .agg(F.sum(F.col("cnt") - 1).alias("n_dup_docs"))
+    )
+    return (
+        base.join(top_lang, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_ws_tokens",
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            "n_high_quality",
+            "n_medium_quality",
+            "n_low_quality",
+            "n_dup_docs",
+            (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_ratio"),
+        )
+    )

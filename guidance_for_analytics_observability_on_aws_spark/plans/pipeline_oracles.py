@@ -278,3 +278,55 @@ FROM (
 ) s, cross_pairs c
 """
 )
+
+from ..functions.text import CORPUS_CTE as _CORPUS_CTE  # noqa: E402
+from .text_oracles import _STOP_LIST  # noqa: E402
+
+PIPELINE_ORACLES["dataset_card_report"] = f"""
+WITH {_CORPUS_CTE},
+per_doc AS (
+  SELECT source, lang, md5(text) AS fingerprint,
+         {_WS_TOKENS} AS n_tokens,
+         LEAST(1.0, 0.2
+               + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                  t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+                             / {_WS_TOKENS} * 4, 1.0)
+               + 0.3 * LEAST({_WS_TOKENS} / 200.0, 1.0)) AS quality
+  FROM corpus
+),
+base AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_ws_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+         CAST(SUM(CASE WHEN quality >= 0.5 AND quality < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium_quality,
+         CAST(SUM(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+  FROM per_doc GROUP BY 1
+),
+lang_counts AS (
+  SELECT source, lang, COUNT(*) AS lang_docs
+  FROM per_doc GROUP BY 1, 2
+),
+top_lang AS (
+  SELECT source, lang AS top_lang, lang_docs AS top_lang_docs
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY lang_docs DESC, lang) AS rn
+        FROM lang_counts)
+  WHERE rn = 1
+),
+dups AS (
+  SELECT source, CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_docs
+  FROM (SELECT source, fingerprint, COUNT(*) AS cnt
+        FROM per_doc GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.total_ws_tokens, b.n_langs,
+       t.top_lang, t.top_lang_docs,
+       b.n_high_quality, b.n_medium_quality, b.n_low_quality,
+       d.n_dup_docs,
+       d.n_dup_docs / b.n_docs AS dup_ratio
+FROM base b
+JOIN top_lang t ON t.source = b.source
+JOIN dups d ON d.source = b.source
+"""

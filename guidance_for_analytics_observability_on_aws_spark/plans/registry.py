@@ -337,6 +337,12 @@ _register(
     PIPELINE_ORACLES["split_leak_proof"],
 )
 
+_register(
+    "dataset_card_report",
+    lambda s, d: pipeline.dataset_card_report(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dataset_card_report"],
+)
+
 # P3's two-phase prefix-sum scale path is result-identical to the single
 # window formulation, so it shares P3's exact oracle (equality also
 # asserted in tests/test_operators.py).
@@ -560,6 +566,18 @@ def _evolution_report(s, d):
 _register("source_schema_evolution_report", _evolution_report, None)
 
 
+# Rows-only: sort-clustered layout + row-group zone-map skipping (S9) —
+# footer-stat geometry is environment-dependent; skipping inequality +
+# result-equality invariants pinned in tests/test_sources.py.
+def _clustering_report(s, d):
+    from ..sources.clustering import clustering_report
+
+    return clustering_report(s, d)
+
+
+_register("source_clustering_report", _clustering_report, None)
+
+
 # Rows-only: stream-STREAM watermarked interval join (O48) — error stream ⋈
 # metric stream on executor + event-time range; rollup parity with the batch
 # twin asserted in tests/test_streaming.py.
@@ -718,6 +736,8 @@ _PRIORITY = [
     "obs_straggler_detect",
     "obs_log_sample",
     "dedup_minhash_estimate",
+    "dataset_card_report",
+    "source_clustering_report",
 ]
 
 

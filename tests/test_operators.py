@@ -873,3 +873,35 @@ def test_minhash_estimate_vs_exact_scores(spark, sf_dir):
         assert abs(e - true_j) <= 3 * 0.125, (
             f"{pair}: est {e} vs exact {true_j}"
         )
+
+
+def test_dataset_card_internal_consistency(spark, sf_dir):
+    """P12's card must be self-consistent: quality bands partition the
+    docs, the dup count equals what D1 would drop within each source, and
+    the dominant language count never exceeds the doc count."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import corpus
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dataset_card_report,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    card = {r.source: r for r in dataset_card_report(docs).collect()}
+    assert card
+    c = corpus(docs)
+    n_by_source = {r.source: r.n for r in
+                   c.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    drop_by_source = {
+        r.source: r.n_drop
+        for r in c.groupBy("source", F.md5("text").alias("fp"))
+        .agg((F.count(F.lit(1)) - 1).alias("extra"))
+        .groupBy("source")
+        .agg(F.sum("extra").alias("n_drop"))
+        .collect()
+    }
+    for src, r in card.items():
+        assert r.n_docs == n_by_source[src]
+        assert r.n_high_quality + r.n_medium_quality + r.n_low_quality == r.n_docs
+        assert r.n_dup_docs == drop_by_source[src]
+        assert 1 <= r.top_lang_docs <= r.n_docs
+        assert r.dup_ratio == r.n_dup_docs / r.n_docs

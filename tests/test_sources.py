@@ -364,3 +364,20 @@ def test_read_with_evolution_aligns_to_expected_schema(spark, sf_dir, tmp_path):
     assert out.columns == ["event_id", "future_col"]  # extras dropped, ordered
     assert out.filter(F.col("future_col").isNotNull()).count() == 0
     assert out.count() == 100
+
+
+def test_clustered_layout_skips_row_groups(spark, sf_dir):
+    """S9: under a selective key-range predicate the clustered layout must
+    read strictly fewer row groups than the hash-scattered control (the
+    zone-map payoff), while both layouts hold identical rows."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.clustering import (
+        clustering_report,
+    )
+
+    r = clustering_report(spark, sf_dir).collect()[0]
+    assert r.rows_selected > 0
+    # the scattered control reads (essentially) everything...
+    assert r.rg_read_scattered == r.n_row_groups_scattered
+    # ...the clustered layout skips most of its row groups
+    assert r.rg_read_clustered < r.rg_read_scattered
+    assert r.skip_ratio_clustered >= 0.5
