@@ -1450,3 +1450,73 @@ def log_sample(tm: DataFrame, per_key: int = 5) -> DataFrame:
             "n_logs",
         )
     )
+
+
+def latency_heatmap(
+    tm: DataFrame, bucket_ms: int = 500, max_bucket: int = 19
+) -> DataFrame:
+    """O52: hour × latency-bucket HEATMAP of task run times — the 2D
+    dashboard panel behind "did the latency distribution shift over
+    time" (O40 gives the 1D distribution; trends need the time axis).
+
+    Pure integer binning: ``bucket_id = least(run_time DIV bucket_ms,
+    max_bucket)`` (the last bucket absorbs the tail), counts aggregate
+    with map-side combine, and ``share_of_hour`` is one final division of
+    exact counts (per-hour totals via a RANGE-free window over the tiny
+    rollup, not the raw stream). Cell cardinality is bounded by
+    hours × (max_bucket+1) regardless of input volume.
+    """
+    cells = tm.groupBy(
+        F.expr("metric_time_ms DIV 3600000 * 3600000").alias("hour_ms"),
+        F.least(
+            F.expr(f"run_time_ms DIV {bucket_ms}"), F.lit(max_bucket).cast("long")
+        ).alias("bucket_id"),
+    ).agg(F.count(F.lit(1)).alias("n_tasks"))
+    w = Window.partitionBy("hour_ms")
+    return cells.select(
+        "hour_ms",
+        "bucket_id",
+        (F.col("bucket_id") * bucket_ms).alias("bucket_lo_ms"),
+        F.when(F.col("bucket_id") == max_bucket, F.lit(None).cast("long"))
+        .otherwise((F.col("bucket_id") + 1) * bucket_ms)
+        .alias("bucket_hi_ms"),
+        "n_tasks",
+        (F.col("n_tasks") / F.sum("n_tasks").over(w)).alias("share_of_hour"),
+    )
+
+
+def job_critical_stage(tm: DataFrame) -> DataFrame:
+    """O53: per-job CRITICAL-STAGE attribution — which stage dominated
+    each job's total task time, and by how much.
+
+    The reference's dashboards join appId × jobId × stageId top-N tables;
+    the question users answer with them is "where did this job's time
+    go". One aggregation to per-stage totals (map-side combined), then a
+    rank-1 window over the per-job stage rows (bounded: stages per job,
+    never tasks) with deterministic stage_id tie-break. ``critical_share``
+    is one division of exact BIGINTs.
+    """
+    per_stage = tm.groupBy("app_id", "job_id", "stage_id").agg(
+        F.sum("run_time_ms").alias("stage_time_ms"),
+        F.count(F.lit(1)).alias("n_tasks"),
+    )
+    w = Window.partitionBy("app_id", "job_id").orderBy(
+        F.col("stage_time_ms").desc(), F.col("stage_id")
+    )
+    wj = Window.partitionBy("app_id", "job_id")
+    return (
+        per_stage.withColumn("job_time_ms", F.sum("stage_time_ms").over(wj))
+        .withColumn("n_stages", F.count(F.lit(1)).over(wj))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "app_id",
+            "job_id",
+            "n_stages",
+            "job_time_ms",
+            F.col("stage_id").alias("critical_stage_id"),
+            F.col("stage_time_ms").alias("critical_stage_time_ms"),
+            F.col("n_tasks").alias("critical_stage_n_tasks"),
+            (F.col("stage_time_ms") / F.col("job_time_ms")).alias("critical_share"),
+        )
+    )

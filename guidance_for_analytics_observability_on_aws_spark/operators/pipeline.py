@@ -719,3 +719,54 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
             (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_ratio"),
         )
     )
+
+
+def filter_ablation(documents: DataFrame) -> DataFrame:
+    """P13: curation-filter ABLATION — how many documents each filter
+    would drop, alone and in combination.
+
+    Before committing a filter stack, a pipeline owner asks "what does
+    each gate actually remove, and how much do they overlap" — dropping
+    30% to near-dups that ALSO fail the quality gate is very different
+    from dropping two disjoint 30%s. One pass derives the three standard
+    flags per document (low quality under the shared X2 formula, too
+    short, exact-dup non-keeper exactly as D1 would drop it), then a
+    single aggregation over the flag combination yields the full 2³
+    ablation table with exact counts; ``share`` is one final division.
+
+    Scale shape: the only shuffle keyed wider than ``source`` is the
+    fingerprint window (same one-shuffle-on-a-16-byte-key plan as D1);
+    the combination aggregation is 8 rows.
+    """
+    from ..functions.text import corpus, tokens
+    from .textops import STOPWORDS, quality_expr
+
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    per_doc = corpus(documents).select(
+        "doc_id",
+        F.md5("text").alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        quality_expr(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / F.size(toks),
+            F.size(toks),
+        ).alias("quality"),
+    )
+    wf = Window.partitionBy("fingerprint")
+    flagged = per_doc.select(
+        (F.col("quality") < 0.5).alias("f_low_quality"),
+        (F.col("n_tokens") < 10).alias("f_too_short"),
+        (F.col("doc_id") != F.min("doc_id").over(wf)).alias("f_exact_dup"),
+    )
+    combos = flagged.groupBy("f_low_quality", "f_too_short", "f_exact_dup").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    return combos.select(
+        "f_low_quality",
+        "f_too_short",
+        "f_exact_dup",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(wall)).alias("share"),
+    )

@@ -1130,3 +1130,49 @@ def customers_monthly_cohorts(orders: DataFrame) -> DataFrame:
     return joined.select(
         "*", F.sum("n_new_customers").over(w).alias("cum_distinct_customers")
     )
+
+
+def q9_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "bolt",
+) -> DataFrame:
+    """T37: product-line profit per supplier nation × year (TPC-H Q9
+    shape, adapted — the driver schema has no partsupp, so the per-unit
+    supply cost is proxied as 10% of ``p_retailprice``, kept exact in
+    integer cents: ``cost_cents = floor(p_retailprice·10 + 0.5) · qty``).
+
+    Plan shape is the Q9 classic: the selective part filter broadcasts
+    into lineitem FIRST (cuts the fact stream before any wide join),
+    supplier/nation are broadcast dims, and orders joins on the already
+    filtered stream; one aggregation pass over exact cents.
+    """
+    named_parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 10 + F.lit(0.5)).alias("unit_cost_cents"),
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    amount = revenue_cents() - F.col("unit_cost_cents") * F.col("l_quantity").cast(
+        "long"
+    )
+    j = (
+        lineitem.join(F.broadcast(named_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "o_year")
+        .agg(
+            F.sum(amount).alias("profit_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "o_year")
+    )

@@ -819,3 +819,47 @@ SELECT executor_id, minute_ms, task_id, app_id, metric_time_ms,
 FROM sampled
 WHERE sample_rank <= 5
 """
+
+OBS_ORACLES["obs_latency_heatmap"] = f"""
+WITH {TELEMETRY_CTE},
+cells AS (
+  SELECT metric_time_ms // 3600000 * 3600000 AS hour_ms,
+         LEAST(run_time_ms // 500, 19) AS bucket_id,
+         COUNT(*) AS n_tasks
+  FROM task_metrics
+  GROUP BY 1, 2
+)
+SELECT hour_ms, bucket_id,
+       bucket_id * 500 AS bucket_lo_ms,
+       CASE WHEN bucket_id = 19 THEN NULL ELSE (bucket_id + 1) * 500 END
+         AS bucket_hi_ms,
+       CAST(n_tasks AS BIGINT) AS n_tasks,
+       n_tasks / SUM(n_tasks) OVER (PARTITION BY hour_ms) AS share_of_hour
+FROM cells
+"""
+
+OBS_ORACLES["obs_job_critical_stage"] = f"""
+WITH {TELEMETRY_CTE},
+per_stage AS (
+  SELECT app_id, job_id, stage_id,
+         CAST(SUM(run_time_ms) AS BIGINT) AS stage_time_ms,
+         COUNT(*) AS n_tasks
+  FROM task_metrics
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         CAST(SUM(stage_time_ms) OVER (PARTITION BY app_id, job_id) AS BIGINT)
+           AS job_time_ms,
+         COUNT(*) OVER (PARTITION BY app_id, job_id) AS n_stages,
+         ROW_NUMBER() OVER (PARTITION BY app_id, job_id
+                            ORDER BY stage_time_ms DESC, stage_id) AS rn
+  FROM per_stage
+)
+SELECT app_id, job_id, n_stages, job_time_ms,
+       stage_id AS critical_stage_id,
+       stage_time_ms AS critical_stage_time_ms,
+       n_tasks AS critical_stage_n_tasks,
+       stage_time_ms / CAST(job_time_ms AS DOUBLE) AS critical_share
+FROM ranked WHERE rn = 1
+"""

@@ -330,3 +330,31 @@ FROM base b
 JOIN top_lang t ON t.source = b.source
 JOIN dups d ON d.source = b.source
 """
+
+PIPELINE_ORACLES["filter_ablation"] = f"""
+WITH {_CORPUS_CTE},
+per_doc AS (
+  SELECT doc_id, md5(text) AS fingerprint,
+         {_WS_TOKENS} AS n_tokens,
+         LEAST(1.0, 0.2
+               + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                                  t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
+                             / {_WS_TOKENS} * 4, 1.0)
+               + 0.3 * LEAST({_WS_TOKENS} / 200.0, 1.0)) AS quality
+  FROM corpus
+),
+flagged AS (
+  SELECT quality < 0.5 AS f_low_quality,
+         n_tokens < 10 AS f_too_short,
+         doc_id != MIN(doc_id) OVER (PARTITION BY fingerprint) AS f_exact_dup
+  FROM per_doc
+),
+combos AS (
+  SELECT f_low_quality, f_too_short, f_exact_dup, COUNT(*) AS n_docs
+  FROM flagged GROUP BY 1, 2, 3
+)
+SELECT f_low_quality, f_too_short, f_exact_dup,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_docs / SUM(n_docs) OVER () AS share
+FROM combos
+"""

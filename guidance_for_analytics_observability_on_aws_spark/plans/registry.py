@@ -186,6 +186,13 @@ _TPCH_BUILDERS = {
     "customers_monthly_cohorts": lambda s, d: tpch.customers_monthly_cohorts(
         load_tables(s, d)["orders"]
     ),
+    "tpch_q9_profit": lambda s, d: tpch.q9_profit(
+        load_tables(s, d)["lineitem"],
+        load_tables(s, d)["orders"],
+        load_tables(s, d)["part"],
+        load_tables(s, d)["supplier"],
+        load_tables(s, d)["nation"],
+    ),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -341,6 +348,12 @@ _register(
     "dataset_card_report",
     lambda s, d: pipeline.dataset_card_report(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["dataset_card_report"],
+)
+
+_register(
+    "filter_ablation",
+    lambda s, d: pipeline.filter_ablation(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["filter_ablation"],
 )
 
 # P3's two-phase prefix-sum scale path is result-identical to the single
@@ -635,6 +648,8 @@ _LATE_OBS_BUILDERS = {
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
     "obs_straggler_detect": lambda s, d: obs.straggler_detect(_tm(s, d)),
     "obs_log_sample": lambda s, d: obs.log_sample(_tm(s, d)),
+    "obs_latency_heatmap": lambda s, d: obs.latency_heatmap(_tm(s, d)),
+    "obs_job_critical_stage": lambda s, d: obs.job_critical_stage(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -738,6 +753,10 @@ _PRIORITY = [
     "dedup_minhash_estimate",
     "dataset_card_report",
     "source_clustering_report",
+    "obs_latency_heatmap",
+    "obs_job_critical_stage",
+    "tpch_q9_profit",
+    "filter_ablation",
 ]
 
 

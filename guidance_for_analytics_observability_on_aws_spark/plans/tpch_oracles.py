@@ -605,3 +605,23 @@ SELECT *,
          AS cum_distinct_customers
 FROM joined
 """
+
+TPCH_ORACLES["tpch_q9_profit"] = f"""
+WITH named_parts AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 10 + 0.5) AS BIGINT) AS unit_cost_cents
+  FROM part WHERE p_name LIKE '%bolt%'
+)
+SELECT n.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({REV} - p.unit_cost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS profit_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN named_parts p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -905,3 +905,74 @@ def test_dataset_card_internal_consistency(spark, sf_dir):
         assert r.n_dup_docs == drop_by_source[src]
         assert 1 <= r.top_lang_docs <= r.n_docs
         assert r.dup_ratio == r.n_dup_docs / r.n_docs
+
+
+def test_latency_heatmap_shares_and_bounds(spark, sf_dir):
+    """O52: per-hour shares partition to 1, bucket ids bounded, the
+    overflow bucket is open-ended, counts total the input."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        latency_heatmap,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = latency_heatmap(tm).toPandas()
+    assert out["bucket_id"].between(0, 19).all()
+    assert out.loc[out.bucket_id == 19, "bucket_hi_ms"].isna().all()
+    assert (out.loc[out.bucket_id < 19, "bucket_hi_ms"]
+            == out.loc[out.bucket_id < 19, "bucket_lo_ms"] + 500).all()
+    assert int(out["n_tasks"].sum()) == tm.count()
+    import numpy as np
+    for _, grp in out.groupby("hour_ms"):
+        assert np.isclose(grp["share_of_hour"].sum(), 1.0)
+
+
+def test_job_critical_stage_invariants(spark, sf_dir):
+    """O53: the critical share is at least 1/n_stages (the max can't be
+    below the mean) and at most 1; the critical stage really is the
+    per-job max with the stage_id tie-break."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        job_critical_stage,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = job_critical_stage(tm).toPandas()
+    assert len(out) == tm.select("app_id", "job_id").distinct().count()
+    assert (out["critical_share"] <= 1.0).all()
+    assert (out["critical_share"] >= 1.0 / out["n_stages"]).all()
+    per_stage = (
+        tm.groupBy("app_id", "job_id", "stage_id")
+        .agg(F.sum("run_time_ms").alias("t"))
+        .toPandas()
+    )
+    for _, r in out.iterrows():
+        grp = per_stage[(per_stage.app_id == r.app_id) & (per_stage.job_id == r.job_id)]
+        best = grp.sort_values(["t", "stage_id"], ascending=[False, True]).iloc[0]
+        assert (best.stage_id, best.t) == (r.critical_stage_id, r.critical_stage_time_ms)
+
+
+def test_filter_ablation_partitions_corpus(spark, sf_dir):
+    """P13: the 2^3 combination counts partition the corpus exactly, and
+    the dup-flag marginal equals what D1 would drop."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import corpus
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import dedup_exact
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        filter_ablation,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = filter_ablation(docs).toPandas()
+    n_corpus = corpus(docs).count()
+    assert int(out["n_docs"].sum()) == n_corpus
+    import numpy as np
+    assert np.isclose(out["share"].sum(), 1.0)
+    d1_drops = (
+        dedup_exact(docs)
+        .agg(F.sum(F.col("n_docs") - 1).alias("drops"))
+        .collect()[0]["drops"]
+    )
+    assert int(out.loc[out.f_exact_dup, "n_docs"].sum()) == d1_drops

@@ -376,3 +376,11 @@ def test_straggler_stats_join_is_broadcast(spark, sf_dir):
     shuffle join here would re-shuffle the whole task table at 100 TB."""
     plan = _executed_plan(REGISTRY["obs_straggler_detect"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q9_profit_broadcasts_part_and_supplier(spark, sf_dir):
+    """T37: the filtered part dim and supplier⋈nation dim must broadcast
+    into the lineitem stream — a shuffle join on either would move the
+    whole fact table for a dim-sized input."""
+    plan = _executed_plan(REGISTRY["tpch_q9_profit"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
