@@ -88,6 +88,20 @@ BENCH_QUERIES_R4 = [
     "obs_alert_debounce",
 ]
 
+#: Round-5 additions: the sketch-only dedup verdict (timed against the
+#: exact-scored banded path it replaces at full scale), the curation
+#: analytics pair, and the new dashboard drill-downs.
+BENCH_QUERIES_R5 = [
+    "dedup_minhash_estimate",
+    "dataset_card_report",
+    "filter_ablation",
+    "obs_straggler_detect",
+    "obs_log_sample",
+    "obs_latency_heatmap",
+    "obs_job_critical_stage",
+    "tpch_q9_profit",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,7 +140,7 @@ def main() -> None:
     # machine load (BENCH_r04 was inflated 20-100% by a loaded host while
     # a clean re-run matched r3 to 0.1%). Steady-state minima are also the
     # honest basis for the 100 TB throughput claims.
-    all_names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4
+    all_names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5
     passes: list[dict[str, float]] = []
     for _ in range(2):
         timings: dict[str, float] = {}
