@@ -260,3 +260,50 @@ def shard_manifest(documents: DataFrame, shard_bytes: int = 65536) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def mm_dedup_exact(documents: DataFrame) -> DataFrame:
+    """M8: exact payload dedup per modality — D1 extended to binary
+    columns.
+
+    Image/audio/video dedup at ingest starts with byte-identical payload
+    removal (re-crawled assets, mirrored URLs): md5 over the RAW BYTES
+    (never a decoded representation — decode is expensive and lossy), one
+    shuffle on a (modality, 16-byte-digest) key exactly like D1. Keeps the
+    lowest doc_id per group and reports the reclaimable byte volume —
+    media dedup is judged in bytes, not rows.
+
+    Runs over the augmented corpus (the planted byte-identical copies are
+    the true positives). Modality is derived from the payload CONTENT
+    (md5 mod 3) rather than M1's doc_id convention: a re-crawled copy of
+    an image is still an image, whatever row id it landed on — and this
+    is what makes "dedup within modality" well-defined for the synthetic
+    payloads.
+    """
+    from ..functions.hashing import md5_int
+    from ..functions.text import corpus
+
+    payload = F.encode(F.col("text"), "UTF-8")
+    modality = (
+        F.when(md5_int(F.col("text"), 4) % 3 == 0, "image")
+        .when(md5_int(F.col("text"), 4) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    hashed = corpus(documents).select(
+        "doc_id",
+        modality.alias("modality"),
+        F.md5(payload).alias("payload_md5"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+    return (
+        hashed.groupBy("modality", "payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("byte_len").alias("payload_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.max("byte_len")).alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

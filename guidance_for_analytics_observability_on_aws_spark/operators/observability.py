@@ -1520,3 +1520,23 @@ def job_critical_stage(tm: DataFrame) -> DataFrame:
             (F.col("stage_time_ms") / F.col("job_time_ms")).alias("critical_share"),
         )
     )
+
+
+def percentile_timeline(tm: DataFrame) -> DataFrame:
+    """O54: hourly latency-band timeline — p25/50/75/99 of task run time
+    per hour bucket, the "latency bands over time" dashboard panel (O8
+    gives the global distribution per metric class; O52 the full heatmap;
+    this is the banded line chart operators actually watch).
+
+    Same engine-portable order-statistic selection as O8/O42/O44
+    (:func:`_order_stat_aggs` — single source of the rank convention).
+    One window sort per hour partition (bounded: an hour of tasks per
+    partition, and hours parallelize); no global sort.
+    """
+    hour = F.expr("metric_time_ms DIV 3600000 * 3600000")
+    base = tm.select(hour.alias("hour_ms"), "run_time_ms", "task_id")
+    w = Window.partitionBy("hour_ms").orderBy("run_time_ms", "task_id")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("hour_ms"))
+    )
+    return ranked.groupBy("hour_ms").agg(*_order_stat_aggs("run_time_ms"))

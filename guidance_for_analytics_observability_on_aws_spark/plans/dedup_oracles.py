@@ -463,3 +463,25 @@ SELECT doc_a, doc_b, n_shared_bands, n_matching,
 FROM scored
 WHERE n_matching >= 13
 """
+
+
+DEDUP_ORACLES["mm_dedup_exact"] = f"""
+WITH {CORPUS_CTE},
+hashed AS (
+  SELECT doc_id,
+         CASE WHEN {md5_int_sql("text", 4)} % 3 = 0 THEN 'image'
+              WHEN {md5_int_sql("text", 4)} % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         md5(text) AS payload_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM corpus
+)
+SELECT modality, payload_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_doc_id,
+       MAX(byte_len) AS payload_bytes,
+       CAST((COUNT(*) - 1) * MAX(byte_len) AS BIGINT) AS reclaimable_bytes
+FROM hashed
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""

@@ -863,3 +863,23 @@ SELECT app_id, job_id, n_stages, job_time_ms,
        stage_time_ms / CAST(job_time_ms AS DOUBLE) AS critical_share
 FROM ranked WHERE rn = 1
 """
+
+OBS_ORACLES["obs_percentile_timeline"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT metric_time_ms // 3600000 * 3600000 AS hour_ms,
+         run_time_ms, task_id,
+         ROW_NUMBER() OVER (PARTITION BY metric_time_ms // 3600000 * 3600000
+                            ORDER BY run_time_ms, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY metric_time_ms // 3600000 * 3600000) AS n
+  FROM task_metrics
+)
+SELECT hour_ms,
+       CAST(MAX(n) AS BIGINT) AS n_tasks,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.25) AS BIGINT) THEN run_time_ms END) AS p25,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) THEN run_time_ms END) AS p50,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT) THEN run_time_ms END) AS p75,
+       MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) THEN run_time_ms END) AS p99
+FROM ranked
+GROUP BY 1
+"""

@@ -412,6 +412,14 @@ _TEXT_BUILDERS = {
 for _name, _b in _TEXT_BUILDERS.items():
     _register(_name, _b, TEXT_ORACLES[_name])
 
+# M8 rides the D-group oracle module: it is D1's arithmetic over binary
+# payloads (corpus plants are the true positives).
+_register(
+    "mm_dedup_exact",
+    lambda s, d: multimodal.mm_dedup_exact(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["mm_dedup_exact"],
+)
+
 # Rows-only: HLL sketch values are engine-specific (no exact DuckDB oracle);
 # accuracy vs the exact tiles is asserted in tests/test_plans.py.
 _register(
@@ -650,6 +658,7 @@ _LATE_OBS_BUILDERS = {
     "obs_log_sample": lambda s, d: obs.log_sample(_tm(s, d)),
     "obs_latency_heatmap": lambda s, d: obs.latency_heatmap(_tm(s, d)),
     "obs_job_critical_stage": lambda s, d: obs.job_critical_stage(_tm(s, d)),
+    "obs_percentile_timeline": lambda s, d: obs.percentile_timeline(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -757,6 +766,8 @@ _PRIORITY = [
     "obs_job_critical_stage",
     "tpch_q9_profit",
     "filter_ablation",
+    "obs_percentile_timeline",
+    "mm_dedup_exact",
 ]
 
 

@@ -976,3 +976,51 @@ def test_filter_ablation_partitions_corpus(spark, sf_dir):
         .collect()[0]["drops"]
     )
     assert int(out.loc[out.f_exact_dup, "n_docs"].sum()) == d1_drops
+
+
+def test_percentile_timeline_monotone_and_consistent(spark, sf_dir):
+    """O54: within every hour p25 <= p50 <= p75 <= p99, and each value is
+    an actual run time from that hour (order-statistic selection, never
+    interpolation)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        percentile_timeline,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = percentile_timeline(tm).toPandas()
+    assert (out.p25 <= out.p50).all() and (out.p50 <= out.p75).all() and (
+        out.p75 <= out.p99
+    ).all()
+    hours = (
+        tm.select(
+            F.expr("metric_time_ms DIV 3600000 * 3600000").alias("h"), "run_time_ms"
+        ).toPandas()
+    )
+    sample = out.sample(n=min(10, len(out)), random_state=7)
+    for _, r in sample.iterrows():
+        vals = set(hours[hours.h == r.hour_ms]["run_time_ms"])
+        assert {r.p25, r.p50, r.p75, r.p99} <= vals
+
+
+def test_mm_dedup_exact_finds_planted_payload_copies(spark, sf_dir):
+    """M8: every planted byte-identical copy (doc_id + 1M) must appear in
+    a dup group with its parent as the keeper, and reclaimable bytes are
+    (copies-1) x payload size."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
+        mm_dedup_exact,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    groups = mm_dedup_exact(docs).collect()
+    assert groups
+    planted_parents = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+    keepers = {r.keep_doc_id for r in groups}
+    assert planted_parents <= keepers
+    for r in groups:
+        assert r.n_copies >= 2
+        assert r.reclaimable_bytes == (r.n_copies - 1) * r.payload_bytes
