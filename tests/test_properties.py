@@ -222,3 +222,43 @@ def test_banded_dedup_precision_on_random_corpora(spark, token_lists):
     } | {(r.doc_a, r.doc_b) for r in dedup_containment(docs).collect()}
     banded = {(r.doc_a, r.doc_b) for r in dedup_containment_banded(docs).collect()}
     assert banded <= exact, f"false positives: {sorted(banded - exact)[:5]}"
+
+
+run_times = st.lists(
+    st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(run_times)
+def test_straggler_median_matches_statistics_median(spark, rts):
+    """O50's median_x2 (sum of the two middle order statistics) must equal
+    2x the textbook median on arbitrary groups, and the flag set must be
+    exactly {rt : rt >= 100 and rt > 1.5*median} — attacked with random
+    durations instead of trusting the fixture distribution."""
+    import statistics
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        straggler_detect,
+    )
+
+    rows = [("app", "run", 1, 1, i, "e1", rt) for i, rt in enumerate(rts)]
+    tm = spark.createDataFrame(
+        rows,
+        "app_name string, app_id string, job_id long, stage_id long,"
+        " task_id long, executor_id string, run_time_ms long",
+    )
+    got = {r.task_id: r for r in straggler_detect(tm).collect()}
+    srt = sorted(rts)
+    n = len(srt)
+    median_x2 = srt[(n - 1) // 2] + srt[n // 2]
+    # integer-exact expectation: 4*rt > 3*median_x2 (== rt > 1.5*median)
+    want = {
+        i for i, rt in enumerate(rts) if rt >= 100 and 4 * rt > 3 * median_x2
+    }
+    assert set(got) == want
+    for r in got.values():
+        assert r.median_x2 == median_x2
+        # cross-check against the stdlib median (float) on modest values
+        if srt[-1] < 2**50:
+            assert r.median_x2 == round(2 * statistics.median(srt))
