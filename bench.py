@@ -99,7 +99,9 @@ BENCH_QUERIES_R5 = [
     "obs_log_sample",
     "obs_latency_heatmap",
     "obs_job_critical_stage",
+    "obs_percentile_timeline",
     "tpch_q9_profit",
+    "mm_dedup_exact",
 ]
 
 

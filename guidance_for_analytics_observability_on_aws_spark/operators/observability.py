@@ -330,20 +330,22 @@ def input_bytes_percentiles(tm: DataFrame) -> DataFrame:
     return ranked.groupBy("app_id").agg(*_order_stat_aggs("input_bytes_read"))
 
 
-def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
-    """O9: batching-client semantics (ObservabilityClient.add parity).
+def _client_state(tm: DataFrame) -> tuple[DataFrame, Window]:
+    """The ObservabilityClient state machine, unrolled once for BOTH O9
+    and O10 (one definition so the success-reset / retryable / abort
+    semantics can never diverge between them).
 
-    Size-based batch sequencing plus time-threshold flush flags, per
-    executor buffer (reference defaults: batchSize=100, timeThreshold=10s;
-    ``Utils.scala:103-113``), plus the BACKING-OFF flush rule
-    (``ObservabilityClient.scala:299-306``): while the client is backing
-    off after a retryable send failure, ``add`` flushes only on the time
-    threshold — the size trigger is suspended until a flush succeeds (or
-    the client aborts and is replaced). ``backing_off`` carries the state
-    and ``flushed_by_size`` honors it; the state machine is the same
-    success-reset / retryable / abort unrolling as O10 (:func:`retry_backoff`),
-    evaluated here over the FULL event timeline so every ``add`` sees the
-    client state it would observe.
+    Per (executor) event timeline:
+    - ``run_id``: successful flushes before the event (successes are the
+      non-error telemetry events) — each success resets the cycle;
+    - ``nr_before``: non-retryable aborts earlier in the run — each abort
+      replaced the client, so later rows start a fresh segment;
+    - ``fail_pos``/``attempt_no``: the failure's position within its
+      segment, counted with a conditional sum over ALL events (not a
+      row_number) so interleaved successes can never shift a failure's
+      attempt — even under timestamp ties;
+    - ``aborted_evt`` / ``state_after``: whether the event aborts the
+      client / leaves it backing off.
     """
     w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
     ev = tm.select(
@@ -363,10 +365,6 @@ def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10
             F.lit(0),
         ),
     )
-    # Segment positions computed over the full timeline: each run's single
-    # success sorts LAST within its (executor, run_id) partition, so it
-    # never shifts the failure positions before it and its own attempt
-    # value is irrelevant (state_after is 0 for successes regardless).
     w_run = Window.partitionBy("executor_id", "run_id").orderBy(
         "metric_time_ms", "task_id"
     )
@@ -383,26 +381,79 @@ def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10
         "metric_time_ms", "task_id"
     )
     ev = (
-        ev.withColumn("pos", F.row_number().over(w_seg))
-        .withColumn("attempt_no", (F.col("pos") - 1) % 6 + 1)
+        ev.withColumn(
+            "fail_pos",
+            F.sum(F.when(F.col("is_fail"), 1).otherwise(0)).over(
+                w_seg.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "attempt_no", ((F.col("fail_pos") - 1) % 6 + 1).cast("long")
+        )
+        .withColumn(
+            "aborted_evt",
+            F.col("is_fail") & (~F.col("retryable") | (F.col("attempt_no") == 6)),
+        )
         .withColumn(
             "state_after",
-            F.when(~F.col("is_fail"), F.lit(0))  # success resets
-            .when(~F.col("retryable") | (F.col("attempt_no") == 6), F.lit(0))  # abort
-            .otherwise(F.lit(1)),  # retryable failure → backing off
-        )
-        .withColumn(
-            "backing_off",
-            F.coalesce(F.lag("state_after").over(w), F.lit(0)) == 1,
+            F.when(~F.col("is_fail") | F.col("aborted_evt"), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
         )
     )
-    return ev.select(
+    return ev, w
+
+
+def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10) -> DataFrame:
+    """O9: batching-client semantics (ObservabilityClient.add parity).
+
+    Size-based batch sequencing plus time-threshold flush flags, per
+    executor buffer (reference defaults: batchSize=100, timeThreshold=10s;
+    ``Utils.scala:103-113``), plus the BACKING-OFF flush rule
+    (``ObservabilityClient.scala:299-306``): while the client is backing
+    off after a retryable send failure, ``add`` flushes only on the time
+    threshold — the size trigger is suspended, and the flush DEFERS to the
+    first add after recovery (the buffer kept growing, so that add sees
+    size ≥ batchSize and flushes immediately). ``flushed_by_size`` models
+    both: a boundary outside backoff flushes in place; a boundary whose
+    backoff island swallowed it re-fires on the island's first
+    non-backing-off successor (gaps-and-islands over the backoff state).
+    Batch boundaries themselves advance on a fixed per-executor add
+    counter — the deferred flush does not re-base later boundaries (a
+    bounded-delay approximation of the buffer reset; delta noted in
+    MIGRATION.md). State machine shared with O10 via
+    :func:`_client_state`.
+    """
+    ev, w = _client_state(tm)
+    ev = ev.withColumn(
+        "backing_off",
+        F.coalesce(F.lag("state_after").over(w), F.lit(0)) == 1,
+    )
+    seq = ev.select(
         "executor_id",
         "task_id",
         F.row_number().over(w).alias("rn"),
         (F.col("metric_time_ms") - F.lag("metric_time_ms").over(w)).alias("gap_ms_raw"),
         "backing_off",
-    ).select(
+    ).withColumn(
+        # non-backing-off rows STRICTLY BEFORE this one: a backoff island
+        # and its first recovered add share this key, so a suppressed
+        # boundary can hand its flush to exactly that add. Ordered by rn —
+        # the already-assigned per-executor sequence.
+        "nbc_excl",
+        F.coalesce(
+            F.sum(F.when(~F.col("backing_off"), 1).otherwise(0)).over(
+                Window.partitionBy("executor_id")
+                .orderBy("rn")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    deferred = F.max(
+        F.when(F.col("backing_off") & (F.col("rn") % batch_size == 0), 1).otherwise(0)
+    ).over(Window.partitionBy("executor_id", "nbc_excl"))
+    return seq.select(
         "executor_id",
         "task_id",
         F.floor((F.col("rn") - 1) / batch_size).alias("batch_seq"),
@@ -412,7 +463,8 @@ def batch_flush(tm: DataFrame, batch_size: int = 100, time_threshold_s: int = 10
         ),
         "backing_off",
         (
-            (F.col("rn") % batch_size == 0) & ~F.col("backing_off")
+            ~F.col("backing_off")
+            & ((F.col("rn") % batch_size == 0) | (deferred == 1))
         ).alias("flushed_by_size"),
     )
 
@@ -441,50 +493,10 @@ def retry_backoff(tm: DataFrame) -> DataFrame:
     split the all-retryable stretches at exhaustion aborts. No UDF, no
     recursion, integer-exact — two narrow window passes per executor.
     """
-    w = Window.partitionBy("executor_id").orderBy("metric_time_ms", "task_id")
-    ev = tm.select(
-        "executor_id",
-        "task_id",
-        "metric_time_ms",
-        (F.col("event_type") == "error").alias("is_fail"),
-        ((F.col("event_type") == "error") & (F.col("task_id") % 5 != 0)).alias(
-            "retryable"
-        ),
-    ).withColumn(
-        # number of successful flushes before this event → failure-run id
-        "run_id",
-        F.coalesce(
-            F.sum(F.when(~F.col("is_fail"), 1).otherwise(0)).over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    )
-    fails = ev.filter("is_fail")
-    w_run = Window.partitionBy("executor_id", "run_id").orderBy(
-        "metric_time_ms", "task_id"
-    )
-    fails = fails.withColumn(
-        # non-retryable failures BEFORE this one in the run: each one was an
-        # abort, so it closed its segment — rows after it start fresh
-        "nr_before",
-        F.coalesce(
-            F.sum(F.when(~F.col("retryable"), 1).otherwise(0)).over(
-                w_run.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    )
-    w_seg = Window.partitionBy("executor_id", "run_id", "nr_before").orderBy(
-        "metric_time_ms", "task_id"
-    )
     sched = (
-        fails.withColumn("pos", F.row_number().over(w_seg))
-        # blocks of 6 consecutive retryables = exhaustion-abort restarts
-        .withColumn("attempt_no", ((F.col("pos") - 1) % 6 + 1).cast("long"))
-        .withColumn(
-            "aborted", ~F.col("retryable") | (F.col("attempt_no") == 6)
-        )
+        _client_state(tm)[0]
+        .filter("is_fail")
+        .withColumnRenamed("aborted_evt", "aborted")
         .withColumn(
             "backoff_s",
             F.when(F.col("aborted"), F.lit(0))
@@ -1395,7 +1407,12 @@ def straggler_detect(tm: DataFrame, min_run_time_ms: int = 100) -> DataFrame:
             "run_time_ms",
             "n_tasks",
             "median_x2",
-            ((F.col("run_time_ms") * 2) / F.col("median_x2")).alias("ratio"),
+            # try_divide: a zero median (all-sub-100ms stage with one big
+            # task) must yield a NULL ratio, not an ANSI DIVIDE_BY_ZERO
+            # abort — and NULL is what the DuckDB oracle produces.
+            F.try_divide(F.col("run_time_ms") * 2, F.col("median_x2")).alias(
+                "ratio"
+            ),
         )
     )
 
@@ -1517,7 +1534,11 @@ def job_critical_stage(tm: DataFrame) -> DataFrame:
             F.col("stage_id").alias("critical_stage_id"),
             F.col("stage_time_ms").alias("critical_stage_time_ms"),
             F.col("n_tasks").alias("critical_stage_n_tasks"),
-            (F.col("stage_time_ms") / F.col("job_time_ms")).alias("critical_share"),
+            # try_divide: an all-zero-runtime job (idle/metadata-only) must
+            # emit a NULL share, not abort under default-ANSI Spark 4.
+            F.try_divide(F.col("stage_time_ms"), F.col("job_time_ms")).alias(
+                "critical_share"
+            ),
         )
     )
 

@@ -261,27 +261,39 @@ def curation_pipeline_v2(documents: DataFrame) -> DataFrame:
     return _curation_funnel(documents, dup_labels(None, pairs=pairs))
 
 
-def _curation_funnel(documents: DataFrame, labels: DataFrame) -> DataFrame:
-    """Shared P5/P11 funnel: exact dedup → drop non-canonical members of
-    ``labels``'s dup groups → quality filter; one summary row per stage."""
+def _per_doc_signals(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, fingerprint, n_tokens, quality) over the
+    augmented corpus — the ONE per-document signal derivation the
+    curation funnel (P5/P11), the dataset card (P12) and the filter
+    ablation (P13) all consume, so the fingerprint/token/quality signals
+    can never drift between the card, the ablation and the gate
+    (mirrored by ``plans/pipeline_oracles.py::_PER_DOC_SIGNALS``)."""
     from ..functions.text import corpus
     from .textops import STOPWORDS, quality_expr
 
-    c = corpus(documents)
     toks = tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_ratio = (
         F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
         / F.size(toks)
     )
-    quality = quality_expr(stop_ratio, F.size(toks))
-    per_doc = c.select(
+    return corpus(documents).select(
         "doc_id",
-        F.md5("text").alias("fp"),
+        "source",
+        "lang",
+        F.md5("text").alias("fingerprint"),
         F.size(toks).cast("long").alias("n_tokens"),
-        quality.alias("quality"),
+        quality_expr(stop_ratio, F.size(toks)).alias("quality"),
     )
-    w_fp = Window.partitionBy("fp")
+
+
+def _curation_funnel(documents: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared P5/P11 funnel: exact dedup → drop non-canonical members of
+    ``labels``'s dup groups → quality filter; one summary row per stage."""
+    per_doc = _per_doc_signals(documents).select(
+        "doc_id", "fingerprint", "n_tokens", "quality"
+    )
+    w_fp = Window.partitionBy("fingerprint")
     s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
         F.col("doc_id") == F.col("keep_id")
     )
@@ -644,27 +656,14 @@ def dataset_card_report(documents: DataFrame) -> DataFrame:
       card can never disagree with the curation funnel's gate).
 
     All counts are BIGINT; ``dup_ratio`` is one final IEEE division.
-    Scale shape: one corpus pass into per-doc signals, then groupBys on
-    ``source`` / ``(source, lang)`` / ``(source, fingerprint)`` — the
-    fingerprint groupBy is the same one-shuffle-on-a-16-byte-key plan as
-    D1; everything after is per-source rows (tiny).
+    Scale shape: one corpus pass into per-doc signals
+    (:func:`_per_doc_signals` — shared with the funnel and P13), then
+    groupBys on ``source`` / ``(source, lang)`` / ``(source,
+    fingerprint)`` — the fingerprint groupBy is the same
+    one-shuffle-on-a-16-byte-key plan as D1; everything after is
+    per-source rows (tiny).
     """
-    from ..functions.text import corpus, tokens
-    from .textops import STOPWORDS, quality_expr
-
-    toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    per_doc = corpus(documents).select(
-        "source",
-        "lang",
-        F.md5("text").alias("fingerprint"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        quality_expr(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-            / F.size(toks),
-            F.size(toks),
-        ).alias("quality"),
-    )
+    per_doc = _per_doc_signals(documents)
     base = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_ws_tokens"),
@@ -736,22 +735,11 @@ def filter_ablation(documents: DataFrame) -> DataFrame:
 
     Scale shape: the only shuffle keyed wider than ``source`` is the
     fingerprint window (same one-shuffle-on-a-16-byte-key plan as D1);
-    the combination aggregation is 8 rows.
+    the combination aggregation is 8 rows. Per-doc signals come from
+    :func:`_per_doc_signals` (shared with P5/P11/P12).
     """
-    from ..functions.text import corpus, tokens
-    from .textops import STOPWORDS, quality_expr
-
-    toks = tokens(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    per_doc = corpus(documents).select(
-        "doc_id",
-        F.md5("text").alias("fingerprint"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        quality_expr(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-            / F.size(toks),
-            F.size(toks),
-        ).alias("quality"),
+    per_doc = _per_doc_signals(documents).select(
+        "doc_id", "fingerprint", "n_tokens", "quality"
     )
     wf = Window.partitionBy("fingerprint")
     flagged = per_doc.select(

@@ -155,7 +155,10 @@ FROM ranked
 GROUP BY 1
 """
 
-OBS_ORACLES["obs_batch_flush"] = f"""
+# The ObservabilityClient state machine, unrolled ONCE for both O9 and O10
+# (mirrors operators/observability.py::_client_state — one definition so the
+# success-reset / retryable / abort semantics cannot diverge).
+_CLIENT_STATE_CTES = f"""
 WITH {TELEMETRY_CTE},
 ev AS (
   SELECT executor_id, task_id, metric_time_ms,
@@ -177,69 +180,65 @@ seg AS (
 ),
 st AS (
   SELECT *,
-         CASE WHEN NOT is_fail THEN 0
-              WHEN NOT retryable
-                OR (ROW_NUMBER() OVER (PARTITION BY executor_id, run_id, nr_before
-                    ORDER BY metric_time_ms, task_id) - 1) % 6 + 1 = 6 THEN 0
-              ELSE 1 END AS state_after
-  FROM seg
-),
+         CAST((fail_pos - 1) % 6 + 1 AS BIGINT) AS attempt_no,
+         is_fail AND (NOT retryable OR (fail_pos - 1) % 6 + 1 = 6) AS aborted_evt,
+         CASE WHEN NOT is_fail
+                OR (is_fail AND (NOT retryable OR (fail_pos - 1) % 6 + 1 = 6))
+              THEN 0 ELSE 1 END AS state_after
+  FROM (
+    SELECT *,
+           SUM(CASE WHEN is_fail THEN 1 ELSE 0 END)
+             OVER (PARTITION BY executor_id, run_id, nr_before
+                   ORDER BY metric_time_ms, task_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fail_pos
+    FROM seg
+  )
+)
+"""
+
+OBS_ORACLES["obs_batch_flush"] = f"""
+{_CLIENT_STATE_CTES},
 seq AS (
   SELECT executor_id, task_id,
          ROW_NUMBER() OVER ({_W_EXEC}) AS rn,
          metric_time_ms - LAG(metric_time_ms) OVER ({_W_EXEC}) AS gap_ms_raw,
          COALESCE(LAG(state_after) OVER ({_W_EXEC}), 0) = 1 AS backing_off
   FROM st
+),
+nbc AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN NOT backing_off THEN 1 ELSE 0 END)
+           OVER (PARTITION BY executor_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS nbc_excl
+  FROM seq
+),
+def AS (
+  SELECT *,
+         MAX(CASE WHEN backing_off AND rn % 100 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY executor_id, nbc_excl) AS deferred
+  FROM nbc
 )
 SELECT executor_id, task_id,
        CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS batch_seq,
        COALESCE(gap_ms_raw, 0) AS gap_ms,
        COALESCE(gap_ms_raw, 0) >= 10000 AS flushed_by_time,
        backing_off,
-       rn % 100 = 0 AND NOT backing_off AS flushed_by_size
-FROM seq
+       NOT backing_off AND (rn % 100 = 0 OR deferred = 1) AS flushed_by_size
+FROM def
 """
 
 OBS_ORACLES["obs_retry_backoff"] = f"""
-WITH {TELEMETRY_CTE},
-ev AS (
-  SELECT executor_id, task_id, metric_time_ms,
-         event_type = 'error' AS is_fail,
-         event_type = 'error' AND task_id % 5 <> 0 AS retryable,
-         COALESCE(SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
-           OVER ({_W_EXEC} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           0) AS run_id
-  FROM task_metrics
-),
-fails AS (
-  SELECT *,
-         COALESCE(SUM(CASE WHEN retryable THEN 0 ELSE 1 END)
-           OVER (PARTITION BY executor_id, run_id
-                 ORDER BY metric_time_ms, task_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           0) AS nr_before
-  FROM ev WHERE is_fail
-),
-sched AS (
-  SELECT executor_id, task_id, metric_time_ms, retryable,
-         CAST((ROW_NUMBER() OVER (PARTITION BY executor_id, run_id, nr_before
-               ORDER BY metric_time_ms, task_id) - 1) % 6 + 1 AS BIGINT)
-           AS attempt_no
-  FROM fails
-),
-flags AS (
-  SELECT *,
-         (NOT retryable) OR attempt_no = 6 AS aborted
-  FROM sched
-),
+{_CLIENT_STATE_CTES},
 backoffs AS (
-  SELECT *,
-         CAST(CASE WHEN aborted THEN 0
+  SELECT executor_id, task_id, metric_time_ms, retryable, attempt_no,
+         aborted_evt AS aborted,
+         CAST(CASE WHEN aborted_evt THEN 0
                    WHEN attempt_no = 1 THEN 10
                    WHEN attempt_no = 2 THEN 20
                    WHEN attempt_no = 3 THEN 40
                    ELSE 60 END AS BIGINT) AS backoff_s
-  FROM flags
+  FROM st WHERE is_fail
 )
 SELECT executor_id, task_id, retryable, attempt_no, backoff_s,
        CAST(SUM(backoff_s) OVER ({_W_EXEC}

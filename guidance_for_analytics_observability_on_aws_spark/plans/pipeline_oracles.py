@@ -14,6 +14,7 @@ from ..operators.pipeline import (
     SPLIT_VAL,
 )
 from .dedup_oracles import MINHASH_BUCKET_CTES
+from .text_oracles import _STOP_LIST as _STOP_LIST_SQL
 
 PIPELINE_ORACLES: dict[str, str] = {}
 
@@ -100,29 +101,33 @@ FROM labels GROUP BY 1 HAVING COUNT(*) >= 2
 """
 )
 
-_STOP_LIST_SQL = "['the','a','of','and','to','in','is','on','for','it']"
+
+# The X2 quality formula and the shared per-document signal CTE — ONE SQL
+# definition consumed by the curation funnel (P5/P11), the dataset card
+# (P12) and the filter ablation (P13), mirroring
+# operators/pipeline.py::_per_doc_signals so the signals can never drift.
+_QUALITY_SQL = f"""LEAST(1.0, 0.2
+           + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT)
+                        / {_WS_TOKENS} * 4, 1.0)
+           + 0.3 * LEAST({_WS_TOKENS} / 200.0, 1.0))"""
+
+_PER_DOC_SIGNALS = f"""per_doc AS (
+  SELECT doc_id, source, lang, md5(text) AS fingerprint,
+         {_WS_TOKENS} AS n_tokens,
+         {_QUALITY_SQL} AS quality
+  FROM corpus
+)"""
 
 # Shared P5/P11 funnel tail: expects a `labels` CTE (the dup-group
 # membership) and the corpus CTE to be in scope; the two funnels differ
 # ONLY in which pair graph feeds `labels` (LSH candidates vs D15's
 # verified banded pairs) — mirrored by operators/pipeline.py::_curation_funnel.
 _FUNNEL_TAIL = f""",
-per_doc AS (
-  SELECT doc_id, md5(text) AS fp,
-         {_WS_TOKENS} AS n_tokens,
-         LEAST(1.0,
-           0.2
-           + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                t -> list_contains({_STOP_LIST_SQL}, t))) AS BIGINT)
-                        / CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) * 4,
-                        1.0)
-           + 0.3 * LEAST(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
-                        / 200.0, 1.0)) AS quality
-  FROM corpus
-),
+{_PER_DOC_SIGNALS},
 s1 AS (
   SELECT * FROM (
-    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM per_doc
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id FROM per_doc
   ) WHERE doc_id = keep_id
 ),
 non_canonical AS (
@@ -280,20 +285,10 @@ FROM (
 )
 
 from ..functions.text import CORPUS_CTE as _CORPUS_CTE  # noqa: E402
-from .text_oracles import _STOP_LIST  # noqa: E402
 
 PIPELINE_ORACLES["dataset_card_report"] = f"""
 WITH {_CORPUS_CTE},
-per_doc AS (
-  SELECT source, lang, md5(text) AS fingerprint,
-         {_WS_TOKENS} AS n_tokens,
-         LEAST(1.0, 0.2
-               + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                                  t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
-                             / {_WS_TOKENS} * 4, 1.0)
-               + 0.3 * LEAST({_WS_TOKENS} / 200.0, 1.0)) AS quality
-  FROM corpus
-),
+{_PER_DOC_SIGNALS},
 base AS (
   SELECT source,
          COUNT(*) AS n_docs,
@@ -333,16 +328,7 @@ JOIN dups d ON d.source = b.source
 
 PIPELINE_ORACLES["filter_ablation"] = f"""
 WITH {_CORPUS_CTE},
-per_doc AS (
-  SELECT doc_id, md5(text) AS fingerprint,
-         {_WS_TOKENS} AS n_tokens,
-         LEAST(1.0, 0.2
-               + 0.5 * LEAST(CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                                  t -> list_contains({_STOP_LIST}, t))) AS BIGINT)
-                             / {_WS_TOKENS} * 4, 1.0)
-               + 0.3 * LEAST({_WS_TOKENS} / 200.0, 1.0)) AS quality
-  FROM corpus
-),
+{_PER_DOC_SIGNALS},
 flagged AS (
   SELECT quality < 0.5 AS f_low_quality,
          n_tokens < 10 AS f_too_short,

@@ -59,6 +59,14 @@ def row_group_ranges(path: str, column: str) -> list[tuple]:
             idx = md.schema.to_arrow_schema().get_field_index(column)
             for rg in range(md.num_row_groups):
                 stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    # fail loud: a stats-suppressed file has no zone map,
+                    # so the skipping numbers would silently lie.
+                    raise ValueError(
+                        f"no min/max statistics for column {column!r} in "
+                        f"{name} row group {rg} — cannot build a zone-map "
+                        "report over this file"
+                    )
                 ranges.append((stats.min, stats.max, md.row_group(rg).num_rows))
     return ranges
 

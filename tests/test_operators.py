@@ -1024,3 +1024,34 @@ def test_mm_dedup_exact_finds_planted_payload_copies(spark, sf_dir):
     for r in groups:
         assert r.n_copies >= 2
         assert r.reclaimable_bytes == (r.n_copies - 1) * r.payload_bytes
+
+
+def test_batch_flush_defers_suppressed_size_flush(spark):
+    """O9 deferred-flush parity: a size boundary swallowed by a backoff
+    window must re-fire on the FIRST add after recovery (the reference
+    buffer kept growing), not wait for the next boundary."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        batch_flush,
+    )
+
+    # batch_size=3; event 5 is a retryable failure (task 7, 7%5!=0), so
+    # event 6 — a boundary — is backing off and its flush defers to 7.
+    rows = [
+        ("e1", 7 if i == 5 else 100 + i, 1000 * i, "error" if i == 5 else "view")
+        for i in range(1, 10)
+    ]
+    tm = spark.createDataFrame(
+        rows, "executor_id string, task_id long, metric_time_ms long, event_type string"
+    )
+    out = {r.task_id: r for r in batch_flush(tm, batch_size=3).collect()}
+    by_rn = [out[7 if i == 5 else 100 + i] for i in range(1, 10)]
+    assert [r.flushed_by_size for r in by_rn] == [
+        False, False, True,   # boundary 3 flushes in place
+        False, False,
+        False,                # boundary 6 suppressed (backing off)
+        True,                 # deferred flush on first recovered add
+        False, True,          # boundary 9 back to normal
+    ]
+    assert [r.backing_off for r in by_rn] == [
+        False, False, False, False, False, True, False, False, False
+    ]

@@ -376,8 +376,9 @@ def test_clustered_layout_skips_row_groups(spark, sf_dir):
 
     r = clustering_report(spark, sf_dir).collect()[0]
     assert r.rows_selected > 0
-    # the scattered control reads (essentially) everything...
-    assert r.rg_read_scattered == r.n_row_groups_scattered
+    # the scattered control reads essentially everything (>= 90%; strict
+    # all-groups equality would be fixture-luck on a sparse key domain)...
+    assert r.rg_read_scattered >= 0.9 * r.n_row_groups_scattered
     # ...the clustered layout skips most of its row groups
     assert r.rg_read_clustered < r.rg_read_scattered
     assert r.skip_ratio_clustered >= 0.5
