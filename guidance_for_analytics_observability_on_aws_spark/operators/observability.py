@@ -1551,8 +1551,12 @@ def percentile_timeline(tm: DataFrame) -> DataFrame:
 
     Same engine-portable order-statistic selection as O8/O42/O44
     (:func:`_order_stat_aggs` — single source of the rank convention).
-    One window sort per hour partition (bounded: an hour of tasks per
-    partition, and hours parallelize); no global sort.
+    One window sort per hour partition; hours parallelize. Scale note: an
+    hour of tasks lands in ONE partition here, so at full 100 TB firehose
+    volume the per-hour rank should switch to the O44 two-phase prefix
+    sum (same result, no single-partition sort) or the O22 KLL sketch per
+    hour — this exact formulation is the oracle-checkable baseline, the
+    same exact-vs-scale pairing as O8/O44.
     """
     hour = F.expr("metric_time_ms DIV 3600000 * 3600000")
     base = tm.select(hour.alias("hour_ms"), "run_time_ms", "task_id")

@@ -689,3 +689,58 @@ def embedding_dup_groups(embeddings: DataFrame) -> DataFrame:
             "vec_ids",
         )
     )
+
+
+def range_search(
+    embeddings: DataFrame,
+    radius: float = 0.3,
+    n_queries: int = 8,
+) -> DataFrame:
+    """D19: cosine RANGE search — every neighbor within ``radius`` of each
+    query vector, however many there are.
+
+    Top-k (D6) answers "the k closest"; retrieval filtering, dedup-radius
+    audits and recall measurement need "everything at least this close" —
+    the result set size is data-dependent, so rank windows don't apply
+    and the filter composes directly onto the scored join (no sort at
+    all, unlike top-k). Same broadcast-queries / quantized-cosine
+    scaffolding as D6 (:func:`_quantized`, ``cosine6``), so the score is
+    bit-identical to every other D-group cosine; per-query neighbor
+    counts ride along via a partition-count window over the (small)
+    result set.
+
+    Runs over the augmented corpus so the planted exact copy (vec 0 ->
+    100000) is a guaranteed cosine-1.0 in-range hit; the 0.3 default
+    radius is calibrated to the synthetic embedding distribution (max
+    off-plant cosine ~0.49) so the result set is non-trivial at every SF.
+    """
+    q = _quantized(augmented_embeddings(embeddings))
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine6(
+                dot(F.col("q_qv"), F.col("c_qv")), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= radius)
+    )
+    wq = Window.partitionBy("query_id")
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.count(F.lit(1)).over(wq).alias("n_in_range"),
+    )

@@ -1176,3 +1176,42 @@ def q9_profit(
         )
         .orderBy("supp_nation", "o_year")
     )
+
+
+def q11_important_parts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """T38: parts whose revenue exceeds a fraction of the GLOBAL total
+    (TPC-H Q11 shape, adapted — no partsupp, so lineitem revenue plays
+    stock value): per-part aggregate, then a HAVING against a scalar
+    subquery over the whole table.
+
+    The Q11 plan lesson: the global total must be computed ONCE and
+    broadcast (a 1-row frame through BroadcastNestedLoopJoin), never a
+    window over the per-part frame (a windowless SUM would funnel every
+    per-part row through a single partition). Threshold integer-exact via
+    cross-multiplication: ``revenue_cents * 2000 > total_cents``; `share`
+    is one final division of exact BIGINTs.
+    """
+    per_part = (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.sum(revenue_cents()).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+    total = per_part.agg(F.sum("revenue_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("revenue_cents") * 2000 > F.col("total_cents"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "revenue_cents",
+            "n_lineitems",
+            (F.col("revenue_cents") / F.col("total_cents")).alias("share"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), "p_partkey")
+    )

@@ -485,3 +485,19 @@ FROM hashed
 GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
+
+DEDUP_ORACLES["similarity_range_search"] = f"""
+{_QUANT_CTES},
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM norms qs
+  JOIN norms c ON qs.vec_id != c.vec_id
+  WHERE qs.vec_id < 8
+)
+SELECT query_id, neighbor_id, cosine,
+       COUNT(*) OVER (PARTITION BY query_id) AS n_in_range
+FROM scored
+WHERE cosine >= 0.3
+"""

@@ -193,6 +193,9 @@ _TPCH_BUILDERS = {
         load_tables(s, d)["supplier"],
         load_tables(s, d)["nation"],
     ),
+    "tpch_q11_important_parts": lambda s, d: tpch.q11_important_parts(
+        load_tables(s, d)["lineitem"], load_tables(s, d)["part"]
+    ),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -249,6 +252,12 @@ _register(
     "dedup_minhash_estimate",
     lambda s, d: dedup.dedup_minhash_estimate(load_tables(s, d)["documents"]),
     DEDUP_ORACLES["dedup_minhash_estimate"],
+)
+
+_register(
+    "similarity_range_search",
+    lambda s, d: similarity.range_search(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["similarity_range_search"],
 )
 
 _register(
@@ -768,6 +777,8 @@ _PRIORITY = [
     "filter_ablation",
     "obs_percentile_timeline",
     "mm_dedup_exact",
+    "similarity_range_search",
+    "tpch_q11_important_parts",
 ]
 
 

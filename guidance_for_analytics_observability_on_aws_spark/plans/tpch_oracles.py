@@ -625,3 +625,22 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+TPCH_ORACLES["tpch_q11_important_parts"] = f"""
+WITH per_part AS (
+  SELECT p.p_partkey, p.p_brand,
+         CAST(SUM({REV}) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_lineitems
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+total AS (
+  SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM per_part
+)
+SELECT p_partkey, p_brand, revenue_cents, n_lineitems,
+       revenue_cents / CAST(total_cents AS DOUBLE) AS share
+FROM per_part, total
+WHERE revenue_cents * 2000 > total_cents
+ORDER BY revenue_cents DESC, p_partkey
+"""

@@ -384,3 +384,12 @@ def test_q9_profit_broadcasts_part_and_supplier(spark, sf_dir):
     whole fact table for a dim-sized input."""
     plan = _executed_plan(REGISTRY["tpch_q9_profit"].builder(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q11_total_is_broadcast_not_window(spark, sf_dir):
+    """T38: the global-total side must reach the per-part frame as a
+    broadcast (1-row BroadcastNestedLoopJoin), never a windowless SUM
+    that would funnel every per-part row through one partition."""
+    plan = _executed_plan(REGISTRY["tpch_q11_important_parts"].builder(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
