@@ -306,3 +306,33 @@ def test_streaming_metric_log_join_refuses_stale_checkpoint(spark, sf_dir, tmp_p
     (stale / "_chk").mkdir(parents=True)
     with pytest.raises(ValueError, match="checkpoint"):
         run_streaming_metric_log_join(spark, sf_dir, out_dir=str(stale))
+
+
+def test_tws_buffer_counter_matches_apws_twin(spark, sf_dir):
+    """The transformWithStateInPandas buffer counter (Spark 4 arbitrary
+    state API, RocksDB-backed) must land on the same per-executor final
+    totals as the applyInPandasWithState twin and the batch counts."""
+    from guidance_for_analytics_observability_on_aws_spark.streaming.stateful import (
+        HAS_TWS,
+        run_tws_buffer_counter,
+    )
+
+    if not HAS_TWS:
+        import pytest
+
+        pytest.skip("transformWithStateInPandas not available")
+    out = run_tws_buffer_counter(spark, sf_dir, "tws_test_sink")
+    rows = out.collect()
+    assert rows
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    want = {
+        r["executor_id"]: r["n"]
+        for r in tm.groupBy("executor_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # last emitted row per executor carries the final state
+    final = {}
+    for r in rows:
+        final[r["executor_id"]] = (r["total_records"], r["total_flushes"])
+    assert set(final) == set(want)
+    for ex, n in want.items():
+        assert final[ex] == (n, n // 100)
