@@ -485,3 +485,75 @@ def tfidf_topk(documents: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df_docs", "score")
     )
+
+
+def bigram_lift(
+    documents: DataFrame, top_n: int = 5, min_support: int = 5
+) -> DataFrame:
+    """X14: collocation mining per language — top bigrams by LIFT, the
+    log-free PMI ordering.
+
+    X8 ranks bigrams by raw frequency, which surfaces stopword pairs; the
+    collocation question is "which pairs co-occur far more than their
+    parts predict". PMI = log(N·c(ab) / (c(a)·c(b))) — and since log is
+    monotone, ranking by the INSIDE ratio (lift) gives the identical
+    order with no libm portability risk (the same trick as X12's log-free
+    TF-IDF). Numerator ``N·c(ab)`` and denominator ``c(a)·c(b)`` are
+    exact BIGINT products; ``lift`` is one final IEEE division, identical
+    across engines. ``min_support`` keeps rare-pair noise from dominating
+    (classic PMI failure mode). One bigram aggregation + one unigram
+    aggregation + two equi-joins on (lang, token); the top-N rank plans as
+    WindowGroupLimit.
+    """
+    toks = tokens(F.col("text"))
+    base = documents.select("lang", toks.alias("t")).filter(F.size("t") >= 2)
+    bigrams = base.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("bigram"),
+    )
+    pair_counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    n_positions = pair_counts.groupBy("lang").agg(
+        F.sum("n_ab").alias("n_positions")
+    )
+    unigrams = (
+        documents.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    split = pair_counts.filter(F.col("n_ab") >= min_support).select(
+        "lang",
+        "n_ab",
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    joined = (
+        split.join(
+            unigrams.select(
+                "lang", F.col("token").alias("w1"), F.col("n_tok").alias("n_a")
+            ),
+            ["lang", "w1"],
+        )
+        .join(
+            unigrams.select(
+                "lang", F.col("token").alias("w2"), F.col("n_tok").alias("n_b")
+            ),
+            ["lang", "w2"],
+        )
+        .join(F.broadcast(n_positions), "lang")
+        .withColumn(
+            "lift",
+            (F.col("n_positions") * F.col("n_ab")) / (F.col("n_a") * F.col("n_b")),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "lang", "rank", "w1", "w2", "n_ab", "n_a", "n_b", "n_positions", "lift"
+        )
+    )

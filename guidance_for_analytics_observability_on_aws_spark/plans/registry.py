@@ -403,6 +403,7 @@ _TEXT_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "text_top_terms": lambda s, d: textops.top_terms(load_tables(s, d)["documents"]),
+    "text_bigram_lift": lambda s, d: textops.bigram_lift(load_tables(s, d)["documents"]),
     "text_tfidf_topk": lambda s, d: textops.tfidf_topk(load_tables(s, d)["documents"]),
     "mm_binary_meta": lambda s, d: multimodal.binary_meta(load_tables(s, d)["documents"]),
     "mm_frame_sample": lambda s, d: multimodal.frame_sample_plan(
@@ -608,6 +609,18 @@ def _clustering_report(s, d):
 _register("source_clustering_report", _clustering_report, None)
 
 
+# Rows-only: manifest-pinned snapshot tables (S10) — snapshot isolation,
+# append visibility, orphan invisibility and expiry proven on real commits;
+# invariants also pinned in tests/test_sources.py.
+def _snapshot_report(s, d):
+    from ..sources.snapshots import snapshot_report
+
+    return snapshot_report(s, d)
+
+
+_register("source_snapshot_report", _snapshot_report, None)
+
+
 # Rows-only: stream-STREAM watermarked interval join (O48) — error stream ⋈
 # metric stream on executor + event-time range; rollup parity with the batch
 # twin asserted in tests/test_streaming.py.
@@ -779,6 +792,8 @@ _PRIORITY = [
     "mm_dedup_exact",
     "similarity_range_search",
     "tpch_q11_important_parts",
+    "text_bigram_lift",
+    "source_snapshot_report",
 ]
 
 

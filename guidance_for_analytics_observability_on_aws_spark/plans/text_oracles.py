@@ -410,3 +410,52 @@ ranked AS (
 SELECT doc_id, rank, term, tf, df_docs, score
 FROM ranked WHERE rank <= 3
 """
+
+TEXT_ORACLES["text_bigram_lift"] = """
+WITH base AS (
+  SELECT lang, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+bigrams AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM base WHERE len(t) >= 2
+),
+pair_counts AS (
+  SELECT lang, bigram, COUNT(*) AS n_ab FROM bigrams GROUP BY 1, 2
+),
+n_positions AS (
+  SELECT lang, CAST(SUM(n_ab) AS BIGINT) AS n_positions
+  FROM pair_counts GROUP BY 1
+),
+unigrams AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+),
+uni_counts AS (
+  SELECT lang, token, COUNT(*) AS n_tok FROM unigrams GROUP BY 1, 2
+),
+split AS (
+  SELECT lang, CAST(n_ab AS BIGINT) AS n_ab,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM pair_counts WHERE n_ab >= 5
+),
+joined AS (
+  SELECT s.lang, s.rank_w1 AS w1, s.w2, s.n_ab,
+         CAST(a.n_tok AS BIGINT) AS n_a, CAST(b.n_tok AS BIGINT) AS n_b,
+         p.n_positions,
+         (p.n_positions * s.n_ab) / (CAST(a.n_tok AS BIGINT) * CAST(b.n_tok AS BIGINT)) AS lift
+  FROM (SELECT lang, n_ab, w1 AS rank_w1, w2 FROM split) s
+  JOIN uni_counts a ON a.lang = s.lang AND a.token = s.rank_w1
+  JOIN uni_counts b ON b.lang = s.lang AND b.token = s.w2
+  JOIN n_positions p ON p.lang = s.lang
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank
+  FROM joined
+)
+SELECT lang, rank, w1, w2, n_ab, n_a, n_b, n_positions, lift
+FROM ranked WHERE rank <= 5
+"""

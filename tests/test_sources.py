@@ -382,3 +382,35 @@ def test_clustered_layout_skips_row_groups(spark, sf_dir):
     # ...the clustered layout skips most of its row groups
     assert r.rg_read_clustered < r.rg_read_scattered
     assert r.skip_ratio_clustered >= 0.5
+
+
+def test_snapshot_isolation_and_time_travel(spark, sf_dir, tmp_path):
+    """S10: a pinned version is byte-stable across later commits, orphan
+    data files are invisible, expiry keeps the survivors readable, and a
+    stale version handle errors clearly after expiry."""
+    import pytest
+
+    from guidance_for_analytics_observability_on_aws_spark.sources.snapshots import (
+        commit_append,
+        expire_snapshots,
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    table = str(tmp_path / "snap_table")
+    v1 = commit_append(events.filter("event_id % 2 = 0"), table)
+    v1_rows = sorted(r.event_id for r in read_snapshot(spark, table, v1).select("event_id").collect())
+    v2 = commit_append(events.filter("event_id % 2 = 1"), table)
+    # orphan: simulated writer crash before manifest publish
+    events.limit(5).write.parquet(str(tmp_path / "snap_table" / "data" / "orphan"))
+    assert sorted(
+        r.event_id for r in read_snapshot(spark, table, v1).select("event_id").collect()
+    ) == v1_rows
+    assert read_snapshot(spark, table, v2).count() == events.count()
+    assert read_snapshot(spark, table).count() == events.count()  # latest
+    assert snapshot_versions(table) == [v1, v2]
+    assert expire_snapshots(table, keep_last=1) == [v1]
+    assert read_snapshot(spark, table).count() == events.count()
+    with pytest.raises(ValueError):
+        read_snapshot(spark, table, v1)
