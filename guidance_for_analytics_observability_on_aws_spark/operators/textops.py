@@ -513,8 +513,14 @@ def bigram_lift(
             F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
         ).alias("bigram"),
     )
-    pair_counts = bigrams.groupBy("lang", "bigram").agg(
-        F.count(F.lit(1)).alias("n_ab")
+    # Both count tables are referenced twice downstream (pair_counts by the
+    # split AND the per-lang total; unigrams by the w1 AND w2 joins) —
+    # checkpointing them cuts the corpus parquet scans from 4 to 1 (they
+    # are vocab-sized, orders of magnitude smaller than the corpus).
+    pair_counts = (
+        bigrams.groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
     )
     n_positions = pair_counts.groupBy("lang").agg(
         F.sum("n_ab").alias("n_positions")
@@ -523,6 +529,7 @@ def bigram_lift(
         documents.select("lang", F.explode(toks).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=True)
     )
     split = pair_counts.filter(F.col("n_ab") >= min_support).select(
         "lang",

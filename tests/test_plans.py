@@ -393,3 +393,13 @@ def test_q11_total_is_broadcast_not_window(spark, sf_dir):
     plan = _executed_plan(REGISTRY["tpch_q11_important_parts"].builder(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_bigram_lift_single_corpus_scan_and_group_limit(spark, sf_dir):
+    """X14: the two count tables are checkpointed (each is referenced
+    twice downstream), so the final plan reads only ONE parquet scan of
+    documents plus checkpoint RDDs; the top-N rank stays WindowGroupLimit."""
+    plan = _executed_plan(REGISTRY["text_bigram_lift"].builder(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Scan parquet") == 0  # counts come from checkpoints
+    assert "Scan ExistingRDD" in plan
