@@ -101,7 +101,10 @@ BENCH_QUERIES_R5 = [
     "obs_job_critical_stage",
     "obs_percentile_timeline",
     "tpch_q9_profit",
+    "tpch_q11_important_parts",
     "mm_dedup_exact",
+    "text_bigram_lift",
+    "similarity_range_search",
 ]
 
 
