@@ -1565,3 +1565,40 @@ def percentile_timeline(tm: DataFrame) -> DataFrame:
         "n", F.count(F.lit(1)).over(Window.partitionBy("hour_ms"))
     )
     return ranked.groupBy("hour_ms").agg(*_order_stat_aggs("run_time_ms"))
+
+
+def apdex(
+    tm: DataFrame, satisfied_ms: int = 500, tolerating_ms: int = 2000
+) -> DataFrame:
+    """O55: Apdex score per application run — the industry-standard
+    user-satisfaction rollup over response/run times
+    (``(satisfied + tolerating/2) / n``, thresholds T and 4T).
+
+    One conditional-sum aggregation pass (map-side combined); the score
+    is carried as the exact integer pair ``(2·satisfied + tolerating,
+    2·n)`` and realized with one final division, so there is no float
+    accumulation anywhere and the halves are exact.
+    """
+    sat = F.col("run_time_ms") <= satisfied_ms
+    tol = (F.col("run_time_ms") > satisfied_ms) & (
+        F.col("run_time_ms") <= tolerating_ms
+    )
+    agg = tm.groupBy("app_id").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum(F.when(sat, 1).otherwise(0)).cast("long").alias("n_satisfied"),
+        F.sum(F.when(tol, 1).otherwise(0)).cast("long").alias("n_tolerating"),
+        F.sum(
+            F.when(F.col("run_time_ms") > tolerating_ms, 1).otherwise(0)
+        ).cast("long").alias("n_frustrated"),
+    )
+    return agg.select(
+        "app_id",
+        "n_tasks",
+        "n_satisfied",
+        "n_tolerating",
+        "n_frustrated",
+        (
+            (F.col("n_satisfied") * 2 + F.col("n_tolerating"))
+            / (F.col("n_tasks") * 2)
+        ).alias("apdex"),
+    )

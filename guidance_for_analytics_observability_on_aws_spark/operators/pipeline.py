@@ -758,3 +758,51 @@ def filter_ablation(documents: DataFrame) -> DataFrame:
         "n_docs",
         (F.col("n_docs") / F.sum("n_docs").over(wall)).alias("share"),
     )
+
+
+#: Vocabulary sizes the coverage curve (P14) reports — calibrated to the
+#: synthetic corpus's ~31-type vocabulary; a natural-language corpus would
+#: use [1k, 10k, 50k, 100k] with the identical plan.
+VOCAB_POINTS = [5, 10, 20, 30]
+
+
+def vocab_coverage(documents: DataFrame) -> DataFrame:
+    """P14: tokenizer vocabulary coverage curve — what share of all token
+    OCCURRENCES the top-k most frequent types cover, for the standard
+    vocab sizes ("how large a vocabulary do we need").
+
+    One token aggregation (the only corpus-sized shuffle), then the
+    curve is computed on the type-frequency table: rank types by count,
+    running occurrence total, report at each k in :data:`VOCAB_POINTS`.
+    The rank window orders the TYPE table (vocab-sized, not corpus-
+    sized); counts stay BIGINT, coverage is one division per point.
+    """
+    from ..functions.text import corpus, tokens
+
+    freq = (
+        corpus(documents)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), "token")
+    ranked = freq.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
+        "cum_occ",
+        F.sum("n_occ").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    totals = freq.agg(
+        F.sum("n_occ").alias("total_occ"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    points = ranked.filter(F.col("rnk").isin(VOCAB_POINTS))
+    return (
+        points.join(F.broadcast(totals))
+        .select(
+            F.col("rnk").alias("vocab_size"),
+            "cum_occ",
+            "total_occ",
+            "n_types",
+            (F.col("cum_occ") / F.col("total_occ")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -1215,3 +1215,47 @@ def q11_important_parts(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("revenue_cents").desc(), "p_partkey")
     )
+
+
+def customers_abc_pareto(orders: DataFrame) -> DataFrame:
+    """T39: ABC / Pareto classification of customers by revenue — the
+    warehouse "80/15/5" cut: rank customers by total order value, take
+    running revenue share, class A while cumulative ≤ 80% of total, B to
+    95%, C after.
+
+    Shape lesson: the classification needs a GLOBAL total (broadcast
+    1-row frame, like T38) and a cumulative sum over the revenue-ranked
+    customer list. The running-sum window is ordered over ALL customers —
+    acceptable because the input is the per-customer aggregate (one row
+    per customer, orders of magnitude smaller than orders); the class
+    cut is integer-exact via cross-multiplication (`5·cum ≤ 4·total`,
+    `20·cum ≤ 19·total`), no float boundary anywhere.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    total = per_cust.agg(F.sum("revenue_cents").alias("total_cents"))
+    w = Window.orderBy(F.col("revenue_cents").desc(), "o_custkey")
+    ranked = (
+        per_cust.join(F.broadcast(total))
+        .withColumn("revenue_rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cents",
+            F.sum("revenue_cents").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return ranked.select(
+        "o_custkey",
+        "n_orders",
+        "revenue_cents",
+        "revenue_rank",
+        "cum_cents",
+        (F.col("cum_cents") / F.col("total_cents")).alias("cum_share"),
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -882,3 +882,22 @@ SELECT hour_ms,
 FROM ranked
 GROUP BY 1
 """
+
+OBS_ORACLES["obs_apdex"] = f"""
+WITH {TELEMETRY_CTE},
+agg AS (
+  SELECT app_id,
+         COUNT(*) AS n_tasks,
+         CAST(SUM(CASE WHEN run_time_ms <= 500 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_satisfied,
+         CAST(SUM(CASE WHEN run_time_ms > 500 AND run_time_ms <= 2000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+         CAST(SUM(CASE WHEN run_time_ms > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_frustrated
+  FROM task_metrics
+  GROUP BY 1
+)
+SELECT app_id, n_tasks, n_satisfied, n_tolerating, n_frustrated,
+       (n_satisfied * 2 + n_tolerating) / CAST(n_tasks * 2 AS DOUBLE) AS apdex
+FROM agg
+"""

@@ -344,3 +344,28 @@ SELECT f_low_quality, f_too_short, f_exact_dup,
        n_docs / SUM(n_docs) OVER () AS share
 FROM combos
 """
+
+PIPELINE_ORACLES["vocab_coverage"] = f"""
+WITH {_CORPUS_CTE},
+freq AS (
+  SELECT token, COUNT(*) AS n_occ
+  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token FROM corpus)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rnk,
+         CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_occ
+  FROM freq
+),
+totals AS (
+  SELECT CAST(SUM(n_occ) AS BIGINT) AS total_occ, COUNT(*) AS n_types FROM freq
+)
+SELECT r.rnk AS vocab_size, r.cum_occ, t.total_occ, t.n_types,
+       r.cum_occ / CAST(t.total_occ AS DOUBLE) AS coverage
+FROM ranked r, totals t
+WHERE r.rnk IN (5, 10, 20, 30)
+ORDER BY 1
+"""

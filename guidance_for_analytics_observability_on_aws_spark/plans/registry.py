@@ -196,6 +196,9 @@ _TPCH_BUILDERS = {
     "tpch_q11_important_parts": lambda s, d: tpch.q11_important_parts(
         load_tables(s, d)["lineitem"], load_tables(s, d)["part"]
     ),
+    "customers_abc_pareto": lambda s, d: tpch.customers_abc_pareto(
+        load_tables(s, d)["orders"]
+    ),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -363,6 +366,12 @@ _register(
     "filter_ablation",
     lambda s, d: pipeline.filter_ablation(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["filter_ablation"],
+)
+
+_register(
+    "vocab_coverage",
+    lambda s, d: pipeline.vocab_coverage(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["vocab_coverage"],
 )
 
 # P3's two-phase prefix-sum scale path is result-identical to the single
@@ -681,6 +690,7 @@ _LATE_OBS_BUILDERS = {
     "obs_latency_heatmap": lambda s, d: obs.latency_heatmap(_tm(s, d)),
     "obs_job_critical_stage": lambda s, d: obs.job_critical_stage(_tm(s, d)),
     "obs_percentile_timeline": lambda s, d: obs.percentile_timeline(_tm(s, d)),
+    "obs_apdex": lambda s, d: obs.apdex(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -794,6 +804,9 @@ _PRIORITY = [
     "tpch_q11_important_parts",
     "text_bigram_lift",
     "source_snapshot_report",
+    "obs_apdex",
+    "customers_abc_pareto",
+    "vocab_coverage",
 ]
 
 

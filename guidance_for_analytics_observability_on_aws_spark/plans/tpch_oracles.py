@@ -644,3 +644,29 @@ FROM per_part, total
 WHERE revenue_cents * 2000 > total_cents
 ORDER BY revenue_cents DESC, p_partkey
 """
+
+TPCH_ORACLES["customers_abc_pareto"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+total AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents FROM per_cust),
+ranked AS (
+  SELECT p.*, t.total_cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, o_custkey)
+              AS BIGINT) AS revenue_rank,
+         CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM per_cust p, total t
+)
+SELECT o_custkey, n_orders, revenue_cents, revenue_rank, cum_cents,
+       cum_cents / CAST(total_cents AS DOUBLE) AS cum_share,
+       CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+            WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""

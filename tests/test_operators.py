@@ -1077,3 +1077,61 @@ def test_range_search_contains_planted_copy_and_agrees_with_topk(spark, sf_dir):
         per_q.setdefault(r.query_id, set()).add(r.n_in_range)
     for q, counts in per_q.items():
         assert counts == {sum(1 for k in got if k[0] == q)}
+
+
+def test_apdex_bounds_and_partition(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        apdex,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = apdex(tm).toPandas()
+    assert len(out) == tm.select("app_id").distinct().count()
+    assert out.apdex.between(0, 1).all()
+    assert (
+        out.n_satisfied + out.n_tolerating + out.n_frustrated == out.n_tasks
+    ).all()
+    assert (
+        out.apdex == (2 * out.n_satisfied + out.n_tolerating) / (2 * out.n_tasks)
+    ).all()
+
+
+def test_abc_pareto_classes_are_rank_monotone(spark, sf_dir):
+    """T39: cumulative share is non-decreasing in rank, classes only ever
+    move A->B->C along the ranking, and every customer appears once."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        customers_abc_pareto,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    out = customers_abc_pareto(orders).toPandas().sort_values("revenue_rank")
+    assert len(out) == orders.select("o_custkey").distinct().count()
+    assert out.cum_share.is_monotonic_increasing
+    assert abs(out.cum_share.iloc[-1] - 1.0) < 1e-12
+    order = {"A": 0, "B": 1, "C": 2}
+    codes = out.abc_class.map(order)
+    assert codes.is_monotonic_increasing
+    assert set(out.abc_class) >= {"A"}
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        VOCAB_POINTS,
+        vocab_coverage,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    out = (
+        vocab_coverage(load_tables(spark, sf_dir)["documents"])
+        .toPandas()
+        .sort_values("vocab_size")
+    )
+    assert list(out.vocab_size) == [k for k in VOCAB_POINTS if k <= out.n_types.iloc[0]]
+    assert out.coverage.is_monotonic_increasing
+    assert (out.coverage <= 1.0).all() and (out.coverage > 0).all()
+    # the full-vocab point covers everything when it exists
+    if out.vocab_size.iloc[-1] >= out.n_types.iloc[0]:
+        assert out.coverage.iloc[-1] == 1.0
