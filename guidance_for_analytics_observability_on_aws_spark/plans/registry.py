@@ -374,6 +374,14 @@ _register(
     PIPELINE_ORACLES["vocab_coverage"],
 )
 
+# P15 computes P4's exact groups by the O(log diameter) star algorithm, so
+# it SHARES P4's recursive-CTE oracle (equality also pinned in tests).
+_register(
+    "dup_groups_star",
+    lambda s, d: pipeline.dup_groups_star(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dup_groups"],
+)
+
 # P3's two-phase prefix-sum scale path is result-identical to the single
 # window formulation, so it shares P3's exact oracle (equality also
 # asserted in tests/test_operators.py).
@@ -807,6 +815,7 @@ _PRIORITY = [
     "obs_apdex",
     "customers_abc_pareto",
     "vocab_coverage",
+    "dup_groups_star",
 ]
 
 

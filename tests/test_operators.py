@@ -1135,3 +1135,30 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     # the full-vocab point covers everything when it exists
     if out.vocab_size.iloc[-1] >= out.n_types.iloc[0]:
         assert out.coverage.iloc[-1] == 1.0
+
+
+def test_star_cc_matches_min_label_and_handles_long_paths(spark, sf_dir):
+    """P15: the star algorithm's groups equal P4's min-label groups on
+    the real corpus, and on a planted 64-node PATH (diameter 63 — the
+    shape min-label propagation needs ~diameter rounds for) it converges
+    within the round budget and returns one component."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups,
+        dup_groups_star,
+        dup_labels_star,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = {r.group_id: r.doc_ids for r in dup_groups(docs).collect()}
+    b = {r.group_id: r.doc_ids for r in dup_groups_star(docs).collect()}
+    assert a == b
+    # planted path 0-1-2-...-63: star must resolve it in <= 10 rounds
+    # (log2(64)=6 plus slack), where min-label would need ~63.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    labels = {r.src: r.group_id
+              for r in dup_labels_star(None, max_iter=10, pairs=path).collect()}
+    assert set(labels) == set(range(64))
+    assert set(labels.values()) == {0}
