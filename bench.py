@@ -105,6 +105,10 @@ BENCH_QUERIES_R5 = [
     "mm_dedup_exact",
     "text_bigram_lift",
     "similarity_range_search",
+    "obs_apdex",
+    "customers_abc_pareto",
+    "vocab_coverage",
+    "dup_groups_star",
 ]
 
 
