@@ -744,3 +744,205 @@ def range_search(
         "cosine",
         F.count(F.lit(1)).over(wq).alias("n_in_range"),
     )
+
+
+def _pq_train(
+    q: DataFrame, m: int = 4, k: int = 16, iters: int = 2
+) -> dict[tuple[int, int], list[float]]:
+    """Train product-quantization codebooks: split the d-dim space into
+    ``m`` subspaces and run a JOINT Lloyd loop — one corpus pass assigns
+    codes in all subspaces simultaneously, one aggregation updates all
+    ``m·k`` centroids (driver-held, like D12's). Seeds are the md5-top-k
+    vectors' subvectors (deterministic, hash-spread)."""
+    sub_d = None
+    seeds = (
+        q.withColumn("_seed_key", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_seed_key", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("PQ training requires a non-empty embeddings table")
+    d = len(seeds[0].qv)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub_d = d // m
+    books: dict[tuple[int, int], list[float]] = {}
+    for s in range(m):
+        for code, r in enumerate(seeds):
+            books[(s, code)] = [float(x) for x in r.qv[s * sub_d : (s + 1) * sub_d]]
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.slice("qv", s * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    for _ in range(iters):
+        per_sub = [
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(code).cast("long").alias("cid"),
+                        F.array(*[F.lit(x) for x in books[(s, code)]]).alias("c"),
+                    )
+                    for code in range(k)
+                ]
+            )
+            for s in range(m)
+        ]
+        cent_for_sub = F.element_at(F.array(*per_sub), F.col("sub").cast("int") + 1)
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = subs.select(
+            "vec_id",
+            "sub",
+            "sv",
+            F.array_min(
+                F.transform(
+                    cent_for_sub,
+                    lambda st: F.struct(dist(st["c"]).alias("d"), st["cid"].alias("cid")),
+                )
+            )["cid"].alias("code"),
+        )
+        sums = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_books = dict(books)
+        for r in sums:
+            new_books.setdefault((r.sub, r.code), [0.0] * sub_d)
+            new_books[(r.sub, r.code)] = list(new_books[(r.sub, r.code)])
+        for r in sums:
+            new_books[(r.sub, r.code)][r.dim] = r.s / r.n
+        if new_books == books:
+            break
+        books = new_books
+    return books
+
+
+def similarity_pq(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+) -> DataFrame:
+    """D20: product-quantization ANN (Jégou et al.) — the vector
+    COMPRESSION scale path: each vector collapses to ``m`` codebook ids
+    (here 4 codes ≈ 4 bytes vs 64 float64s, a 128× memory cut), and query
+    distance becomes ``m`` table lookups per candidate (asymmetric
+    distance computation), never a full-vector scan.
+
+    Spark shape: codebooks train on the driver (D12's joint-Lloyd loop —
+    m·k tiny centroids, corpus never reshuffled), the code table is one
+    narrow pass, each query's m×k distance table is computed driver-side
+    from the held codebooks and BROADCAST, and ADC is one equi-join on
+    (sub, code) + a sum aggregation — candidate cost is O(corpus·m)
+    integer-keyed lookups. Vectors are L2-NORMALIZED first so PQ's
+    Euclidean codebooks rank identically to the D-group's cosine (cosine
+    order == L2 order on the unit sphere — without this, varying norms
+    make the two metrics disagree and recall craters). Rows-only check
+    (trained codebooks are engine-specific float loops, same class as
+    D12/D17).
+
+    Quality framing: on this synthetic corpus the vectors are
+    near-uniform random, so pairwise distances CONCENTRATE (the
+    high-dimensional regime) and exact-top-5 gaps sit below any
+    16-codes-per-subspace quantization error — recall@5 vs brute force is
+    ~10× chance but low in absolute terms, a DATA property, not an
+    implementation one (measured; the numpy-faithful replica agrees).
+    The pinned correctness properties are the ones quantization must
+    preserve: a planted byte-identical copy shares its parent's codes and
+    ranks at the query's own reconstruction distance (top-1), and ADC
+    ranking carries signal over the true ordering (tested).
+    """
+    q = _quantized(augmented_embeddings(embeddings)).select(
+        "vec_id",
+        F.transform(
+            F.col("qv"), lambda x: x / F.sqrt(F.col("nrm").cast("double"))
+        ).alias("qv"),
+    )
+    books = _pq_train(q, m=m, k=k_codes)
+    sub_d = len(next(iter(books.values())))
+    # encode: every vector -> m codes (one narrow pass, reuses the trained
+    # codebooks as literals)
+    per_sub = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(code).cast("long").alias("cid"),
+                    F.array(*[F.lit(x) for x in books[(s, code)]]).alias("c"),
+                )
+                for code in range(k_codes)
+            ]
+        )
+        for s in range(m)
+    ]
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.slice("qv", s * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    cent_for_sub = F.element_at(F.array(*per_sub), F.col("sub").cast("int") + 1)
+    dist = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    codes = subs.select(
+        "vec_id",
+        "sub",
+        F.array_min(
+            F.transform(
+                cent_for_sub,
+                lambda st: F.struct(dist(st["c"]).alias("d"), st["cid"].alias("cid")),
+            )
+        )["cid"].alias("code"),
+    )
+    # per-query ADC tables from the driver-held codebooks (m*k entries per
+    # query — tiny) broadcast against the code table
+    queries = q.filter(F.col("vec_id") < n_queries).collect()
+    rows = []
+    for qr in queries:
+        for (s, code), cent in books.items():
+            sv = qr.qv[s * sub_d : (s + 1) * sub_d]
+            pd2 = sum((float(x) - y) * (float(x) - y) for x, y in zip(sv, cent))
+            rows.append((int(qr.vec_id), s, code, pd2))
+    spark = embeddings.sparkSession
+    dtable = spark.createDataFrame(
+        rows, "query_id long, sub long, code long, pd2 double"
+    )
+    approx = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "approx_d2")
+    )

@@ -313,6 +313,14 @@ _register(
     None,
 )
 
+# Rows-only: PQ codebooks are engine-specific float training loops (same
+# class as D12/D17); planted-copy retrieval + ranking-signal pinned in tests.
+_register(
+    "similarity_pq",
+    lambda s, d: similarity.similarity_pq(load_tables(s, d)["embeddings"]),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
@@ -816,6 +824,7 @@ _PRIORITY = [
     "customers_abc_pareto",
     "vocab_coverage",
     "dup_groups_star",
+    "similarity_pq",
 ]
 
 

