@@ -910,3 +910,76 @@ def dup_groups_star(documents: DataFrame, max_iter: int = 30) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def cross_source_overlap(documents: DataFrame) -> DataFrame:
+    """P16: cross-source CONTENT-OVERLAP matrix — pairwise 3-gram-shingle
+    Jaccard between corpus slices (scraped mirrors, vendor overlap,
+    benchmark reprints show up here long before whole documents match
+    byte-for-byte; on this corpus there are in fact ZERO cross-source
+    exact-dup documents, which is exactly why the measure must be n-gram
+    granular).
+
+    One distinct (shingle, source) table (bounded by content cardinality
+    × sources, not documents), per-source set sizes, and a self-join on
+    shingle for the pairwise intersections; Jaccard from exact BIGINT
+    counts. The mixture-design use: two sources with high overlap must
+    not be weighted as independent corpora.
+    """
+    from ..functions.text import corpus
+    from .dedup import _shingle_rows
+
+    # _shingle_rows applies corpus() itself — pass RAW documents (passing
+    # corpus(documents) would augment the augmentation).
+    fp_src = (
+        _shingle_rows(documents)
+        .join(corpus(documents).select("doc_id", "source"), "doc_id")
+        .select("shingle", "source")
+        .distinct()
+    )
+    per_source = fp_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    pairs = (
+        fp_src.alias("a")
+        .join(
+            fp_src.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_shingles").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_source.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_shingles").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

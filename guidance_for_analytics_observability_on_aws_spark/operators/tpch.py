@@ -1259,3 +1259,48 @@ def customers_abc_pareto(orders: DataFrame) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+def customers_rfm_segments(orders: DataFrame) -> DataFrame:
+    """T40: RFM customer segmentation — the classic recency / frequency /
+    monetary scoring: per-customer last-order date, order count and
+    revenue, each scored into quintiles (NTILE with full deterministic
+    tie-breaks), concatenated into the RFM code and bucketed into the
+    standard marketing segments.
+
+    Shape lesson: three NTILE windows over the PER-CUSTOMER aggregate
+    (orders ≫ customers — the windows sort the small frame); revenue in
+    exact integer cents; recency ordered so quintile 5 = most recent.
+    Segment rules are data-independent CASE logic on the scores.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("n_orders", "o_custkey")
+    m_w = Window.orderBy("revenue_cents", "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "n_orders",
+        "revenue_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_code"
+        ),
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )

@@ -14,6 +14,7 @@ from ..operators.pipeline import (
     SPLIT_VAL,
 )
 from .dedup_oracles import MINHASH_BUCKET_CTES
+from ..functions.text import SHINGLES_SQL as _SHINGLES_SQL
 from .text_oracles import _STOP_LIST as _STOP_LIST_SQL
 
 PIPELINE_ORACLES: dict[str, str] = {}
@@ -368,4 +369,36 @@ SELECT r.rnk AS vocab_size, r.cum_occ, t.total_occ, t.n_types,
 FROM ranked r, totals t
 WHERE r.rnk IN (5, 10, 20, 30)
 ORDER BY 1
+"""
+
+PIPELINE_ORACLES["cross_source_overlap"] = f"""
+WITH {_CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+shingled AS (
+  SELECT doc_id, source, {_SHINGLES_SQL} AS sh
+  FROM ctoks WHERE len(toks) >= 3
+),
+fp_src AS (
+  SELECT DISTINCT unnest(sh) AS shingle, source FROM shingled
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_shingles FROM fp_src GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM fp_src a
+  JOIN fp_src b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_shingles AS BIGINT) AS n_a,
+       CAST(sb.n_shingles AS BIGINT) AS n_b,
+       p.n_shared / CAST(sa.n_shingles + sb.n_shingles - p.n_shared AS DOUBLE)
+         AS jaccard
+FROM pairs p
+JOIN per_source sa ON sa.source = p.source_a
+JOIN per_source sb ON sb.source = p.source_b
 """

@@ -199,6 +199,9 @@ _TPCH_BUILDERS = {
     "customers_abc_pareto": lambda s, d: tpch.customers_abc_pareto(
         load_tables(s, d)["orders"]
     ),
+    "customers_rfm_segments": lambda s, d: tpch.customers_rfm_segments(
+        load_tables(s, d)["orders"]
+    ),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -388,6 +391,12 @@ _register(
     "dup_groups_star",
     lambda s, d: pipeline.dup_groups_star(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["dup_groups"],
+)
+
+_register(
+    "cross_source_overlap",
+    lambda s, d: pipeline.cross_source_overlap(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["cross_source_overlap"],
 )
 
 # P3's two-phase prefix-sum scale path is result-identical to the single
@@ -825,6 +834,8 @@ _PRIORITY = [
     "vocab_coverage",
     "dup_groups_star",
     "similarity_pq",
+    "customers_rfm_segments",
+    "cross_source_overlap",
 ]
 
 

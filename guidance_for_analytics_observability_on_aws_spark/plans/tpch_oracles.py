@@ -670,3 +670,29 @@ SELECT o_custkey, n_orders, revenue_cents, revenue_rank, cum_cents,
             ELSE 'C' END AS abc_class
 FROM ranked
 """
+
+TPCH_ORACLES["customers_rfm_segments"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, n_orders, revenue_cents,
+         CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+         CAST(NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_score,
+         CAST(NTILE(5) OVER (ORDER BY revenue_cents, o_custkey) AS BIGINT) AS m_score
+  FROM per_cust
+)
+SELECT *,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""

@@ -1193,3 +1193,45 @@ def test_pq_planted_copy_and_ranking_signal(spark, sf_dir):
     assert overlap >= 2, f"PQ overlap with true top-5 at chance level: {overlap}"
     again = similarity_pq(emb).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rfm_segments_partition_and_quintiles(spark, sf_dir):
+    """T40: every customer appears once, NTILE quintiles are balanced
+    within 1, the rfm_code decomposes into the three scores, and segment
+    rules match the score logic."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        customers_rfm_segments,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    out = customers_rfm_segments(orders).toPandas()
+    assert len(out) == orders.select("o_custkey").distinct().count()
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = out[col].value_counts()
+        assert set(sizes.index) == {1, 2, 3, 4, 5}
+        assert sizes.max() - sizes.min() <= 1
+    assert (
+        out.rfm_code == out.r_score * 100 + out.f_score * 10 + out.m_score
+    ).all()
+    champ = out[out.segment == "champion"]
+    assert ((champ.r_score >= 4) & (champ.f_score >= 4) & (champ.m_score >= 4)).all()
+
+
+def test_cross_source_overlap_matrix_complete_and_symmetric_free(spark, sf_dir):
+    """P16: every unordered source pair appears exactly once, Jaccard in
+    (0, 1], and the intersection never exceeds either side."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        cross_source_overlap,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = cross_source_overlap(docs).toPandas()
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) == n_sources * (n_sources - 1) // 2
+    assert (out.source_a < out.source_b).all()
+    assert (out.n_shared <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert out.jaccard.between(0, 1, inclusive="right").all()
+    expect = out.n_shared / (out.n_a + out.n_b - out.n_shared)
+    assert (out.jaccard == expect).all()
