@@ -1602,3 +1602,71 @@ def apdex(
             / (F.col("n_tasks") * 2)
         ).alias("apdex"),
     )
+
+
+def seasonal_baseline(tm: DataFrame) -> DataFrame:
+    """O56: seasonality-aware deviation flags — compare each (executor,
+    day, hour-of-day) cell against that executor's SAME-HOUR baseline
+    from the earlier 70% of the timeline ("is 3am today slower than 3am
+    usually is"), the profile z-score O28's flat rolling window cannot
+    express (a nightly batch spike would permanently pollute a flat
+    baseline; the hour-of-day profile absorbs it).
+
+    Plan: one global min/max day pass (1-row broadcast), one baseline
+    aggregation keyed (executor, hour-of-day) — bounded 24·executors rows,
+    broadcast back — and one evaluation aggregation. The "current mean >
+    2× baseline mean" flag is the cross-multiplied integer predicate
+    ``cur_sum · base_n > 2 · base_sum · cur_n``; the reported ratio is one
+    final division of exact BIGINTs.
+    """
+    day = F.expr("metric_time_ms DIV 86400000")
+    hod = F.expr("metric_time_ms DIV 3600000 % 24")
+    base = tm.select(
+        "executor_id",
+        day.alias("day"),
+        hod.alias("hour_of_day"),
+        "run_time_ms",
+    )
+    span = base.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # cutoff day: first 70% of the span is baseline (integer arithmetic)
+    cut = base.join(F.broadcast(span)).withColumn(
+        "cutoff", F.expr("d0 + (d1 - d0) * 7 DIV 10")
+    )
+    baseline = (
+        cut.filter(F.col("day") <= F.col("cutoff"))
+        .groupBy("executor_id", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("base_n"),
+            F.sum("run_time_ms").alias("base_sum"),
+        )
+    )
+    current = (
+        cut.filter(F.col("day") > F.col("cutoff"))
+        .groupBy("executor_id", "day", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("cur_n"),
+            F.sum("run_time_ms").alias("cur_sum"),
+        )
+    )
+    return (
+        current.join(F.broadcast(baseline), ["executor_id", "hour_of_day"])
+        .select(
+            "executor_id",
+            "day",
+            "hour_of_day",
+            "cur_n",
+            "cur_sum",
+            "base_n",
+            "base_sum",
+            F.try_divide(
+                F.col("cur_sum") * F.col("base_n"),
+                F.col("base_sum") * F.col("cur_n"),
+            ).alias("ratio_vs_baseline"),
+            (
+                F.col("cur_sum") * F.col("base_n")
+                > F.col("base_sum") * F.col("cur_n") * 2
+            ).alias("flagged"),
+        )
+    )

@@ -901,3 +901,37 @@ SELECT app_id, n_tasks, n_satisfied, n_tolerating, n_frustrated,
        (n_satisfied * 2 + n_tolerating) / CAST(n_tasks * 2 AS DOUBLE) AS apdex
 FROM agg
 """
+
+OBS_ORACLES["obs_seasonal_baseline"] = f"""
+WITH {TELEMETRY_CTE},
+base AS (
+  SELECT executor_id,
+         metric_time_ms // 86400000 AS day,
+         metric_time_ms // 3600000 % 24 AS hour_of_day,
+         run_time_ms
+  FROM task_metrics
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM base),
+cut AS (SELECT b.*, s.d0 + (s.d1 - s.d0) * 7 // 10 AS cutoff FROM base b, span s),
+baseline AS (
+  SELECT executor_id, hour_of_day,
+         COUNT(*) AS base_n,
+         CAST(SUM(run_time_ms) AS BIGINT) AS base_sum
+  FROM cut WHERE day <= cutoff
+  GROUP BY 1, 2
+),
+current AS (
+  SELECT executor_id, day, hour_of_day,
+         COUNT(*) AS cur_n,
+         CAST(SUM(run_time_ms) AS BIGINT) AS cur_sum
+  FROM cut WHERE day > cutoff
+  GROUP BY 1, 2, 3
+)
+SELECT c.executor_id, c.day, c.hour_of_day, c.cur_n, c.cur_sum,
+       b.base_n, b.base_sum,
+       (c.cur_sum * b.base_n) / CAST(b.base_sum * c.cur_n AS DOUBLE)
+         AS ratio_vs_baseline,
+       c.cur_sum * b.base_n > b.base_sum * c.cur_n * 2 AS flagged
+FROM current c
+JOIN baseline b USING (executor_id, hour_of_day)
+"""

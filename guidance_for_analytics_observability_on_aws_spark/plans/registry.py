@@ -716,6 +716,7 @@ _LATE_OBS_BUILDERS = {
     "obs_job_critical_stage": lambda s, d: obs.job_critical_stage(_tm(s, d)),
     "obs_percentile_timeline": lambda s, d: obs.percentile_timeline(_tm(s, d)),
     "obs_apdex": lambda s, d: obs.apdex(_tm(s, d)),
+    "obs_seasonal_baseline": lambda s, d: obs.seasonal_baseline(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -836,6 +837,7 @@ _PRIORITY = [
     "similarity_pq",
     "customers_rfm_segments",
     "cross_source_overlap",
+    "obs_seasonal_baseline",
 ]
 
 

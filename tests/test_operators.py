@@ -1235,3 +1235,29 @@ def test_cross_source_overlap_matrix_complete_and_symmetric_free(spark, sf_dir):
     assert out.jaccard.between(0, 1, inclusive="right").all()
     expect = out.n_shared / (out.n_a + out.n_b - out.n_shared)
     assert (out.jaccard == expect).all()
+
+
+def test_seasonal_baseline_hand_example(spark):
+    """O56: profile semantics pinned — a nightly batch hour with a high
+    baseline must NOT flag the same load in the eval window, while an
+    off-profile spike at a normally-quiet hour must flag."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        seasonal_baseline,
+    )
+
+    H, D = 3600000, 86400000
+    rows = []
+    # days 0-6 baseline (cutoff = 0 + 6*7//10 = 4 -> days 0-4 baseline),
+    # days 5,6 eval. hour 2 is the batch hour (rt 1000), hour 10 quiet (rt 10).
+    for d in range(7):
+        rows.append(("e1", d, d * D + 2 * H + 1, 1000))
+        rows.append(("e1", 100 + d, d * D + 10 * H + 1, 10))
+    # day 6, hour 10: a 30x off-profile spike
+    rows.append(("e1", 200, 6 * D + 10 * H + 2, 300))
+    tm = spark.createDataFrame(
+        rows, "executor_id string, task_id long, metric_time_ms long, run_time_ms long"
+    )
+    got = {(r.day, r.hour_of_day): r.flagged for r in seasonal_baseline(tm).collect()}
+    assert got[(5, 2)] is False and got[(6, 2)] is False  # batch hour: normal
+    assert got[(5, 10)] is False
+    assert got[(6, 10)] is True  # quiet hour mean (10+300)/2 = 155 > 2*10
