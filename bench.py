@@ -109,6 +109,10 @@ BENCH_QUERIES_R5 = [
     "customers_abc_pareto",
     "vocab_coverage",
     "dup_groups_star",
+    "customers_rfm_segments",
+    "cross_source_overlap",
+    "obs_seasonal_baseline",
+    "similarity_pq",
 ]
 
 

