@@ -262,3 +262,49 @@ def test_straggler_median_matches_statistics_median(spark, rts):
         # cross-check against the stdlib median (float) on modest values
         if srt[-1] < 2**50:
             assert r.median_x2 == round(2 * statistics.median(srt))
+
+
+revenues = st.lists(
+    st.integers(min_value=1, max_value=10**9), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(revenues)
+def test_abc_pareto_boundaries_match_reference(spark, revs):
+    """T39's cross-multiplied class cuts must equal the textbook
+    cumulative-share rule (A while cum/total <= 0.8, B to 0.95) on
+    arbitrary revenue distributions — attacked with random integers so
+    boundary rows (cum exactly at 80%/95%) are exercised."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        customers_abc_pareto,
+    )
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [
+        (i, f"1995-01-0{1 + i % 9}", "O", rev / 100.0)
+        for i, rev in enumerate(revs)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_orderstatus string, o_totalprice double"
+    ).selectExpr(
+        "o_custkey",
+        "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    got = {r.o_custkey: (r.cum_cents, r.abc_class)
+           for r in customers_abc_pareto(orders).collect()}
+    total = sum(revs)
+    # reference: sort desc by revenue (tie: custkey), exact rational compare
+    order = sorted(range(len(revs)), key=lambda i: (-revs[i], i))
+    cum = 0
+    for i in order:
+        cum += revs[i]
+        if cum * 5 <= total * 4:
+            want = "A"
+        elif cum * 20 <= total * 19:
+            want = "B"
+        else:
+            want = "C"
+        assert got[i] == (cum, want), (i, got[i], cum, want)
