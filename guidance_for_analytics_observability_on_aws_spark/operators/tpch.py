@@ -1304,3 +1304,74 @@ def customers_rfm_segments(orders: DataFrame) -> DataFrame:
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+def q2_min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part_type: str = "STANDARD",
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """T41: minimum-cost supplier per part (TPC-H Q2 shape, adapted — no
+    partsupp, so the per-(part, supplier) unit cost is the MINIMUM
+    observed ``l_extendedprice / l_quantity`` across their lineitems, in
+    exact integer cents). Completes the full 22/22 TPC-H shape coverage.
+
+    The Q2 plan lesson is the correlated-min + join-back: per-pair costs
+    aggregate once, the per-part minimum computes over that (small) pair
+    table, and the winning pair re-joins by EQUALITY on (part, cost) with
+    a deterministic supplier tie-break — never a correlated subquery per
+    row. Region restriction and part filter broadcast into the pair
+    stream first.
+    """
+    region_suppliers = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    typed_parts = part.filter(F.col("p_type") == part_type).select(
+        "p_partkey", "p_size"
+    )
+    unit_cost = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    )
+    pair_costs = (
+        lineitem.join(F.broadcast(typed_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(region_suppliers.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .groupBy("p_partkey", "p_size", F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.min(unit_cost).alias("cost_cents"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("cost_cents", "s_suppkey")
+    best = (
+        pair_costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(region_suppliers), "s_suppkey")
+        .select(
+            "p_partkey",
+            "p_size",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            "cost_cents",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -202,6 +202,11 @@ _TPCH_BUILDERS = {
     "customers_rfm_segments": lambda s, d: tpch.customers_rfm_segments(
         load_tables(s, d)["orders"]
     ),
+    "tpch_q2_min_cost_supplier": lambda s, d: (
+        lambda t: tpch.q2_min_cost_supplier(
+            t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+        )
+    )(load_tables(s, d)),
     "grouping_sets_mixed": lambda s, d: tpch.grouping_sets_mixed(
         load_tables(s, d)["orders"]
     ),
@@ -838,6 +843,7 @@ _PRIORITY = [
     "customers_rfm_segments",
     "cross_source_overlap",
     "obs_seasonal_baseline",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

@@ -696,3 +696,36 @@ SELECT *,
             ELSE 'regular' END AS segment
 FROM scored
 """
+
+TPCH_ORACLES["tpch_q2_min_cost_supplier"] = """
+WITH region_suppliers AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+pair_costs AS (
+  SELECT l.l_partkey AS p_partkey, p.p_size, l.l_suppkey AS s_suppkey,
+         MIN(CAST(FLOOR(l.l_extendedprice / l.l_quantity * 100 + 0.5) AS BIGINT))
+           AS cost_cents
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'STANDARD'
+    AND l.l_suppkey IN (SELECT s_suppkey FROM region_suppliers)
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                 ORDER BY cost_cents, s_suppkey) AS rn
+    FROM pair_costs
+  ) WHERE rn = 1
+)
+SELECT b.p_partkey, b.p_size, b.s_suppkey, rs.s_name, rs.n_name,
+       rs.s_acctbal, b.cost_cents
+FROM best b
+JOIN region_suppliers rs ON rs.s_suppkey = b.s_suppkey
+ORDER BY rs.s_acctbal DESC, rs.n_name, rs.s_name, b.p_partkey
+LIMIT 100
+"""

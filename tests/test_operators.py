@@ -1261,3 +1261,44 @@ def test_seasonal_baseline_hand_example(spark):
     assert got[(5, 2)] is False and got[(6, 2)] is False  # batch hour: normal
     assert got[(5, 10)] is False
     assert got[(6, 10)] is True  # quiet hour mean (10+300)/2 = 155 > 2*10
+
+
+def test_q2_min_cost_winner_is_true_minimum(spark, sf_dir):
+    """T41: for every emitted part, the chosen supplier's cost is the
+    exact minimum over ALL region suppliers who shipped it, with the
+    supplier-id tie-break."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        q2_min_cost_supplier,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    out = q2_min_cost_supplier(
+        t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+    ).collect()
+    assert out
+    # recompute the pair costs independently
+    li = t["lineitem"].toPandas()
+    parts = {r.p_partkey for r in t["part"].filter("p_type = 'STANDARD'").collect()}
+    eu_nations = {
+        r.n_nationkey
+        for r in t["nation"]
+        .join(t["region"].filter("r_name = 'EUROPE'"), F.expr("n_regionkey = r_regionkey"))
+        .collect()
+    }
+    eu_supps = {
+        r.s_suppkey
+        for r in t["supplier"].collect()
+        if r.s_nationkey in eu_nations
+    }
+    import math
+    pair = {}
+    for r in li.itertuples():
+        if r.l_partkey in parts and r.l_suppkey in eu_supps:
+            c = math.floor(r.l_extendedprice / r.l_quantity * 100 + 0.5)
+            k = (r.l_partkey, r.l_suppkey)
+            pair[k] = min(pair.get(k, c), c)
+    for row in out:
+        cands = {sk: c for (pk, sk), c in pair.items() if pk == row.p_partkey}
+        best = min(cands.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (row.s_suppkey, row.cost_cents) == (best[0], best[1])
