@@ -113,6 +113,7 @@ BENCH_QUERIES_R5 = [
     "cross_source_overlap",
     "obs_seasonal_baseline",
     "similarity_pq",
+    "tpch_q2_min_cost_supplier",
 ]
 
 
