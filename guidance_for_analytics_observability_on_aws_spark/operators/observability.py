@@ -1670,3 +1670,51 @@ def seasonal_baseline(tm: DataFrame) -> DataFrame:
             ).alias("flagged"),
         )
     )
+
+
+def top_movers(tm: DataFrame, top_n: int = 10) -> DataFrame:
+    """O57: biggest half-over-half movers — which executors' run-time
+    totals changed most between the two halves of the timeline (the
+    "what regressed since last week" leaderboard every ops dashboard
+    carries; point-in-time tiles like O4 can't answer it).
+
+    One pass splits each row into its half via the broadcast 1-row span
+    (midpoint in integer ms), one aggregation produces both halves'
+    totals as conditional sums (no self-join, no second scan), and the
+    leaderboard ranks by absolute BIGINT delta with a deterministic
+    executor tie-break. ``pct_change`` is one final division, NULL for
+    executors new in the second half (try_divide).
+    """
+    span = tm.agg(
+        F.min("metric_time_ms").alias("t0"), F.max("metric_time_ms").alias("t1")
+    )
+    halved = tm.join(F.broadcast(span)).withColumn(
+        "second_half", F.expr("metric_time_ms * 2 > t0 + t1")
+    )
+    agg = halved.groupBy("executor_id").agg(
+        F.sum(F.when(~F.col("second_half"), F.col("run_time_ms")).otherwise(0))
+        .cast("long")
+        .alias("first_half_ms"),
+        F.sum(F.when(F.col("second_half"), F.col("run_time_ms")).otherwise(0))
+        .cast("long")
+        .alias("second_half_ms"),
+        F.count(F.lit(1)).alias("n_tasks"),
+    )
+    delta = F.col("second_half_ms") - F.col("first_half_ms")
+    w = Window.orderBy(F.abs(delta).desc(), "executor_id")
+    return (
+        agg.withColumn("delta_ms", delta)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "rank",
+            "executor_id",
+            "n_tasks",
+            "first_half_ms",
+            "second_half_ms",
+            "delta_ms",
+            F.try_divide(F.col("delta_ms"), F.col("first_half_ms")).alias(
+                "pct_change"
+            ),
+        )
+    )

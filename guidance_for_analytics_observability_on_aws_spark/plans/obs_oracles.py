@@ -935,3 +935,32 @@ SELECT c.executor_id, c.day, c.hour_of_day, c.cur_n, c.cur_sum,
 FROM current c
 JOIN baseline b USING (executor_id, hour_of_day)
 """
+
+OBS_ORACLES["obs_top_movers"] = f"""
+WITH {TELEMETRY_CTE},
+span AS (SELECT MIN(metric_time_ms) AS t0, MAX(metric_time_ms) AS t1
+         FROM task_metrics),
+halved AS (
+  SELECT m.*, m.metric_time_ms * 2 > s.t0 + s.t1 AS second_half
+  FROM task_metrics m, span s
+),
+agg AS (
+  SELECT executor_id,
+         CAST(SUM(CASE WHEN NOT second_half THEN run_time_ms ELSE 0 END)
+              AS BIGINT) AS first_half_ms,
+         CAST(SUM(CASE WHEN second_half THEN run_time_ms ELSE 0 END)
+              AS BIGINT) AS second_half_ms,
+         COUNT(*) AS n_tasks
+  FROM halved GROUP BY 1
+),
+ranked AS (
+  SELECT *,
+         second_half_ms - first_half_ms AS delta_ms,
+         CAST(ROW_NUMBER() OVER (ORDER BY ABS(second_half_ms - first_half_ms)
+              DESC, executor_id) AS BIGINT) AS rank
+  FROM agg
+)
+SELECT rank, executor_id, n_tasks, first_half_ms, second_half_ms, delta_ms,
+       delta_ms / CAST(first_half_ms AS DOUBLE) AS pct_change
+FROM ranked WHERE rank <= 10
+"""

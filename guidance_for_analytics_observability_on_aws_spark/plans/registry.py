@@ -722,6 +722,7 @@ _LATE_OBS_BUILDERS = {
     "obs_percentile_timeline": lambda s, d: obs.percentile_timeline(_tm(s, d)),
     "obs_apdex": lambda s, d: obs.apdex(_tm(s, d)),
     "obs_seasonal_baseline": lambda s, d: obs.seasonal_baseline(_tm(s, d)),
+    "obs_top_movers": lambda s, d: obs.top_movers(_tm(s, d)),
     "obs_skew_exemplars": lambda s, d: obs.skew_exemplars(_tm(s, d)),
     "obs_executor_concurrency": lambda s, d: obs.executor_concurrency(_tm(s, d)),
     "obs_downsample_rollup": lambda s, d: obs.downsample_rollup(_tm(s, d)),
@@ -844,6 +845,7 @@ _PRIORITY = [
     "cross_source_overlap",
     "obs_seasonal_baseline",
     "tpch_q2_min_cost_supplier",
+    "obs_top_movers",
 ]
 
 

@@ -1302,3 +1302,19 @@ def test_q2_min_cost_winner_is_true_minimum(spark, sf_dir):
         cands = {sk: c for (pk, sk), c in pair.items() if pk == row.p_partkey}
         best = min(cands.items(), key=lambda kv: (kv[1], kv[0]))
         assert (row.s_suppkey, row.cost_cents) == (best[0], best[1])
+
+
+def test_top_movers_halves_partition_and_ordering(spark, sf_dir):
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        top_movers,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import task_metrics
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = top_movers(tm).toPandas().sort_values("rank")
+    assert (out.delta_ms == out.second_half_ms - out.first_half_ms).all()
+    assert out.delta_ms.abs().is_monotonic_decreasing
+    total = tm.agg(F.sum("run_time_ms")).collect()[0][0]
+    full = top_movers(tm, top_n=10**9).toPandas()
+    assert int((full.first_half_ms + full.second_half_ms).sum()) == total
