@@ -114,6 +114,7 @@ BENCH_QUERIES_R5 = [
     "obs_seasonal_baseline",
     "similarity_pq",
     "tpch_q2_min_cost_supplier",
+    "obs_top_movers",
 ]
 
 
