@@ -915,3 +915,93 @@ def similarity_pq(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "approx_d2")
     )
+
+
+def similarity_ivf_pq(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 8,
+) -> DataFrame:
+    """D21: IVF-PQ — the production ANN index shape (FAISS's IVFPQ,
+    simplified to global-space codes): a TRAINED coarse quantizer routes
+    every vector into a cell (D17's k-means), PQ codes compress the
+    vectors inside (D20), and a query touches ONLY its own cell's code
+    list with ADC lookups. Candidate cost per query drops from
+    O(corpus·m) to O(corpus·m / n_cells), and the scan reads codes
+    (bytes), never vectors.
+
+    Composition of the two trained structures already in the engine —
+    cell assignment joins the PQ code table on vec_id (both narrow);
+    the full-index FAISS variant encodes residuals per cell, which only
+    changes WHICH codebooks train, not this plan shape. Rows-only check;
+    planted-copy-in-own-cell retrieval and the cell-bound candidate
+    property are pinned in tests.
+    """
+    base = augmented_embeddings(embeddings)
+    # coarse quantizer: trained k-means assignment (driver-held centroids)
+    cells = _kmeans_assignments(base, k=n_cells).select(
+        "vec_id", "cluster_id"
+    )
+    # fine quantizer: normalized PQ codes (shared helpers with D20)
+    q = _quantized(base).select(
+        "vec_id",
+        F.transform(
+            F.col("qv"), lambda x: x / F.sqrt(F.col("nrm").cast("double"))
+        ).alias("qv"),
+    ).localCheckpoint(eager=True)
+    sample = q.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 4 == 0
+    )
+    books = _pq_train(sample, m=m, k=k_codes)
+    sub_d = len(next(iter(books.values())))
+    spark = embeddings.sparkSession
+    codes = _pq_assign(_pq_subvectors(q, m, sub_d), _books_df(spark, books)).join(
+        cells, "vec_id"
+    )
+    queries = (
+        q.filter(F.col("vec_id") < n_queries)
+        .join(cells, "vec_id")
+        .collect()
+    )
+    rows = []
+    for qr in queries:
+        for (s, code), cent in books.items():
+            sv = qr.qv[s * sub_d : (s + 1) * sub_d]
+            pd2 = sum((float(x) - y) * (float(x) - y) for x, y in zip(sv, cent))
+            rows.append((int(qr.vec_id), int(qr.cluster_id), s, code, pd2))
+    dtable = spark.createDataFrame(
+        rows, "query_id long, q_cell long, sub long, code long, pd2 double"
+    )
+    c = codes.alias("c")
+    t = dtable.alias("t")
+    approx = (
+        c.join(
+            F.broadcast(t),
+            (F.col("c.sub") == F.col("t.sub"))
+            & (F.col("c.code") == F.col("t.code"))
+            & (F.col("c.cluster_id") == F.col("t.q_cell")),
+        )
+        .filter(F.col("c.vec_id") != F.col("t.query_id"))
+        .groupBy(
+            F.col("t.query_id").alias("query_id"),
+            F.col("t.q_cell").alias("q_cell"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("pd2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            F.col("q_cell").alias("cell_id"),
+            "neighbor_id",
+            "rank",
+            "approx_d2",
+        )
+    )

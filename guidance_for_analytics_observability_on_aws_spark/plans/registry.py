@@ -329,6 +329,14 @@ _register(
     None,
 )
 
+# Rows-only: the IVF-PQ composition (trained coarse cells + PQ codes);
+# cell-bound candidates + planted-copy retrieval pinned in tests.
+_register(
+    "similarity_ivf_pq",
+    lambda s, d: similarity.similarity_ivf_pq(load_tables(s, d)["embeddings"]),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
@@ -851,6 +859,7 @@ _PRIORITY = [
     "obs_seasonal_baseline",
     "tpch_q2_min_cost_supplier",
     "obs_top_movers",
+    "similarity_ivf_pq",
 ]
 
 

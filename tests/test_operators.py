@@ -1318,3 +1318,29 @@ def test_top_movers_halves_partition_and_ordering(spark, sf_dir):
     total = tm.agg(F.sum("run_time_ms")).collect()[0][0]
     full = top_movers(tm, top_n=10**9).toPandas()
     assert int((full.first_half_ms + full.second_half_ms).sum()) == total
+
+
+def test_ivf_pq_cell_bound_and_planted_copy(spark, sf_dir):
+    """D21: every returned neighbor lives in the QUERY'S OWN cell (the
+    IVF probe bound), and the planted byte-identical copy — which shares
+    its parent's cell by construction — ranks top-1."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _kmeans_assignments,
+        augmented_embeddings,
+        similarity_ivf_pq,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = similarity_ivf_pq(emb).collect()
+    assert rows
+    cells = {
+        r.vec_id: r.cluster_id
+        for r in _kmeans_assignments(augmented_embeddings(emb), k=8)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    for r in rows:
+        assert cells[r.neighbor_id] == r.cell_id == cells[r.query_id]
+    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+    assert top1[0] == 100000
