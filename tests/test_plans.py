@@ -403,3 +403,19 @@ def test_bigram_lift_single_corpus_scan_and_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.count("Scan parquet") == 0  # counts come from checkpoints
     assert "Scan ExistingRDD" in plan
+
+
+def test_top_movers_and_seasonal_span_are_broadcast(spark, sf_dir):
+    """O56/O57: the 1-row span frames must reach the fact stream as
+    broadcasts (BroadcastNestedLoopJoin for the unconditioned join) —
+    a shuffle here would re-partition the whole task table for one row."""
+    for name in ("obs_top_movers", "obs_seasonal_baseline"):
+        plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}: span not broadcast"
+
+
+def test_q2_filters_broadcast_into_pair_stream(spark, sf_dir):
+    """T41: the region-supplier semi-join and typed-part filter must
+    broadcast into lineitem before the pair aggregation."""
+    plan = _executed_plan(REGISTRY["tpch_q2_min_cost_supplier"].builder(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
