@@ -828,12 +828,12 @@ _PRIORITY = [
     "similarity_knn_classify",
     "decontaminate",
     "mixture_sample",
-    # slots 51+: r6-window head — the 25 round-5 additions, never
-    # driver-checked (every one local-oracle-green at sf0.001 AND sf0.01,
-    # runners non-trivial). r6 rotation recipe: promote these 25 to slots
-    # 1-25, re-expose any entry whose code changes post-r5-evidence, and
-    # backfill the remaining slots with the then-oldest greens (the r3-green
-    # P/X/M groups are next in line).
+    # slots 51+: r6-window head — the 26 round-5 additions, never
+    # driver-checked (every sql one local-oracle-green at sf0.001 AND
+    # sf0.01, runners non-trivial). r6 rotation recipe: promote these 26 to
+    # slots 1-26, re-expose any entry whose code changes post-r5-evidence,
+    # and backfill the remaining slots with the then-oldest greens (the
+    # r3-green P/X/M groups are next in line).
     "obs_straggler_detect",
     "obs_log_sample",
     "dedup_minhash_estimate",
