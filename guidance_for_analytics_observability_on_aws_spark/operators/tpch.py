@@ -1375,3 +1375,47 @@ def q2_min_cost_supplier(
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+def events_rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """T42: EXACT rolling 7-day distinct actives per day (rolling WAU) —
+    the retention dashboard's companion to T28's cohort matrix.
+
+    Exact rolling distinct doesn't fit a RANGE frame (sets don't subtract),
+    and re-scanning a 7-day window per day is 7× the work; the scalable
+    exact form is the WINDOW-COVERAGE EXPLODE: collapse to distinct
+    (user, active_day) pairs once, explode each pair into the
+    ``window_days`` report days it contributes to, and count distinct
+    users per report day — bounded 7× fan-out of the (small) distinct-pair
+    set, one final distinct aggregation. Report days beyond the data's
+    last day are clipped so every emitted day is fully defined.
+    """
+    from ..sources.telemetry import normalize_events
+
+    ev = normalize_events(events)
+    pairs = ev.select(
+        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
+    ).distinct()
+    span = pairs.agg(F.max("day").alias("last_day"))
+    covered = (
+        pairs.join(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(
+                        F.col("day") + (window_days - 1), F.col("last_day")
+                    ),
+                )
+            ).alias("report_day"),
+        )
+    )
+    return (
+        covered.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("rolling_active_users"))
+        .select(
+            (F.col("report_day") * 86400000).alias("report_day_ms"),
+            "rolling_active_users",
+        )
+    )

@@ -202,6 +202,9 @@ _TPCH_BUILDERS = {
     "customers_rfm_segments": lambda s, d: tpch.customers_rfm_segments(
         load_tables(s, d)["orders"]
     ),
+    "events_rolling_wau": lambda s, d: tpch.events_rolling_wau(
+        load_tables(s, d)["events"]
+    ),
     "tpch_q2_min_cost_supplier": lambda s, d: (
         lambda t: tpch.q2_min_cost_supplier(
             t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
@@ -828,10 +831,10 @@ _PRIORITY = [
     "similarity_knn_classify",
     "decontaminate",
     "mixture_sample",
-    # slots 51+: r6-window head — the 26 round-5 additions, never
+    # slots 51+: r6-window head — the 27 round-5 additions, never
     # driver-checked (every sql one local-oracle-green at sf0.001 AND
-    # sf0.01, runners non-trivial). r6 rotation recipe: promote these 26 to
-    # slots 1-26, re-expose any entry whose code changes post-r5-evidence,
+    # sf0.01, runners non-trivial). r6 rotation recipe: promote these 27 to
+    # slots 1-27, re-expose any entry whose code changes post-r5-evidence,
     # and backfill the remaining slots with the then-oldest greens (the
     # r3-green P/X/M groups are next in line).
     "obs_straggler_detect",
@@ -860,6 +863,7 @@ _PRIORITY = [
     "tpch_q2_min_cost_supplier",
     "obs_top_movers",
     "similarity_ivf_pq",
+    "events_rolling_wau",
 ]
 
 

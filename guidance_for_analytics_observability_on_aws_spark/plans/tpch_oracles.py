@@ -729,3 +729,19 @@ JOIN region_suppliers rs ON rs.s_suppkey = b.s_suppkey
 ORDER BY rs.s_acctbal DESC, rs.n_name, rs.s_name, b.p_partkey
 LIMIT 100
 """
+
+TPCH_ORACLES["events_rolling_wau"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+),
+span AS (SELECT MAX(day) AS last_day FROM pairs),
+covered AS (
+  SELECT p.user_id,
+         unnest(generate_series(p.day, LEAST(p.day + 6, s.last_day))) AS report_day
+  FROM pairs p, span s
+)
+SELECT report_day * 86400000 AS report_day_ms,
+       COUNT(DISTINCT user_id) AS rolling_active_users
+FROM covered
+GROUP BY 1
+"""

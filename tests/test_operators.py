@@ -1344,3 +1344,28 @@ def test_ivf_pq_cell_bound_and_planted_copy(spark, sf_dir):
         assert cells[r.neighbor_id] == r.cell_id == cells[r.query_id]
     top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
     assert top1[0] == 100000
+
+
+def test_rolling_wau_matches_bruteforce_window(spark, sf_dir):
+    """T42: the window-coverage explode must equal the brute-force
+    per-day re-scan (distinct users active in [d-6, d]) on every day."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_rolling_wau,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        normalize_events,
+    )
+
+    ev = normalize_events(load_tables(spark, sf_dir)["events"])
+    got = {r.report_day_ms // 86400000: r.rolling_active_users
+           for r in events_rolling_wau(load_tables(spark, sf_dir)["events"]).collect()}
+    pairs = ev.selectExpr("user_id", "unix_millis(ts) DIV 86400000 AS day").distinct().toPandas()
+    days = sorted(pairs.day.unique())
+    for d in days:
+        want = pairs[(pairs.day >= d - 6) & (pairs.day <= d)].user_id.nunique()
+        assert got[d] == want, (d, got[d], want)
+    # rolling >= single-day distinct, always
+    daily = pairs.groupby("day").user_id.nunique()
+    for d in days:
+        assert got[d] >= daily[d]
