@@ -115,6 +115,7 @@ BENCH_QUERIES_R5 = [
     "similarity_pq",
     "tpch_q2_min_cost_supplier",
     "obs_top_movers",
+    "events_rolling_wau",
 ]
 
 
