@@ -308,3 +308,71 @@ def test_abc_pareto_boundaries_match_reference(spark, revs):
         else:
             want = "C"
         assert got[i] == (cum, want), (i, got[i], cum, want)
+
+
+fail_patterns = st.lists(
+    st.sampled_from(["ok", "retryable", "nonretryable"]), min_size=1, max_size=80
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(fail_patterns)
+def test_batch_flush_matches_client_simulator(spark, pattern):
+    """O9's flush/backoff flags must equal a straight-line Python
+    simulator of the STATED semantics (fixed add counter, size trigger
+    suspended while backing off, suppressed flush deferred to the first
+    recovered add) on arbitrary failure patterns — the window-function
+    unrolling and the sequential definition can never diverge."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        batch_flush,
+    )
+
+    BATCH = 3
+    # task ids: retryable failures need id % 5 != 0, non-retryable % 5 == 0
+    rows = []
+    for i, kind in enumerate(pattern):
+        if kind == "ok":
+            tid = 10 * i + 1  # non-error; id class irrelevant
+            et = "view"
+        elif kind == "retryable":
+            tid = 10 * i + 1  # % 5 != 0
+            et = "error"
+        else:
+            tid = 10 * i + 5  # % 5 == 0
+            et = "error"
+        rows.append(("e1", tid, 1000 * (i + 1), et))
+    tm = spark.createDataFrame(
+        rows, "executor_id string, task_id long, metric_time_ms long, event_type string"
+    )
+    got = {r.task_id: (r.backing_off, r.flushed_by_size)
+           for r in batch_flush(tm, batch_size=BATCH).collect()}
+    # simulator
+    state = 0  # 1 = backing off
+    attempt = 0
+    pending_flush = False
+    for i, kind in enumerate(pattern):
+        rn = i + 1
+        tid = rows[i][1]
+        backing = state == 1
+        boundary = rn % BATCH == 0
+        if backing and boundary:
+            pending_flush = True
+            flushed = False
+        elif not backing and (boundary or pending_flush):
+            flushed = True
+            pending_flush = False
+        else:
+            flushed = False
+        assert got[tid] == (backing, flushed), (
+            i, kind, got[tid], (backing, flushed))
+        # advance client state
+        if kind == "ok":
+            state, attempt = 0, 0
+        elif kind == "nonretryable":
+            state, attempt = 0, 0  # abort -> fresh client
+        else:
+            attempt += 1
+            if attempt >= 6:
+                state, attempt = 0, 0  # exhaustion abort
+            else:
+                state = 1
