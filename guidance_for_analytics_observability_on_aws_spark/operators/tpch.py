@@ -1253,7 +1253,9 @@ def customers_abc_pareto(orders: DataFrame) -> DataFrame:
         "revenue_cents",
         "revenue_rank",
         "cum_cents",
-        (F.col("cum_cents") / F.col("total_cents")).alias("cum_share"),
+        # try_divide: an all-zero-revenue table must yield NULL shares,
+        # not an ANSI DIVIDE_BY_ZERO abort (matches DuckDB's NULL).
+        F.try_divide(F.col("cum_cents"), F.col("total_cents")).alias("cum_share"),
         F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
         .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
         .otherwise("C")
