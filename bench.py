@@ -194,6 +194,23 @@ def main() -> None:
             }
         )
     )
+    # Truncation-proof record: the driver captures the TAIL of stdout and
+    # BENCH_r05 lost its totals when the (large) per-query line was cut.
+    # Emit a compact totals-only line LAST so the final line always parses.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": core_total,
+                "unit": "sec",
+                "value_min": round(sum(best[n] for n in BENCH_QUERIES), 3),
+                "extended_value": extended_total,
+                "extended_value_min": round(sum(best.values()), 3),
+                "n_queries": len(first),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
     spark.stop()
 
 

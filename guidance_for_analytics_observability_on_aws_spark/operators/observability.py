@@ -1447,8 +1447,12 @@ def log_sample(tm: DataFrame, per_key: int = 5) -> DataFrame:
             "sample_key"
         ),
     )
+    # metric_time_ms breaks the (sample_key, task_id) tie — sample_key is
+    # md5(app_id, task_id), so two log rows from the same task in the same
+    # minute are otherwise fully tied and the rank<=N cutoff would be
+    # partition-order nondeterministic.
     w = Window.partitionBy("executor_id", "minute_ms").orderBy(
-        "sample_key", "task_id"
+        "sample_key", "task_id", "metric_time_ms"
     )
     wn = Window.partitionBy("executor_id", "minute_ms")
     # n_logs BEFORE the rank so the rank filter sits directly above its

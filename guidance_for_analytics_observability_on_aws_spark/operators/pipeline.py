@@ -41,6 +41,27 @@ SAMPLE_PER_STRATUM = 50
 #: context window (tokens) for sequence packing.
 PACK_CONTEXT = 512
 
+#: target edge rows per partition in the CC loops (~100 MB of (src,dst)
+#: pairs). Drives the DERIVED partition count below — a fixed constant
+#: would be wrong at 100 TB, where the LSH candidate list is itself large.
+CC_EDGE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _edge_coalesce(edges: DataFrame, floor: int = 8) -> DataFrame:
+    """Materialize the CC edge list and coalesce it to a partition count
+    derived from its ACTUAL size: ``max(floor, n_edges /
+    CC_EDGE_ROWS_PER_PARTITION)``, never more than the checkpointed
+    partitioning (coalesce is narrow — it cannot grow).
+
+    The checkpoint runs first at the upstream (LSH-output) partitioning,
+    so the count that sizes the loop is a cheap scan of materialized
+    blocks, not a recompute of the MinHash job; the per-round tasks then
+    scale with the edge list instead of a hard-coded 8."""
+    ckpt = edges.localCheckpoint(eager=True)
+    n = ckpt.count()
+    target = max(floor, -(-n // CC_EDGE_ROWS_PER_PARTITION))
+    return ckpt.coalesce(target)
+
 
 def train_val_split(documents: DataFrame) -> DataFrame:
     """P1: deterministic hash-based train/val/test split summary.
@@ -157,14 +178,13 @@ def dup_labels(
     """
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
-    edges = (
+    # The edge list is the LSH OUTPUT — small relative to the corpus but
+    # not fixed-size; partition it by its measured row count so each
+    # propagation round schedules size-proportional tasks (8 at sf0.1,
+    # hundreds at 100 TB) instead of a hard-coded handful.
+    edges = _edge_coalesce(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        # The edge list is the LSH OUTPUT — tiny relative to the corpus.
-        # Collapse to a few partitions so each propagation round schedules
-        # a handful of tasks instead of shuffle.partitions' worth.
-        .coalesce(8)
-        .localCheckpoint(eager=True)
     )
     # init: label(v) = min(v, min neighbor) — one propagation round for
     # free. NOT checkpointed: it is one tiny groupBy over the checkpointed
@@ -834,16 +854,18 @@ def dup_labels_star(
     """
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
-    edges = (
+    # Size-derived partitioning (see _edge_coalesce): measured once on the
+    # input edge list, reused for every star round — rounds only shrink the
+    # edge multiset, so the initial count is a safe upper bound.
+    edges = _edge_coalesce(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .coalesce(8)
-        .localCheckpoint(eager=True)
     )
+    n_parts = edges.rdd.getNumPartitions()
 
     def _sym(e: DataFrame) -> DataFrame:
         return e.unionByName(
@@ -863,7 +885,7 @@ def dup_labels_star(
             out.filter(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
-            .coalesce(8)
+            .coalesce(n_parts)
         )
 
     for it in range(max_iter + 1):

@@ -809,7 +809,8 @@ sampled AS (
   SELECT *,
          COUNT(*) OVER (PARTITION BY executor_id, minute_ms) AS n_logs,
          ROW_NUMBER() OVER (PARTITION BY executor_id, minute_ms
-                            ORDER BY sample_key, task_id) AS sample_rank
+                            ORDER BY sample_key, task_id, metric_time_ms)
+           AS sample_rank
   FROM keyed
 )
 SELECT executor_id, minute_ms, task_id, app_id, metric_time_ms,

@@ -69,7 +69,20 @@ def commit_append(df: DataFrame, table_dir: str) -> int:
     tmp = os.path.join(table_dir, f".manifest-{commit_id}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": version, "files": prior_files + new_files}, fh)
-    os.rename(tmp, _manifest_path(table_dir, version))
+    try:
+        # Exclusive-create publish: os.link raises FileExistsError if a
+        # concurrent writer already claimed this version number — unlike
+        # os.rename, which silently clobbers the other commit's manifest
+        # and orphans its data files. The loser retries against the new
+        # latest version.
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError:
+        raise FileExistsError(
+            f"snapshot version {version} of {table_dir} was published by a "
+            "concurrent writer; re-read the latest version and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 

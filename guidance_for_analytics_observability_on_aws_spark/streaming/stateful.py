@@ -127,8 +127,13 @@ try:  # the API exists from Spark 4.0; guard for older runtimes
             pass
 
     HAS_TWS = True
-except ImportError:  # pragma: no cover - older Spark
+    TWS_MISSING: str | None = None
+except ImportError as exc:  # pragma: no cover - older Spark / no protobuf
     HAS_TWS = False
+    # Record WHICH import failed so the error names the real gap — the
+    # guard trips both on Spark < 4.0 (no stateful_processor module) and
+    # on a protobuf-less Spark 4 container (the known env gap here).
+    TWS_MISSING = getattr(exc, "name", None) or str(exc)
 
 
 def run_tws_buffer_counter(
@@ -143,7 +148,10 @@ def run_tws_buffer_counter(
     default.
     """
     if not HAS_TWS:
-        raise RuntimeError("transformWithStateInPandas requires Spark >= 4.0")
+        raise RuntimeError(
+            "transformWithStateInPandas requires Spark >= 4.0 AND "
+            f"google.protobuf; missing import: {TWS_MISSING}"
+        )
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prior = spark.conf.get(prov_key, None)
     spark.conf.set(

@@ -56,9 +56,14 @@ def test_stateful_buffer_counter(spark, sf_dir):
         r["executor_id"]: r["n"]
         for r in tm.groupBy("executor_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    # One availableNow pass: per-executor totals must equal the batch counts,
-    # flush count = total // 100 (reference batchSize).
-    got = {r["executor_id"]: (r["total_records"], r["total_flushes"]) for r in rows}
+    # Per-executor FINAL totals must equal the batch counts, flush count =
+    # total // 100 (reference batchSize). Final = max total_records (monotone
+    # per key) — collect() order is not batch-ordered across micro-batches.
+    got = {}
+    for r in rows:
+        cur = got.get(r["executor_id"])
+        if cur is None or r["total_records"] > cur[0]:
+            got[r["executor_id"]] = (r["total_records"], r["total_flushes"])
     assert set(got) == set(want)
     for ex, n in want.items():
         assert got[ex] == (n, n // 100)
@@ -329,10 +334,15 @@ def test_tws_buffer_counter_matches_apws_twin(spark, sf_dir):
         r["executor_id"]: r["n"]
         for r in tm.groupBy("executor_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    # last emitted row per executor carries the final state
+    # The final state per executor is the row with the MAX total_records —
+    # memory-sink collect() order is not contractually batch-ordered across
+    # availableNow micro-batches, so "last row wins" could pick a non-final
+    # update and flake. total_records is monotone per key, so max is final.
     final = {}
     for r in rows:
-        final[r["executor_id"]] = (r["total_records"], r["total_flushes"])
+        cur = final.get(r["executor_id"])
+        if cur is None or r["total_records"] > cur[0]:
+            final[r["executor_id"]] = (r["total_records"], r["total_flushes"])
     assert set(final) == set(want)
     for ex, n in want.items():
         assert final[ex] == (n, n // 100)
