@@ -119,6 +119,14 @@ BENCH_QUERIES_R5 = [
 ]
 
 
+#: Round-6 additions: residual-encoded IVF-PQ (timed against D20/D21's
+#: global-code passes). The streaming runners stay untimed (checkpoint
+#: setup dominates at bench SF; their parity is pinned in tests).
+BENCH_QUERIES_R6 = [
+    "similarity_ivf_pq_residual",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -156,7 +164,13 @@ def main() -> None:
     # machine load (BENCH_r04 was inflated 20-100% by a loaded host while
     # a clean re-run matched r3 to 0.1%). Steady-state minima are also the
     # honest basis for the 100 TB throughput claims.
-    all_names = BENCH_QUERIES + BENCH_QUERIES_R3 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5
+    all_names = (
+        BENCH_QUERIES
+        + BENCH_QUERIES_R3
+        + BENCH_QUERIES_R4
+        + BENCH_QUERIES_R5
+        + BENCH_QUERIES_R6
+    )
     passes: list[dict[str, float]] = []
     for _ in range(2):
         timings: dict[str, float] = {}

@@ -431,13 +431,23 @@ def embedding_kmeans(
 
 
 def _kmeans_assignments(
-    embeddings: DataFrame, k: int = 8, max_iter: int = 5
+    embeddings: DataFrame | None,
+    k: int = 8,
+    max_iter: int = 5,
+    q: DataFrame | None = None,
 ) -> DataFrame:
     """Converged Lloyd assignment (vec_id, qv, nrm, cluster_id, d2) — the
-    training loop shared by D12's summary and D17's trained-IVF search."""
+    training loop shared by D12's summary and D17's trained-IVF search.
+
+    ``q`` lets a caller supply a pre-built (vec_id, qv, nrm) frame in a
+    different vector space — D22 trains its coarse quantizer on
+    L2-NORMALIZED vectors so cell centroids and PQ residuals share one
+    space (a residual only cancels exactly against a centroid from the
+    same space)."""
     if max_iter < 1:
         raise ValueError(f"k-means needs max_iter >= 1, got {max_iter}")
-    q = _quantized(embeddings).select("vec_id", "qv", "nrm")
+    if q is None:
+        q = _quantized(embeddings).select("vec_id", "qv", "nrm")
     # Seed centroids by md5-permutation top-k — deterministic (tests and
     # reruns see identical seeds) yet hash-SPREAD across the corpus, unlike
     # the first k ids, which can all sit inside one cluster when ids are
@@ -967,6 +977,137 @@ def similarity_ivf_pq(
         .join(cells, "vec_id")
         .collect()
     )
+    rows = []
+    for qr in queries:
+        for (s, code), cent in books.items():
+            sv = qr.qv[s * sub_d : (s + 1) * sub_d]
+            pd2 = sum((float(x) - y) * (float(x) - y) for x, y in zip(sv, cent))
+            rows.append((int(qr.vec_id), int(qr.cluster_id), s, code, pd2))
+    dtable = spark.createDataFrame(
+        rows, "query_id long, q_cell long, sub long, code long, pd2 double"
+    )
+    c = codes.alias("c")
+    t = dtable.alias("t")
+    approx = (
+        c.join(
+            F.broadcast(t),
+            (F.col("c.sub") == F.col("t.sub"))
+            & (F.col("c.code") == F.col("t.code"))
+            & (F.col("c.cluster_id") == F.col("t.q_cell")),
+        )
+        .filter(F.col("c.vec_id") != F.col("t.query_id"))
+        .groupBy(
+            F.col("t.query_id").alias("query_id"),
+            F.col("t.q_cell").alias("q_cell"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("pd2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            F.col("q_cell").alias("cell_id"),
+            "neighbor_id",
+            "rank",
+            "approx_d2",
+        )
+    )
+
+
+def similarity_ivf_pq_residual(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 8,
+) -> DataFrame:
+    """D22: RESIDUAL-encoded IVF-PQ — the actual FAISS IVFPQ formulation
+    (``by_residual``), upgrading D21's global-space codes: PQ codebooks
+    train on ``x − centroid(cell(x))`` instead of on ``x`` itself.
+
+    Why residuals recover recall: within one cell,
+    ``‖x − q‖² = ‖r_x − r_q‖²`` exactly (the shared centroid cancels), so
+    ADC over residual codes estimates the TRUE distance with quantization
+    error proportional to the RESIDUAL spread — the coarse quantizer has
+    already removed the between-cell variance, leaving the 16
+    codes-per-subspace to resolve a much tighter distribution than D21's
+    global codes must cover. The tighter the cells, the bigger the win.
+
+    One-space discipline: the coarse quantizer trains on the L2-NORMALIZED
+    vectors (via :func:`_kmeans_assignments`'s ``q`` hook), the residuals
+    subtract centroids of that same space, and query residuals are formed
+    against the query's own cell — residuals only cancel exactly against
+    centroids from the space they were assigned in (D21 could mix spaces
+    because it never subtracted).
+
+    Spark shape is D21's, unchanged by residual encoding: driver holds
+    only centroids + codebooks (n_cells·d + m·k·d/m floats), residual
+    formation is one broadcast join + ``zip_with``, encoding is the
+    broadcast `_pq_assign` pass, and search is the cell-restricted ADC
+    equi-join — a query touches only its own cell's code list, candidate
+    cost O(corpus·m/n_cells), the scan reads codes, never vectors.
+    Rows-only check (trained float loops, same class as D20/D21);
+    planted-copy top-1 retrieval and recall ≥ global-code D21 are pinned
+    in tests.
+    """
+    base = augmented_embeddings(embeddings)
+    nv = (
+        _quantized(base)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("qv"), lambda x: x / F.sqrt(F.col("nrm").cast("double"))
+            ).alias("qv"),
+            F.lit(1.0).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = _kmeans_assignments(None, k=n_cells, q=nv).localCheckpoint(
+        eager=True
+    )
+    spark = embeddings.sparkSession
+    # Converged centroids, re-derived driver-side as member means (at the
+    # Lloyd fixpoint mean-of-members IS the centroid) — k·d floats.
+    cent_rows = (
+        assigned.select("cluster_id", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("cluster_id", "dim")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    d = 1 + max(r.dim for r in cent_rows)
+    cents: dict[int, list[float]] = {}
+    for r in cent_rows:
+        cents.setdefault(r.cluster_id, [0.0] * d)[r.dim] = r.c
+    cent_df = spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cents.items())],
+        "cluster_id long, cvec array<double>",
+    )
+    res = (
+        assigned.join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with("qv", "cvec", lambda x, y: x - y).alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # Shared codebooks trained on a deterministic quarter-sample of the
+    # RESIDUALS (FAISS trains one PQ over all cells' residuals).
+    sample = res.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 4 == 0
+    )
+    books = _pq_train(sample.select("vec_id", "qv"), m=m, k=k_codes)
+    sub_d = len(next(iter(books.values())))
+    codes = _pq_assign(_pq_subvectors(res, m, sub_d), _books_df(spark, books)).join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    # Per-query ADC tables over the QUERY'S residual in its own cell.
+    queries = res.filter(F.col("vec_id") < n_queries).collect()
     rows = []
     for qr in queries:
         for (s, code), cent in books.items():

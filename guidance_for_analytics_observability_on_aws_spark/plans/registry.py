@@ -340,6 +340,17 @@ _register(
     None,
 )
 
+# Rows-only: residual-encoded IVF-PQ (the FAISS by_residual formulation —
+# PQ codebooks train on x − centroid(cell)); planted-copy top-1 and
+# recall ≥ global-code D21 pinned in tests.
+_register(
+    "similarity_ivf_pq_residual",
+    lambda s, d: similarity.similarity_ivf_pq_residual(
+        load_tables(s, d)["embeddings"]
+    ),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402
@@ -614,6 +625,19 @@ def _stream_heavy_hitters(s, d):
 _register("stream_heavy_hitters", _stream_heavy_hitters, None)
 
 
+# Rows-only: streaming rolling WAU — each (user, report_day) membership is
+# emitted exactly once by a streaming dropDuplicates (first-seen identity),
+# so per-day WAU is an additive rollup; row parity with batch T42 asserted
+# in tests/test_streaming.py.
+def _stream_rolling_wau(s, d):
+    from ..streaming.collector import run_streaming_rolling_wau
+
+    return run_streaming_rolling_wau(s, d)
+
+
+_register("stream_rolling_wau", _stream_rolling_wau, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).
@@ -776,67 +800,11 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 #                   favor of hash-checked sql entries).
 # This changes dict ORDER only — names, builders, oracles are untouched.
 _PRIORITY = [
-    # slots 1-9: never driver-checked — first exposure.
-    "obs_cardinality_approx",
-    "obs_task_percentiles_approx",
-    "embedding_dup_groups",
-    "text_tfidf_topk",
-    "stream_metric_log_join",
-    "source_schema_evolution_report",
-    "corpus_curation_pipeline_v2",
-    "similarity_ivf_trained",
-    "obs_alert_debounce",
-    # slot 10: re-exposed post-fix (r4 row was 0 rows).
-    "obs_live_collector",
-    # slots 11-13: code changed since the r4-green row.
-    "obs_batch_flush",
-    "obs_retry_backoff",
-    "dedup_containment_banded",
-    # slots 14-37: oldest evidence (r2-green) backfill.
-    "obs_props_variant_stats",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
-    "star_join_broadcast",
-    "window_running_totals",
-    "rollup_priority_status",
-    "promo_revenue_share",
-    "tpch_q4_order_priority",
-    "anti_join_inactive_customers",
-    "tpch_q18_large_orders",
-    "tpch_q13_customer_distribution",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_balance",
-    "tpch_q12_priority_by_status",
-    "tpch_q6_forecast_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q20_excess_share",
-    # slots 38-50: r3-green backfill (D group + P heads).
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_ivf",
-    "similarity_ann_lsh",
-    "dedup_embedding_cosine_blas",
-    "embedding_centroids",
-    "similarity_knn_classify",
-    "decontaminate",
-    "mixture_sample",
-    # slots 51+: r6-window head — the 27 round-5 additions, never
-    # driver-checked (every sql one local-oracle-green at sf0.001 AND
-    # sf0.01, runners non-trivial). r6 rotation recipe: promote these 27 to
-    # slots 1-27, re-expose any entry whose code changes post-r5-evidence,
-    # and backfill the remaining slots with the then-oldest greens (the
-    # r3-green P/X/M groups are next in line).
+    # r6 window (50 slots exactly):
+    #   slots 1-27  — the 27 round-5 additions, which closed SURVEY §2 but
+    #                 had no driver row yet (every sql one local-oracle-green
+    #                 at sf0.001 AND the sf0.01 bulk sweep). After this round
+    #                 every pre-r6 registry entry's last driver row is green.
     "obs_straggler_detect",
     "obs_log_sample",
     "dedup_minhash_estimate",
@@ -864,6 +832,43 @@ _PRIORITY = [
     "obs_top_movers",
     "similarity_ivf_pq",
     "events_rolling_wau",
+    #   slots 28-29 — the two round-6 additions (rows-only runners; batch
+    #                 parity / planted-copy+recall pinned in tests).
+    "similarity_ivf_pq_residual",
+    "stream_rolling_wau",
+    #   slots 30-33 — re-exposed: entries whose CODE changed since their
+    #                 last green row (dup_labels now derives its CC edge
+    #                 partitioning from the measured edge count; these four
+    #                 consume it).
+    "dup_groups",
+    "corpus_curation_pipeline_v2",
+    "split_leak_proof",
+    "embedding_dup_groups",
+    #   slots 34-50 — oldest-evidence backfill (r3-green P/X/M groups, per
+    #                 the rotation recipe; corpus_curation_pipeline is also
+    #                 a dup_labels consumer).
+    "corpus_curation_pipeline",
+    "train_val_split",
+    "sample_stratified",
+    "pack_sequences",
+    "incremental_dedup",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "docs_stats_by_source",
+    "text_winnow_fingerprint",
+    "text_pii_redact",
+    "text_bigram_stats",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "text_repetition_stats",
+    "mm_binary_meta",
+    # slots 51+ fall back to registration order. r7 rotation recipe: promote
+    # any entry whose code changes post-r6-evidence, then continue the
+    # oldest-green backfill (remaining r3-greens: dup_groups? no — covered;
+    # next are mm_frame_sample/mm_feature_extract/mm_audio_chunks + the
+    # r3-green T tail (T14, T27-T34) and O38-O42, then the r4 greens).
 ]
 
 

@@ -475,3 +475,71 @@ def run_streaming_metric_log_join(
         .orderBy("executor_id")
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_rolling_wau(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Streaming twin of T42 (exact rolling 7-day distinct actives) — the
+    retention dashboard family's (T28/T36/T42) first live member.
+
+    The batch window-coverage explode has a natural INCREMENTAL form: each
+    arriving event contributes its (user_id, report_day) memberships for
+    the ``window_days`` days it covers, and a streaming ``dropDuplicates``
+    keyed on exactly that pair emits each membership ONCE across all
+    micro-batches (first-seen identity — the same trick T36's cohort
+    assignment uses). Downstream, rolling WAU per day is then a plain
+    ADDITIVE count of the emitted pairs — mergeable across batches with no
+    distinct re-aggregation, which is what makes the live dashboard cheap:
+    state is the bounded (user × report_day) key set, and in production a
+    watermark on event time expires keys once their last covering
+    report_day passes the allowed lateness (report days only look
+    BACKWARD, so a key older than ``window_days`` + lateness can never be
+    re-emitted). Here the availableNow run keeps full state for exact
+    batch parity, asserted row-for-row against T42 in
+    ``tests/test_streaming.py``.
+    """
+    from ..sources.telemetry import normalize_events
+
+    name = f"gfaooa_wau_sink_{uuid.uuid4().hex}"
+    ev = normalize_events(events_stream(spark, sf_dir))
+    covered = ev.select(
+        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
+    ).select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("report_day"),
+    )
+    firsts = covered.dropDuplicates(["user_id", "report_day"])
+    q = (
+        firsts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Clip to the data's last day (T42's "every emitted day fully defined"
+    # rule). The stream cannot know the corpus max; the batch runner reads
+    # it from the static table — in a live deployment this is "report only
+    # days up to yesterday", a constant-time predicate.
+    last_day = (
+        normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .agg(F.max(F.expr("unix_millis(ts) DIV 86400000")).alias("d"))
+        .collect()[0]["d"]
+    )
+    result = (
+        spark.table(name)
+        .filter(F.col("report_day") <= last_day)
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("rolling_active_users"))
+        .select(
+            (F.col("report_day") * 86400000).alias("report_day_ms"),
+            "rolling_active_users",
+        )
+        .orderBy("report_day_ms")
+    )
+    out = _collected_and_cleaned(spark, result, None)
+    spark.catalog.dropTempView(name)
+    return out

@@ -291,35 +291,57 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r5 rotation: 44 sql + 6 rows-only (see the _PRIORITY ledger comment).
+    # r6 rotation: 44 sql + 6 rows-only (see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 44, f"{n_sql} sql-backed entries in the driver window"
-    # the 9 entries with no driver row yet MUST lead the window — this is
-    # the round that closes the coverage ledger:
+    # the 27 round-5 additions with no driver row yet MUST lead the window,
+    # followed by the 2 round-6 additions — converting every "local-only"
+    # evidence cell to a driver row:
     never_checked = (
-        "obs_cardinality_approx",
-        "obs_task_percentiles_approx",
-        "embedding_dup_groups",
-        "text_tfidf_topk",
-        "stream_metric_log_join",
-        "source_schema_evolution_report",
-        "corpus_curation_pipeline_v2",
-        "similarity_ivf_trained",
-        "obs_alert_debounce",
+        "obs_straggler_detect",
+        "obs_log_sample",
+        "dedup_minhash_estimate",
+        "dataset_card_report",
+        "source_clustering_report",
+        "obs_latency_heatmap",
+        "obs_job_critical_stage",
+        "tpch_q9_profit",
+        "filter_ablation",
+        "obs_percentile_timeline",
+        "mm_dedup_exact",
+        "similarity_range_search",
+        "tpch_q11_important_parts",
+        "text_bigram_lift",
+        "source_snapshot_report",
+        "obs_apdex",
+        "customers_abc_pareto",
+        "vocab_coverage",
+        "dup_groups_star",
+        "similarity_pq",
+        "customers_rfm_segments",
+        "cross_source_overlap",
+        "obs_seasonal_baseline",
+        "tpch_q2_min_cost_supplier",
+        "obs_top_movers",
+        "similarity_ivf_pq",
+        "events_rolling_wau",
+        "similarity_ivf_pq_residual",
+        "stream_rolling_wau",
     )
-    assert tuple(first50[:9]) == never_checked
-    # re-exposures: the fixed live collector (r4 row was 0 rows) and the
-    # three entries whose code changed since their r4-green rows:
+    assert tuple(first50[: len(never_checked)]) == never_checked
+    # re-exposures: the dup_labels consumers (CC edge partitioning now
+    # derived from the measured edge count):
     for expected in (
-        "obs_live_collector",
-        "obs_batch_flush",
-        "obs_retry_backoff",
-        "dedup_containment_banded",
+        "dup_groups",
+        "corpus_curation_pipeline_v2",
+        "split_leak_proof",
+        "embedding_dup_groups",
+        "corpus_curation_pipeline",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # backfill holds only already-green entries; fresh r4-greens whose code
+    # backfill holds only already-green entries; fresh r5-greens whose code
     # is unchanged must NOT re-occupy scarce slots:
-    for fresh_green in ("obs_task_metrics", "merge_scd2_customers", "split_leak_proof"):
+    for fresh_green in ("obs_task_metrics", "merge_scd2_customers", "tpch_q1_pricing_summary"):
         assert fresh_green not in first50
 
 

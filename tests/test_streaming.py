@@ -346,3 +346,28 @@ def test_tws_buffer_counter_matches_apws_twin(spark, sf_dir):
     assert set(final) == set(want)
     for ex, n in want.items():
         assert final[ex] == (n, n // 100)
+
+
+def test_streaming_rolling_wau_matches_batch(spark, sf_dir):
+    """stream_rolling_wau: the first-seen (user, report_day) streaming
+    formulation must reproduce batch T42 row-for-row — each membership is
+    emitted exactly once, so the additive per-day count equals the batch
+    countDistinct."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_rolling_wau,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_rolling_wau,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+
+    got = {
+        r.report_day_ms: r.rolling_active_users
+        for r in run_streaming_rolling_wau(spark, sf_dir).collect()
+    }
+    want = {
+        r.report_day_ms: r.rolling_active_users
+        for r in events_rolling_wau(load_tables(spark, sf_dir)["events"]).collect()
+    }
+    assert got == want
+    assert got  # non-trivial
