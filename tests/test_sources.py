@@ -414,3 +414,29 @@ def test_snapshot_isolation_and_time_travel(spark, sf_dir, tmp_path):
     assert read_snapshot(spark, table).count() == events.count()
     with pytest.raises(ValueError):
         read_snapshot(spark, table, v1)
+
+
+def test_snapshot_commit_collision_raises(spark, sf_dir, tmp_path, monkeypatch):
+    """S10: publishing is exclusive-create — a writer whose target version
+    was claimed by a concurrent commit gets a loud FileExistsError, never a
+    silent manifest clobber (which would orphan the loser's data files)."""
+    import os
+
+    import pytest
+
+    from guidance_for_analytics_observability_on_aws_spark.sources import snapshots
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    table = str(tmp_path / "collide_table")
+    snapshots.commit_append(events.limit(10), table)
+    # Simulate the race: a concurrent writer publishes version 2 AFTER this
+    # writer lists versions (pinned to [1]) but before its publish step.
+    os.link(snapshots._manifest_path(table, 1), snapshots._manifest_path(table, 2))
+    monkeypatch.setattr(snapshots, "snapshot_versions", lambda d: [1])
+    with pytest.raises(FileExistsError, match="concurrent"):
+        snapshots.commit_append(events.limit(5), table)
+    # the winner's version 2 is untouched, and the loser's staged tmp file
+    # was cleaned up (no .manifest-*.tmp left behind)
+    monkeypatch.undo()
+    assert snapshots.read_snapshot(spark, table, 2).count() == 10
+    assert not [f for f in os.listdir(table) if f.endswith(".tmp")]

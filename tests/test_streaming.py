@@ -371,3 +371,19 @@ def test_streaming_rolling_wau_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert got  # non-trivial
+
+
+def test_tws_guard_names_missing_import():
+    """The TWS guard's error must name WHICH import failed — on this
+    protobuf-less Spark 4 container a bare 'requires Spark >= 4.0' would
+    misdirect debugging."""
+    from guidance_for_analytics_observability_on_aws_spark.streaming import stateful
+
+    if stateful.HAS_TWS:
+        assert stateful.TWS_MISSING is None
+    else:
+        assert stateful.TWS_MISSING
+        import pytest
+
+        with pytest.raises(RuntimeError, match="missing import"):
+            stateful.run_tws_buffer_counter(None, "unused")
