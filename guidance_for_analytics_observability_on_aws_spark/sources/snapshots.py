@@ -46,9 +46,12 @@ def commit_append(df: DataFrame, table_dir: str) -> int:
 
     Data files are written to a commit-private directory (never visible
     to readers), then the new manifest = previous manifest's files + the
-    new files is published with ``os.rename`` — atomic on POSIX, so a
-    reader sees the old or the new version, never a mix. A crash before
-    the rename leaves only orphan data files, which no manifest
+    new files is published with exclusive-create ``os.link`` — atomic on
+    POSIX AND collision-detecting: if a concurrent writer already
+    published this version number the link raises ``FileExistsError``
+    (re-raised with a retry hint after the loser's staged data directory
+    is removed), so a commit can never silently clobber another. A crash
+    before the publish leaves only orphan data files, which no manifest
     references and no reader ever scans.
     """
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
@@ -77,6 +80,12 @@ def commit_append(df: DataFrame, table_dir: str) -> int:
         # latest version.
         os.link(tmp, _manifest_path(table_dir, version))
     except FileExistsError:
+        # The loser's staged parquet dir would otherwise leak forever (a
+        # retry stages under a fresh commit_id), so reclaim it before
+        # surfacing the collision.
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
         raise FileExistsError(
             f"snapshot version {version} of {table_dir} was published by a "
             "concurrent writer; re-read the latest version and retry"

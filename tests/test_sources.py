@@ -436,7 +436,9 @@ def test_snapshot_commit_collision_raises(spark, sf_dir, tmp_path, monkeypatch):
     with pytest.raises(FileExistsError, match="concurrent"):
         snapshots.commit_append(events.limit(5), table)
     # the winner's version 2 is untouched, and the loser's staged tmp file
-    # was cleaned up (no .manifest-*.tmp left behind)
+    # AND staged parquet directory were both reclaimed (only v1's commit
+    # dir remains under data/ — no permanent leak on retry)
     monkeypatch.undo()
     assert snapshots.read_snapshot(spark, table, 2).count() == 10
     assert not [f for f in os.listdir(table) if f.endswith(".tmp")]
+    assert len(os.listdir(os.path.join(table, "data"))) == 1

@@ -15,9 +15,10 @@ rather than quadratically (10 byte-identical copies of every doc would
 turn each into a 10-clique in the candidate graph — a 45× pair blow-up
 that says nothing about real scaling):
 
-- documents: replica k rewrites every token by suffixing the replica tag
-  (space → " k"), so cross-replica shingle Jaccard ≈ 0 while each
-  replica keeps the corpus's internal planted-dup structure verbatim.
+- documents: replica k rewrites every non-final token by suffixing the
+  replica tag to it (space → "k ", so "foo bar" → "fook bar"), making
+  cross-replica shingle Jaccard ≈ 0 while each replica keeps the
+  corpus's internal planted-dup structure verbatim.
 - embeddings: replica k sign-flips a k-dependent dimension pattern
   (deterministic ±1 mask), decorrelating cross-replica cosine while
   preserving norms and within-replica planted copies.
