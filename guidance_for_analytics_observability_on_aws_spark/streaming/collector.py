@@ -51,13 +51,23 @@ def _collected_and_cleaned(
     return spark.createDataFrame(rows, df.schema)
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over the events table. ``glob``/``max_files_per_trigger``
+    let callers stream a MULTI-FILE drop directory one file per micro-batch
+    (availableNow honors maxFilesPerTrigger as its batch splitter) — the
+    shape the bounded-state tests use to drive watermark advancement."""
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
 
 
 def windowed_rollup(tm_stream: DataFrame) -> DataFrame:
@@ -478,54 +488,92 @@ def run_streaming_metric_log_join(
 
 
 def run_streaming_rolling_wau(
-    spark: SparkSession, sf_dir: str, window_days: int = 7
+    spark: SparkSession,
+    sf_dir: str,
+    window_days: int = 7,
+    bounded_state: bool = False,
+    lateness_days: int = 1,
+    events_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Streaming twin of T42 (exact rolling 7-day distinct actives) — the
     retention dashboard family's (T28/T36/T42) first live member.
 
     The batch window-coverage explode has a natural INCREMENTAL form: each
     arriving event contributes its (user_id, report_day) memberships for
-    the ``window_days`` days it covers, and a streaming ``dropDuplicates``
+    the ``window_days`` days it covers, and a streaming first-seen dedup
     keyed on exactly that pair emits each membership ONCE across all
-    micro-batches (first-seen identity — the same trick T36's cohort
-    assignment uses). Downstream, rolling WAU per day is then a plain
-    ADDITIVE count of the emitted pairs — mergeable across batches with no
-    distinct re-aggregation, which is what makes the live dashboard cheap:
-    state is the bounded (user × report_day) key set, and in production a
-    watermark on event time expires keys once their last covering
-    report_day passes the allowed lateness (report days only look
-    BACKWARD, so a key older than ``window_days`` + lateness can never be
-    re-emitted). Here the availableNow run keeps full state for exact
-    batch parity, asserted row-for-row against T42 in
+    micro-batches (the same trick T36's cohort assignment uses).
+    Downstream, rolling WAU per day is then a plain ADDITIVE count of the
+    emitted pairs — mergeable across batches with no distinct
+    re-aggregation, which is what makes the live dashboard cheap.
+
+    ``bounded_state=True`` wires the PRODUCTION watermark: an event-time
+    watermark of ``window_days + lateness_days`` drives
+    ``dropDuplicatesWithinWatermark``, so a (user, report_day) key's state
+    expires once the watermark passes its first-seen event time + delay.
+    This is EXACT, not approximate: the events able to generate a given
+    (user, report_day) key span at most ``window_days`` of event time
+    (report days only look backward), so with in-order-within-lateness
+    arrival every potential duplicate lands inside the delay and no
+    expired key can ever be legitimately re-emitted — state stays bounded
+    by the active window's keys while the emitted rows are identical.
+    Both modes are parity-asserted against batch T42, and the bounded
+    mode's state-row ceiling is asserted across micro-batches, in
     ``tests/test_streaming.py``.
+
+    ``progress_out`` (a list) receives per-micro-batch
+    ``(batch_id, state_rows)`` pairs from the query's progress records so
+    callers can observe the state bound without reaching into the query.
     """
     from ..sources.telemetry import normalize_events
 
     name = f"gfaooa_wau_sink_{uuid.uuid4().hex}"
-    ev = normalize_events(events_stream(spark, sf_dir))
+    ev = normalize_events(
+        events_stream(
+            spark,
+            sf_dir,
+            glob=events_glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    )
     covered = ev.select(
-        "user_id", F.expr("unix_millis(ts) DIV 86400000").alias("day")
+        "user_id", "ts", F.expr("unix_millis(ts) DIV 86400000").alias("day")
     ).select(
         "user_id",
+        "ts",
         F.explode(
             F.sequence(F.col("day"), F.col("day") + (window_days - 1))
         ).alias("report_day"),
     )
-    firsts = covered.dropDuplicates(["user_id", "report_day"])
+    if bounded_state:
+        firsts = covered.withWatermark(
+            "ts", f"{window_days + lateness_days} days"
+        ).dropDuplicatesWithinWatermark(["user_id", "report_day"])
+    else:
+        firsts = covered.dropDuplicates(["user_id", "report_day"])
     q = (
-        firsts.writeStream.format("memory")
+        firsts.drop("ts")
+        .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                progress_out.append((p["batchId"], op["numRowsTotal"]))
     # Clip to the data's last day (T42's "every emitted day fully defined"
     # rule). The stream cannot know the corpus max; the batch runner reads
     # it from the static table — in a live deployment this is "report only
     # days up to yesterday", a constant-time predicate.
     last_day = (
-        normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        normalize_events(
+            spark.read.option("pathGlobFilter", events_glob).parquet(sf_dir)
+        )
         .agg(F.max(F.expr("unix_millis(ts) DIV 86400000")).alias("d"))
         .collect()[0]["d"]
     )

@@ -1325,8 +1325,7 @@ def test_ivf_pq_cell_bound_and_planted_copy(spark, sf_dir):
     IVF probe bound), and the planted byte-identical copy — which shares
     its parent's cell by construction — ranks top-1."""
     from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
-        _kmeans_assignments,
-        augmented_embeddings,
+        _coarse_cells_norm,
         similarity_ivf_pq,
     )
     from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
@@ -1334,11 +1333,11 @@ def test_ivf_pq_cell_bound_and_planted_copy(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"]
     rows = similarity_ivf_pq(emb).collect()
     assert rows
+    # re-derive cells through the SAME family-shared quantizer definition
+    _, assigned, _ = _coarse_cells_norm(emb, n_cells=8)
     cells = {
         r.vec_id: r.cluster_id
-        for r in _kmeans_assignments(augmented_embeddings(emb), k=8)
-        .select("vec_id", "cluster_id")
-        .collect()
+        for r in assigned.select("vec_id", "cluster_id").collect()
     }
     for r in rows:
         assert cells[r.neighbor_id] == r.cell_id == cells[r.query_id]
@@ -1451,3 +1450,30 @@ def test_ivf_pq_residual_beats_global_codes_on_tight_cells(spark):
     r = similarity_ivf_pq_residual(emb).collect()
     assert mae(r) < mae(g), (mae(r), mae(g))
     assert recall(r) >= recall(g), (recall(r), recall(g))
+
+
+def test_trained_model_registry_replay_is_exact(spark, sf_dir):
+    """The session trained-model registry (D12/D17/D20/D21/D22): a cached
+    replay must be bit-identical to a cold retrain, the D21/D22 coarse
+    quantizer must be ONE model (shared key), and clearing the cache must
+    not change any result (determinism is what makes caching sound)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators import similarity as S
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    S.trained_cache_clear()
+    cold_21 = sorted(map(tuple, S.similarity_ivf_pq(emb).collect()))
+    keys_after_21 = set(S._TRAINED_CACHE)
+    # D21 trained + registered the family coarse quantizer and PQ books
+    assert any(k[0] == "coarse-norm-aug" for k in keys_after_21)
+    assert any(k[0] == "pq-norm-aug" for k in keys_after_21)
+    # D22 reuses the SAME coarse model (no new coarse key), adds residual books
+    S.similarity_ivf_pq_residual(emb).collect()
+    new_keys = set(S._TRAINED_CACHE) - keys_after_21
+    assert all(k[0] == "pq-residual-norm-aug" for k in new_keys), new_keys
+    # warm replay of D21 is bit-identical
+    warm_21 = sorted(map(tuple, S.similarity_ivf_pq(emb).collect()))
+    assert warm_21 == cold_21
+    # and a cold retrain after clearing reproduces it too
+    S.trained_cache_clear()
+    cold_again = sorted(map(tuple, S.similarity_ivf_pq(emb).collect()))
+    assert cold_again == cold_21

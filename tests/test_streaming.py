@@ -373,6 +373,81 @@ def test_streaming_rolling_wau_matches_batch(spark, sf_dir):
     assert got  # non-trivial
 
 
+def test_streaming_rolling_wau_bounded_state(spark, sf_dir, tmp_path):
+    """stream_rolling_wau(bounded_state=True): the production watermark
+    path must (a) stay row-for-row equal to batch T42, and (b) actually
+    EXPIRE (user, report_day) state — the per-batch state row count must
+    stay strictly below the full key population once the watermark has
+    advanced past old keys. Driven by a day-ordered multi-file drop dir
+    with one file per micro-batch so the watermark advances between
+    batches, exactly how a live deployment's state stays bounded."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_rolling_wau,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        normalize_events,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_rolling_wau,
+    )
+
+    pdf = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    day = pdf.ts.dt.floor("D")
+    days_sorted = sorted(day.unique())
+    n_chunks = 8
+    drop_dir = str(tmp_path / "wau_drop")
+    os.makedirs(drop_dir)
+    per = max(1, (len(days_sorted) + n_chunks - 1) // n_chunks)
+    t0 = 1_700_000_000
+    n_files = 0
+    for i in range(n_chunks):
+        sel = day.isin(days_sorted[i * per : (i + 1) * per])
+        if not sel.any():
+            continue
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf[sel], preserve_index=False), path)
+        os.utime(path, (t0 + i, t0 + i))  # ascending mtime = batch order
+        n_files += 1
+    assert n_files >= 4
+
+    progress: list = []
+    got = {
+        r.report_day_ms: r.rolling_active_users
+        for r in run_streaming_rolling_wau(
+            spark,
+            drop_dir,
+            bounded_state=True,
+            events_glob="*.parquet",
+            max_files_per_trigger=1,
+            progress_out=progress,
+        ).collect()
+    }
+    want = {
+        r.report_day_ms: r.rolling_active_users
+        for r in events_rolling_wau(spark.read.parquet(drop_dir)).collect()
+    }
+    assert got == want and got
+
+    # the drive really was multi-batch, and state really was bounded:
+    # max live state must sit strictly below the full (user, report_day)
+    # key population — only watermark expiry can make that true
+    assert len({b for b, _ in progress}) >= 4, progress
+    ev = normalize_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    total_keys = (
+        ev.selectExpr("user_id", "unix_millis(ts) DIV 86400000 AS day")
+        .selectExpr("user_id", "explode(sequence(day, day + 6)) AS report_day")
+        .distinct()
+        .count()
+    )
+    max_state = max(s for _, s in progress)
+    assert max_state < total_keys, (max_state, total_keys)
+
+
 def test_tws_guard_names_missing_import():
     """The TWS guard's error must name WHICH import failed — on this
     protobuf-less Spark 4 container a bare 'requires Spark >= 4.0' would
