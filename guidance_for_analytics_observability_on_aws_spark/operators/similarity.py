@@ -1257,3 +1257,112 @@ def similarity_ivf_pq_residual(
             "approx_d2",
         )
     )
+
+
+def similarity_ivf_pq_multiprobe(
+    embeddings: DataFrame,
+    k_neighbors: int = 5,
+    n_queries: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """D23: multi-probe residual IVF-PQ — D22 probing the query's
+    ``n_probe`` nearest cells with PER-CELL residual tables, the full
+    production FAISS search shape (``nprobe > 1`` + ``by_residual``).
+
+    Single-probe recall fails exactly when a query sits near a cell
+    boundary: its true neighbors straddle two cells, and the home cell
+    holds only half of them (D13 proved the multiprobe shape for plain
+    IVF). With residual encoding, each probed cell needs its OWN ADC
+    table — the query's residual is ``q − centroid(probed cell)``, a
+    different vector per cell, because candidates in that cell were
+    encoded against that centroid. Within each probed cell the shared-
+    centroid cancellation still holds exactly, so the ADC estimate stays
+    the true-distance estimate in every probe.
+
+    All trained structures are the family-shared ones (same coarse cells
+    via :func:`_coarse_cells_norm`, same residual codebooks cache key as
+    D22 — nothing retrains), and cell ranking happens DRIVER-SIDE against
+    the held centroids: the probe list is ``n_queries·n_probe`` rows, the
+    ADC table ``n_queries·n_probe·m·k`` — both broadcast-tiny. Candidate
+    cost grows to O(corpus·m·n_probe/n_cells), still never a cross join,
+    and the scan reads codes, never vectors. Rows-only check; recall ≥
+    single-probe D22 with boundary queries (and an out-of-home-cell hit)
+    pinned in tests.
+    """
+    nv, assigned, cents = _coarse_cells_norm(embeddings, n_cells)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(cid, v) for cid, v in sorted(cents.items())],
+        "cluster_id long, cvec array<double>",
+    )
+    res = (
+        assigned.join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with("qv", "cvec", lambda x, y: x - y).alias("qv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sample = res.filter(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") % 4 == 0
+    )
+    books = _pq_train(
+        sample.select("vec_id", "qv"),
+        m=m,
+        k=k_codes,
+        cache_key=_model_key("pq-residual-norm-aug", embeddings, m, k_codes, n_cells),
+    )
+    sub_d = len(next(iter(books.values())))
+    codes = _pq_assign(_pq_subvectors(res, m, sub_d), _books_df(spark, books)).join(
+        res.select("vec_id", "cluster_id"), "vec_id"
+    )
+    # Driver-side probe ranking: the query's n_probe nearest centroids by
+    # squared distance in the shared normalized space (k·d floats in hand
+    # — no Spark pass needed), then one ADC table PER PROBED CELL over the
+    # query's residual AGAINST THAT CELL.
+    queries = nv.filter(F.col("vec_id") < n_queries).collect()
+    rows = []
+    for qr in queries:
+        ranked_cells = sorted(
+            (
+                (sum((float(x) - c) ** 2 for x, c in zip(qr.qv, cvec)), cid)
+                for cid, cvec in cents.items()
+            )
+        )
+        for _, cid in ranked_cells[:n_probe]:
+            rq = [float(x) - c for x, c in zip(qr.qv, cents[cid])]
+            for (s, code), cent in books.items():
+                sv = rq[s * sub_d : (s + 1) * sub_d]
+                pd2 = sum((x - y) * (x - y) for x, y in zip(sv, cent))
+                rows.append((int(qr.vec_id), cid, s, code, pd2))
+    dtable = spark.createDataFrame(
+        rows, "query_id long, probe_cell long, sub long, code long, pd2 double"
+    )
+    c = codes.alias("c")
+    t = dtable.alias("t")
+    approx = (
+        c.join(
+            F.broadcast(t),
+            (F.col("c.sub") == F.col("t.sub"))
+            & (F.col("c.code") == F.col("t.code"))
+            & (F.col("c.cluster_id") == F.col("t.probe_cell")),
+        )
+        .filter(F.col("c.vec_id") != F.col("t.query_id"))
+        .groupBy(
+            F.col("t.query_id").alias("query_id"),
+            F.col("t.probe_cell").alias("cell_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("pd2").alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    return (
+        approx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "cell_id", "neighbor_id", "rank", "approx_d2")
+    )

@@ -351,6 +351,17 @@ _register(
     None,
 )
 
+# Rows-only: D23 — multi-probe residual IVF-PQ (n_probe nearest cells,
+# per-cell residual ADC tables, family-shared trained structures);
+# boundary-query recall ≥ single-probe D22 pinned in tests.
+_register(
+    "similarity_ivf_pq_multiprobe",
+    lambda s, d: similarity.similarity_ivf_pq_multiprobe(
+        load_tables(s, d)["embeddings"]
+    ),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402

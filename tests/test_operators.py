@@ -1477,3 +1477,68 @@ def test_trained_model_registry_replay_is_exact(spark, sf_dir):
     S.trained_cache_clear()
     cold_again = sorted(map(tuple, S.similarity_ivf_pq(emb).collect()))
     assert cold_again == cold_21
+
+
+def test_ivf_pq_multiprobe_recovers_boundary_neighbors(spark):
+    """D23's reason to exist: queries sitting between two tight cells have
+    true neighbors split across both; single-probe D22 can only see the
+    home cell, multiprobe with per-cell residual tables sees both. On a
+    planted boundary corpus: recall@5 vs exact must be >= D22's, at least
+    one returned neighbor must come from OUTSIDE the query's home cell,
+    and the planted byte-identical copy still ranks top-1."""
+    import numpy as np
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _coarse_cells_norm,
+        augmented_embeddings,
+        similarity_ivf_pq_multiprobe,
+        similarity_ivf_pq_residual,
+        topk_bruteforce,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(0, 1, (8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    # queries 0..7: just inside cluster i's side of the i/(i+1) boundary,
+    # so the 2nd-nearest cell holds some of the true top-5
+    for i in range(8):
+        v = 0.56 * centers[i] + 0.44 * centers[(i + 1) % 8]
+        rows.append((i, [float(x) for x in v], f"lab{i % 4}"))
+    # tight clusters: 50 points each
+    vid = 8
+    for c in range(8):
+        for j in range(50):
+            v = centers[c] + rng.normal(0, 0.02, 16)
+            rows.append((vid, [float(x) for x in v], f"lab{c % 4}"))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    exact = topk_bruteforce(augmented_embeddings(emb), k=5, n_queries=8).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rs):
+        got: dict[int, set[int]] = {}
+        for r in rs:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(s & got.get(q, set())) for q, s in truth.items())
+        return hits / sum(len(s) for s in truth.values())
+
+    single = similarity_ivf_pq_residual(emb).collect()
+    multi = similarity_ivf_pq_multiprobe(emb).collect()
+    assert recall(multi) >= recall(single), (recall(multi), recall(single))
+    # the probe genuinely widened: some hit lives outside the home cell
+    _, assigned, _ = _coarse_cells_norm(emb, n_cells=8)
+    home = {
+        r.vec_id: r.cluster_id
+        for r in assigned.select("vec_id", "cluster_id").collect()
+    }
+    assert any(r.cell_id != home[r.query_id] for r in multi), (
+        "no out-of-home-cell candidate ever returned"
+    )
+    # planted copy (vec 0 -> 100000) still top-1 in query 0's own cell
+    top1 = {r.query_id: r.neighbor_id for r in multi if r.rank == 1}
+    assert top1[0] == 100000
