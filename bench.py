@@ -120,8 +120,9 @@ BENCH_QUERIES_R5 = [
 
 
 #: Round-6 additions: residual-encoded IVF-PQ (timed against D20/D21's
-#: global-code passes). The streaming runners stay untimed (checkpoint
-#: setup dominates at bench SF; their parity is pinned in tests).
+#: global-code passes). The streaming/report runners are timed separately
+#: in the rows_only_sec section (one pass each; checkpoint setup dominates
+#: at bench SF, so they'd distort the headline steady-state minima).
 BENCH_QUERIES_R6 = [
     "similarity_ivf_pq_residual",
 ]
@@ -188,43 +189,46 @@ def main() -> None:
     best = {n: min(p[n] for p in passes) for n in all_names}
     core_total = round(sum(first[n] for n in BENCH_QUERIES), 3)
     extended_total = round(sum(first.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                # "value" keeps its round-1/2 meaning — the FIRST-pass
-                # 35-query BENCH_QUERIES subtotal — so cross-round
-                # comparisons of the primary field stay like-for-like.
-                # *_min fields carry the per-query minima across passes.
-                "value": core_total,
-                "unit": "sec",
-                "value_min": round(sum(best[n] for n in BENCH_QUERIES), 3),
-                "extended_value": extended_total,
-                "extended_value_min": round(sum(best.values()), 3),
-                "n_queries": len(first),
-                "queries": first,
-                "queries_min": best,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    totals = {
+        "metric": "headline_queries_total_runtime",
+        # "value" keeps its round-1/2 meaning — the FIRST-pass 35-query
+        # BENCH_QUERIES subtotal — so cross-round comparisons of the
+        # primary field stay like-for-like. *_min fields carry the
+        # per-query minima across passes.
+        "value": core_total,
+        "unit": "sec",
+        "value_min": round(sum(best[n] for n in BENCH_QUERIES), 3),
+        "extended_value": extended_total,
+        "extended_value_min": round(sum(best.values()), 3),
+        "n_queries": len(first),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Headline record FIRST, so a timeout/crash inside the (slower)
+    # rows-only section below can never cost the round its core record.
+    print(json.dumps({**totals, "queries": first, "queries_min": best}))
+
+    # Rows-only runners (streaming twins via availableNow, source/table
+    # reports, the trained-ANN family): outside the headline passes, but a
+    # perf regression there must not be invisible — one timed pass each.
+    # Derived from the registry so new rows-only entries are timed the
+    # round they land.
+    rows_only_names = [
+        n for n, spec in REGISTRY.items()
+        if spec.oracle is None and n not in all_names
+    ]
+    rows_only: dict[str, float] = {}
+    for name in rows_only_names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        rows_only[name] = round(time.perf_counter() - t0, 3)
+    totals["n_rows_only"] = len(rows_only)
+    totals["rows_only_total"] = round(sum(rows_only.values()), 3)
+    print(json.dumps({**totals, "rows_only_sec": rows_only}))
     # Truncation-proof record: the driver captures the TAIL of stdout and
     # BENCH_r05 lost its totals when the (large) per-query line was cut.
     # Emit a compact totals-only line LAST so the final line always parses.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": core_total,
-                "unit": "sec",
-                "value_min": round(sum(best[n] for n in BENCH_QUERIES), 3),
-                "extended_value": extended_total,
-                "extended_value_min": round(sum(best.values()), 3),
-                "n_queries": len(first),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    print(json.dumps(totals))
     spark.stop()
 
 

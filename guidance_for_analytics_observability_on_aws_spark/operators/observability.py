@@ -1722,3 +1722,82 @@ def top_movers(tm: DataFrame, top_n: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+#: O58's outlier test |x−med| > 3·1.4826·MAD, held as the exact rational
+#: 44478/10000 so the comparison is a BIGINT cross-multiplication (no
+#: float boundary can flip a verdict between engines).
+MAD_K_NUM = 44478
+MAD_K_DEN = 10000
+
+
+def anomaly_mad(tm: DataFrame) -> DataFrame:
+    """O58: robust per-type outlier detection — median + MAD (median
+    absolute deviation), the estimator family that SURVIVES the condition
+    it exists to detect: O28's mean/stddev z-score is dragged toward the
+    outliers themselves (one hot task inflates σ and hides its peers),
+    while median and MAD have a 50% breakdown point, the standard robust
+    alerting rule (|x − med| > 3·1.4826·MAD ≈ 3σ under normality).
+
+    Exactness: values in integer cents; BOTH medians are the engine-
+    portable lower order statistic shared with O8 (`_order_stat_aggs`'
+    p50 convention — value at 0-based rank floor((n-1)/2), ordered by
+    (value, task_id)); the outlier test is the cross-multiplied BIGINT
+    inequality ``|x−med|·10000 > 44478·MAD`` — no float anywhere except
+    the final outlier_share division.
+
+    Scale shape: two ranked windows per event_type (the same sort posture
+    as O8; O44 shows the two-phase distributed alternative when groups
+    outgrow a partition) and two broadcast joins of per-type 1-row
+    aggregates back onto the task stream.
+    """
+    base = tm.select(
+        "event_type",
+        "task_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("v", "task_id")
+    r1 = base.withColumn("rn", F.row_number().over(w1)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.5), F.col("v"))
+        ).alias("med_cents")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("v") - F.col("med_cents"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("abs_dev", "task_id")
+    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.5),
+                F.col("abs_dev"),
+            )
+        ).alias("mad_cents")
+    )
+    flagged = F.when(
+        F.col("abs_dev") * MAD_K_DEN > F.lit(MAD_K_NUM) * F.col("mad_cents"), 1
+    ).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(flagged).cast("long").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_tasks",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            (F.col("n_outliers") / F.col("n_tasks")).alias("outlier_share"),
+        )
+    )

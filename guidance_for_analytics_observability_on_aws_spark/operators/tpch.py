@@ -1421,3 +1421,69 @@ def events_rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
             "rolling_active_users",
         )
     )
+
+
+def orders_market_basket(
+    lineitem: DataFrame, part: DataFrame, min_support: int = 20
+) -> DataFrame:
+    """T44: market-basket association mining over order co-purchases —
+    support / confidence / lift per unordered BRAND pair (Agrawal-style
+    association rules, the retail-analytics classic the TPC-H schema was
+    built to resemble; lift is X14's log-free PMI ordering applied to
+    baskets: lift > 1 ⇔ the pair co-occurs more than independence
+    predicts).
+
+    Scale shape: baskets = each order's DISTINCT brands after a BROADCAST
+    dim join (part is dimension-sized); pair generation is a WITHIN-ORDER
+    self-join — fan-out bounded by max-basket-size² per order (≤ 13
+    items → ≤ 78 pairs on the driver data), never corpus²; the support
+    filter prunes before the (broadcast-sized) item/basket total joins.
+    All counts are BIGINT; confidence and lift are final IEEE divisions
+    of exact integer products.
+    """
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    nb = baskets.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    items = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= min_support)
+    )
+    ia = items.select(F.col("p_brand").alias("brand_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("p_brand").alias("brand_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (F.col("n_co") / F.col("n_a")).alias("confidence_a_b"),
+            (F.col("n_co") / F.col("n_b")).alias("confidence_b_a"),
+            (
+                (F.col("n_baskets") * F.col("n_co"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

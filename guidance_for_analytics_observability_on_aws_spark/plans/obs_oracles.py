@@ -965,3 +965,58 @@ SELECT rank, executor_id, n_tasks, first_half_ms, second_half_ms, delta_ms,
        delta_ms / CAST(first_half_ms AS DOUBLE) AS pct_change
 FROM ranked WHERE rank <= 10
 """
+
+# O58: median + MAD robust outliers — both medians the shared lower-order-
+# statistic convention; the outlier verdict is the cross-multiplied BIGINT
+# inequality |x−med|·10000 > 44478·MAD (3·1.4826 held as an exact rational).
+OBS_ORACLES["obs_anomaly_mad"] = f"""
+WITH {TELEMETRY_CTE},
+base AS (
+  SELECT event_type, task_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM task_metrics
+),
+r1 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                  THEN v END) AS med_cents
+  FROM r1 GROUP BY 1
+),
+dev AS (
+  SELECT b.event_type, b.task_id, b.v, m.med_cents,
+         ABS(b.v - m.med_cents) AS abs_dev
+  FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, abs_dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs_dev, task_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                  THEN abs_dev END) AS mad_cents
+  FROM r2 GROUP BY 1
+),
+final AS (
+  SELECT d.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_tasks,
+         MAX(d.med_cents) AS med_cents,
+         MAX(m.mad_cents) AS mad_cents,
+         CAST(SUM(CASE WHEN d.abs_dev * 10000 > 44478 * m.mad_cents
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad m USING (event_type)
+  GROUP BY 1
+)
+SELECT event_type, n_tasks, med_cents, mad_cents, n_outliers,
+       n_outliers / CAST(n_tasks AS BIGINT) AS outlier_share
+FROM final
+"""

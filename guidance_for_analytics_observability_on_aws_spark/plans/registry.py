@@ -747,6 +747,34 @@ FROM events GROUP BY 1
 )
 
 
+# T44: market-basket association rules (brand co-purchase support/
+# confidence/lift; bounded within-order pair fan-out, broadcast dims).
+_register(
+    "orders_market_basket",
+    lambda s, d: (
+        lambda t: tpch.orders_market_basket(t["lineitem"], t["part"])
+    )(load_tables(s, d)),
+    TPCH_ORACLES["orders_market_basket"],
+)
+
+
+# S11: ANALYZE-style per-column table statistics — the one S-group entry
+# with a full hash-exact oracle (counts/ndv/min-max are engine-portable).
+def _table_stats(s, d):
+    from ..sources.stats import table_stats_report
+
+    return table_stats_report(s, d)
+
+
+def _table_stats_oracle():
+    from ..sources.stats import TABLE_STATS_ORACLE
+
+    return TABLE_STATS_ORACLE
+
+
+_register("source_table_stats", _table_stats, _table_stats_oracle())
+
+
 # O44: O8's result-identical two-phase scale path shares O8's exact oracle
 # (equality also implied by both parity tests passing).
 _register(
@@ -760,6 +788,7 @@ _register(
 # correlation / panel percentiles / exemplars / concurrency / debounce.
 # Dict position is irrelevant to the driver window — _PRIORITY owns order.
 _LATE_OBS_BUILDERS = {
+    "obs_anomaly_mad": lambda s, d: obs.anomaly_mad(_tm(s, d)),
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
     "obs_straggler_detect": lambda s, d: obs.straggler_detect(_tm(s, d)),
     "obs_log_sample": lambda s, d: obs.log_sample(_tm(s, d)),
@@ -810,76 +839,76 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 #                   mixture_sample (rows-only embedding_kmeans excluded in
 #                   favor of hash-checked sql entries).
 # This changes dict ORDER only — names, builders, oracles are untouched.
+#
+# r7 window (50 slots exactly), GENERATED by the codified recipe:
+#   python tools/evidence_ledger.py --priority --changed <r7-changed list>
+# (never-checked first, then code-changed-since-evidence, then
+# oldest-evidence backfill ascending by last driver round — the standing
+# rotation contract, now executable instead of prose).
 _PRIORITY = [
-    # r6 window (50 slots exactly):
-    #   slots 1-27  — the 27 round-5 additions, which closed SURVEY §2 but
-    #                 had no driver row yet (every sql one local-oracle-green
-    #                 at sf0.001 AND the sf0.01 bulk sweep). After this round
-    #                 every pre-r6 registry entry's last driver row is green.
-    "obs_straggler_detect",
-    "obs_log_sample",
-    "dedup_minhash_estimate",
-    "dataset_card_report",
-    "source_clustering_report",
-    "obs_latency_heatmap",
-    "obs_job_critical_stage",
-    "tpch_q9_profit",
-    "filter_ablation",
-    "obs_percentile_timeline",
-    "mm_dedup_exact",
-    "similarity_range_search",
-    "tpch_q11_important_parts",
-    "text_bigram_lift",
-    "source_snapshot_report",
-    "obs_apdex",
-    "customers_abc_pareto",
-    "vocab_coverage",
-    "dup_groups_star",
-    "similarity_pq",
-    "customers_rfm_segments",
-    "cross_source_overlap",
-    "obs_seasonal_baseline",
-    "tpch_q2_min_cost_supplier",
-    "obs_top_movers",
-    "similarity_ivf_pq",
-    "events_rolling_wau",
-    #   slots 28-29 — the two round-6 additions (rows-only runners; batch
-    #                 parity / planted-copy+recall pinned in tests).
+    #   slots 1-4   — the round-7 additions, never driver-checked: D23
+    #                 multi-probe residual IVF-PQ, T44 market basket,
+    #                 S11 table stats, O58 median+MAD outliers.
+    "similarity_ivf_pq_multiprobe",
+    "orders_market_basket",
+    "source_table_stats",
+    "obs_anomaly_mad",
+    #   slots 5-19  — entries whose CODE changed in r7 since their last
+    #                 driver row: the trained-model-registry refactor
+    #                 (similarity family D12/D17/D20/D21/D22), the
+    #                 streaming collector (events_stream signature + the
+    #                 bounded-state rolling-WAU path), and the snapshot
+    #                 commit collision cleanup.
     "similarity_ivf_pq_residual",
+    "similarity_ivf_pq",
+    "similarity_pq",
+    "similarity_ivf_trained",
+    "embedding_kmeans",
     "stream_rolling_wau",
-    #   slots 30-33 — re-exposed: entries whose CODE changed since their
-    #                 last green row (dup_labels now derives its CC edge
-    #                 partitioning from the measured edge count; these four
-    #                 consume it).
-    "dup_groups",
-    "corpus_curation_pipeline_v2",
-    "split_leak_proof",
-    "embedding_dup_groups",
-    #   slots 34-50 — oldest-evidence backfill (r3-green P/X/M groups, per
-    #                 the rotation recipe; corpus_curation_pipeline is also
-    #                 a dup_labels consumer).
-    "corpus_curation_pipeline",
-    "train_val_split",
-    "sample_stratified",
-    "pack_sequences",
-    "incremental_dedup",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "docs_stats_by_source",
-    "text_winnow_fingerprint",
-    "text_pii_redact",
-    "text_bigram_stats",
-    "text_inverted_index",
-    "text_lang_confusion",
-    "text_repetition_stats",
-    "mm_binary_meta",
-    # slots 51+ fall back to registration order. r7 rotation recipe: promote
-    # any entry whose code changes post-r6-evidence, then continue the
-    # oldest-green backfill (remaining r3-greens: dup_groups? no — covered;
-    # next are mm_frame_sample/mm_feature_extract/mm_audio_chunks + the
-    # r3-green T tail (T14, T27-T34) and O38-O42, then the r4 greens).
+    "stream_collector_pipeline",
+    "stream_stage_agg",
+    "stream_session_windows",
+    "stream_dedup_ingest",
+    "stream_alert_rules",
+    "stream_heavy_hitters",
+    "stream_metric_log_join",
+    "stream_incremental_dedup",
+    "source_snapshot_report",
+    #   slots 20-37 — the 18 oldest-evidence entries (last green row r3:
+    #                 the T tail, M plan operators, O38-O42 —
+    #                 embedding_kmeans already promoted above).
+    "pivot_status_by_priority",
+    "events_retention",
+    "window_lead_lag_ntile",
+    "set_ops_customers",
+    "merge_scd1_customers",
+    "grouping_sets_mixed",
+    "events_transition_matrix",
+    "orders_seasonality",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_audio_chunks",
+    "cube_priority_segment",
+    "mm_decode_frames",
+    "obs_downsample_rollup",
+    "obs_slo_burn_rate",
+    "obs_value_histogram",
+    "obs_metric_log_correlate",
+    "obs_input_bytes_percentiles",
+    #   slots 38-50 — r4-aged backfill in registration order.
+    "obs_task_metrics",
+    "obs_stage_agg_skewness",
+    "obs_skew_distribution",
+    "obs_app_summary",
+    "obs_cardinality",
+    "obs_date_histogram",
+    "obs_top_n_skew",
+    "obs_task_percentiles",
+    "obs_log_enrich",
+    "obs_error_rate",
+    "obs_executor_utilization",
+    "obs_session_windows",
+    "obs_skew_timeline",
 ]
 
 

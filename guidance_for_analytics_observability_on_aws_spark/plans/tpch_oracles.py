@@ -745,3 +745,36 @@ SELECT report_day * 86400000 AS report_day_ms,
 FROM covered
 GROUP BY 1
 """
+
+# T44: market-basket association rules over brand co-purchases; BIGINT
+# counts/products, final IEEE divisions — mirrors the builder op-for-op.
+TPCH_ORACLES["orders_market_basket"] = """
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM baskets
+),
+items AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM baskets a
+  JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 20
+)
+SELECT pr.brand_a, pr.brand_b, pr.n_co,
+       ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets,
+       pr.n_co / ia.n_item AS confidence_a_b,
+       pr.n_co / ib.n_item AS confidence_b_a,
+       (nb.n_baskets * pr.n_co) / (ia.n_item * ib.n_item) AS lift
+FROM pairs pr
+JOIN items ia ON ia.p_brand = pr.brand_a
+JOIN items ib ON ib.p_brand = pr.brand_b
+CROSS JOIN nb
+"""

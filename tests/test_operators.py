@@ -1542,3 +1542,90 @@ def test_ivf_pq_multiprobe_recovers_boundary_neighbors(spark):
     # planted copy (vec 0 -> 100000) still top-1 in query 0's own cell
     top1 = {r.query_id: r.neighbor_id for r in multi if r.rank == 1}
     assert top1[0] == 100000
+
+
+def test_anomaly_mad_hand_example(spark):
+    """O58: pinned hand example — median/MAD are the lower order
+    statistics, and exactly the planted far point crosses the
+    cross-multiplied 3·1.4826·MAD fence while a tight group flags
+    nothing (the robustness property: one huge outlier cannot inflate
+    MAD and hide itself, unlike a mean/stddev z-score)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        anomaly_mad,
+    )
+
+    rows = []
+    # group 'spiky': values 1..9 plus one massive outlier 1000
+    for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]):
+        rows.append(("spiky", i, float(v)))
+    # group 'tight': constant-ish values, nothing should flag
+    for i, v in enumerate([10, 10, 11, 11, 12, 12]):
+        rows.append(("tight", 100 + i, float(v)))
+    tm = spark.createDataFrame(rows, "event_type string, task_id long, value double")
+    out = {r.event_type: r for r in anomaly_mad(tm).collect()}
+    s = out["spiky"]
+    # sorted cents: 100..900,100000; n=10 → med at 0-based rank 4 → 500
+    assert s.med_cents == 500
+    # abs devs: 400,300,200,100,0,100,200,300,400,99500 sorted →
+    # 0,100,100,200,200,300,300,400,400,99500; rank 4 → 200
+    assert s.mad_cents == 200
+    # fence: 4.4478 * 200 = 889.56 cents → only the 99500 deviation flags
+    assert s.n_outliers == 1
+    t = out["tight"]
+    assert t.n_outliers == 0 and t.n_tasks == 6
+
+
+def test_market_basket_counts_and_lift(spark):
+    """T44: planted baskets — a pair that always co-occurs gets lift > 1
+    with exact support counts; brands never sharing an order produce no
+    pair row; confidence is n_co/n_item exactly."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        orders_market_basket,
+    )
+
+    li, pa = [], []
+    # parts 1/2 = brands A/B (always bought together), part 3 = brand C alone
+    for pk, brand in ((1, "A"), (2, "B"), (3, "C")):
+        pa.append((pk, f"part{pk}", brand, "TYPE", 1, 1.0))
+    for o in range(30):
+        li.append((o, 1)); li.append((o, 2))  # A+B baskets
+    for o in range(100, 140):
+        li.append((o, 3))  # C-only baskets
+    lineitem = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01") for o, p in li],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    )
+    part = spark.createDataFrame(
+        pa, "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+    )
+    out = orders_market_basket(lineitem, part, min_support=20).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.brand_a, r.brand_b) == ("A", "B")
+    assert r.n_co == 30 and r.n_a == 30 and r.n_b == 30 and r.n_baskets == 70
+    assert r.confidence_a_b == 1.0 and r.confidence_b_a == 1.0
+    # lift = 70*30/(30*30) = 2.333... > 1 (co-occurrence beats independence)
+    assert abs(r.lift - 70 * 30 / 900) < 1e-12
+
+
+def test_table_stats_exact_values(spark, sf_dir):
+    """S11: the tall stats frame must agree with directly-computed
+    extremes/cardinalities, hold a constant n_rows across rows, and
+    leave the categorical column's min/max NULL."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.stats import (
+        table_stats_report,
+    )
+
+    out = {r.col_name: r for r in table_stats_report(spark, sf_dir).collect()}
+    assert set(out) == {"event_id", "user_id", "ts_ms", "value_cents", "event_type"}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    assert all(r.n_rows == n for r in out.values())
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    assert (out["event_id"].min_v, out["event_id"].max_v) == (lo, hi)
+    assert out["event_id"].n_distinct == ev.select("event_id").distinct().count()
+    assert out["event_type"].min_v is None and out["event_type"].max_v is None
+    assert out["event_type"].n_distinct == ev.select("event_type").distinct().count()

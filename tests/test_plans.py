@@ -291,57 +291,60 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r6 rotation: 44 sql + 6 rows-only (see the _PRIORITY ledger comment).
+    # r7 rotation: 33 sql + 17 rows-only (the changed-code re-exposures are
+    # mostly rows-only runners this round; see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 44, f"{n_sql} sql-backed entries in the driver window"
-    # the 27 round-5 additions with no driver row yet MUST lead the window,
-    # followed by the 2 round-6 additions — converting every "local-only"
-    # evidence cell to a driver row:
-    never_checked = (
-        "obs_straggler_detect",
-        "obs_log_sample",
-        "dedup_minhash_estimate",
-        "dataset_card_report",
-        "source_clustering_report",
-        "obs_latency_heatmap",
-        "obs_job_critical_stage",
-        "tpch_q9_profit",
-        "filter_ablation",
-        "obs_percentile_timeline",
-        "mm_dedup_exact",
-        "similarity_range_search",
-        "tpch_q11_important_parts",
-        "text_bigram_lift",
-        "source_snapshot_report",
-        "obs_apdex",
-        "customers_abc_pareto",
-        "vocab_coverage",
-        "dup_groups_star",
-        "similarity_pq",
-        "customers_rfm_segments",
-        "cross_source_overlap",
-        "obs_seasonal_baseline",
-        "tpch_q2_min_cost_supplier",
-        "obs_top_movers",
-        "similarity_ivf_pq",
-        "events_rolling_wau",
+    assert n_sql == 33, f"{n_sql} sql-backed entries in the driver window"
+    # the r7 additions with no driver row lead; then every entry whose code
+    # changed in r7 since its last driver row (trained-model registry
+    # refactor, streaming collector, snapshot commit cleanup):
+    head = (
+        "similarity_ivf_pq_multiprobe",
+        "orders_market_basket",
+        "source_table_stats",
+        "obs_anomaly_mad",
         "similarity_ivf_pq_residual",
+        "similarity_ivf_pq",
+        "similarity_pq",
+        "similarity_ivf_trained",
+        "embedding_kmeans",
         "stream_rolling_wau",
+        "stream_collector_pipeline",
+        "stream_stage_agg",
+        "stream_session_windows",
+        "stream_dedup_ingest",
+        "stream_alert_rules",
+        "stream_heavy_hitters",
+        "stream_metric_log_join",
+        "stream_incremental_dedup",
+        "source_snapshot_report",
     )
-    assert tuple(first50[: len(never_checked)]) == never_checked
-    # re-exposures: the dup_labels consumers (CC edge partitioning now
-    # derived from the measured edge count):
+    assert tuple(first50[: len(head)]) == head
+    # the 18 r3-aged oldest-evidence entries must all be inside the window:
     for expected in (
-        "dup_groups",
-        "corpus_curation_pipeline_v2",
-        "split_leak_proof",
-        "embedding_dup_groups",
-        "corpus_curation_pipeline",
+        "pivot_status_by_priority",
+        "events_retention",
+        "window_lead_lag_ntile",
+        "set_ops_customers",
+        "merge_scd1_customers",
+        "grouping_sets_mixed",
+        "events_transition_matrix",
+        "orders_seasonality",
+        "mm_frame_sample",
+        "mm_feature_extract",
+        "mm_audio_chunks",
+        "cube_priority_segment",
+        "mm_decode_frames",
+        "obs_downsample_rollup",
+        "obs_slo_burn_rate",
+        "obs_value_histogram",
+        "obs_metric_log_correlate",
+        "obs_input_bytes_percentiles",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # backfill holds only already-green entries; fresh r5-greens whose code
+    # backfill holds only already-green entries; fresh r6-greens whose code
     # is unchanged must NOT re-occupy scarce slots:
-    for fresh_green in ("obs_task_metrics", "merge_scd2_customers", "tpch_q1_pricing_summary"):
+    for fresh_green in ("obs_straggler_detect", "tpch_q9_profit", "dataset_card_report"):
         assert fresh_green not in first50
 
 

@@ -28,6 +28,14 @@ that says nothing about real scaling):
   unchanged: more orders per entity, the realistic growth axis).
 - region/nation/customer/supplier/part: copied (dimensions don't scale).
 
+A second, SKEWED 10× replica stresses the skew machinery the uniform set
+never exercises (r6 gap): replicas 1-5 assign ALL their events to one hot
+user (= one hot executor, ``executor_id = user_id % 8``), so a single key
+carries ~50% of a 10× corpus. The skewed section times the skew-facing
+queries on uniform-10× vs skewed-10× (isolating the skew cost from the
+volume cost) and verifies the AQE skew-join split fires on a real join
+over the hot key at full 10× volume.
+
 Usage: python tools/scale_stress.py [OUT_JSON] [BASE_SF_DIR] [SCALE_DIR]
 """
 
@@ -164,6 +172,105 @@ def generate(spark: SparkSession, base: str, dst: str) -> None:
         shutil.rmtree(f"{dst}/_{t}_one")
 
 
+#: Hot key for the skewed replica: user_id 8 → executor 'exec-0'.
+HOT_USER = 8
+
+#: Skew-facing queries: the skewness aggregation itself (O2), the top-N
+#: skew table (O7), the salted two-stage aggregation (O21, the operator
+#: BUILT for this shape), and the per-executor rollup a hot executor
+#: lands on (O13).
+SKEW_QUERIES = [
+    "obs_stage_agg_skewness",
+    "obs_top_n_skew",
+    "skew_salted_sum",
+    "obs_executor_utilization",
+]
+
+
+def generate_skewed(spark: SparkSession, base: str, uniform_dst: str, dst: str) -> None:
+    """Skewed 10× events (replicas 1-5 → HOT_USER, carrying ~50% of all
+    events); every other table is hard-linked from the uniform 10× set
+    (the skew queries read only events, but the loaders open all paths)."""
+    import glob
+
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(f"{uniform_dst}/*.parquet"):
+        name = os.path.basename(p)
+        if name != "events.parquet" and not os.path.exists(f"{dst}/{name}"):
+            os.link(p, f"{dst}/{name}")
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    out = None
+    for k in range(REPLICAS):
+        part = ev.select(
+            (F.col("event_id") + k * 10_000_000).alias("event_id"),
+            "ts",
+            (
+                F.lit(HOT_USER).cast("long")
+                if 1 <= k <= 5
+                else (F.col("user_id") + k * 1_000_000)
+            ).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out = part if out is None else out.unionByName(part)
+    # events.parquet is a DIRECTORY of 16 shuffled part files here (the
+    # loaders read either layout): a single-file single-row-group table
+    # yields ONE map task, and AQE can only split a skewed reduce
+    # partition along MAPPER boundaries — with one mapper the skew-join
+    # probe can never fire, whatever the thresholds (observed r7). The
+    # repartition also spreads the hot key's rows across all mappers,
+    # which is the real cluster layout the probe should see.
+    out.repartition(16).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
+def aqe_skew_split_fires(spark: SparkSession, skew_dir: str) -> bool:
+    """Join the skewed 10× events against a small per-user dim with
+    broadcast disabled and default-ish skew thresholds scaled to the data:
+    the final adaptive plan must contain a ``skew=true`` split — the
+    no-code-change 100 TB answer to hot join keys, verified at volume."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = spark.read.parquet(f"{skew_dir}/events.parquet")
+        # Materialize the dim: a lazy distinct() leaves a final-aggregate
+        # node between the shuffle and the join, and OptimizeSkewedJoin
+        # only matches joins whose children are shuffle stages directly —
+        # the pin would silently never fire (observed r7).
+        dim = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("w", F.col("user_id") * 7)
+            .localCheckpoint(eager=True)
+        )
+        # The aggregate keeps the high-entropy props payload alive through
+        # the join: with only (user_id, event_type) surviving column
+        # pruning, the hot partition RLE-compresses under any realistic
+        # skew threshold and the probe proves nothing about real records.
+        j = (
+            ev.join(dim, "user_id")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.octet_length("props")).alias("b"))
+        )
+        # collect() through j itself: a writer would execute a SEPARATE
+        # QueryExecution and j's own would stay isFinalPlan=false (the
+        # silent-false failure mode observed in r7). The result is a
+        # per-event-type rollup — a handful of rows.
+        assert j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return "isFinalPlan=true" in plan and "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def timed(spark: SparkSession, name: str, sf: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = REGISTRY[name].builder(spark, sf)
@@ -203,6 +310,29 @@ def main() -> None:
             "x10_rows": x_rows,
         }
         print(f"  {name}: {b_sec}s -> {x_sec}s (x{ratio})", file=sys.stderr)
+    # --- skewed section: one hot user/executor carrying ~50% of 10× ----
+    skew_dst = dst.rstrip("/") + "_skew"
+    if not os.path.exists(f"{skew_dst}/events.parquet"):
+        print("generating skewed 10x dataset ...", file=sys.stderr)
+        generate_skewed(spark, base, dst, skew_dst)
+    skew_results = {}
+    for name in SKEW_QUERIES:
+        u_sec, _ = timed(spark, name, dst)
+        s_sec, s_rows = timed(spark, name, skew_dst)
+        ratio = round(s_sec / u_sec, 2) if u_sec > 0 else None
+        skew_results[name] = {
+            "uniform_x10_sec": u_sec,
+            "skewed_x10_sec": s_sec,
+            "skew_ratio": ratio,
+            "skewed_rows": s_rows,
+        }
+        print(
+            f"  [skew] {name}: {u_sec}s -> {s_sec}s (x{ratio})",
+            file=sys.stderr,
+        )
+    skew_pin = aqe_skew_split_fires(spark, skew_dst)
+    print(f"  [skew] aqe_skew_split_fired={skew_pin}", file=sys.stderr)
+
     payload = {
         "metric": "scale_stress_10x",
         "base_sf_dir": base,
@@ -211,6 +341,12 @@ def main() -> None:
         "queries": results,
         "sum_base_sec": round(sum(r["base_sec"] for r in results.values()), 3),
         "sum_x10_sec": round(sum(r["x10_sec"] for r in results.values()), 3),
+        "skewed": {
+            "hot_user": HOT_USER,
+            "hot_share": 0.5,
+            "queries": skew_results,
+            "aqe_skew_split_fired": skew_pin,
+        },
     }
     payload["sum_ratio"] = round(
         payload["sum_x10_sec"] / payload["sum_base_sec"], 2
