@@ -1366,3 +1366,95 @@ def similarity_ivf_pq_multiprobe(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "cell_id", "neighbor_id", "rank", "approx_d2")
     )
+
+
+def similarity_sq8(
+    embeddings: DataFrame, k: int = 5, n_queries: int = 8
+) -> DataFrame:
+    """D24: SCALAR-quantized (SQ8) ANN — FAISS's SQ8 codec as a Spark
+    plan, and the one quantized searcher in the engine with a full
+    HASH-EXACT oracle (D20–D23's PQ family needs iterative float
+    training; SQ8's "training" is a per-dimension min/max aggregate,
+    which is exact in any engine).
+
+    Codec: per-dimension min/max over the integer-quantized corpus, then
+    ``code = (val − min)·255 div range`` — one byte per dimension, an 8×
+    memory cut, all BIGINT arithmetic (`div` on non-negative operands is
+    floor — no float rounding anywhere). Ranking uses the integer
+    surrogate ``d2q = Σ ((c_a − c_b)·range)²`` = 255²·(reconstructed
+    squared distance): order-IDENTICAL to the float decode, but exact —
+    so the driver hashes match DuckDB bit-for-bit.
+
+    Scale shape: the stats pass is a posexplode + per-dim aggregate
+    (map-side combined; 64 groups); encoding is a broadcast join on dim;
+    codes re-assemble per vector with an order-pinned collect_list; the
+    search is D6's broadcast-queries scan over CODES (1 byte/dim instead
+    of a float) with the per-dim ranges broadcast once as a 1-row array
+    frame. A 100 TB corpus scans 1/8th the bytes of the float baseline
+    with zero training state.
+    """
+    q = _quantized(augmented_embeddings(embeddings))
+    dims = q.select("vec_id", F.posexplode("qv").alias("dim", "val"))
+    stats = (
+        dims.groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .withColumn(
+            "rng",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1)).otherwise(
+                F.col("mx") - F.col("mn")
+            ),
+        )
+    )
+    coded = (
+        dims.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.expr("CAST((val - mn) * 255 AS BIGINT) div rng").alias("code"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    rngs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "rng"))),
+            lambda s: s["rng"],
+        ).alias("rngs")
+    )
+    queries = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    cand = coded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("codes").alias("c_codes")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cand, F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(rngs))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        F.col("q_codes"), F.col("c_codes"), lambda a, b: a - b
+                    ),
+                    F.col("rngs"),
+                    lambda d, r: d * d * r * r,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2q", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2q")
+    )

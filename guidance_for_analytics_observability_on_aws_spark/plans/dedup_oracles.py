@@ -501,3 +501,51 @@ SELECT query_id, neighbor_id, cosine,
 FROM scored
 WHERE cosine >= 0.3
 """
+
+# D24: scalar-quantized (SQ8) search — the codec, codes and the integer
+# ranking surrogate d2q = Σ((c_a−c_b)·rng)² mirror the builder exactly
+# (min/max "training" and `//` floor-division are engine-portable BIGINT
+# arithmetic; two equal-length unnests zip row-wise in DuckDB).
+DEDUP_ORACLES["similarity_sq8"] = f"""
+{_QUANT_CTES},
+dims AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(qv))) - 1 AS dim,
+         unnest(qv) AS val
+  FROM norms
+),
+stats AS (
+  SELECT dim, MIN(val) AS mn, MAX(val) AS mx,
+         CASE WHEN MAX(val) = MIN(val) THEN 1
+              ELSE MAX(val) - MIN(val) END AS rng
+  FROM dims GROUP BY 1
+),
+coded AS (
+  SELECT d.vec_id,
+         list(CAST((d.val - s.mn) * 255 AS BIGINT) // s.rng
+              ORDER BY d.dim) AS codes
+  FROM dims d JOIN stats s USING (dim)
+  GROUP BY 1
+),
+rngs AS (
+  SELECT list(rng ORDER BY dim) AS rngs FROM stats
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(
+           generate_series(1, len(q.codes)),
+           i -> (q.codes[i] - c.codes[i]) * (q.codes[i] - c.codes[i])
+                * r.rngs[i] * r.rngs[i]
+         )) AS BIGINT) AS d2q
+  FROM coded q
+  JOIN coded c ON q.vec_id != c.vec_id
+  CROSS JOIN rngs r
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY d2q, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, d2q FROM ranked WHERE rank <= 5
+"""

@@ -1629,3 +1629,31 @@ def test_table_stats_exact_values(spark, sf_dir):
     assert out["event_id"].n_distinct == ev.select("event_id").distinct().count()
     assert out["event_type"].min_v is None and out["event_type"].max_v is None
     assert out["event_type"].n_distinct == ev.select("event_type").distinct().count()
+
+
+def test_sq8_planted_copy_and_recall(spark, sf_dir):
+    """D24: a byte-identical planted copy shares every SQ8 code, so its
+    d2q is exactly 0 and it ranks top-1 for query 0; per-query ranks are
+    contiguous; and the 8-bit codec keeps recall@5 vs exact brute force
+    well above chance."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        augmented_embeddings,
+        similarity_sq8,
+        topk_bruteforce,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = similarity_sq8(emb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+    top1 = {r.query_id: r for r in rows if r.rank == 1}
+    assert top1[0].neighbor_id == 100000 and top1[0].d2q == 0
+    bf = {(r.query_id, r.neighbor_id)
+          for r in topk_bruteforce(augmented_embeddings(emb)).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    # 8 queries x 5 ranks; chance overlap ~ 5/corpus — require well above
+    assert len(bf & got) >= 10, len(bf & got)

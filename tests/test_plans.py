@@ -303,6 +303,7 @@ def test_driver_window_composition():
         "orders_market_basket",
         "source_table_stats",
         "obs_anomaly_mad",
+        "similarity_sq8",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",
