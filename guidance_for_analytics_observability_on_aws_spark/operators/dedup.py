@@ -416,3 +416,116 @@ def dedup_containment_banded(
             >= containment_threshold
         )
     )
+
+
+#: D25's SimHash width and banding: 60 bits (15 md5 hex chars — the widest
+#: multiple-of-4 width that stays inside a signed BIGINT in both engines)
+#: split into 4 bands of 15 bits. Pigeonhole: a pair within Hamming
+#: distance 3 differs in ≤ 3 bits, which can touch at most 3 of the 4
+#: bands — at least one band is IDENTICAL, so the band-bucket equi-join
+#: has recall EXACTLY 1.0 for d ≤ 3 (a proof, not an LSH probability).
+SIMHASH_WIDE_BITS = 60
+SIMHASH_BANDS_W = 4
+SIMHASH_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_BANDS_W
+
+
+def simhash_wide(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 60-bit token-set SimHash (D4's sign
+    aggregation widened; one distinct-token explode + one 60-column
+    conditional-sum aggregate, map-side combined)."""
+    c = corpus(documents)
+    tok = c.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    )
+    hashed = tok.select(
+        "doc_id", md5_int(F.col("token"), SIMHASH_WIDE_BITS // 4).alias("h")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_WIDE_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for i in range(SIMHASH_WIDE_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def dedup_simhash_hamming(
+    documents: DataFrame, max_distance: int = 3
+) -> DataFrame:
+    """D25: near-dup pairs at Hamming distance ≤ 3 over a 60-bit SimHash
+    — the BIT-distance dedup family that D4's exact-bucket grouping
+    misses (one flipped bit = a different bucket; Manku et al.'s
+    web-dedup formulation). Candidate generation is pigeonhole-COMPLETE
+    banding (see :data:`SIMHASH_WIDE_BITS`): 4 bands of 15 bits, any
+    pair within distance 3 shares at least one band verbatim, so the
+    band-bucket equi-join provably misses nothing; the verdict is the
+    exact popcount ``bit_count(xor(a, b)) ≤ 3`` — portable BIGINT bit
+    ops, so the whole operator carries a hash-exact oracle.
+
+    Scale shape: signature pass is one aggregate; candidates form only
+    inside (band, 15-bit value) buckets — expected random collisions per
+    band ≈ N²/2³² at the driver widths, plus the true near-dups; for
+    larger corpora widen the hash and band count (Manku's 64-bit/the
+    permuted-table family) — the growth model is collisions ≈
+    bands·N²/2^band_bits, documented here because banding trades bucket
+    cardinality for the pigeonhole guarantee.
+    """
+    sigs = simhash_wide(documents)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("band"),
+                        F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for j in range(SIMHASH_BANDS_W)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band").alias("band"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.min(F.col("a.simhash")).alias("sim_a"),
+            F.min(F.col("b.simhash")).alias("sim_b"),
+        )
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

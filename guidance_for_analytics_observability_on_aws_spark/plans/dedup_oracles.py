@@ -549,3 +549,49 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, d2q FROM ranked WHERE rank <= 5
 """
+
+# D25: Hamming-distance SimHash pairs — 60-bit signature (15 md5 hex
+# chars), 4×15-bit pigeonhole-complete bands, exact popcount verdict;
+# mirrors operators/dedup.py::dedup_simhash_hamming bit-for-bit.
+_BIT_SUMS_60 = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(60)
+)
+_SIM_EXPR_60 = " + ".join(
+    f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(60)
+)
+
+DEDUP_ORACLES["dedup_simhash_hamming"] = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS token
+  FROM corpus
+),
+hashed AS (SELECT doc_id, {md5_int_sql("token", 15)} AS h FROM tok),
+bits AS (
+  SELECT doc_id,
+         {_BIT_SUMS_60}
+  FROM hashed GROUP BY 1
+),
+sh AS (SELECT doc_id, CAST({_SIM_EXPR_60} AS BIGINT) AS simhash FROM bits),
+bands AS (
+  SELECT doc_id, simhash,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band_val
+  FROM sh
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+         MIN(a.simhash) AS sim_a, MIN(b.simhash) AS sim_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_bands,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""

@@ -351,6 +351,14 @@ _register(
     None,
 )
 
+# D25: Hamming-distance SimHash pairs — pigeonhole-complete 4×15-bit
+# banding over a 60-bit signature, exact popcount verdict.
+_register(
+    "dedup_simhash_hamming",
+    lambda s, d: dedup.dedup_simhash_hamming(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_simhash_hamming"],
+)
+
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking
 # surrogate, the one quantized searcher with a full hash-exact oracle.
 _register(
@@ -854,15 +862,17 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-5   — the round-7 additions, never driver-checked: D23
+    #   slots 1-6   — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
-    #                 S11 table stats, O58 median+MAD outliers, D24 SQ8.
+    #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
+    #                 D25 Hamming-SimHash pairs.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
     "obs_anomaly_mad",
     "similarity_sq8",
-    #   slots 6-20  — entries whose CODE changed in r7 since their last
+    "dedup_simhash_hamming",
+    #   slots 7-21  — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -883,7 +893,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 21-38 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 22-39 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -904,7 +914,7 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 39-50 — r4-aged backfill in registration order.
+    #   slots 40-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
@@ -916,7 +926,6 @@ _PRIORITY = [
     "obs_log_enrich",
     "obs_error_rate",
     "obs_executor_utilization",
-    "obs_session_windows",
 ]
 
 

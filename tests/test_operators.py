@@ -1657,3 +1657,33 @@ def test_sq8_planted_copy_and_recall(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in rows}
     # 8 queries x 5 ranks; chance overlap ~ 5/corpus — require well above
     assert len(bf & got) >= 10, len(bf & got)
+
+
+def test_simhash_hamming_finds_plants_and_is_pigeonhole_complete(spark, sf_dir):
+    """D25: exact copies and token-reversals (same token SET) must pair at
+    hamming 0; every returned pair respects the <= 3 fence; and the
+    banding is pigeonhole-complete — brute-forcing all signature pairs
+    within distance 3 finds NOTHING the banded join missed."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_simhash_hamming,
+        simhash_wide,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_simhash_hamming(docs).collect()
+    assert pairs
+    assert all(r.hamming <= 3 for r in pairs)
+    assert all(1 <= r.n_shared_bands <= 4 for r in pairs)
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # plants: exact copy (+1M) and reversal (+2M) share the token set
+    assert any(b - a == 1000000 for a, b in got)
+    assert any(b - a == 2000000 for a, b in got)
+    # completeness: brute-force over collected signatures
+    sigs = simhash_wide(docs).collect()
+    want = set()
+    for i, r1 in enumerate(sigs):
+        for r2 in sigs[i + 1:]:
+            if bin(r1.simhash ^ r2.simhash).count("1") <= 3:
+                a, b = sorted((r1.doc_id, r2.doc_id))
+                want.add((a, b))
+    assert got == want, (len(got), len(want))

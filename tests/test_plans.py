@@ -304,6 +304,7 @@ def test_driver_window_composition():
         "source_table_stats",
         "obs_anomaly_mad",
         "similarity_sq8",
+        "dedup_simhash_hamming",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",
