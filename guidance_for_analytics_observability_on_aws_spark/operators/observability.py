@@ -1801,3 +1801,84 @@ def anomaly_mad(tm: DataFrame) -> DataFrame:
             (F.col("n_outliers") / F.col("n_tasks")).alias("outlier_share"),
         )
     )
+
+
+def cusum_drift(tm: DataFrame) -> DataFrame:
+    """O59: CUSUM drift localization per metric type — "did this metric's
+    LEVEL shift, and when": the peak of the cumulative deviation from the
+    series mean marks the changepoint (Page's CUSUM statistic / the first
+    step of binary segmentation; a flat series random-walks near zero, a
+    level shift at time t makes |S| grow linearly to a peak AT t).
+
+    Exactness: with x in integer cents, the mean-centered cumulative sum
+    is held CROSS-MULTIPLIED — ``S_i = Σ_{j≤i} (n·x_j − Σx)`` = n·(classic
+    CUSUM) — so every S_i is BIGINT-exact and engine-identical (dividing
+    by n per row would be float). Peak/trough locations are re-derived as
+    ``min(time) where S = extreme`` (a join-back, not ``arg_max`` — whose
+    tie-break is engine-arbitrary). Magnitudes are BIGINT; only the final
+    normalized ``drift_score = max(|peak|,|trough|) / (n·n)`` is a
+    division.
+
+    Scale shape: one broadcast of the per-type totals, one ranked window
+    per type (the O8 sort posture), two tiny extreme join-backs.
+    """
+    base = tm.select(
+        "event_type",
+        "task_id",
+        "metric_time_ms",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    tot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("x").alias("sum_x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("metric_time_ms", "task_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        base.join(F.broadcast(tot), "event_type")
+        .withColumn("dev", F.col("n_events") * F.col("x") - F.col("sum_x"))
+        .withColumn("s", F.sum("dev").over(w))
+    )
+    extremes = cum.groupBy("event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("s").alias("cum_peak"),
+        F.min("s").alias("cum_trough"),
+    )
+    peak_t = (
+        cum.join(
+            F.broadcast(
+                extremes.select("event_type", F.col("cum_peak").alias("s"))
+            ),
+            ["event_type", "s"],
+        )
+        .groupBy("event_type")
+        .agg(F.min("metric_time_ms").alias("peak_time_ms"))
+    )
+    trough_t = (
+        cum.join(
+            F.broadcast(
+                extremes.select("event_type", F.col("cum_trough").alias("s"))
+            ),
+            ["event_type", "s"],
+        )
+        .groupBy("event_type")
+        .agg(F.min("metric_time_ms").alias("trough_time_ms"))
+    )
+    return (
+        extremes.join(peak_t, "event_type")
+        .join(trough_t, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "cum_peak",
+            "cum_trough",
+            "peak_time_ms",
+            "trough_time_ms",
+            (
+                F.greatest(F.col("cum_peak"), -F.col("cum_trough"))
+                / (F.col("n_events") * F.col("n_events"))
+            ).alias("drift_score"),
+        )
+    )

@@ -1020,3 +1020,53 @@ SELECT event_type, n_tasks, med_cents, mad_cents, n_outliers,
        n_outliers / CAST(n_tasks AS BIGINT) AS outlier_share
 FROM final
 """
+
+# O59: CUSUM drift localization — cross-multiplied integer cumulative
+# deviations, extremes re-located via join-back (arg_max tie-breaks are
+# engine-arbitrary; MIN(time) at the exact extreme is not).
+OBS_ORACLES["obs_cusum_drift"] = f"""
+WITH {TELEMETRY_CTE},
+base AS (
+  SELECT event_type, task_id, metric_time_ms,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM task_metrics
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(x) AS BIGINT) AS sum_x
+  FROM base GROUP BY 1
+),
+cum AS (
+  SELECT b.event_type, b.metric_time_ms, t.n_events,
+         SUM(t.n_events * b.x - t.sum_x) OVER (
+           PARTITION BY b.event_type
+           ORDER BY b.metric_time_ms, b.task_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS s
+  FROM base b JOIN tot t USING (event_type)
+),
+extremes AS (
+  SELECT event_type, MAX(n_events) AS n_events,
+         MAX(s) AS cum_peak, MIN(s) AS cum_trough
+  FROM cum GROUP BY 1
+),
+peak_t AS (
+  SELECT c.event_type, MIN(c.metric_time_ms) AS peak_time_ms
+  FROM cum c JOIN extremes e
+    ON c.event_type = e.event_type AND c.s = e.cum_peak
+  GROUP BY 1
+),
+trough_t AS (
+  SELECT c.event_type, MIN(c.metric_time_ms) AS trough_time_ms
+  FROM cum c JOIN extremes e
+    ON c.event_type = e.event_type AND c.s = e.cum_trough
+  GROUP BY 1
+)
+SELECT e.event_type, e.n_events, e.cum_peak, e.cum_trough,
+       p.peak_time_ms, tr.trough_time_ms,
+       GREATEST(e.cum_peak, -e.cum_trough)
+         / (e.n_events * e.n_events) AS drift_score
+FROM extremes e
+JOIN peak_t p USING (event_type)
+JOIN trough_t tr USING (event_type)
+"""

@@ -804,6 +804,7 @@ _register(
 # correlation / panel percentiles / exemplars / concurrency / debounce.
 # Dict position is irrelevant to the driver window — _PRIORITY owns order.
 _LATE_OBS_BUILDERS = {
+    "obs_cusum_drift": lambda s, d: obs.cusum_drift(_tm(s, d)),
     "obs_anomaly_mad": lambda s, d: obs.anomaly_mad(_tm(s, d)),
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
     "obs_straggler_detect": lambda s, d: obs.straggler_detect(_tm(s, d)),
@@ -862,17 +863,18 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-6   — the round-7 additions, never driver-checked: D23
+    #   slots 1-7   — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
     #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
-    #                 D25 Hamming-SimHash pairs.
+    #                 D25 Hamming-SimHash pairs, O59 CUSUM drift.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
     "obs_anomaly_mad",
     "similarity_sq8",
     "dedup_simhash_hamming",
-    #   slots 7-21  — entries whose CODE changed in r7 since their last
+    "obs_cusum_drift",
+    #   slots 8-22  — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -893,7 +895,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 22-39 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 23-40 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -914,7 +916,7 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 40-50 — r4-aged backfill in registration order.
+    #   slots 41-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
@@ -925,7 +927,6 @@ _PRIORITY = [
     "obs_task_percentiles",
     "obs_log_enrich",
     "obs_error_rate",
-    "obs_executor_utilization",
 ]
 
 

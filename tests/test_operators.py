@@ -1687,3 +1687,43 @@ def test_simhash_hamming_finds_plants_and_is_pigeonhole_complete(spark, sf_dir):
                 a, b = sorted((r1.doc_id, r2.doc_id))
                 want.add((a, b))
     assert got == want, (len(got), len(want))
+
+
+def test_cusum_drift_localizes_planted_level_shift(spark):
+    """O59: on a series that steps from level A to level B at a known
+    time, the cumulative-deviation extreme must land EXACTLY on the last
+    pre-shift point (the CUSUM changepoint property), and a flat series
+    scores (near) zero drift."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        cusum_drift,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    rows = []
+    # 'shift': 50 points at 10.0 then 50 points at 20.0 (mean 15 → devs
+    # -5 then +5; S descends to its trough at the last low point)
+    for i in range(100):
+        v = 10.0 if i < 50 else 20.0
+        rows.append((i, i * 1000, 7000 + i, "shift", v, "{}"))
+    # 'flat': constant series → every deviation 0
+    for i in range(60):
+        rows.append((1000 + i, i * 1000, 7000 + i, "flat", 5.0, "{}"))
+    import datetime as _dt
+
+    ev = spark.createDataFrame(
+        [(eid, _dt.datetime.fromtimestamp(ts / 1000.0, _dt.timezone.utc)
+          .replace(tzinfo=None), uid, et, v, p)
+         for eid, ts, uid, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in cusum_drift(task_metrics(ev)).collect()}
+    s = out["shift"]
+    # trough at the 50th point (0-based 49): time = 49_000 ms
+    assert s.trough_time_ms == 49000, s
+    assert s.cum_trough < 0 < s.cum_peak or s.cum_trough < 0
+    f = out["flat"]
+    assert f.cum_peak == 0 and f.cum_trough == 0 and f.drift_score == 0.0
+    assert s.drift_score > f.drift_score

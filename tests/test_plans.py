@@ -305,6 +305,7 @@ def test_driver_window_composition():
         "obs_anomaly_mad",
         "similarity_sq8",
         "dedup_simhash_hamming",
+        "obs_cusum_drift",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",
