@@ -1005,3 +1005,68 @@ def cross_source_overlap(documents: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_eval_report(documents: DataFrame) -> DataFrame:
+    """P17: the dedup SCALE PATHS graded against the exact baseline, as a
+    first-class query — the evaluation loop a curation team runs before
+    trusting approximate dedup at 100 TB ("what does LSH banding cost me
+    in recall; what does sketch-only scoring cost on top").
+
+    Truth = D2's exact all-pairs Jaccard ≥ 0.8 verdicts. Predictions:
+    D3's LSH candidate pairs (pre-scoring), D15's banded exact re-score
+    (its Jaccard ≥ 0.8 subset — D15 also emits containment verdicts,
+    which have no D2 truth row), and D18's sketch-only estimate. Every
+    count is an exact BIGINT join cardinality; precision/recall are the
+    only divisions. The report reuses the SAME single-definition
+    operators it grades (no re-implementation that could drift), so a
+    change to any dedup stage re-grades itself on the next run.
+
+    Expected shape on the planted corpus: banded recall ≈ the LSH
+    banding bound 1−(1−s⁴)⁴ with precision 1.0 (exact re-score);
+    candidates trade precision for recall; the sketch estimate sits
+    between — the monotonicity is pinned in tests.
+    """
+    from .dedup import dedup_containment_banded, dedup_minhash_estimate, dedup_ngram_jaccard
+
+    truth = (
+        dedup_ngram_jaccard(documents)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    preds = {
+        "lsh_candidates": dedup_minhash_lsh(documents).select("doc_a", "doc_b"),
+        "banded_exact": dedup_containment_banded(documents)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b"),
+        "sketch_estimate": dedup_minhash_estimate(documents).select(
+            "doc_a", "doc_b"
+        ),
+    }
+    out = None
+    for method, pred in preds.items():
+        p = pred.localCheckpoint(eager=True)
+        row = (
+            p.agg(F.count(F.lit(1)).alias("n_pred"))
+            .crossJoin(
+                F.broadcast(
+                    p.join(truth, ["doc_a", "doc_b"]).agg(
+                        F.count(F.lit(1)).alias("tp")
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(n_true))
+            .select(F.lit(method).alias("method"), "n_pred", "n_true", "tp")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_pred",
+        "n_true",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_true") - F.col("tp")).alias("fn"),
+        F.try_divide(F.col("tp"), F.col("n_pred")).alias("precision"),
+        F.try_divide(F.col("tp"), F.col("n_true")).alias("recall"),
+    )

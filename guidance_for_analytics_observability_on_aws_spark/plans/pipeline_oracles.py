@@ -402,3 +402,51 @@ FROM pairs p
 JOIN per_source sa ON sa.source = p.source_a
 JOIN per_source sb ON sb.source = p.source_b
 """
+
+
+# P17: dedup scale paths graded vs the exact baseline. Each method's full
+# oracle statement (the SAME SQL the driver checks that method against)
+# is embedded as a self-contained derived table, so the report's truth
+# and predictions can never drift from the graded operators' own oracles.
+def _p17_eval_oracle() -> str:
+    from .dedup_oracles import DEDUP_ORACLES as _D
+
+    truth = _D["dedup_ngram_jaccard"]
+    lshc = _D["dedup_minhash_lsh"]
+    banded = _D["dedup_containment_banded"]
+    est = _D["dedup_minhash_estimate"]
+    return f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({truth}) t),
+lshc AS (SELECT doc_a, doc_b FROM ({lshc}) t),
+banded AS (SELECT doc_a, doc_b FROM ({banded}) t WHERE t.jaccard >= 0.8),
+est AS (SELECT doc_a, doc_b FROM ({est}) t),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+m AS (
+  SELECT 'lsh_candidates' AS method,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lshc) AS n_pred,
+         (SELECT n_true FROM nt) AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM lshc JOIN truth USING (doc_a, doc_b)) AS tp
+  UNION ALL
+  SELECT 'banded_exact',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM banded),
+         (SELECT n_true FROM nt),
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM banded JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'sketch_estimate',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM est),
+         (SELECT n_true FROM nt),
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM est JOIN truth USING (doc_a, doc_b))
+)
+SELECT method, n_pred, n_true, tp,
+       n_pred - tp AS fp,
+       n_true - tp AS fn,
+       tp / n_pred AS precision,
+       tp / n_true AS recall
+FROM m
+"""
+
+
+PIPELINE_ORACLES["dedup_eval_report"] = _p17_eval_oracle()

@@ -439,6 +439,14 @@ _register(
     PIPELINE_ORACLES["vocab_coverage"],
 )
 
+# P17: dedup scale paths graded against the exact baseline (precision/
+# recall of LSH candidates, banded re-score, sketch estimate).
+_register(
+    "dedup_eval_report",
+    lambda s, d: pipeline.dedup_eval_report(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dedup_eval_report"],
+)
+
 # P15 computes P4's exact groups by the O(log diameter) star algorithm, so
 # it SHARES P4's recursive-CTE oracle (equality also pinned in tests).
 _register(
@@ -863,10 +871,11 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-7   — the round-7 additions, never driver-checked: D23
+    #   slots 1-8   — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
     #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
-    #                 D25 Hamming-SimHash pairs, O59 CUSUM drift.
+    #                 D25 Hamming-SimHash pairs, O59 CUSUM drift, P17
+    #                 dedup scale-path evaluation.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
@@ -874,7 +883,8 @@ _PRIORITY = [
     "similarity_sq8",
     "dedup_simhash_hamming",
     "obs_cusum_drift",
-    #   slots 8-22  — entries whose CODE changed in r7 since their last
+    "dedup_eval_report",
+    #   slots 9-23  — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -895,7 +905,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 23-40 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 24-41 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -916,7 +926,7 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 41-50 — r4-aged backfill in registration order.
+    #   slots 42-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
@@ -926,7 +936,6 @@ _PRIORITY = [
     "obs_top_n_skew",
     "obs_task_percentiles",
     "obs_log_enrich",
-    "obs_error_rate",
 ]
 
 

@@ -1727,3 +1727,23 @@ def test_cusum_drift_localizes_planted_level_shift(spark):
     f = out["flat"]
     assert f.cum_peak == 0 and f.cum_trough == 0 and f.drift_score == 0.0
     assert s.drift_score > f.drift_score
+
+
+def test_dedup_eval_report_grades_scale_paths(spark, sf_dir):
+    """P17: banded exact re-scoring must have precision 1.0 (it re-runs
+    the exact arithmetic) with recall <= the raw candidates' recall (it
+    can only drop pairs); counts must be internally consistent; and the
+    planted corpus keeps every method's recall well above zero."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dedup_eval_report,
+    )
+
+    out = {r.method: r for r in dedup_eval_report(
+        load_tables(spark, sf_dir)["documents"]).collect()}
+    assert set(out) == {"lsh_candidates", "banded_exact", "sketch_estimate"}
+    for r in out.values():
+        assert r.tp + r.fp == r.n_pred and r.tp + r.fn == r.n_true
+        assert r.recall > 0.5, r
+    b = out["banded_exact"]
+    assert b.precision == 1.0, b
+    assert b.recall <= out["lsh_candidates"].recall

@@ -306,6 +306,7 @@ def test_driver_window_composition():
         "similarity_sq8",
         "dedup_simhash_hamming",
         "obs_cusum_drift",
+        "dedup_eval_report",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",
