@@ -376,3 +376,52 @@ def test_batch_flush_matches_client_simulator(spark, pattern):
                 state, attempt = 0, 0  # exhaustion abort
             else:
                 state = 1
+
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+    anomaly_mad,
+    cusum_drift,
+)
+
+cent_values = st.lists(
+    st.integers(min_value=0, max_value=1_000_000), min_size=3, max_size=30
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(cent_values)
+def test_mad_matches_pure_python_reference(spark, cents):
+    """O58 vs a literal reference: lower-order-statistic median of the
+    cents, lower-order-statistic median of absolute deviations (both
+    ordered by (value, task_id)), and the 44478/10000 integer fence."""
+    rows = [("e", i, c / 100.0) for i, c in enumerate(cents)]
+    tm = spark.createDataFrame(rows, "event_type string, task_id long, value double")
+    got = anomaly_mad(tm).collect()[0]
+    n = len(cents)
+    med = sorted(zip(cents, range(n)))[(n - 1) // 2][0]
+    devs = [abs(c - med) for c in cents]
+    mad = sorted(zip(devs, range(n)))[(n - 1) // 2][0]
+    n_out = sum(1 for d in devs if d * 10000 > 44478 * mad)
+    assert (got.med_cents, got.mad_cents, got.n_outliers) == (med, mad, n_out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(cent_values)
+def test_cusum_extremes_match_pure_python_reference(spark, cents):
+    """O59 vs a literal reference: cross-multiplied cumulative deviations
+    in event order, extremes and their EARLIEST positions."""
+    rows = [("e", i, 1000 * i, c / 100.0) for i, c in enumerate(cents)]
+    tm = spark.createDataFrame(
+        rows, "event_type string, task_id long, metric_time_ms long, value double"
+    )
+    got = cusum_drift(tm).collect()[0]
+    n, total = len(cents), sum(cents)
+    s, series = 0, []
+    for c in cents:
+        s += n * c - total
+        series.append(s)
+    peak, trough = max(series), min(series)
+    peak_t = 1000 * series.index(peak)
+    trough_t = 1000 * series.index(trough)
+    assert (got.cum_peak, got.cum_trough) == (peak, trough)
+    assert (got.peak_time_ms, got.trough_time_ms) == (peak_t, trough_t)
