@@ -1038,11 +1038,11 @@ tot AS (
 ),
 cum AS (
   SELECT b.event_type, b.metric_time_ms, t.n_events,
-         SUM(t.n_events * b.x - t.sum_x) OVER (
+         CAST(SUM(t.n_events * b.x - t.sum_x) OVER (
            PARTITION BY b.event_type
            ORDER BY b.metric_time_ms, b.task_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS s
+         ) AS BIGINT) AS s
   FROM base b JOIN tot t USING (event_type)
 ),
 extremes AS (

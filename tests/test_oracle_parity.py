@@ -43,3 +43,11 @@ def test_parity(spark, sf_dir, name):
     )
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # The driver hashes the CSV rendering, where an int-vs-float dtype
+    # drift (e.g. DuckDB's window SUM(BIGINT) → HUGEINT → float64) shows
+    # as "1106.0" vs "1106" even though the frames compare equal above —
+    # caught in r7 only by the bulk sweep; pinned here so it can't recur.
+    import hashlib
+
+    h = lambda df: hashlib.md5(df.to_csv(index=False).encode()).hexdigest()  # noqa: E731
+    assert h(got) == h(want), f"{name}: value-hash (CSV rendering) mismatch"
