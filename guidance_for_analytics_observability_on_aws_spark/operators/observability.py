@@ -1882,3 +1882,84 @@ def cusum_drift(tm: DataFrame) -> DataFrame:
             ).alias("drift_score"),
         )
     )
+
+
+def tail_sampling(tm: DataFrame) -> DataFrame:
+    """O60: TAIL-BASED sampling policy report — the trace-volume answer at
+    100 TB/day: keep EVERY error, every tail-latency record (value ≥ the
+    type's p99), and a deterministic 1% uniform baseline; drop the rest.
+    This is the Jaeger/X-Ray tail-sampling shape — uniform head sampling
+    keeps 1% of errors too, which is exactly what an on-call needs least.
+
+    Each record gets ONE keep reason by fixed priority (error > tail >
+    baseline — counts partition cleanly instead of double-counting a slow
+    error twice). Exactness: the p99 threshold is the shared O8
+    lower-order-statistic (broadcast back per type); the baseline is
+    md5(task_id) % 100 == 0 — deterministic, reproducible, and unbiased
+    in expectation, the same coin every engine flips identically.
+
+    Scale shape: one ranked window per type for the threshold (O8's sort
+    posture), then a single narrow classify-and-aggregate pass over the
+    stream with the thresholds broadcast; output is |types| rows.
+    """
+    from ..functions.hashing import md5_int
+
+    w = Window.partitionBy("event_type").orderBy("value", "task_id")
+    ranked = tm.select("event_type", "value", "task_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    p99 = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.99), F.col("value")
+            )
+        ).alias("p99_value")
+    )
+    classified = (
+        tm.select("event_type", "task_id", "value", "metrics_type")
+        .join(F.broadcast(p99), "event_type")
+        .withColumn(
+            "reason",
+            F.when(F.col("metrics_type") == "logs", "error")
+            .when(F.col("value") >= F.col("p99_value"), "tail")
+            .when(md5_int(F.col("task_id").cast("string"), 7) % 100 == 0, "baseline")
+            .otherwise("drop"),
+        )
+    )
+    return (
+        classified.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("reason") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_error_kept"),
+            F.sum(F.when(F.col("reason") == "tail", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tail_kept"),
+            F.sum(F.when(F.col("reason") == "baseline", 1).otherwise(0))
+            .cast("long")
+            .alias("n_baseline_kept"),
+            F.max("p99_value").alias("p99_value"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_error_kept",
+            "n_tail_kept",
+            "n_baseline_kept",
+            (
+                F.col("n_error_kept")
+                + F.col("n_tail_kept")
+                + F.col("n_baseline_kept")
+            ).alias("n_kept"),
+            "p99_value",
+            (
+                (
+                    F.col("n_error_kept")
+                    + F.col("n_tail_kept")
+                    + F.col("n_baseline_kept")
+                )
+                / F.col("n_total")
+            ).alias("kept_share"),
+        )
+    )

@@ -1487,3 +1487,72 @@ def orders_market_basket(
             ).alias("lift"),
         )
     )
+
+
+def orders_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """T45: order→ship latency distribution per order priority — the
+    fulfillment-SLA panel (does '1-URGENT' actually ship faster, and how
+    heavy is the tail): p25/p50/p75/p99 of days-to-ship plus the share
+    breaching a 120-day SLA.
+
+    Exactness: latency_days = (ms(l_shipdate) − ms(o_orderdate)) DIV
+    86400000 — every timestamp in the corpus is midnight-aligned (checked:
+    zero non-multiples of a day), so the quotient is exact and trunc-vs-
+    floor division cannot diverge between engines even on the negative
+    latencies the synthetic data contains. Percentiles are the shared
+    lower-order-statistic convention, tie-broken by the unique
+    (l_orderkey, l_linenumber); the SLA share is one division of BIGINT
+    counts.
+
+    Scale shape: one fact⋈fact equi-join on orderkey (co-partitioned
+    shuffle; the bucketed-table layout in sources/bucketed.py makes it
+    zero-Exchange when pre-bucketed), one ranked window per priority
+    (5 groups), one rollup.
+    """
+    j = lineitem.select("l_orderkey", "l_linenumber", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    base = j.select(
+        "o_orderpriority",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "(unix_millis(CAST(l_shipdate AS TIMESTAMP)) - unix_millis(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000"
+        ).alias("lat_days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lat_days", "l_orderkey", "l_linenumber"
+    )
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    )
+
+    def pick(p, name):
+        return F.max(
+            F.when(
+                F.col("rn") - 1 == F.floor((F.col("n") - 1) * p), F.col("lat_days")
+            )
+        ).alias(name)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lines"),
+        pick(0.25, "p25_days"),
+        pick(0.5, "p50_days"),
+        pick(0.75, "p75_days"),
+        pick(0.99, "p99_days"),
+        F.max("lat_days").alias("max_days"),
+        F.sum(F.when(F.col("lat_days") > 120, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_sla"),
+    ).select(
+        "o_orderpriority",
+        "n_lines",
+        "p25_days",
+        "p50_days",
+        "p75_days",
+        "p99_days",
+        "max_days",
+        "n_over_sla",
+        (F.col("n_over_sla") / F.col("n_lines")).alias("sla_breach_share"),
+    )

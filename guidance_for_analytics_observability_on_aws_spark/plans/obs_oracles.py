@@ -1070,3 +1070,51 @@ FROM extremes e
 JOIN peak_t p USING (event_type)
 JOIN trough_t tr USING (event_type)
 """
+
+# O60: tail-based sampling policy — shared O8 p99 convention for the tail
+# threshold, md5-derived deterministic 1% baseline coin, priority-
+# partitioned keep reasons (error > tail > baseline).
+from ..functions.hashing import md5_int_sql as _md5_int_sql  # noqa: E402
+
+OBS_ORACLES["obs_tail_sampling"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT event_type, value, task_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM task_metrics
+),
+p99 AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT)
+                  THEN value END) AS p99_value
+  FROM ranked GROUP BY 1
+),
+classified AS (
+  SELECT t.event_type, t.value, p.p99_value,
+         CASE WHEN t.metrics_type = 'logs' THEN 'error'
+              WHEN t.value >= p.p99_value THEN 'tail'
+              WHEN {_md5_int_sql("CAST(t.task_id AS VARCHAR)", 7)} % 100 = 0
+                THEN 'baseline'
+              ELSE 'drop' END AS reason
+  FROM task_metrics t JOIN p99 p USING (event_type)
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN reason = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error_kept,
+         CAST(SUM(CASE WHEN reason = 'tail' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tail_kept,
+         CAST(SUM(CASE WHEN reason = 'baseline' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_baseline_kept,
+         MAX(p99_value) AS p99_value
+  FROM classified GROUP BY 1
+)
+SELECT event_type, n_total, n_error_kept, n_tail_kept, n_baseline_kept,
+       n_error_kept + n_tail_kept + n_baseline_kept AS n_kept,
+       p99_value,
+       (n_error_kept + n_tail_kept + n_baseline_kept)
+         / CAST(n_total AS BIGINT) AS kept_share
+FROM agg
+"""

@@ -771,6 +771,15 @@ FROM events GROUP BY 1
 )
 
 
+# T45: order→ship latency percentiles per priority (fulfillment SLA).
+_register(
+    "orders_ship_latency",
+    lambda s, d: (
+        lambda t: tpch.orders_ship_latency(t["lineitem"], t["orders"])
+    )(load_tables(s, d)),
+    TPCH_ORACLES["orders_ship_latency"],
+)
+
 # T44: market-basket association rules (brand co-purchase support/
 # confidence/lift; bounded within-order pair fan-out, broadcast dims).
 _register(
@@ -812,6 +821,7 @@ _register(
 # correlation / panel percentiles / exemplars / concurrency / debounce.
 # Dict position is irrelevant to the driver window — _PRIORITY owns order.
 _LATE_OBS_BUILDERS = {
+    "obs_tail_sampling": lambda s, d: obs.tail_sampling(_tm(s, d)),
     "obs_cusum_drift": lambda s, d: obs.cusum_drift(_tm(s, d)),
     "obs_anomaly_mad": lambda s, d: obs.anomaly_mad(_tm(s, d)),
     "obs_alert_debounce": lambda s, d: obs.alert_debounce(_tm(s, d)),
@@ -871,11 +881,12 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-8   — the round-7 additions, never driver-checked: D23
+    #   slots 1-10  — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
     #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
     #                 D25 Hamming-SimHash pairs, O59 CUSUM drift, P17
-    #                 dedup scale-path evaluation.
+    #                 dedup scale-path evaluation, O60 tail sampling,
+    #                 T45 ship-latency SLA.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
@@ -884,7 +895,9 @@ _PRIORITY = [
     "dedup_simhash_hamming",
     "obs_cusum_drift",
     "dedup_eval_report",
-    #   slots 9-23  — entries whose CODE changed in r7 since their last
+    "obs_tail_sampling",
+    "orders_ship_latency",
+    #   slots 11-25 — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -905,7 +918,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 24-41 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 26-43 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -926,7 +939,7 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 42-50 — r4-aged backfill in registration order.
+    #   slots 44-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
@@ -934,8 +947,6 @@ _PRIORITY = [
     "obs_cardinality",
     "obs_date_histogram",
     "obs_top_n_skew",
-    "obs_task_percentiles",
-    "obs_log_enrich",
 ]
 
 

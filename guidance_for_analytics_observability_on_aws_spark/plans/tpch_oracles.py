@@ -778,3 +778,41 @@ JOIN items ia ON ia.p_brand = pr.brand_a
 JOIN items ib ON ib.p_brand = pr.brand_b
 CROSS JOIN nb
 """
+
+# T45: order→ship latency percentiles per priority; day quotients are
+# exact (midnight-aligned timestamps), shared order-statistic convention.
+TPCH_ORACLES["orders_ship_latency"] = """
+WITH base AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         (epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate)) // 86400000
+           AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lat_days, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM base
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n_lines,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.25) AS BIGINT)
+                  THEN lat_days END) AS p25_days,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                  THEN lat_days END) AS p50_days,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT)
+                  THEN lat_days END) AS p75_days,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT)
+                  THEN lat_days END) AS p99_days,
+         MAX(lat_days) AS max_days,
+         CAST(SUM(CASE WHEN lat_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_sla
+  FROM ranked GROUP BY 1
+)
+SELECT o_orderpriority, n_lines, p25_days, p50_days, p75_days, p99_days,
+       max_days, n_over_sla,
+       n_over_sla / n_lines AS sla_breach_share
+FROM agg
+"""

@@ -1747,3 +1747,60 @@ def test_dedup_eval_report_grades_scale_paths(spark, sf_dir):
     b = out["banded_exact"]
     assert b.precision == 1.0, b
     assert b.recall <= out["lsh_candidates"].recall
+
+
+def test_tail_sampling_policy_partitions_and_keeps_all_errors(spark, sf_dir):
+    """O60: keep reasons must partition (error + tail + baseline +
+    dropped == total), EVERY error-typed record must be kept as 'error'
+    (the whole point vs head sampling), the tail bucket must be ~1% of
+    non-error traffic, and kept_share must sit far below 1 for non-error
+    types (the volume win)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        tail_sampling,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    out = {r.event_type: r for r in tail_sampling(tm).collect()}
+    totals = {
+        r.event_type: r.n for r in
+        tm.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_errors = tm.filter(F.col("metrics_type") == "logs").count()
+    assert out["error"].n_error_kept == n_errors == out["error"].n_total
+    assert out["error"].kept_share == 1.0
+    for et, r in out.items():
+        assert r.n_total == totals[et]
+        assert r.n_error_kept + r.n_tail_kept + r.n_baseline_kept == r.n_kept
+        assert r.n_kept <= r.n_total
+        if et != "error":
+            assert r.n_error_kept == 0
+            # p99 cut keeps ~1% (+ duplicates at the threshold value)
+            assert r.n_tail_kept >= max(1, r.n_total // 100 - 1)
+            assert r.kept_share < 0.2, (et, r.kept_share)
+
+
+def test_ship_latency_percentiles_monotone_and_consistent(spark, sf_dir):
+    """T45: per-priority percentiles must be monotone (p25<=p50<=p75<=p99
+    <=max), line counts must sum to the join cardinality, and the SLA
+    share must equal the direct filter count."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        orders_ship_latency,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = orders_ship_latency(t["lineitem"], t["orders"]).collect()
+    assert len(out) == 5
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert sum(r.n_lines for r in out) == joined.count()
+    for r in out:
+        assert r.p25_days <= r.p50_days <= r.p75_days <= r.p99_days <= r.max_days
+        want_over = joined.filter(
+            F.expr("(unix_millis(CAST(l_shipdate AS TIMESTAMP)) - unix_millis(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000")
+            > 120
+        ).filter(F.col("o_orderpriority") == r.o_orderpriority).count()
+        assert r.n_over_sla == want_over

@@ -307,6 +307,8 @@ def test_driver_window_composition():
         "dedup_simhash_hamming",
         "obs_cusum_drift",
         "dedup_eval_report",
+        "obs_tail_sampling",
+        "orders_ship_latency",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",
