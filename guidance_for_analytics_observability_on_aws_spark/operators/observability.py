@@ -1884,6 +1884,44 @@ def cusum_drift(tm: DataFrame) -> DataFrame:
     )
 
 
+def tail_thresholds(tm: DataFrame) -> DataFrame:
+    """Per-type p99 tail thresholds (the shared O8 lower-order-statistic)
+    — the TRAINED half of the O60 sampling policy. In production these
+    come from the history table and are broadcast against the live
+    stream; here one definition serves the batch report and the
+    streaming runner so the policy cannot drift between them."""
+    w = Window.partitionBy("event_type").orderBy("value", "task_id")
+    ranked = tm.select("event_type", "value", "task_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    return ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.99), F.col("value")
+            )
+        ).alias("p99_value")
+    )
+
+
+def tail_classified(tm: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """O60's stateless classify pass: one keep reason per record by fixed
+    priority (error > tail > baseline > drop), thresholds broadcast —
+    works identically on a batch frame and a streaming micro-batch."""
+    from ..functions.hashing import md5_int
+
+    return (
+        tm.select("event_type", "task_id", "value", "metrics_type")
+        .join(F.broadcast(thresholds), "event_type")
+        .withColumn(
+            "reason",
+            F.when(F.col("metrics_type") == "logs", "error")
+            .when(F.col("value") >= F.col("p99_value"), "tail")
+            .when(md5_int(F.col("task_id").cast("string"), 7) % 100 == 0, "baseline")
+            .otherwise("drop"),
+        )
+    )
+
+
 def tail_sampling(tm: DataFrame) -> DataFrame:
     """O60: TAIL-BASED sampling policy report — the trace-volume answer at
     100 TB/day: keep EVERY error, every tail-latency record (value ≥ the
@@ -1900,32 +1938,11 @@ def tail_sampling(tm: DataFrame) -> DataFrame:
 
     Scale shape: one ranked window per type for the threshold (O8's sort
     posture), then a single narrow classify-and-aggregate pass over the
-    stream with the thresholds broadcast; output is |types| rows.
+    stream with the thresholds broadcast; output is |types| rows. The
+    threshold/classify stages are shared with the streaming-on-ingest
+    twin (:func:`tail_thresholds` / :func:`tail_classified`).
     """
-    from ..functions.hashing import md5_int
-
-    w = Window.partitionBy("event_type").orderBy("value", "task_id")
-    ranked = tm.select("event_type", "value", "task_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-    p99 = ranked.groupBy("event_type").agg(
-        F.max(
-            F.when(
-                F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.99), F.col("value")
-            )
-        ).alias("p99_value")
-    )
-    classified = (
-        tm.select("event_type", "task_id", "value", "metrics_type")
-        .join(F.broadcast(p99), "event_type")
-        .withColumn(
-            "reason",
-            F.when(F.col("metrics_type") == "logs", "error")
-            .when(F.col("value") >= F.col("p99_value"), "tail")
-            .when(md5_int(F.col("task_id").cast("string"), 7) % 100 == 0, "baseline")
-            .otherwise("drop"),
-        )
-    )
+    classified = tail_classified(tm, tail_thresholds(tm))
     return (
         classified.groupBy("event_type")
         .agg(

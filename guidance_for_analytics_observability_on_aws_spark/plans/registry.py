@@ -673,6 +673,18 @@ def _stream_rolling_wau(s, d):
 _register("stream_rolling_wau", _stream_rolling_wau, None)
 
 
+# Rows-only: streaming twin of O60 — tail-based sampling on ingest with
+# history-trained thresholds; rollup parity with batch O60 asserted in
+# tests/test_streaming.py.
+def _stream_tail_sampling(s, d):
+    from ..streaming.collector import run_streaming_tail_sampling
+
+    return run_streaming_tail_sampling(s, d)
+
+
+_register("stream_tail_sampling", _stream_tail_sampling, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).
@@ -881,12 +893,12 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-10  — the round-7 additions, never driver-checked: D23
+    #   slots 1-11  — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
     #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
     #                 D25 Hamming-SimHash pairs, O59 CUSUM drift, P17
     #                 dedup scale-path evaluation, O60 tail sampling,
-    #                 T45 ship-latency SLA.
+    #                 T45 ship-latency SLA, the O60 streaming twin.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
@@ -897,7 +909,8 @@ _PRIORITY = [
     "dedup_eval_report",
     "obs_tail_sampling",
     "orders_ship_latency",
-    #   slots 11-25 — entries whose CODE changed in r7 since their last
+    "stream_tail_sampling",
+    #   slots 12-26 — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -918,7 +931,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 26-43 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 27-44 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -939,14 +952,13 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 44-50 — r4-aged backfill in registration order.
+    #   slots 45-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
     "obs_app_summary",
     "obs_cardinality",
     "obs_date_histogram",
-    "obs_top_n_skew",
 ]
 
 

@@ -614,3 +614,82 @@ def run_streaming_rolling_wau(
     out = _collected_and_cleaned(spark, result, None)
     spark.catalog.dropTempView(name)
     return out
+
+
+def run_streaming_tail_sampling(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """Streaming twin of O60 — tail-based sampling ON INGEST, the shape a
+    production trace pipeline actually runs: the per-type p99 thresholds
+    are TRAINED on the static history table (one definition —
+    ``obs.tail_thresholds``), broadcast into the stream, and every
+    micro-batch classifies its records with the exact batch rule
+    (``obs.tail_classified``) and appends per-type partial counts. Keep
+    counts are ADDITIVE, so the final rollup over partials is
+    row-identical to batch O60 on the same data — asserted in
+    ``tests/test_streaming.py``. State: none (stream-static broadcast +
+    stateless classify), which is why sampling-on-ingest runs forever at
+    constant memory.
+    """
+    from ..operators import observability as obs
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_tail_")
+    out = out_dir or work
+    static_tm = task_metrics(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    thresholds = obs.tail_thresholds(static_tm).localCheckpoint(eager=True)
+
+    def _classify_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            obs.tail_classified(batch_df, thresholds)
+            .groupBy("event_type", "reason")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("p99_value").alias("p99_value"))
+            .write.mode("append")
+            .parquet(f"{out}/partials")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_classify_batch)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(f"{out}/partials")
+    kept = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, F.col("n")).otherwise(0)
+    ).cast("long")
+    rollup = (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_total"),
+            kept("error").alias("n_error_kept"),
+            kept("tail").alias("n_tail_kept"),
+            kept("baseline").alias("n_baseline_kept"),
+            F.max("p99_value").alias("p99_value"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_error_kept",
+            "n_tail_kept",
+            "n_baseline_kept",
+            (
+                F.col("n_error_kept")
+                + F.col("n_tail_kept")
+                + F.col("n_baseline_kept")
+            ).alias("n_kept"),
+            "p99_value",
+            (
+                (
+                    F.col("n_error_kept")
+                    + F.col("n_tail_kept")
+                    + F.col("n_baseline_kept")
+                )
+                / F.col("n_total")
+            ).alias("kept_share"),
+        )
+    )
+    return _collected_and_cleaned(spark, rollup, work)

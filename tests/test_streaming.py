@@ -462,3 +462,24 @@ def test_tws_guard_names_missing_import():
 
         with pytest.raises(RuntimeError, match="missing import"):
             stateful.run_tws_buffer_counter(None, "unused")
+
+
+def test_streaming_tail_sampling_matches_batch(spark, sf_dir):
+    """stream_tail_sampling: history-trained thresholds + per-micro-batch
+    classification must reproduce the batch O60 report row-for-row
+    (keep counts are additive; the policy is one shared definition)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        tail_sampling,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_tail_sampling,
+    )
+
+    got = sorted(map(tuple, run_streaming_tail_sampling(spark, sf_dir).collect()))
+    want = sorted(map(tuple, tail_sampling(
+        task_metrics(load_tables(spark, sf_dir)["events"])).collect()))
+    assert got == want and got
