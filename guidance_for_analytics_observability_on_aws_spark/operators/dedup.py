@@ -177,10 +177,11 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_shared_bands) LSH candidate pairs from a MinHash
-    signature frame — the banding join D3, D15 and D18 all share; ONE
-    definition so the bucket/pair semantics can never diverge."""
+def band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band-bucket rows from a MinHash
+    signature frame — the banding D3/D15/D18 share for candidate pairing
+    and the streaming near-dedup gate probes as its persisted index; ONE
+    definition so the bucket semantics can never diverge."""
     # Explode one array of (band_id, band_hash) structs instead of unioning
     # per-band projections: a union would duplicate the (expensive) signature
     # aggregation subtree once per band AND defeat exchange reuse in the
@@ -201,9 +202,15 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         )
         for j in range(MINHASH_BANDS)
     ]
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) LSH candidate pairs from a MinHash
+    signature frame — the banding join D3, D15 and D18 all share."""
+    buckets = band_buckets(sig)
     pairs = (
         buckets.alias("a")
         .join(

@@ -685,6 +685,18 @@ def _stream_tail_sampling(s, d):
 _register("stream_tail_sampling", _stream_tail_sampling, None)
 
 
+# Rows-only: P18 — NEAR-dup dedup on ingest (stream-static LSH band index
+# probe + sketch-estimate confirm); cross-pair verdict parity with the
+# batch D18 computation asserted in tests/test_streaming.py.
+def _stream_near_dedup(s, d):
+    from ..streaming.collector import run_streaming_near_dedup
+
+    return run_streaming_near_dedup(s, d)
+
+
+_register("stream_near_dedup_ingest", _stream_near_dedup, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).
@@ -893,12 +905,13 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # oldest-evidence backfill ascending by last driver round — the standing
 # rotation contract, now executable instead of prose).
 _PRIORITY = [
-    #   slots 1-11  — the round-7 additions, never driver-checked: D23
+    #   slots 1-12  — the round-7 additions, never driver-checked: D23
     #                 multi-probe residual IVF-PQ, T44 market basket,
     #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
     #                 D25 Hamming-SimHash pairs, O59 CUSUM drift, P17
     #                 dedup scale-path evaluation, O60 tail sampling,
-    #                 T45 ship-latency SLA, the O60 streaming twin.
+    #                 T45 ship-latency SLA, the O60 streaming twin, P18
+    #                 near-dup dedup on ingest.
     "similarity_ivf_pq_multiprobe",
     "orders_market_basket",
     "source_table_stats",
@@ -910,7 +923,8 @@ _PRIORITY = [
     "obs_tail_sampling",
     "orders_ship_latency",
     "stream_tail_sampling",
-    #   slots 12-26 — entries whose CODE changed in r7 since their last
+    "stream_near_dedup_ingest",
+    #   slots 13-27 — entries whose CODE changed in r7 since their last
     #                 driver row: the trained-model-registry refactor
     #                 (similarity family D12/D17/D20/D21/D22), the
     #                 streaming collector (events_stream signature + the
@@ -931,7 +945,7 @@ _PRIORITY = [
     "stream_metric_log_join",
     "stream_incremental_dedup",
     "source_snapshot_report",
-    #   slots 27-44 — the 18 oldest-evidence entries (last green row r3:
+    #   slots 28-45 — the 18 oldest-evidence entries (last green row r3:
     #                 the T tail, M plan operators, O38-O42 —
     #                 embedding_kmeans already promoted above).
     "pivot_status_by_priority",
@@ -952,13 +966,12 @@ _PRIORITY = [
     "obs_value_histogram",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    #   slots 45-50 — r4-aged backfill in registration order.
+    #   slots 46-50 — r4-aged backfill in registration order.
     "obs_task_metrics",
     "obs_stage_agg_skewness",
     "obs_skew_distribution",
     "obs_app_summary",
     "obs_cardinality",
-    "obs_date_histogram",
 ]
 
 

@@ -693,3 +693,110 @@ def run_streaming_tail_sampling(
         )
     )
     return _collected_and_cleaned(spark, rollup, work)
+
+
+def run_streaming_near_dedup(
+    spark: SparkSession, sf_dir: str, min_matching: int = 13
+) -> DataFrame:
+    """NEAR-dup dedup ON INGEST (P18) — the stream-static LSH gate that
+    completes the ingest-dedup family: P8's streaming twin drops exact
+    and content-fingerprint copies; this drops NEAR-duplicates of the
+    existing corpus, at sketch cost, before they ever land.
+
+    Index = the existing corpus's MinHash signatures + band buckets (the
+    SAME `minhash_signatures`/`band_buckets` definitions the batch D3/D18
+    operators use — at 100 TB this is the persisted signature index
+    table, signatures ≪ corpus). Each arriving micro-batch computes its
+    own signatures (bounded by the batch), probes the band index with a
+    broadcast equi-join, confirms candidates with Broder's sketch
+    estimate (``n_matching ≥ 13 of 16`` — the D18 verdict; document text
+    is never re-scanned), and keeps only unmatched docs. No streaming
+    state: the index is static per run (production rebuilds it on a
+    cadence from the committed corpus), so ingest runs at constant
+    memory; signature computation is a per-doc AGGREGATION, so it runs
+    inside ``foreachBatch`` with the exact batch plan (the O20 stage-agg
+    pattern — a raw streaming groupBy would be a stateful aggregation
+    Spark rightly rejects in append mode). Verdict parity with the batch
+    cross-pair D18 computation is asserted in ``tests/test_streaming.py``.
+    """
+    from ..functions.hashing import MINHASH_AB
+    from ..functions.text import corpus, tokens
+    from ..operators.dedup import band_buckets, minhash_signatures
+
+    def shingle_base(corpused: DataFrame) -> DataFrame:
+        # (doc_id, toks) base for an ALREADY-corpus'd frame — passing such
+        # a frame straight into minhash_signatures would re-apply corpus()
+        # and plant plants-of-plants (the silent-empty bug this replaced).
+        return corpused.select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ).filter(F.size("toks") >= 3)
+
+    k = len(MINHASH_AB)
+    work = tempfile.mkdtemp(prefix="gfaooa_neardedup_")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    old_docs = corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).filter(F.col("doc_id") < 1000000)
+    old_sig = minhash_signatures(None, base=shingle_base(old_docs)).localCheckpoint(
+        eager=True
+    )
+    old_bands = (
+        band_buckets(old_sig)
+        .select(F.col("doc_id").alias("old_id"), "band_id", "band_hash")
+        .localCheckpoint(eager=True)
+    )
+    old_sig_b = old_sig.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh{i}").alias(f"o{i}") for i in range(k)],
+    ).localCheckpoint(eager=True)
+
+    n_matching = None
+    for i in range(k):
+        term = F.when(F.col(f"mh{i}") == F.col(f"o{i}"), 1).otherwise(0)
+        n_matching = term if n_matching is None else n_matching + term
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = corpus(batch_df).filter(F.col("doc_id") >= 1000000)
+        new_sig = minhash_signatures(
+            None, base=shingle_base(new_docs)
+        ).localCheckpoint(eager=True)
+        cand = (
+            band_buckets(new_sig)
+            .join(F.broadcast(old_bands), ["band_id", "band_hash"])
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        confirmed = (
+            cand.join(new_sig, "doc_id")
+            .join(F.broadcast(old_sig_b), "old_id")
+            .withColumn("n_matching", n_matching)
+            .filter(F.col("n_matching") >= min_matching)
+            .select("doc_id")
+            .distinct()
+        )
+        (
+            new_docs.select("doc_id", "source")
+            .join(confirmed, "doc_id", "left_anti")
+            .write.mode("append")
+            .parquet(f"{work}/kept")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", f"{work}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.read.parquet(f"{work}/kept")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+    return _collected_and_cleaned(spark, result, work)

@@ -291,10 +291,10 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r7 rotation: 32 sql + 18 rows-only (the changed-code re-exposures and
+    # r7 rotation: 31 sql + 19 rows-only (the changed-code re-exposures and
     # streaming twins are rows-only runners; see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 32, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 31, f"{n_sql} sql-backed entries in the driver window"
     # the r7 additions with no driver row lead; then every entry whose code
     # changed in r7 since its last driver row (trained-model registry
     # refactor, streaming collector, snapshot commit cleanup):
@@ -310,6 +310,7 @@ def test_driver_window_composition():
         "obs_tail_sampling",
         "orders_ship_latency",
         "stream_tail_sampling",
+        "stream_near_dedup_ingest",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq",
         "similarity_pq",

@@ -483,3 +483,51 @@ def test_streaming_tail_sampling_matches_batch(spark, sf_dir):
     want = sorted(map(tuple, tail_sampling(
         task_metrics(load_tables(spark, sf_dir)["events"])).collect()))
     assert got == want and got
+
+
+def test_streaming_near_dedup_matches_batch_cross_verdicts(spark, sf_dir):
+    """stream_near_dedup_ingest: the set of new docs the streaming gate
+    drops must equal the batch D18 sketch-estimate verdicts restricted to
+    (new x old) cross pairs — same signatures, same bands, same 13/16
+    confirm, so the stream-static formulation loses nothing."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import corpus
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_minhash_estimate,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_near_dedup,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {r.source: r.n_kept for r in run_streaming_near_dedup(spark, sf_dir).collect()}
+    # batch reference: new docs flagged by any cross pair in D18's verdicts
+    est = dedup_minhash_estimate(docs)
+    flagged = {
+        r.doc_b
+        for r in est.filter(
+            (F.col("doc_a") < 1000000) & (F.col("doc_b") >= 1000000)
+        ).collect()
+    } | {
+        r.doc_a
+        for r in est.filter(
+            (F.col("doc_b") < 1000000) & (F.col("doc_a") >= 1000000)
+        ).collect()
+    }
+    new_docs = corpus(docs).filter(F.col("doc_id") >= 1000000)
+    want = {
+        r.source: r.n
+        for r in new_docs.join(
+            spark.createDataFrame([(d,) for d in flagged] or [(None,)], "doc_id long"),
+            "doc_id",
+            "left_anti",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+    # the gate must actually drop something (the corpus plants exact
+    # copies above 1M, which share full signatures)
+    total_new = new_docs.count()
+    assert sum(got.values()) < total_new
