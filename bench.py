@@ -128,6 +128,31 @@ BENCH_QUERIES_R6 = [
 ]
 
 
+def extended_names() -> list[str]:
+    """The full timed list: frozen core + EVERY sql-oracled registry entry.
+
+    Derived from the registry (exactly as ``rows_only_names`` below is) so
+    a new SQL operator can never again land untimed — the r7 verdict found
+    nine operators invisible to BENCH_r07 because the last hand-maintained
+    per-round list (``BENCH_QUERIES_R6``) was never extended. The legacy
+    R3-R6 lists are kept only to preserve the historical ordering of the
+    per-query timing tails across rounds; any sql entry not in them is
+    appended in registry order.
+    """
+    listed = (
+        BENCH_QUERIES
+        + BENCH_QUERIES_R3
+        + BENCH_QUERIES_R4
+        + BENCH_QUERIES_R5
+        + BENCH_QUERIES_R6
+    )
+    seen = set(listed)
+    return listed + [
+        n for n, spec in REGISTRY.items()
+        if spec.oracle is not None and n not in seen
+    ]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -165,13 +190,7 @@ def main() -> None:
     # machine load (BENCH_r04 was inflated 20-100% by a loaded host while
     # a clean re-run matched r3 to 0.1%). Steady-state minima are also the
     # honest basis for the 100 TB throughput claims.
-    all_names = (
-        BENCH_QUERIES
-        + BENCH_QUERIES_R3
-        + BENCH_QUERIES_R4
-        + BENCH_QUERIES_R5
-        + BENCH_QUERIES_R6
-    )
+    all_names = extended_names()
     passes: list[dict[str, float]] = []
     for _ in range(2):
         timings: dict[str, float] = {}

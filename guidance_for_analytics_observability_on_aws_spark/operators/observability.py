@@ -1821,6 +1821,20 @@ def cusum_drift(tm: DataFrame) -> DataFrame:
 
     Scale shape: one broadcast of the per-type totals, one ranked window
     per type (the O8 sort posture), two tiny extreme join-backs.
+
+    Exactness BOUND (not unconditional): the cross-multiplied terms grow
+    as n² — per row ``dev = n·(x − mean)`` and ``|S_i| ≤ n·Σ|x_j − mean|
+    ≤ n²·spread`` where spread = max |x − mean| in cents. BIGINT holds
+    while ``n² · spread < 2^63``: spread $100 (10⁴ cents) → n ≲ 3·10⁷
+    rows per type; spread $1 → n ≲ 3·10⁸ (and ``n_events·n_events`` in
+    drift_score itself wraps at n > ~3·10⁹). Non-ANSI Spark would WRAP
+    silently past that while DuckDB (HUGEINT internally) would not —
+    the engines diverge exactly where the claim breaks. Past the bound,
+    switch to the two-phase formulation: bucket the series, hold per-
+    bucket partial sums Σx and counts, and form S at bucket granularity
+    (the O44 prefix-sum shape) so no single term exceeds bucket_n²·spread.
+    ``distributed=True`` (r8) already moves the RANKED window to bucket
+    slices; the same bucketing bounds the term growth.
     """
     base = tm.select(
         "event_type",

@@ -64,14 +64,47 @@ _TRAINED_CACHE: dict[tuple, object] = {}
 _TRAINED_CACHE_MAX = 32
 
 
+def _input_footprint(df: DataFrame) -> int:
+    """Deterministic digest of the scan's FILE footprint (paths + sizes +
+    mtimes). ``semanticHash`` hashes the canonicalized PLAN — i.e. the
+    paths — not the bytes behind them, so a dataset regenerated in place
+    (``mode('overwrite')`` at the same path mid-session) would silently
+    replay a model trained on the OLD data. Folding each input file's
+    (path, size, mtime_ns) into the key makes an in-place rewrite a cache
+    MISS instead. Remote/unstattable files contribute path-only (same
+    behavior as before for non-local storage)."""
+    import os as _os
+    import re as _re
+    import zlib as _zlib
+
+    digest = 0
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return 0
+    for uri in files:
+        # "file:/p", "file:///p" → "/p"; other schemes left as-is (stat
+        # fails → path-only record).
+        path = _re.sub(r"^file:/+", "/", uri) if uri.startswith("file:") else uri
+        try:
+            st = _os.stat(path)
+            rec = f"{uri}|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            rec = uri
+        digest = _zlib.crc32(rec.encode(), digest)
+    return digest
+
+
 def _model_key(tag: str, df: DataFrame, *params) -> tuple | None:
     """Cache key for a model trained on ``df`` — ``None`` disables caching
-    (e.g. plans whose semantic hash is unavailable)."""
+    (e.g. plans whose semantic hash is unavailable). Key = canonicalized-
+    plan hash + input-file footprint (path/size/mtime — see
+    ``_input_footprint``) + hyperparameters."""
     try:
         h = df.semanticHash()
     except Exception:
         return None
-    return (tag, h) + params
+    return (tag, h, _input_footprint(df)) + params
 
 
 def _cache_put(key: tuple | None, value) -> None:

@@ -443,8 +443,8 @@ m AS (
 SELECT method, n_pred, n_true, tp,
        n_pred - tp AS fp,
        n_true - tp AS fn,
-       tp / n_pred AS precision,
-       tp / n_true AS recall
+       CASE WHEN n_pred = 0 THEN NULL ELSE tp / n_pred END AS precision,
+       CASE WHEN n_true = 0 THEN NULL ELSE tp / n_true END AS recall
 FROM m
 """
 

@@ -30,8 +30,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.telemetry import task_metrics
+
+#: doc_id boundary of the synthetic corpus's "new arrivals" convention:
+#: the driver's planted documents carry doc_id ≥ 1e6 (copies/truncations
+#: of sub-1e6 originals). The streaming ingest runners treat ids below the
+#: boundary as the committed corpus and ids at/above as the arriving batch.
+#: A production deployment passes its own boundary (or a corpus frame).
+NEW_DOC_BOUNDARY = 1_000_000
 
 
 def _collected_and_cleaned(
@@ -304,7 +312,9 @@ def run_streaming_alerts(
     )
 
 
-def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_streaming_incremental_dedup(
+    spark: SparkSession, sf_dir: str, corpus_boundary: int | None = None
+) -> DataFrame:
     """Streaming twin of P8 (incremental dedup) — STREAM-STATIC anti-joins.
 
     The arriving new-batch stream is probed against the STATIC corpus
@@ -342,10 +352,11 @@ def run_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
 
-    new_stream = fps(corpus(stream).filter(F.col("doc_id") >= 1000000))
+    boundary = NEW_DOC_BOUNDARY if corpus_boundary is None else corpus_boundary
+    new_stream = fps(corpus(stream).filter(F.col("doc_id") >= boundary))
     static_old = fps(
         corpus(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
-            F.col("doc_id") < 1000000
+            F.col("doc_id") < boundary
         )
     )
     exact_dict = static_old.select("exact_fp").distinct()
@@ -696,7 +707,10 @@ def run_streaming_tail_sampling(
 
 
 def run_streaming_near_dedup(
-    spark: SparkSession, sf_dir: str, min_matching: int = 13
+    spark: SparkSession,
+    sf_dir: str,
+    min_matching: int = 13,
+    corpus_boundary: int = NEW_DOC_BOUNDARY,
 ) -> DataFrame:
     """NEAR-dup dedup ON INGEST (P18) — the stream-static LSH gate that
     completes the ingest-dedup family: P8's streaming twin drops exact
@@ -741,7 +755,7 @@ def run_streaming_near_dedup(
     )
     old_docs = corpus(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ).filter(F.col("doc_id") < 1000000)
+    ).filter(F.col("doc_id") < corpus_boundary)
     old_sig = minhash_signatures(None, base=shingle_base(old_docs)).localCheckpoint(
         eager=True
     )
@@ -761,7 +775,7 @@ def run_streaming_near_dedup(
         n_matching = term if n_matching is None else n_matching + term
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_docs = corpus(batch_df).filter(F.col("doc_id") >= 1000000)
+        new_docs = corpus(batch_df).filter(F.col("doc_id") >= corpus_boundary)
         new_sig = minhash_signatures(
             None, base=shingle_base(new_docs)
         ).localCheckpoint(eager=True)
@@ -793,8 +807,19 @@ def run_streaming_near_dedup(
         .start()
     )
     q.awaitTermination()
+    # Explicit schema: if no micro-batch carried any doc past the
+    # boundary, the kept sink has no parquet footers and a schema-less
+    # read raises AnalysisException instead of yielding the correct
+    # empty report (the metric-log-join runner's pattern).
+    kept_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
     result = (
-        spark.read.parquet(f"{work}/kept")
+        spark.read.schema(kept_schema)
+        .parquet(f"{work}/kept")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
