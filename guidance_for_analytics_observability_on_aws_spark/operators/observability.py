@@ -272,13 +272,54 @@ def _order_stat_aggs(value_col: str) -> list:
     return aggs
 
 
-def task_percentiles(tm: DataFrame) -> DataFrame:
+def _ranked_with_n(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    distributed: bool = False,
+) -> DataFrame:
+    """Attach ``rn`` (1-based rank of the row within its ``part_col`` group
+    under the total order ``order_cols`` — which must make rows unique) and
+    ``n`` (group size) — the input contract of :func:`_order_stat_aggs`,
+    factored out so EVERY order-statistic operator (O8/O42/O44/O54/O58/O60,
+    T45) shares one rank definition AND one scale escape hatch.
+
+    ``distributed=False``: one ranked window per group — a whole group
+    sorts in one task. Fine while groups are bounded (5 event types); at
+    100× a single hot metric class becomes one straggler task.
+
+    ``distributed=True``: O44's two-phase prefix sum over unit counts
+    (range-partition on the sort key → slice-local ranks → cumulated slice
+    offsets broadcast back) + a broadcast group-count join — the heaviest
+    task holds one range slice regardless of group size. Rank assignment
+    is bit-identical to the window path (same total order, same 1-based
+    dense positions), pinned per family member in ``tests/test_plans.py``.
+    """
+    if not distributed:
+        w = Window.partitionBy(part_col).orderBy(*order_cols)
+        return df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(part_col))
+        )
+    from .pipeline import _prefix_sum
+
+    ranked = _prefix_sum(
+        df.withColumn("_one", F.lit(1)), part_col, order_cols, "_one", "rn"
+    ).drop("_one")
+    counts = ranked.groupBy(part_col).agg(F.count(F.lit(1)).alias("n"))
+    return ranked.join(F.broadcast(counts), part_col)
+
+
+def task_percentiles(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O8: p25/50/75/99 per event_type via explicit lower order statistics
-    (:func:`_order_stat_aggs`)."""
-    w = Window.partitionBy("event_type").orderBy("value", "task_id")
-    ranked = tm.select("event_type", "value", "task_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    (:func:`_order_stat_aggs`); ``distributed=True`` swaps the per-group
+    window sort for the O44 two-phase rank (:func:`_ranked_with_n`) with
+    bit-identical results."""
+    ranked = _ranked_with_n(
+        tm.select("event_type", "value", "task_id"),
+        "event_type",
+        ["value", "task_id"],
+        distributed,
+    )
     return ranked.groupBy("event_type").agg(*_order_stat_aggs("value"))
 
 
@@ -321,11 +362,10 @@ def input_bytes_percentiles(tm: DataFrame) -> DataFrame:
     porting the dashboard needs THIS grouping/column. Selection via the
     shared :func:`_order_stat_aggs` convention.
     """
-    w = Window.partitionBy("app_id").orderBy("input_bytes_read", "task_id")
-    ranked = (
-        tm.select("app_id", "input_bytes_read", "task_id")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("app_id")))
+    ranked = _ranked_with_n(
+        tm.select("app_id", "input_bytes_read", "task_id"),
+        "app_id",
+        ["input_bytes_read", "task_id"],
     )
     return ranked.groupBy("app_id").agg(*_order_stat_aggs("input_bytes_read"))
 
@@ -1240,17 +1280,12 @@ def task_percentiles_distributed(tm: DataFrame) -> DataFrame:
     back), so the heaviest task holds one range slice regardless of group
     size. Selection is the same engine-portable order statistic (value at
     row floor((n-1)·p)); result-identical to O8, shares its oracle.
-    """
-    from .pipeline import _prefix_sum
 
-    base = tm.select("event_type", "value", "task_id").withColumn("one", F.lit(1))
-    ranked = _prefix_sum(
-        base, "event_type", ["value", "task_id"], "one", "rn"
-    )
-    counts = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    withn = ranked.join(F.broadcast(counts), "event_type")
-    aggs = _order_stat_aggs("value")
-    return withn.groupBy("event_type").agg(*aggs)
+    Since r8 this IS ``task_percentiles(distributed=True)`` — the
+    two-phase rank lives in :func:`_ranked_with_n`, shared by the whole
+    order-statistic family (O8/O42/O54/O58/O60/T45).
+    """
+    return task_percentiles(tm, distributed=True)
 
 
 def executor_concurrency(tm: DataFrame) -> DataFrame:
@@ -1547,7 +1582,7 @@ def job_critical_stage(tm: DataFrame) -> DataFrame:
     )
 
 
-def percentile_timeline(tm: DataFrame) -> DataFrame:
+def percentile_timeline(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O54: hourly latency-band timeline — p25/50/75/99 of task run time
     per hour bucket, the "latency bands over time" dashboard panel (O8
     gives the global distribution per metric class; O52 the full heatmap;
@@ -1555,18 +1590,17 @@ def percentile_timeline(tm: DataFrame) -> DataFrame:
 
     Same engine-portable order-statistic selection as O8/O42/O44
     (:func:`_order_stat_aggs` — single source of the rank convention).
-    One window sort per hour partition; hours parallelize. Scale note: an
-    hour of tasks lands in ONE partition here, so at full 100 TB firehose
-    volume the per-hour rank should switch to the O44 two-phase prefix
-    sum (same result, no single-partition sort) or the O22 KLL sketch per
-    hour — this exact formulation is the oracle-checkable baseline, the
-    same exact-vs-scale pairing as O8/O44.
+    Default: one window sort per hour partition; hours parallelize. At
+    full 100 TB firehose volume an hour of tasks lands in ONE partition,
+    so ``distributed=True`` routes the rank through the O44 two-phase
+    prefix sum (:func:`_ranked_with_n` — same result bit-for-bit, no
+    single-partition sort; pinned in ``tests/test_plans.py``), or use the
+    O22 KLL sketch per hour when approximation is acceptable.
     """
     hour = F.expr("metric_time_ms DIV 3600000 * 3600000")
     base = tm.select(hour.alias("hour_ms"), "run_time_ms", "task_id")
-    w = Window.partitionBy("hour_ms").orderBy("run_time_ms", "task_id")
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("hour_ms"))
+    ranked = _ranked_with_n(
+        base, "hour_ms", ["run_time_ms", "task_id"], distributed
     )
     return ranked.groupBy("hour_ms").agg(*_order_stat_aggs("run_time_ms"))
 
@@ -1731,7 +1765,7 @@ MAD_K_NUM = 44478
 MAD_K_DEN = 10000
 
 
-def anomaly_mad(tm: DataFrame) -> DataFrame:
+def anomaly_mad(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O58: robust per-type outlier detection — median + MAD (median
     absolute deviation), the estimator family that SURVIVES the condition
     it exists to detect: O28's mean/stddev z-score is dragged toward the
@@ -1746,20 +1780,18 @@ def anomaly_mad(tm: DataFrame) -> DataFrame:
     inequality ``|x−med|·10000 > 44478·MAD`` — no float anywhere except
     the final outlier_share division.
 
-    Scale shape: two ranked windows per event_type (the same sort posture
-    as O8; O44 shows the two-phase distributed alternative when groups
-    outgrow a partition) and two broadcast joins of per-type 1-row
-    aggregates back onto the task stream.
+    Scale shape: two ranked passes per event_type (the same sort posture
+    as O8) and two broadcast joins of per-type 1-row aggregates back onto
+    the task stream; ``distributed=True`` routes BOTH ranks through the
+    O44 two-phase prefix sum (:func:`_ranked_with_n`) — bit-identical
+    medians, no single-partition group sort.
     """
     base = tm.select(
         "event_type",
         "task_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
     )
-    w1 = Window.partitionBy("event_type").orderBy("v", "task_id")
-    r1 = base.withColumn("rn", F.row_number().over(w1)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
-    )
+    r1 = _ranked_with_n(base, "event_type", ["v", "task_id"], distributed)
     med = r1.groupBy("event_type").agg(
         F.max(
             F.when(F.col("rn") - 1 == F.floor((F.col("n") - 1) * 0.5), F.col("v"))
@@ -1768,9 +1800,8 @@ def anomaly_mad(tm: DataFrame) -> DataFrame:
     dev = base.join(F.broadcast(med), "event_type").withColumn(
         "abs_dev", F.abs(F.col("v") - F.col("med_cents"))
     )
-    w2 = Window.partitionBy("event_type").orderBy("abs_dev", "task_id")
-    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    r2 = _ranked_with_n(
+        dev, "event_type", ["abs_dev", "task_id"], distributed
     )
     mad = r2.groupBy("event_type").agg(
         F.max(
@@ -1803,7 +1834,7 @@ def anomaly_mad(tm: DataFrame) -> DataFrame:
     )
 
 
-def cusum_drift(tm: DataFrame) -> DataFrame:
+def cusum_drift(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O59: CUSUM drift localization per metric type — "did this metric's
     LEVEL shift, and when": the peak of the cumulative deviation from the
     series mean marks the changepoint (Page's CUSUM statistic / the first
@@ -1845,16 +1876,25 @@ def cusum_drift(tm: DataFrame) -> DataFrame:
     tot = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), F.sum("x").alias("sum_x")
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("metric_time_ms", "task_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deved = base.join(F.broadcast(tot), "event_type").withColumn(
+        "dev", F.col("n_events") * F.col("x") - F.col("sum_x")
     )
-    cum = (
-        base.join(F.broadcast(tot), "event_type")
-        .withColumn("dev", F.col("n_events") * F.col("x") - F.col("sum_x"))
-        .withColumn("s", F.sum("dev").over(w))
-    )
+    if distributed:
+        # Two-phase prefix sum of dev over the (time, task) order — the
+        # running S without a whole-type window partition; bit-identical
+        # (integer addition is associative), pinned in tests/test_plans.py.
+        from .pipeline import _prefix_sum
+
+        cum = _prefix_sum(
+            deved, "event_type", ["metric_time_ms", "task_id"], "dev", "s"
+        )
+    else:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("metric_time_ms", "task_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = deved.withColumn("s", F.sum("dev").over(w))
     extremes = cum.groupBy("event_type").agg(
         F.max("n_events").alias("n_events"),
         F.max("s").alias("cum_peak"),
@@ -1898,16 +1938,20 @@ def cusum_drift(tm: DataFrame) -> DataFrame:
     )
 
 
-def tail_thresholds(tm: DataFrame) -> DataFrame:
+def tail_thresholds(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """Per-type p99 tail thresholds (the shared O8 lower-order-statistic)
     — the TRAINED half of the O60 sampling policy. In production these
     come from the history table and are broadcast against the live
     stream; here one definition serves the batch report and the
-    streaming runner so the policy cannot drift between them."""
-    w = Window.partitionBy("event_type").orderBy("value", "task_id")
-    ranked = tm.select("event_type", "value", "task_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    streaming runner so the policy cannot drift between them.
+    ``distributed=True`` = the O44 two-phase rank (:func:`_ranked_with_n`),
+    bit-identical, for history tables whose types outgrow a partition."""
+    ranked = _ranked_with_n(
+        tm.select("event_type", "value", "task_id"),
+        "event_type",
+        ["value", "task_id"],
+        distributed,
+    )
     return ranked.groupBy("event_type").agg(
         F.max(
             F.when(
@@ -1936,7 +1980,7 @@ def tail_classified(tm: DataFrame, thresholds: DataFrame) -> DataFrame:
     )
 
 
-def tail_sampling(tm: DataFrame) -> DataFrame:
+def tail_sampling(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O60: TAIL-BASED sampling policy report — the trace-volume answer at
     100 TB/day: keep EVERY error, every tail-latency record (value ≥ the
     type's p99), and a deterministic 1% uniform baseline; drop the rest.
@@ -1956,7 +2000,7 @@ def tail_sampling(tm: DataFrame) -> DataFrame:
     threshold/classify stages are shared with the streaming-on-ingest
     twin (:func:`tail_thresholds` / :func:`tail_classified`).
     """
-    classified = tail_classified(tm, tail_thresholds(tm))
+    classified = tail_classified(tm, tail_thresholds(tm, distributed))
     return (
         classified.groupBy("event_type")
         .agg(

@@ -1489,7 +1489,9 @@ def orders_market_basket(
     )
 
 
-def orders_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def orders_ship_latency(
+    lineitem: DataFrame, orders: DataFrame, distributed: bool = False
+) -> DataFrame:
     """T45: order→ship latency distribution per order priority — the
     fulfillment-SLA panel (does '1-URGENT' actually ship faster, and how
     heavy is the tail): p25/p50/p75/p99 of days-to-ship plus the share
@@ -1506,9 +1508,14 @@ def orders_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
 
     Scale shape: one fact⋈fact equi-join on orderkey (co-partitioned
     shuffle; the bucketed-table layout in sources/bucketed.py makes it
-    zero-Exchange when pre-bucketed), one ranked window per priority
-    (5 groups), one rollup.
+    zero-Exchange when pre-bucketed), one ranked pass per priority
+    (5 groups), one rollup. ``distributed=True`` routes the rank through
+    the shared O44 two-phase prefix sum (`_ranked_with_n`) — bit-identical
+    percentiles with no single-partition priority sort (a hot priority at
+    100× otherwise becomes one straggler task); pinned in
+    ``tests/test_plans.py``.
     """
+    from .observability import _ranked_with_n
     j = lineitem.select("l_orderkey", "l_linenumber", "l_shipdate").join(
         orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
         F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1521,11 +1528,11 @@ def orders_ship_latency(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             "(unix_millis(CAST(l_shipdate AS TIMESTAMP)) - unix_millis(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000"
         ).alias("lat_days"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "lat_days", "l_orderkey", "l_linenumber"
-    )
-    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority"))
+    ranked = _ranked_with_n(
+        base,
+        "o_orderpriority",
+        ["lat_days", "l_orderkey", "l_linenumber"],
+        distributed,
     )
 
     def pick(p, name):

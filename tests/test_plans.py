@@ -452,3 +452,53 @@ def test_q2_filters_broadcast_into_pair_stream(spark, sf_dir):
     broadcast into lineitem before the pair aggregation."""
     plan = _executed_plan(REGISTRY["tpch_q2_min_cost_supplier"].builder(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+ORDER_STAT_FAMILY = [
+    "task_percentiles",
+    "percentile_timeline",
+    "anomaly_mad",
+    "cusum_drift",
+    "tail_sampling",
+    "orders_ship_latency",
+]
+
+
+@pytest.mark.parametrize("name", ORDER_STAT_FAMILY)
+def test_order_stat_family_distributed_bit_equal(spark, sf_dir, name):
+    """r8: every order-statistic operator's ``distributed=True`` path
+    (the shared `_ranked_with_n` two-phase rank / `_prefix_sum` running
+    sum) must be BIT-identical to the window formulation, and its plan
+    must actually avoid the single-partition group sort: the two-phase
+    plan carries the `_pid` slice column; the window plan must not."""
+    from guidance_for_analytics_observability_on_aws_spark.operators import (
+        observability as obs,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        orders_ship_latency,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tables = load_tables(spark, sf_dir)
+    if name == "orders_ship_latency":
+        def build(d):
+            return orders_ship_latency(tables["lineitem"], tables["orders"], d)
+    else:
+        tm = task_metrics(tables["events"])
+
+        def build(d):
+            return getattr(obs, name)(tm, d)
+
+    win, dist = build(False), build(True)
+    rows_w = sorted((tuple(r) for r in win.collect()), key=str)
+    rows_d = sorted((tuple(r) for r in dist.collect()), key=str)
+    assert rows_w == rows_d, f"{name}: distributed path diverged"
+    assert rows_w, f"{name}: empty result"
+    plan_w, plan_d = _executed_plan(win), _executed_plan(dist)
+    assert "_pid" in plan_d, f"{name}: distributed plan lacks slice ranks"
+    assert "_pid" not in plan_w, f"{name}: window plan unexpectedly sliced"
