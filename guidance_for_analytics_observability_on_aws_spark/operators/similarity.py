@@ -16,7 +16,7 @@ All cosines use the quantized-integer formulation from
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import QUANT, cosine6, dot, quantize, sq_norm
@@ -107,6 +107,46 @@ def _model_key(tag: str, df: DataFrame, *params) -> tuple | None:
     return (tag, h, _input_footprint(df)) + params
 
 
+#: Models loaded from a persisted snapshot, keyed by the CROSS-SESSION-
+#: stable part of the cache key: (tag, file-footprint, *hyperparams).
+#: ``semanticHash`` is NOT stable across Spark sessions (plan
+#: canonicalization normalizes per-JVM expression ids), so a model
+#: persisted by session A can't be found by session B under the full
+#: key. The stable subkey IS a sound cross-session identity: within a
+#: tag the files→training pipeline is fixed code, so the model is
+#: determined by (input files+sizes+mtimes, hyperparams) — EXCEPT when
+#: the footprint is 0 (no scan files, e.g. a createDataFrame input), in
+#: which case the fallback is disabled and only the exact in-session key
+#: resolves (two different local frames must never share a model).
+_LOADED_MODELS: dict[tuple, object] = {}
+#: Promotions from _LOADED_MODELS into the session cache — lets tests pin
+#: that a replay actually served the persisted model (a deterministic
+#: retrain would produce identical values, masking a key mismatch).
+_LOADED_HITS = {"n": 0}
+
+
+def _stable_key(key: tuple) -> tuple:
+    """(tag, footprint, *params) — the full key minus semanticHash."""
+    return (key[0], key[2]) + key[3:]
+
+
+def _cache_get(key: tuple | None):
+    """Two-tier model lookup: exact session key, then (footprint != 0)
+    the persisted-snapshot store under the stable subkey — promoting a
+    hit into the session cache under the full key."""
+    if key is None:
+        return None
+    model = _TRAINED_CACHE.get(key)
+    if model is not None:
+        return model
+    if key[2] != 0:
+        model = _LOADED_MODELS.get(_stable_key(key))
+        if model is not None:
+            _LOADED_HITS["n"] += 1
+            _cache_put(key, model)
+    return model
+
+
 def _cache_put(key: tuple | None, value) -> None:
     if key is None:
         return
@@ -115,9 +155,153 @@ def _cache_put(key: tuple | None, value) -> None:
     _TRAINED_CACHE[key] = value
 
 
-def trained_cache_clear() -> None:
-    """Drop every cached trained model (tests / file-mutation escape hatch)."""
+def trained_cache_clear(loaded_too: bool = True) -> None:
+    """Drop every cached trained model (tests / file-mutation escape
+    hatch); ``loaded_too=False`` keeps the persisted-snapshot store."""
     _TRAINED_CACHE.clear()
+    if loaded_too:
+        _LOADED_MODELS.clear()
+
+
+def _key_json(key: tuple) -> str:
+    """Canonical JSON of a trained-model cache key — the cross-session
+    identity of a model. Every key element is a JSON scalar (tag string,
+    semanticHash int, file-footprint int, hyperparameter ints), so the
+    round trip ``tuple(json.loads(_key_json(k))) == k`` is exact."""
+    import json as _json
+
+    return _json.dumps(list(key), separators=(",", ":"))
+
+
+def persist_trained_models(spark: SparkSession, table_dir: str) -> tuple[int, int]:
+    """Write every session-cached trained model (coarse-quantizer
+    centroids, PQ codebooks) as ONE snapshot-table version
+    (``sources/snapshots.py`` — manifest-pinned, atomic publish, time
+    travel) so "train once, serve many" survives Spark-session restarts.
+
+    Row layout (one row per centroid / codeword — models are driver-held
+    k·d floats, kilobytes): ``key_json`` (the full cache key, see
+    :func:`_key_json`), ``tag``, ``sub`` (PQ subspace, −1 for coarse/raw
+    centroid models), ``cid`` (cluster / code id), ``vec``. Returns
+    ``(snapshot_version, n_models)``.
+    """
+    from ..sources.snapshots import commit_append
+
+    rows = []
+    n_models = 0
+    for key, model in _TRAINED_CACHE.items():
+        if not isinstance(model, dict) or not model:
+            continue
+        n_models += 1
+        kj, tag = _key_json(key), str(key[0])
+        for mk, vec in sorted(model.items()):
+            sub, cid = mk if isinstance(mk, tuple) else (-1, mk)
+            rows.append((kj, tag, int(sub), int(cid), [float(x) for x in vec]))
+    df = spark.createDataFrame(
+        rows, "key_json string, tag string, sub long, cid long, vec array<double>"
+    )
+    return commit_append(df, table_dir), n_models
+
+
+def index_persist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 rows-only runner ``similarity_index_persist_report``: prove the
+    production "train once, serve MANY SESSIONS" loop end-to-end on real
+    commits — train the family-shared ANN structures, persist them as a
+    snapshot version, wipe the session registry (the restart simulation —
+    the cross-PROCESS half is pinned in ``tests/test_operators.py`` with
+    an actual second Spark session), reload, and replay the search.
+
+    Four invariants, all carried in the report row and asserted loud:
+    ``models_equal`` — the reloaded driver-held structures are bit-equal
+    (doubles round-trip parquet exactly); ``keys_resolved`` — the NEW
+    session's freshly computed cache keys (semanticHash + file footprint
+    + hyperparams) find the loaded models, i.e. replay actually happens
+    rather than a silent deterministic retrain masking a key mismatch;
+    ``replay_equal`` — the replayed search is row-identical to the
+    pre-persist search; plus the snapshot version/model counts.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from ..sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    work = tempfile.mkdtemp(prefix="gfaooa_models_")
+    try:
+        search1 = similarity_ivf_pq(emb)
+        r1 = sorted((tuple(r) for r in search1.collect()), key=str)
+        expected_keys = set(_TRAINED_CACHE)
+        saved = {k: dict(v) for k, v in _TRAINED_CACHE.items()}
+        version, n_models = persist_trained_models(spark, work)
+        trained_cache_clear()
+        n_loaded = load_trained_models(spark, work)
+        models_equal = {
+            k: v for k, v in _TRAINED_CACHE.items() if k in saved
+        } == saved and set(saved) <= set(_TRAINED_CACHE)
+        keys_resolved = expected_keys <= set(_TRAINED_CACHE)
+        r2 = sorted(
+            (tuple(r) for r in similarity_ivf_pq(emb).collect()), key=str
+        )
+        replay_equal = r1 == r2
+        if not (models_equal and keys_resolved and replay_equal):
+            raise AssertionError(
+                f"persisted-model replay broken: models_equal={models_equal} "
+                f"keys_resolved={keys_resolved} replay_equal={replay_equal}"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            Row(
+                version=version,
+                n_models=n_models,
+                n_loaded=n_loaded,
+                models_equal=models_equal,
+                keys_resolved=keys_resolved,
+                replay_equal=replay_equal,
+                n_result_rows=len(r1),
+            )
+        ]
+    )
+
+
+def load_trained_models(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> int:
+    """Load a persisted model snapshot back into the session registry
+    (latest version unless pinned); returns the number of models loaded.
+
+    Each model lands in the session cache under its persisted full key
+    AND in the cross-session store under the STABLE subkey (tag,
+    file-footprint, hyperparams — ``semanticHash`` is per-JVM and
+    deliberately excluded, see ``_LOADED_MODELS``). A consumer
+    (D17/D20/D21/D22/D23) that would have trained finds its model via
+    :func:`_cache_get`'s fallback: replay is bit-identical to retraining
+    (training is deterministic and the cache stores exactly the
+    structures that produced the original results — pinned in
+    ``tests/test_operators.py`` across two real Spark processes). A
+    model whose underlying data changed since persist gets a DIFFERENT
+    footprint in the new session and retrains instead of replaying
+    stale state; footprint-less models (no scan files) never serve
+    cross-session.
+    """
+    import json as _json
+
+    from ..sources.snapshots import read_snapshot
+
+    by_key: dict[tuple, dict] = {}
+    for r in read_snapshot(spark, table_dir, version).collect():
+        key = tuple(_json.loads(r.key_json))
+        model = by_key.setdefault(key, {})
+        mk = int(r.cid) if r.sub < 0 else (int(r.sub), int(r.cid))
+        model[mk] = [float(x) for x in r.vec]
+    for key, model in by_key.items():
+        _cache_put(key, model)
+        if key[2] != 0:
+            _LOADED_MODELS[_stable_key(key)] = model
+    return len(by_key)
 
 
 #: Sub-blocks per label block in D5/D8. Work per join task is bounded by
@@ -573,7 +757,7 @@ def _kmeans_assignments(
         raise ValueError(f"k-means needs max_iter >= 1, got {max_iter}")
     if q is None:
         q = _quantized(embeddings).select("vec_id", "qv", "nrm")
-    cached = _TRAINED_CACHE.get(cache_key) if cache_key is not None else None
+    cached = _cache_get(cache_key)
     if cached is not None:
         assigned = _assign_pass(q, cached)
         return (assigned, cached) if return_centroids else assigned
@@ -925,7 +1109,7 @@ def _pq_train(
     replaying cached books is identical to retraining (D20 and D21 train
     the same books over the same normalized corpus; either primes the
     other)."""
-    cached = _TRAINED_CACHE.get(cache_key) if cache_key is not None else None
+    cached = _cache_get(cache_key)
     if cached is not None:
         return cached
     seeds = (

@@ -378,6 +378,16 @@ _register(
     None,
 )
 
+# Rows-only: D26 (r8) — trained-ANN model persistence across sessions:
+# train → snapshot-commit → registry wipe → reload → replay, with
+# model-bit-equality, key-resolution, and search-row-identity asserted
+# loud in the runner (cross-PROCESS twin in tests/test_operators.py).
+_register(
+    "similarity_index_persist_report",
+    lambda s, d: similarity.index_persist_report(s, d),
+    None,
+)
+
 
 # --- Group P: training-data pipeline ----------------------------------------
 from .pipeline_oracles import PIPELINE_ORACLES  # noqa: E402

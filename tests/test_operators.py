@@ -1804,3 +1804,77 @@ def test_ship_latency_percentiles_monotone_and_consistent(spark, sf_dir):
             > 120
         ).filter(F.col("o_orderpriority") == r.o_orderpriority).count()
         assert r.n_over_sla == want_over
+
+
+def test_trained_model_persistence_across_spark_sessions(spark, sf_dir, tmp_path):
+    """D26 (r8): a model trained and snapshot-persisted by a DIFFERENT
+    Spark session (separate process, separate JVM) must be found by THIS
+    session's freshly computed cache keys (semanticHash + file footprint
+    are cross-session stable for the same on-disk data), be bit-equal to
+    what this session would train, and replay the search row-identically
+    — the production "train once, serve many sessions" loop."""
+    import subprocess
+    import sys
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _LOADED_HITS,
+        _LOADED_MODELS,
+        _TRAINED_CACHE,
+        _stable_key,
+        load_trained_models,
+        similarity_ivf_pq,
+        trained_cache_clear,
+    )
+
+    table_dir = str(tmp_path / "ann_models")
+    script = (
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from guidance_for_analytics_observability_on_aws_spark.session import get_spark\n"
+        "from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (\n"
+        "    persist_trained_models, similarity_ivf_pq)\n"
+        "from guidance_for_analytics_observability_on_aws_spark.sources.tables import load_tables\n"
+        "spark = get_spark('train-session')\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"emb = load_tables(spark, '{sf_dir}')['embeddings']\n"
+        "similarity_ivf_pq(emb).write.format('noop').mode('overwrite').save()\n"
+        f"v, n = persist_trained_models(spark, '{table_dir}')\n"
+        "assert n >= 2, f'trained {n} models'\n"
+        "spark.stop()\n"
+    )
+    subprocess.run(
+        [sys.executable, "-c", script], check=True, cwd="/root/repo", timeout=420
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    # What THIS session would train from scratch (deterministic).
+    trained_cache_clear()
+    ref_rows = sorted((tuple(r) for r in similarity_ivf_pq(emb).collect()), key=str)
+    retrained = {k: dict(v) for k, v in _TRAINED_CACHE.items()}
+    assert len(retrained) >= 2
+
+    # Restart simulation: wipe, load the OTHER session's snapshot.
+    trained_cache_clear()
+    n_loaded = load_trained_models(spark, table_dir)
+    assert n_loaded >= 2
+    # Cross-session identity: semanticHash is per-JVM (NOT stable across
+    # sessions), so resolution goes through the STABLE subkey (tag, file
+    # footprint, hyperparams) — this session's keys must map onto the
+    # loaded store.
+    assert {
+        _stable_key(k) for k in retrained
+    } <= set(_LOADED_MODELS), "cross-session stable-key mismatch"
+    # Bit-equality of the driver-held structures (doubles round-trip parquet).
+    for k, model in retrained.items():
+        assert _LOADED_MODELS[_stable_key(k)] == model, f"model drift for {k}"
+    # Replay is row-identical AND actually served the persisted models:
+    # the hit counter distinguishes a true replay from a silent
+    # deterministic retrain (which would produce identical rows).
+    hits_before = _LOADED_HITS["n"]
+    replay_rows = sorted(
+        (tuple(r) for r in similarity_ivf_pq(emb).collect()), key=str
+    )
+    assert replay_rows == ref_rows
+    assert _LOADED_HITS["n"] >= hits_before + 2, "search retrained instead of replaying"
+    # The promoted full keys are this session's own keys.
+    assert set(retrained) <= set(_TRAINED_CACHE)
