@@ -707,6 +707,21 @@ def _stream_near_dedup(s, d):
 _register("stream_near_dedup_ingest", _stream_near_dedup, None)
 
 
+# Rows-only: O62 (r8) — CUSUM drift ON INGEST: reference level trained on
+# the history table (the O61 threshold pattern), running cross-multiplied
+# S per type in keyed streaming state (applyInPandasWithState, six
+# BIGINTs/type); final extremes/changepoints identical to batch O59 when
+# history == streamed series, pinned in tests/test_streaming.py across a
+# multi-file ordered re-drop.
+def _stream_cusum(s, d):
+    from ..streaming.stateful import run_streaming_cusum
+
+    return run_streaming_cusum(s, d)
+
+
+_register("stream_cusum_drift", _stream_cusum, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).

@@ -180,3 +180,172 @@ def run_tws_buffer_counter(
         else:
             spark.conf.set(prov_key, prior)
     return spark.table(sink_name)
+
+
+# --- O62: CUSUM drift ON INGEST (streaming twin of batch O59) ----------------
+# The production changepoint shape: the reference level (n_hist, Σx_hist)
+# is TRAINED on the history table (exactly how O61 trains its tail
+# thresholds), broadcast into the stream as constants, and the running
+# cross-multiplied CUSUM statistic S = Σ(n_hist·x_j − Σx_hist) is kept
+# PER TYPE in keyed streaming state across micro-batches — the O18
+# applyInPandasWithState pattern, state = six BIGINTs per type, bounded
+# forever. Arrival order contract: micro-batches must deliver a type's
+# rows in (metric_time_ms, task_id) order across batches (file drops are
+# listed in order; a real deployment orders by ingestion time) — CUSUM is
+# an order-dependent statistic, the same contract the batch window sort
+# encodes. When the history equals the streamed series, every S_i —
+# hence the final extremes, their first-attained times, and drift_score —
+# is IDENTICAL to batch cusum_drift (pinned in tests/test_streaming.py
+# across a 4-file ordered re-drop, maxFilesPerTrigger=1).
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, n_events bigint, cum_peak bigint, cum_trough bigint, "
+    "peak_time_ms bigint, trough_time_ms bigint, drift_score double"
+)
+CUSUM_STATE_SCHEMA = (
+    "s bigint, peak bigint, trough bigint, peak_t bigint, trough_t bigint, "
+    "n_seen bigint"
+)
+
+
+def _make_cusum_update(hist: dict):
+    """Build the keyed update fn with the history totals (tiny dict
+    {event_type: (n_hist, sum_hist)}) captured in the closure — the
+    stream-static broadcast for a stateful operator."""
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        etype = key[0]
+        n_h, sum_h = hist[etype]
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["metric_time_ms", "task_id"], ignore_index=True)
+        if state.exists:
+            s0, peak, trough, peak_t, trough_t, n_seen = state.get
+        else:
+            s0, peak, trough, peak_t, trough_t, n_seen = 0, None, None, 0, 0, 0
+        # Vectorized exact int64 arithmetic — same terms as the batch
+        # plan (dev = n_hist·x − Σx_hist; S = running sum), same growth
+        # bound documented on cusum_drift.
+        dev = n_h * pdf["x"].astype("int64") - sum_h
+        s = dev.cumsum() + s0
+        i_max, i_min = int(s.idxmax()), int(s.idxmin())
+        b_peak, b_trough = int(s.iloc[i_max]), int(s.iloc[i_min])
+        # First-attained times (idxmax/idxmin return the FIRST occurrence
+        # = min time in the sorted order, matching the batch join-back's
+        # MIN(metric_time_ms) WHERE s = extreme); a tie with the prior
+        # batches' extreme keeps the EARLIER time.
+        if peak is None or b_peak > peak:
+            peak, peak_t = b_peak, int(pdf["metric_time_ms"].iloc[i_max])
+        if trough is None or b_trough < trough:
+            trough, trough_t = b_trough, int(pdf["metric_time_ms"].iloc[i_min])
+        s_last = int(s.iloc[-1])
+        n_seen += len(pdf)
+        state.update((s_last, peak, trough, peak_t, trough_t, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_events": [n_seen],
+                "cum_peak": [peak],
+                "cum_trough": [trough],
+                "peak_time_ms": [peak_t],
+                "trough_time_ms": [trough_t],
+                "drift_score": [max(peak, -trough) / (n_h * n_h)],
+            }
+        )
+
+    return _update
+
+
+def run_streaming_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    sink_name: str | None = None,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """O62 runner: train the per-type reference level on the history
+    table at ``sf_dir``, stream the arrivals (``stream_dir`` or the same
+    events table), maintain the running CUSUM per type in keyed state,
+    and return the LATEST drift row per type (the row carrying the
+    final extremes/changepoints — identical to batch ``cusum_drift``
+    when history == streamed series)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators.observability import cusum_drift  # noqa: F401  (twin)
+    from .collector import events_stream
+
+    name = sink_name or f"gfaooa_cusum_sink_{_uuid.uuid4().hex}"
+    hist_tm = task_metrics(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    hist = {
+        r.event_type: (int(r.n), int(r.sx))
+        for r in hist_tm.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sx"),
+        )
+        .collect()
+    }
+    known = list(hist.keys())
+    if stream_dir is None:
+        tm = task_metrics(events_stream(spark, sf_dir))
+    else:
+        tm = task_metrics(
+            events_stream(
+                spark, stream_dir, glob="*.parquet",
+                max_files_per_trigger=max_files_per_trigger,
+            )
+        )
+    base = tm.select(
+        "event_type",
+        "metric_time_ms",
+        "task_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    ).filter(F.col("event_type").isin(known))
+    out = base.groupBy("event_type").applyInPandasWithState(
+        _make_cusum_update(hist),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    if progress_out is not None:
+        # One update row per (type, micro-batch that saw the type) — the
+        # per-type row count proves how many batches the state crossed.
+        progress_out.extend(
+            (r.event_type, r.n)
+            for r in spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    result = (
+        spark.table(name)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .drop("_rk")
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, result.schema)

@@ -531,3 +531,59 @@ def test_streaming_near_dedup_matches_batch_cross_verdicts(spark, sf_dir):
     # copies above 1M, which share full signatures)
     total_new = new_docs.count()
     assert sum(got.values()) < total_new
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """O62 stream_cusum_drift: the keyed running-S state must carry the
+    statistic across micro-batches — driven by a time-ordered 4+-file
+    drop with one file per micro-batch — and the final extremes, their
+    first-attained changepoint times, and drift_score must be IDENTICAL
+    to batch O59 on the same series (history == streamed data, so the
+    trained reference level equals the batch full-series mean)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        cusum_drift,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.stateful import (
+        run_streaming_cusum,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .toPandas()
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    )
+    n_chunks = 4
+    drop_dir = str(tmp_path / "cusum_drop")
+    os.makedirs(drop_dir)
+    per = (len(pdf) + n_chunks - 1) // n_chunks
+    t0 = 1_700_000_000
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), path)
+        os.utime(path, (t0 + i, t0 + i))  # ascending mtime = batch order
+    progress: list = []
+    got = run_streaming_cusum(
+        spark,
+        sf_dir,
+        stream_dir=drop_dir,
+        max_files_per_trigger=1,
+        progress_out=progress,
+    )
+    want = cusum_drift(
+        task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    )
+    got_rows = sorted((tuple(r) for r in got.collect()), key=str)
+    want_rows = sorted((tuple(r) for r in want.collect()), key=str)
+    assert got_rows == want_rows and got_rows
+    # the drive really crossed micro-batches: every type emitted an
+    # update row in >= 3 distinct batches
+    assert progress and min(n for _, n in progress) >= 3, progress
