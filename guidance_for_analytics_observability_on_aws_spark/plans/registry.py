@@ -465,6 +465,16 @@ _register(
     PIPELINE_ORACLES["dup_groups"],
 )
 
+# P19 (r8): incremental dup-group maintenance — prior labels contracted to
+# their roots, only the NEW batch's edges re-clustered, composed labels
+# identical to a full recompute (two-level contraction), so it SHARES
+# P4's oracle too; merge-across-old-groups path pinned in tests.
+_register(
+    "dup_groups_incremental",
+    lambda s, d: pipeline.dup_groups_incremental(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dup_groups"],
+)
+
 _register(
     "cross_source_overlap",
     lambda s, d: pipeline.cross_source_overlap(load_tables(s, d)["documents"]),

@@ -1878,3 +1878,53 @@ def test_trained_model_persistence_across_spark_sessions(spark, sf_dir, tmp_path
     assert _LOADED_HITS["n"] >= hits_before + 2, "search retrained instead of replaying"
     # The promoted full keys are this session's own keys.
     assert set(retrained) <= set(_TRAINED_CACHE)
+
+
+def test_dup_groups_incremental_equals_full_recompute(spark, sf_dir):
+    """P19: folding the new batch's edges into prior labels must yield
+    exactly P4's full-recompute groups on the planted two-batch corpus
+    (old = doc_id < 1e6, new = the planted ≥ 1e6 copies)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups,
+        dup_groups_incremental,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    inc = sorted(tuple(r) for r in dup_groups_incremental(docs).collect())
+    full = sorted(tuple(r) for r in dup_groups(docs).collect())
+    assert inc == full and inc
+
+
+def test_dup_labels_incremental_fold_merges_old_groups(spark):
+    """The fold must handle the hard case the natural corpus may never
+    exercise: ONE new doc bridging TWO distinct prior components (plus a
+    previously-isolated old doc first touched by a new edge). Expected
+    labels follow min-id composition; cross-checked against star CC over
+    the union graph."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_labels_incremental_fold,
+        dup_labels_star,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 4)], "doc_a long, doc_b long"
+    )
+    # 100 bridges components {1,2,5} and {3,4}; 7 is an old isolated doc
+    # first labeled now; (101, 102) is a new-new pair.
+    new_pairs = spark.createDataFrame(
+        [(2, 100), (100, 4), (7, 101), (101, 102)], "doc_a long, doc_b long"
+    )
+    prior = dup_labels_star(None, pairs=old_pairs)
+    folded = {
+        r.src: r.group_id
+        for r in dup_labels_incremental_fold(prior, new_pairs).collect()
+    }
+    want = {
+        r.src: r.group_id
+        for r in dup_labels_star(
+            None, pairs=old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert folded == want
+    assert folded[100] == 1 and folded[4] == 1 and folded[5] == 1  # merged
+    assert folded[7] == 7 and folded[101] == 7 and folded[102] == 7
