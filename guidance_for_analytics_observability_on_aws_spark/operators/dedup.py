@@ -207,18 +207,49 @@ def band_buckets(sig: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
 
 
-def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(sig: DataFrame, n_splits: int = 1) -> DataFrame:
     """(doc_a, doc_b, n_shared_bands) LSH candidate pairs from a MinHash
-    signature frame — the banding join D3, D15 and D18 all share."""
+    signature frame — the banding join D3, D15 and D18 all share.
+
+    ``n_splits`` is the HOT-BUCKET mitigation (band-key salting, the
+    lossless D5/D8 sub-block trick applied to the bucket self-join): a
+    boilerplate template shared by thousands of docs puts them all in one
+    (band, hash) bucket, whose n² pair generation then lands in ONE
+    reduce task — the dedup-chain skew shape uniform corpora never hit.
+    With splits, the build side keys on (bucket, sub(doc_id)) and the
+    probe side replicates over all subs, so every qualifying pair still
+    meets EXACTLY once (pair-set equality pinned in tests and measured in
+    tools/scale_stress.py's skewed_dedup probe) while the largest task
+    holds bucket_n·bucket_n/s instead of bucket_n² — per-task memory and
+    work drop s×, at an s× probe-replication price only bucket rows pay.
+    The candidate OUTPUT is unchanged (those pairs genuinely collide);
+    what the salt fixes is the straggler/OOM task, exactly like the
+    salted broadcast join in operators/skew.py."""
     buckets = band_buckets(sig)
-    pairs = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
+    if n_splits <= 1:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cond = (
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+    else:
+        a = buckets.withColumn(
+            "t",
+            F.explode(F.array(*[F.lit(i) for i in range(n_splits)])),
+        ).alias("a")
+        b = buckets.withColumn(
+            "t", F.pmod(F.xxhash64("doc_id"), F.lit(n_splits))
+        ).alias("b")
+        cond = (
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    pairs = (
+        a.join(b, cond)
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.countDistinct("a.band_id").alias("n_shared_bands"))
     )
@@ -226,15 +257,22 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(
-    documents: DataFrame, base: DataFrame | None = None
+    documents: DataFrame, base: DataFrame | None = None, n_splits: int = 1
 ) -> DataFrame:
     """D3: MinHash + LSH banding candidate pairs.
 
     Scale path for D2: pairs only form inside (band, band_signature)
     buckets; the band signature is an md5 over the band's minhash row, so
-    bucket keys are uniform 16-byte strings — no skew hot-spots.
+    bucket keys are uniform 16-byte strings — no skew hot-spots FROM KEY
+    DISTRIBUTION. Content skew is different: a boilerplate template
+    shared by a large doc population creates one genuinely hot bucket;
+    ``n_splits > 1`` engages the lossless band-key salting described on
+    :func:`_lsh_candidate_pairs` (pair set unchanged, largest task s×
+    smaller).
     """
-    return _lsh_candidate_pairs(minhash_signatures(documents, base=base))
+    return _lsh_candidate_pairs(
+        minhash_signatures(documents, base=base), n_splits=n_splits
+    )
 
 
 def dedup_minhash_estimate(

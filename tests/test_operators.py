@@ -1928,3 +1928,20 @@ def test_dup_labels_incremental_fold_merges_old_groups(spark):
     assert folded == want
     assert folded[100] == 1 and folded[4] == 1 and folded[5] == 1  # merged
     assert folded[7] == 7 and folded[101] == 7 and folded[102] == 7
+
+
+def test_lsh_band_salting_lossless(spark, sf_dir):
+    """r8: the hot-bucket band-key salting (n_splits) must emit the EXACT
+    candidate pair multiset of the unsalted join — the salt bounds the
+    per-task bucket work, never the output — including the per-pair
+    n_shared_bands count."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plain = sorted(tuple(r) for r in dedup_minhash_lsh(docs).collect())
+    salted = sorted(
+        tuple(r) for r in dedup_minhash_lsh(docs, n_splits=8).collect()
+    )
+    assert plain == salted and plain

@@ -224,6 +224,129 @@ def generate_skewed(spark: SparkSession, base: str, uniform_dst: str, dst: str) 
     out.repartition(16).write.mode("overwrite").parquet(f"{dst}/events.parquet")
 
 
+#: Hot-template replica (r8, skewed_dedup section): every HOT_EVERY-th doc
+#: of replica 1 gets a shared boilerplate TEMPLATE prepended — the
+#: mass-produced-page shape (one template, per-doc unique body) that
+#: uniform decorrelated replication never produces. With ~150 shared
+#: template tokens on ~45-token bodies, hot-pair shingle Jaccard sits
+#: ≈0.7-0.8; a doc's whole 4-hash band takes its mins from the template
+#: shingles with prob J⁴≈0.3, so each band grows ONE mega-bucket of
+#: ≈0.3·N_hot docs — the n²-in-one-reduce-task straggler the band-key
+#: salting mitigation (dedup._lsh_candidate_pairs n_splits) exists for.
+HOT_EVERY = 10
+HOT_TEMPLATE = " ".join(f"tmplskw{i}" for i in range(150))
+
+#: The dedup chain re-timed on the hot-template corpus: candidates (D3),
+#: banded exact re-score (D15), sketch verdicts (D18), CC groups (P15).
+DEDUP_SKEW_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_containment_banded",
+    "dedup_minhash_estimate",
+    "dup_groups_star",
+]
+
+
+def generate_skewed_dedup(
+    spark: SparkSession, uniform_dst: str, dst: str
+) -> None:
+    """Hot-template 10× documents; every other table hard-linked from the
+    uniform 10× set."""
+    import glob
+
+    os.makedirs(dst, exist_ok=True)
+    for p in glob.glob(f"{uniform_dst}/*.parquet"):
+        name = os.path.basename(p)
+        if name != "documents.parquet" and not os.path.exists(f"{dst}/{name}"):
+            os.link(p, f"{dst}/{name}")
+    docs = spark.read.parquet(f"{uniform_dst}/documents.parquet")
+    hot = (
+        (F.col("doc_id") >= 10_000_000)
+        & (F.col("doc_id") < 20_000_000)
+        & (F.col("doc_id") % HOT_EVERY == 0)
+    )
+    out = docs.select(
+        "doc_id",
+        F.when(hot, F.concat(F.lit(HOT_TEMPLATE + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    out.coalesce(8).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+
+def bucket_fanout(spark: SparkSession, sf_dir: str) -> dict:
+    """Band-bucket occupancy stats for a corpus — the skew evidence:
+    max bucket size and the implied pair count Σ n·(n-1)/2 (what the
+    bucket self-join must emit, however it is partitioned)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        band_buckets,
+        minhash_signatures,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    occ = (
+        band_buckets(minhash_signatures(docs))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = occ.agg(
+        F.max("n").alias("max_bucket"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("implied_pairs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    return {
+        "max_bucket": int(row.max_bucket),
+        "implied_pairs": int(row.implied_pairs),
+        "n_buckets": int(row.n_buckets),
+    }
+
+
+def salting_probe(spark: SparkSession, skew_dir: str, n_splits: int = 8) -> dict:
+    """The mitigation, measured: the salted banding join must emit the
+    EXACT same candidate pair set (losslessness — the salt bounds the
+    task, never the output) with the hot bucket's pair generation spread
+    over n_splits tasks instead of one."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        _lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, skew_dir)["documents"]
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    plain = _lsh_candidate_pairs(sig)
+    plain.write.format("noop").mode("overwrite").save()
+    plain_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    salted = _lsh_candidate_pairs(sig, n_splits=n_splits)
+    salted.write.format("noop").mode("overwrite").save()
+    salted_sec = round(time.perf_counter() - t0, 3)
+    diff = (
+        plain.select("doc_a", "doc_b")
+        .exceptAll(salted.select("doc_a", "doc_b"))
+        .unionByName(
+            salted.select("doc_a", "doc_b").exceptAll(
+                plain.select("doc_a", "doc_b")
+            )
+        )
+        .count()
+    )
+    return {
+        "n_splits": n_splits,
+        "plain_sec": plain_sec,
+        "salted_sec": salted_sec,
+        "pair_set_equal": diff == 0,
+        "n_pairs": plain.count(),
+    }
+
+
 def aqe_skew_split_fires(spark: SparkSession, skew_dir: str) -> bool:
     """Join the skewed 10× events against a small per-user dim with
     broadcast disabled and default-ish skew thresholds scaled to the data:
@@ -333,6 +456,35 @@ def main() -> None:
     skew_pin = aqe_skew_split_fires(spark, skew_dst)
     print(f"  [skew] aqe_skew_split_fired={skew_pin}", file=sys.stderr)
 
+    # --- skewed_dedup section (r8): hot-template corpus ----------------
+    dedup_skew_dst = dst.rstrip("/") + "_dedupskew"
+    if not os.path.exists(f"{dedup_skew_dst}/documents.parquet"):
+        print("generating hot-template 10x documents ...", file=sys.stderr)
+        generate_skewed_dedup(spark, dst, dedup_skew_dst)
+    fan_uniform = bucket_fanout(spark, dst)
+    fan_hot = bucket_fanout(spark, dedup_skew_dst)
+    print(
+        f"  [dedup-skew] bucket fan-out uniform={fan_uniform} hot={fan_hot}",
+        file=sys.stderr,
+    )
+    dedup_skew_results = {}
+    for name in DEDUP_SKEW_QUERIES:
+        u_sec, _ = timed(spark, name, dst)
+        s_sec, s_rows = timed(spark, name, dedup_skew_dst)
+        ratio = round(s_sec / u_sec, 2) if u_sec > 0 else None
+        dedup_skew_results[name] = {
+            "uniform_x10_sec": u_sec,
+            "hot_template_sec": s_sec,
+            "skew_ratio": ratio,
+            "hot_rows": s_rows,
+        }
+        print(
+            f"  [dedup-skew] {name}: {u_sec}s -> {s_sec}s (x{ratio})",
+            file=sys.stderr,
+        )
+    salt = salting_probe(spark, dedup_skew_dst)
+    print(f"  [dedup-skew] salting_probe={salt}", file=sys.stderr)
+
     payload = {
         "metric": "scale_stress_10x",
         "base_sf_dir": base,
@@ -346,6 +498,14 @@ def main() -> None:
             "hot_share": 0.5,
             "queries": skew_results,
             "aqe_skew_split_fired": skew_pin,
+        },
+        "skewed_dedup": {
+            "hot_template_tokens": len(HOT_TEMPLATE.split()),
+            "hot_every": HOT_EVERY,
+            "bucket_fanout_uniform": fan_uniform,
+            "bucket_fanout_hot": fan_hot,
+            "queries": dedup_skew_results,
+            "salting": salt,
         },
     }
     payload["sum_ratio"] = round(
