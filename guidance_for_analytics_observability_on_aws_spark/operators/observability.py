@@ -2038,3 +2038,126 @@ def tail_sampling(tm: DataFrame, distributed: bool = False) -> DataFrame:
             ).alias("kept_share"),
         )
     )
+
+
+def trend_regression(tm: DataFrame) -> DataFrame:
+    """O63: least-squares linear TREND per metric type — "is this metric
+    drifting, and how fast": slope (cents/second), intercept, and r² of
+    value over time, the capacity-planning regression behind every
+    "disk full in N days" projection panel (the parametric companion to
+    O59's CUSUM changepoint: CUSUM says WHERE the level moved, the
+    regression says at what sustained RATE).
+
+    Exactness contract: the five sufficient statistics (n, Σt, Σx, Σtx,
+    Σt², Σx²) are EXACT integers — x in cents, t in whole seconds offset
+    from the type's own min time (an epoch-ms t would square to ~3e24
+    and overflow; the offset keeps t² ≤ ~7e12 for a month-long window) —
+    summed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact. The
+    closed forms then run in DOUBLE over those exactly-agreed integers
+    with an identical expression tree on both engines — every operation
+    IEEE-deterministic (multiply/subtract/divide), so the hash compare
+    is exact even where cancellation costs ACCURACY (document: at n~1e6
+    the n·Σt² − (Σt)² subtraction can lose ~1-2 digits — identically on
+    both sides).
+
+    Scale shape: one broadcast of per-type min times, ONE narrow
+    aggregation pass (map-side combined) — no window, no sort; output is
+    |types| rows.
+    """
+    base = tm.select(
+        "event_type",
+        "metric_time_ms",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    t0 = base.groupBy("event_type").agg(F.min("metric_time_ms").alias("t0_ms"))
+    wt = base.join(F.broadcast(t0), "event_type").withColumn(
+        "t", F.expr("(metric_time_ms - t0_ms) DIV 1000")
+    )
+    dec = "decimal(38,0)"
+    stats = wt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("t") * F.col("x")).cast(dec)).alias("stx"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.max("t0_ms").alias("t0_ms"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sx = F.col("sx").cast("double")
+    stx = F.col("stx").cast("double")
+    stt = F.col("stt").cast("double")
+    sxx = F.col("sxx").cast("double")
+    cov_n = n * stx - st * sx  # n²·cov(t,x)
+    var_t = n * stt - st * st  # n²·var(t)
+    var_x = n * sxx - sx * sx  # n²·var(x)
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "t0_ms",
+        F.try_divide(cov_n, var_t).alias("slope_cents_per_s"),
+        F.try_divide(sx - F.try_divide(cov_n, var_t) * st, n).alias(
+            "intercept_cents"
+        ),
+        F.try_divide(cov_n * cov_n, var_t * var_x).alias("r2"),
+    )
+
+
+def metric_correlation(tm: DataFrame) -> DataFrame:
+    """O64: pairwise Pearson CORRELATION between metric types over their
+    common hourly buckets — "what moves together" (correlation search:
+    the triage step that turns 500 dashboards into 3 suspect groups; the
+    cross-metric companion to O41's metric↔log correlation).
+
+    Two stages: (1) the hour × type rollup (Σ cents per bucket — BIGINT,
+    map-side combined; buckets ≪ events); (2) a self-join of that TINY
+    rollup on the hour key (pairs bounded by types², never events) and
+    one aggregation per pair of exact integer sufficient statistics
+    (per-row a·b products cast to DECIMAL(38,0)/HUGEINT — two ~1e11-cent
+    hour sums multiply past BIGINT). Pearson r then runs in DOUBLE over
+    the exactly-agreed integers, identical expression tree both engines;
+    sqrt is IEEE-754 correctly-rounded (unlike ln — the reason X12/X14
+    avoid logs but r can keep its sqrt) so the hash compare stays exact.
+    """
+    hour = F.expr("metric_time_ms DIV 3600000 * 3600000")
+    buckets = (
+        tm.select(
+            hour.alias("hour_ms"),
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        )
+        .groupBy("hour_ms", "event_type")
+        .agg(F.sum("x").alias("v"))
+    )
+    a = buckets.select(
+        "hour_ms", F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = buckets.select(
+        "hour_ms", F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    dec = "decimal(38,0)"
+    joined = a.join(b, "hour_ms").filter(F.col("type_a") < F.col("type_b"))
+    stats = joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.col("va").cast(dec)).alias("sa"),
+        F.sum(F.col("vb").cast(dec)).alias("sb"),
+        F.sum((F.col("va").cast(dec) * F.col("vb").cast(dec))).alias("sab"),
+        F.sum((F.col("va").cast(dec) * F.col("va").cast(dec))).alias("saa"),
+        F.sum((F.col("vb").cast(dec) * F.col("vb").cast(dec))).alias("sbb"),
+    )
+    n = F.col("n_hours").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa = F.col("saa").cast("double")
+    sbb = F.col("sbb").cast("double")
+    return stats.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.try_divide(
+            n * sab - sa * sb,
+            F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
+        ).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")

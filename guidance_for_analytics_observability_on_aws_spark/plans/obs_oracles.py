@@ -1118,3 +1118,94 @@ SELECT event_type, n_total, n_error_kept, n_tail_kept, n_baseline_kept,
          / CAST(n_total AS BIGINT) AS kept_share
 FROM agg
 """
+
+# O63: least-squares trend — exact integer sufficient statistics (HUGEINT
+# sums mirror Spark's DECIMAL(38,0)), closed forms in DOUBLE with the
+# identical expression tree (IEEE-deterministic; NULLIF mirrors
+# try_divide's zero-divisor NULL).
+OBS_ORACLES["obs_trend_regression"] = f"""
+WITH {TELEMETRY_CTE},
+base AS (
+  SELECT event_type, metric_time_ms,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM task_metrics
+),
+t0 AS (
+  SELECT event_type, MIN(metric_time_ms) AS t0_ms FROM base GROUP BY 1
+),
+wt AS (
+  SELECT b.event_type, b.x, ((b.metric_time_ms - t.t0_ms) // 1000) AS t,
+         t.t0_ms
+  FROM base b JOIN t0 t USING (event_type)
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(t AS HUGEINT)) AS st,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(t AS HUGEINT) * x) AS stx,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         MAX(t0_ms) AS t0_ms
+  FROM wt GROUP BY 1
+),
+d AS (
+  SELECT event_type, n, t0_ms,
+         CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+         CAST(sx AS DOUBLE) AS sxd, CAST(stx AS DOUBLE) AS stxd,
+         CAST(stt AS DOUBLE) AS sttd, CAST(sxx AS DOUBLE) AS sxxd
+  FROM stats
+)
+SELECT event_type,
+       n AS n_events,
+       t0_ms,
+       (nd * stxd - std * sxd) / NULLIF(nd * sttd - std * std, 0)
+         AS slope_cents_per_s,
+       (sxd - ((nd * stxd - std * sxd) / NULLIF(nd * sttd - std * std, 0))
+              * std) / NULLIF(nd, 0) AS intercept_cents,
+       ((nd * stxd - std * sxd) * (nd * stxd - std * sxd))
+         / NULLIF((nd * sttd - std * std) * (nd * sxxd - sxd * sxd), 0)
+         AS r2
+FROM d
+"""
+
+# O64: pairwise Pearson over common hourly buckets — HUGEINT per-row
+# products (two ~1e11-cent hour sums multiply past BIGINT), DOUBLE
+# closed form with IEEE-correctly-rounded sqrt.
+OBS_ORACLES["obs_metric_correlation"] = f"""
+WITH {TELEMETRY_CTE},
+buckets AS (
+  SELECT (metric_time_ms // 3600000) * 3600000 AS hour_ms, event_type,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM task_metrics GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.v AS va, b.v AS vb
+  FROM buckets a JOIN buckets b USING (hour_ms)
+  WHERE a.event_type < b.event_type
+),
+stats AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         SUM(CAST(va AS HUGEINT)) AS sa,
+         SUM(CAST(vb AS HUGEINT)) AS sb,
+         SUM(CAST(va AS HUGEINT) * vb) AS sab,
+         SUM(CAST(va AS HUGEINT) * va) AS saa,
+         SUM(CAST(vb AS HUGEINT) * vb) AS sbb
+  FROM joined GROUP BY 1, 2
+),
+d AS (
+  SELECT type_a, type_b, n_hours,
+         CAST(n_hours AS DOUBLE) AS nd, CAST(sa AS DOUBLE) AS sad,
+         CAST(sb AS DOUBLE) AS sbd, CAST(sab AS DOUBLE) AS sabd,
+         CAST(saa AS DOUBLE) AS saad, CAST(sbb AS DOUBLE) AS sbbd
+  FROM stats
+)
+SELECT type_a, type_b, n_hours,
+       (nd * sabd - sad * sbd)
+         / NULLIF(SQRT((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd)), 0)
+         AS pearson_r
+FROM d
+ORDER BY type_a, type_b
+"""

@@ -899,6 +899,11 @@ _LATE_OBS_BUILDERS = {
     "obs_value_histogram": lambda s, d: obs.value_histogram(_tm(s, d)),
     "obs_metric_log_correlate": lambda s, d: obs.metric_log_correlate(_tm(s, d)),
     "obs_input_bytes_percentiles": lambda s, d: obs.input_bytes_percentiles(_tm(s, d)),
+    # r8: O63 least-squares trend, O64 pairwise Pearson correlation —
+    # exact integer sufficient statistics, IEEE-identical DOUBLE closed
+    # forms (sqrt is correctly-rounded per IEEE-754, unlike ln).
+    "obs_trend_regression": lambda s, d: obs.trend_regression(_tm(s, d)),
+    "obs_metric_correlation": lambda s, d: obs.metric_correlation(_tm(s, d)),
 }
 for _name, _b in _LATE_OBS_BUILDERS.items():
     _register(_name, _b, OBS_ORACLES[_name])
