@@ -307,3 +307,69 @@ def mm_dedup_exact(documents: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+def mm_media_sample(documents: DataFrame, budget_den: int = 4) -> DataFrame:
+    """M9: deterministic BYTE-budget media sample per modality — media
+    training sets are budgeted in bytes, not documents (a video weighs
+    10⁴ images), so "take 25% of the corpus" must mean 25% of each
+    modality's BYTES, selected reproducibly: rank payloads by the md5
+    permutation (content-independent — re-crawls keep their selection
+    status, P1/P2's determinism contract) and keep the prefix whose
+    cumulative byte count fits ``total_bytes DIV budget_den``.
+
+    Scale shape: cumulative bytes come from the shared TWO-PHASE prefix
+    sum (``pipeline._prefix_sum`` — range-partitioned local windows +
+    broadcast offsets; no whole-modality window task, M7's posture), the
+    per-modality budgets are a 3-row broadcast, and the report is one
+    tiny rollup. All-BIGINT arithmetic (budgets by integer division,
+    inclusive cum ≤ budget selection); utilization is one final division.
+    """
+    from .pipeline import _prefix_sum
+
+    meta = binary_meta(documents).select(
+        "doc_id",
+        "modality",
+        "byte_len",
+        F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+    )
+    budgets = meta.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("byte_len").cast("long").alias("total_bytes"),
+    ).select(
+        "modality",
+        "n_total",
+        "total_bytes",
+        F.expr(f"total_bytes DIV {budget_den}").alias("budget_bytes"),
+    )
+    cum = _prefix_sum(
+        meta, "modality", ["sample_key", "doc_id"], "byte_len", "cum_bytes"
+    )
+    flagged = cum.join(F.broadcast(budgets), "modality").withColumn(
+        "selected", F.when(F.col("cum_bytes") <= F.col("budget_bytes"), 1).otherwise(0)
+    )
+    return (
+        flagged.groupBy("modality")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.max("total_bytes").alias("total_bytes"),
+            F.max("budget_bytes").alias("budget_bytes"),
+            F.sum("selected").cast("long").alias("n_selected"),
+            F.sum(F.col("selected") * F.col("byte_len")).cast("long").alias(
+                "selected_bytes"
+            ),
+        )
+        .select(
+            "modality",
+            "n_total",
+            "total_bytes",
+            "budget_bytes",
+            "n_selected",
+            "selected_bytes",
+            F.try_divide(
+                F.col("selected_bytes").cast("double"),
+                F.col("budget_bytes").cast("double"),
+            ).alias("budget_utilization"),
+        )
+        .orderBy("modality")
+    )

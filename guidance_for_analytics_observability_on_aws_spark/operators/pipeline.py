@@ -1174,3 +1174,53 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
         F.try_divide(F.col("tp"), F.col("n_pred")).alias("precision"),
         F.try_divide(F.col("tp"), F.col("n_true")).alias("recall"),
     )
+
+
+def mixture_epoch_plan(
+    documents: DataFrame, budget: int = 4 * MIXTURE_BUDGET
+) -> DataFrame:
+    """P20: multi-EPOCH mixture plan — what P7's single-pass selection
+    cannot express: when a source's target share EXCEEDS its available
+    tokens, training data pipelines repeat the source (epochs) and top up
+    with a partial pass (the LLaMA/Chinchilla mixture-realization shape:
+    small high-quality sources run 2-4 epochs while web crawl runs <1).
+
+    Per source: ``full_epochs = target DIV available``, ``remainder =
+    target % available`` (the partial-pass token count a P7-style
+    md5-prefix selection realizes), and the oversample ratio — all exact
+    BIGINT arithmetic off one corpus-sized token aggregation; weights
+    share P7's ``srcN`` parsing rule so the plan and the sampler can
+    never disagree about shares. One narrow aggregation + one broadcast
+    of the per-source targets; output is |sources| rows.
+    """
+    wt = (F.expr("try_cast(substring(source, 4) as bigint)") % 3 + 1).alias("wt")
+    per_src = documents.select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("available_tokens"),
+    )
+    srcs = per_src.select("source", wt)
+    total_w = srcs.agg(F.sum("wt").alias("total_w"))
+    targets = srcs.crossJoin(F.broadcast(total_w)).select(
+        "source",
+        "wt",
+        F.expr(f"({budget} * wt) DIV total_w").alias("target_tokens"),
+    )
+    return (
+        per_src.join(F.broadcast(targets), "source")
+        .select(
+            "source",
+            "wt",
+            "n_docs",
+            "available_tokens",
+            "target_tokens",
+            F.expr("target_tokens DIV available_tokens").alias("full_epochs"),
+            F.expr("target_tokens % available_tokens").alias("remainder_tokens"),
+            F.try_divide(
+                F.col("target_tokens").cast("double"),
+                F.col("available_tokens").cast("double"),
+            ).alias("oversample_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1563,3 +1563,55 @@ def orders_ship_latency(
         "n_over_sla",
         (F.col("n_over_sla") / F.col("n_lines")).alias("sla_breach_share"),
     )
+
+
+def orders_backlog_timeline(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """T46: OPEN-ORDER BACKLOG over time — the operations panel "how many
+    orders are in flight each day": an order opens at ``o_orderdate`` and
+    closes after its LAST lineitem ships; backlog(day) = running sum of
+    (opens − closes) — the SWEEP-LINE interval-overlap formulation (O47's
+    +1/−1 trick on business data: no day×orders re-scan, no interval
+    self-join).
+
+    Exactness: days are epoch-day quotients of midnight-aligned
+    timestamps (the T45 contract — trunc-vs-floor cannot diverge);
+    opens/closes/backlog are BIGINT counts. Orders with no lineitems
+    never close, so they are excluded by the inner join (documented
+    modeling choice — the synthetic corpus has none).
+
+    Scale shape: one per-order max-shipdate aggregation (co-partitioned
+    with the join on orderkey; zero-Exchange when pre-bucketed via S6),
+    one tiny per-day delta rollup (days ≪ orders), and ONE cumulative
+    window over the bounded day axis (~2.5k rows at any corpus size —
+    the axis is calendar-bounded, so the single-partition window is a
+    constant, not a scale risk).
+    """
+    day = lambda c: F.expr(  # noqa: E731
+        f"unix_millis(CAST({c} AS TIMESTAMP)) DIV 86400000"
+    )
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    o = orders.select("o_orderkey", "o_orderdate").join(
+        last_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    deltas = o.select(
+        day("o_orderdate").alias("day_num"),
+        F.lit(1).cast("long").alias("opened"),
+        F.lit(0).cast("long").alias("closed"),
+    ).unionByName(
+        o.select(
+            (day("last_ship") + 1).alias("day_num"),
+            F.lit(0).cast("long").alias("opened"),
+            F.lit(1).cast("long").alias("closed"),
+        )
+    )
+    per_day = deltas.groupBy("day_num").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("closed").cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
+    ).select("day_num", "n_opened", "n_closed", "backlog")

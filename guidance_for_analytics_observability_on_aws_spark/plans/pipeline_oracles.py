@@ -450,3 +450,30 @@ FROM m
 
 
 PIPELINE_ORACLES["dedup_eval_report"] = _p17_eval_oracle()
+
+
+# P20: multi-epoch mixture plan — shared srcN weight parsing with P7's
+# oracle; all-BIGINT epoch arithmetic, one final double division.
+PIPELINE_ORACLES["mixture_epoch_plan"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_WS_TOKENS}) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY 1
+),
+srcs AS (
+  SELECT source, TRY_CAST(SUBSTR(source, 4) AS BIGINT) % 3 + 1 AS wt
+  FROM per_src
+),
+tw AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM srcs),
+targets AS (
+  SELECT source, wt, ({4 * MIXTURE_BUDGET} * wt) // total_w AS target_tokens
+  FROM srcs, tw
+)
+SELECT p.source, t.wt, p.n_docs, p.available_tokens, t.target_tokens,
+       t.target_tokens // p.available_tokens AS full_epochs,
+       t.target_tokens % p.available_tokens AS remainder_tokens,
+       CAST(t.target_tokens AS DOUBLE) / CAST(p.available_tokens AS DOUBLE)
+         AS oversample_ratio
+FROM per_src p JOIN targets t USING (source)
+ORDER BY source
+"""

@@ -465,6 +465,14 @@ _register(
     PIPELINE_ORACLES["dup_groups"],
 )
 
+# P20 (r8): multi-epoch mixture plan — BIGINT epoch arithmetic off one
+# token aggregation; shares P7's srcN weight-parsing rule.
+_register(
+    "mixture_epoch_plan",
+    lambda s, d: pipeline.mixture_epoch_plan(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["mixture_epoch_plan"],
+)
+
 # P19 (r8): incremental dup-group maintenance — prior labels contracted to
 # their roots, only the NEW batch's edges re-clustered, composed labels
 # identical to a full recompute (two-level contraction), so it SHARES
@@ -829,6 +837,24 @@ FROM events GROUP BY 1
 """,
 )
 
+
+# T46 (r8): open-order backlog over time — sweep-line (+1/−1) interval
+# overlap on business data; bounded calendar day axis.
+_register(
+    "orders_backlog_timeline",
+    lambda s, d: (
+        lambda t: tpch.orders_backlog_timeline(t["lineitem"], t["orders"])
+    )(load_tables(s, d)),
+    TPCH_ORACLES["orders_backlog_timeline"],
+)
+
+# M9 (r8): deterministic byte-budget media sample per modality — md5
+# permutation + two-phase cumulative bytes; budgets are integer shares.
+_register(
+    "mm_media_sample",
+    lambda s, d: multimodal.mm_media_sample(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["mm_media_sample"],
+)
 
 # T45: order→ship latency percentiles per priority (fulfillment SLA).
 _register(

@@ -459,3 +459,43 @@ ranked AS (
 SELECT lang, rank, w1, w2, n_ab, n_a, n_b, n_positions, lift
 FROM ranked WHERE rank <= 5
 """
+
+# M9: byte-budget media sample — mm_binary_meta's modality/byte
+# derivation, md5-permutation ranking, inclusive cum <= budget selection.
+TEXT_ORACLES["mm_media_sample"] = """
+WITH meta AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+),
+budgets AS (
+  SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+         CAST(SUM(byte_len) AS BIGINT) // 4 AS budget_bytes
+  FROM meta GROUP BY 1
+),
+cum AS (
+  SELECT m.*,
+         CAST(SUM(byte_len) OVER (PARTITION BY modality
+              ORDER BY sample_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_bytes
+  FROM meta m
+),
+flagged AS (
+  SELECT c.modality, c.byte_len, b.n_total, b.total_bytes, b.budget_bytes,
+         CASE WHEN c.cum_bytes <= b.budget_bytes THEN 1 ELSE 0 END AS selected
+  FROM cum c JOIN budgets b USING (modality)
+)
+SELECT modality, MAX(n_total) AS n_total, MAX(total_bytes) AS total_bytes,
+       MAX(budget_bytes) AS budget_bytes,
+       CAST(SUM(selected) AS BIGINT) AS n_selected,
+       CAST(SUM(selected * byte_len) AS BIGINT) AS selected_bytes,
+       CAST(CAST(SUM(selected * byte_len) AS BIGINT) AS DOUBLE)
+         / CAST(MAX(budget_bytes) AS DOUBLE) AS budget_utilization
+FROM flagged GROUP BY 1 ORDER BY modality
+"""

@@ -816,3 +816,36 @@ SELECT o_orderpriority, n_lines, p25_days, p50_days, p75_days, p99_days,
        n_over_sla / n_lines AS sla_breach_share
 FROM agg
 """
+
+
+# T46: open-order backlog sweep line — midnight-aligned epoch-day
+# quotients, per-order last ship date, running (opens - closes).
+TPCH_ORACLES["orders_backlog_timeline"] = """
+WITH last_ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, o_orderdate, last_ship
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT epoch_ms(CAST(o_orderdate AS TIMESTAMP)) // 86400000 AS day_num,
+         CAST(1 AS BIGINT) AS opened, CAST(0 AS BIGINT) AS closed
+  FROM o
+  UNION ALL
+  SELECT epoch_ms(CAST(last_ship AS TIMESTAMP)) // 86400000 + 1 AS day_num,
+         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  FROM o
+),
+per_day AS (
+  SELECT day_num, CAST(SUM(opened) AS BIGINT) AS n_opened,
+         CAST(SUM(closed) AS BIGINT) AS n_closed
+  FROM deltas GROUP BY 1
+)
+SELECT day_num, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY day_num
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM per_day
+"""
