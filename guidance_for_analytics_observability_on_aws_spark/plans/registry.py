@@ -740,6 +740,20 @@ def _stream_cusum(s, d):
 _register("stream_cusum_drift", _stream_cusum, None)
 
 
+# Rows-only: O65 (r8) — gap-fill/forward-fill ON INGEST: per-executor
+# fill frontier (last minute, last value) in keyed streaming state,
+# dense minute grid emitted incrementally; hourly rollup row-identical
+# to batch O27 under the whole-minutes-in-order contract, pinned in
+# tests/test_streaming.py across a minute-aligned multi-file drive.
+def _stream_gap_fill(s, d):
+    from ..streaming.stateful import run_streaming_gap_fill
+
+    return run_streaming_gap_fill(s, d)
+
+
+_register("stream_gap_fill", _stream_gap_fill, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).

@@ -349,3 +349,124 @@ def run_streaming_cusum(
     rows = result.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, result.schema)
+
+
+# --- O65: gap-fill / forward-fill ON INGEST (streaming twin of O27) ----------
+# Dashboard sparklines need a DENSE minute grid; on ingest that means
+# remembering, per executor, the last emitted minute and the last filled
+# value across micro-batches — keyed state again (two BIGINTs per
+# executor, bounded forever). Contract: micro-batches deliver WHOLE
+# minutes in time order (a live pipeline closes a minute via watermark
+# before emitting it — same contract O62 documents for order, here also
+# for minute completeness: a minute split across batches would emit its
+# per-batch max twice). Under that contract the union of per-batch grid
+# emissions is EXACTLY the batch O27 grid, pinned in tests.
+
+GAPFILL_OUTPUT_SCHEMA = (
+    "executor_id string, minute bigint, is_observed boolean, filled_bytes bigint"
+)
+GAPFILL_STATE_SCHEMA = "last_minute bigint, last_value bigint"
+
+
+def _gapfill_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    per_min = pdf.groupby("minute")["input_bytes_read"].max()
+    if state.exists:
+        last_minute, last_value = state.get
+        start = last_minute + 1
+        # contract guard: drop any minute at/before the already-emitted
+        # frontier (would double-emit under an out-of-order delivery)
+        per_min = per_min[per_min.index >= start]
+        if len(per_min) == 0:
+            return
+    else:
+        start, last_value = int(per_min.index.min()), None
+    end = int(per_min.index.max())
+    minutes, observed, filled = [], [], []
+    for m in range(start, end + 1):
+        minutes.append(m)
+        if m in per_min.index:
+            last_value = int(per_min[m])
+            observed.append(True)
+        else:
+            observed.append(False)
+        filled.append(last_value)
+    state.update((end, int(last_value)))
+    yield pd.DataFrame(
+        {
+            "executor_id": [key[0]] * len(minutes),
+            "minute": minutes,
+            "is_observed": observed,
+            "filled_bytes": filled,
+        }
+    )
+
+
+def run_streaming_gap_fill(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """O65 runner: stream task metrics, maintain the per-executor fill
+    frontier in keyed state, emit the dense minute grid incrementally,
+    and return the O27-shaped hourly rollup (row-identical to batch
+    ``gap_fill`` under the whole-minutes-in-order contract — pinned in
+    ``tests/test_streaming.py`` across a minute-aligned multi-file
+    drive)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .collector import events_stream
+
+    name = f"gfaooa_gapfill_sink_{_uuid.uuid4().hex}"
+    src = sf_dir if stream_dir is None else stream_dir
+    glob = "events.parquet" if stream_dir is None else "*.parquet"
+    tm = task_metrics(
+        events_stream(
+            spark, src, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
+    )
+    base = tm.select(
+        "executor_id",
+        F.expr("metric_time_ms DIV 60000").alias("minute"),
+        "input_bytes_read",
+    )
+    out = base.groupBy("executor_id").applyInPandasWithState(
+        _gapfill_update,
+        outputStructType=GAPFILL_OUTPUT_SCHEMA,
+        stateStructType=GAPFILL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    grid = spark.table(name)
+    if progress_out is not None:
+        progress_out.append(grid.count())
+    rollup = (
+        grid.groupBy("executor_id", F.expr("minute DIV 60").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.sum(F.col("is_observed").cast("long")).alias("n_observed"),
+            F.sum("filled_bytes").alias("sum_filled_bytes"),
+        )
+    )
+    rows = rollup.collect()
+    schema = rollup.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

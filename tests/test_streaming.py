@@ -587,3 +587,61 @@ def test_streaming_cusum_matches_batch_across_batches(spark, sf_dir, tmp_path):
     # the drive really crossed micro-batches: every type emitted an
     # update row in >= 3 distinct batches
     assert progress and min(n for _, n in progress) >= 3, progress
+
+
+def test_streaming_gap_fill_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """O65 stream_gap_fill: the per-executor fill frontier must carry
+    across micro-batches (minute-aligned 4-file ordered drop, one file
+    per batch) and the hourly rollup must be row-identical to batch O27
+    on the same data — including gap minutes that span batch boundaries
+    (filled from the PREVIOUS batch's last value, which only state can
+    know)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        gap_fill,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.stateful import (
+        run_streaming_gap_fill,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .toPandas()
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    )
+    minute = pdf.ts.astype("int64") // (60_000_000_000)
+    minutes_sorted = sorted(minute.unique())
+    n_chunks = 4
+    per = (len(minutes_sorted) + n_chunks - 1) // n_chunks
+    drop_dir = str(tmp_path / "gapfill_drop")
+    os.makedirs(drop_dir)
+    t0 = 1_700_000_000
+    n_files = 0
+    for i in range(n_chunks):
+        sel = minute.isin(minutes_sorted[i * per : (i + 1) * per])
+        if not sel.any():
+            continue
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf[sel], preserve_index=False), path)
+        os.utime(path, (t0 + i, t0 + i))
+        n_files += 1
+    assert n_files >= 4
+    progress: list = []
+    got = run_streaming_gap_fill(
+        spark,
+        sf_dir,
+        stream_dir=drop_dir,
+        max_files_per_trigger=1,
+        progress_out=progress,
+    )
+    want = gap_fill(task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet")))
+    got_rows = sorted((tuple(r) for r in got.collect()), key=str)
+    want_rows = sorted((tuple(r) for r in want.collect()), key=str)
+    assert got_rows == want_rows and got_rows
