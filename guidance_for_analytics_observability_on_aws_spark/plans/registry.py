@@ -754,6 +754,19 @@ def _stream_gap_fill(s, d):
 _register("stream_gap_fill", _stream_gap_fill, None)
 
 
+# Rows-only: S12 (r8) — incremental materialized-view maintenance off
+# snapshot manifest DIFFS (delta files = vN minus vN-1, append-only):
+# per-commit cost ∝ commit, with view == full-recompute asserted loud on
+# every real commit inside the runner.
+def _incremental_view(s, d):
+    from ..sources.incremental_view import incremental_view_report
+
+    return incremental_view_report(s, d)
+
+
+_register("source_incremental_view", _incremental_view, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).

@@ -442,3 +442,19 @@ def test_snapshot_commit_collision_raises(spark, sf_dir, tmp_path, monkeypatch):
     assert snapshots.read_snapshot(spark, table, 2).count() == 10
     assert not [f for f in os.listdir(table) if f.endswith(".tmp")]
     assert len(os.listdir(os.path.join(table, "data"))) == 1
+
+
+def test_incremental_view_matches_full_recompute(spark, sf_dir):
+    """S12: the manifest-diff-maintained rollup must equal the full
+    recompute at EVERY commit, with each delta strictly smaller than the
+    table (incremental cost ∝ commit, the claim that matters at 100 TB)."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.incremental_view import (
+        incremental_view_report,
+    )
+
+    rows = incremental_view_report(spark, sf_dir).collect()
+    assert [r.version for r in rows] == [1, 2, 3]
+    assert all(r.view_equals_full for r in rows)
+    assert all(r.delta_is_partial for r in rows)
+    # the view only grows (hour×type cells accumulate monotonically)
+    assert rows[0].view_rows <= rows[1].view_rows <= rows[2].view_rows
