@@ -767,6 +767,19 @@ def _incremental_view(s, d):
 _register("source_incremental_view", _incremental_view, None)
 
 
+# Rows-only: O66 (r8) — trend regression ON INGEST via sufficient-
+# statistic additivity (zero state, per-batch exact DECIMAL partials);
+# slope/intercept/r² bit-identical to batch O63, pinned in
+# tests/test_streaming.py.
+def _stream_trend(s, d):
+    from ..streaming.collector import run_streaming_trend_regression
+
+    return run_streaming_trend_regression(s, d)
+
+
+_register("stream_trend_regression", _stream_trend, None)
+
+
 # Rows-only: table-maintenance jobs exposed as driver-checkable reports
 # (values depend on local file sizes/dates; semantics pinned in
 # tests/test_sources.py).

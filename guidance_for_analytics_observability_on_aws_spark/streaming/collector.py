@@ -825,3 +825,95 @@ def run_streaming_near_dedup(
         .orderBy("source")
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_trend_regression(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O66: least-squares trend ON INGEST — the streaming twin of O63 by
+    SUFFICIENT-STATISTIC ADDITIVITY: (n, Σt, Σx, Σtx, Σt², Σx²) are sums,
+    so each micro-batch appends its exact DECIMAL(38,0) partials and the
+    closed form runs once over the merged totals — no state at all (the
+    O61 zero-state pattern; CMS mergeability made O45 work the same way).
+    The per-type time origin t0 is TRAINED on the history table exactly
+    like O61's thresholds / O62's reference level, so when history ==
+    streamed series the merged totals — hence slope/intercept/r² — are
+    BIT-identical to batch O63 (pinned in ``tests/test_streaming.py``).
+    """
+    from ..operators import observability as obs
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_trend_")
+    out = out_dir or work
+    static_tm = task_metrics(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    t0 = (
+        static_tm.groupBy("event_type")
+        .agg(F.min("metric_time_ms").alias("t0_ms"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select(
+            "event_type",
+            "metric_time_ms",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        ).join(F.broadcast(t0), "event_type")
+        wt = base.withColumn("t", F.expr("(metric_time_ms - t0_ms) DIV 1000"))
+        (
+            wt.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("t").cast(dec)).alias("st"),
+                F.sum(F.col("x").cast(dec)).alias("sx"),
+                F.sum((F.col("t") * F.col("x")).cast(dec)).alias("stx"),
+                F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+                F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+                F.max("t0_ms").alias("t0_ms"),
+            )
+            .write.mode("append")
+            .parquet(f"{out}/partials")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("st").cast(dec).alias("st"),
+            F.sum("sx").cast(dec).alias("sx"),
+            F.sum("stx").cast(dec).alias("stx"),
+            F.sum("stt").cast(dec).alias("stt"),
+            F.sum("sxx").cast(dec).alias("sxx"),
+            F.max("t0_ms").alias("t0_ms"),
+        )
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sx = F.col("sx").cast("double")
+    stx = F.col("stx").cast("double")
+    stt = F.col("stt").cast("double")
+    sxx = F.col("sxx").cast("double")
+    cov_n = n * stx - st * sx
+    var_t = n * stt - st * st
+    var_x = n * sxx - sx * sx
+    result = totals.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "t0_ms",
+        F.try_divide(cov_n, var_t).alias("slope_cents_per_s"),
+        F.try_divide(sx - F.try_divide(cov_n, var_t) * st, n).alias(
+            "intercept_cents"
+        ),
+        F.try_divide(cov_n * cov_n, var_t * var_x).alias("r2"),
+    )
+    return _collected_and_cleaned(spark, result, work)

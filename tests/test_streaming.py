@@ -645,3 +645,33 @@ def test_streaming_gap_fill_matches_batch_across_batches(spark, sf_dir, tmp_path
     got_rows = sorted((tuple(r) for r in got.collect()), key=str)
     want_rows = sorted((tuple(r) for r in want.collect()), key=str)
     assert got_rows == want_rows and got_rows
+
+
+def test_streaming_trend_regression_matches_batch(spark, sf_dir):
+    """O66: per-batch additive sufficient-statistic partials merged at
+    the end must reproduce batch O63 BIT-identically (exact DECIMAL
+    partials; identical double closed form)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        trend_regression,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_trend_regression,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_trend_regression(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in trend_regression(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
