@@ -1615,3 +1615,81 @@ def orders_backlog_timeline(lineitem: DataFrame, orders: DataFrame) -> DataFrame
         "backlog",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long"),
     ).select("day_num", "n_opened", "n_closed", "backlog")
+
+
+def events_funnel_windowed(events: DataFrame, window_ms: int = 21600_000) -> DataFrame:
+    """T47: TIME-CONSTRAINED funnel (ClickHouse ``windowFunnel`` semantics)
+    — signup → click → purchase must all land within ``window_ms`` of the
+    CHAIN'S first step, not merely in order (T10 checks order only).
+
+    Sequence matching without self-joins: two window passes over the same
+    (user_id, ev_ms) sort — Spark plans ONE Exchange+Sort and evaluates
+    both window specs on it.
+
+      pass 1:  ls(row)  = latest signup strictly before this row
+               (RANGE … AND 1 PRECEDING on integer ms — tie-exclusion is
+               value-based, so Spark and DuckDB cannot disagree on peers)
+      pass 2:  best(row) = max over prior CLICK rows of their ls
+      depth≥2 for a user  ⟺  ∃ click c:     c  − ls(c)   ≤ W
+      depth≥3 for a user  ⟺  ∃ purchase p:  p  − best(p) ≤ W
+
+    Optimality argument (why "latest prior signup" suffices): for a fixed
+    purchase p we need ∃ s < c < p with p ≤ s + W; for any candidate c
+    the best witness s is the LATEST signup before c, so scanning ls(c)
+    maxima loses no chains.  All flags and counts are BIGINT; the two
+    conversion shares are exact IEEE divisions of those counts.
+
+    Scale shape: one shuffle on user_id shared by both window specs and
+    the final per-user aggregate; per-user sequences are session-sized
+    (bounded), the global rollup is a 1-row reduce.
+    """
+    ev = normalize_events(events).select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ev_ms"),
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ev_ms")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    p1 = ev.withColumn(
+        "ls_ms",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ev_ms"))).over(w_prior),
+    )
+    p2 = p1.withColumn(
+        "best_ms",
+        F.max(F.when(F.col("event_type") == "click", F.col("ls_ms"))).over(w_prior),
+    )
+    w = F.lit(int(window_ms))
+    per_user = p2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("d1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("ls_ms").isNotNull()
+                & (F.col("ev_ms") - F.col("ls_ms") <= w),
+                1,
+            ).otherwise(0)
+        ).alias("d2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("best_ms").isNotNull()
+                & (F.col("ev_ms") - F.col("best_ms") <= w),
+                1,
+            ).otherwise(0)
+        ).alias("d3"),
+    )
+    return per_user.select(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("d1").cast("long").alias("n_signup"),
+        F.sum("d2").cast("long").alias("n_click_in_window"),
+        F.sum("d3").cast("long").alias("n_full_funnel_in_window"),
+    ).select(
+        "*",
+        F.try_divide(F.col("n_click_in_window"), F.col("n_signup")).alias("conv_click"),
+        F.try_divide(F.col("n_full_funnel_in_window"), F.col("n_signup")).alias(
+            "conv_full"
+        ),
+    )

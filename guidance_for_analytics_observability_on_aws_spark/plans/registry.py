@@ -1091,3 +1091,11 @@ def _apply_priority_order() -> None:
 
 
 _apply_priority_order()
+
+# T47 (r8): time-constrained funnel (ClickHouse windowFunnel) — sequence
+# matching via two stacked strict-before window maxima, no self-joins.
+_register(
+    "events_funnel_windowed",
+    lambda s, d: tpch.events_funnel_windowed(load_tables(s, d)["events"]),
+    TPCH_ORACLES["events_funnel_windowed"],
+)

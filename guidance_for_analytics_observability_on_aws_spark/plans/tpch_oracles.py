@@ -849,3 +849,48 @@ SELECT day_num, n_opened, n_closed,
          AS backlog
 FROM per_day
 """
+
+# T47: windowFunnel — the two window passes mirror the builder exactly;
+# RANGE … 1 PRECEDING keeps the strict-before semantics value-based.
+TPCH_ORACLES["events_funnel_windowed"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ev_ms
+  FROM events
+),
+p1 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'signup' THEN ev_ms END) OVER (
+           PARTITION BY user_id ORDER BY ev_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ls_ms
+  FROM ev
+),
+p2 AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click' THEN ls_ms END) OVER (
+           PARTITION BY user_id ORDER BY ev_ms
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_ms
+  FROM p1
+),
+per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS d1,
+         MAX(CASE WHEN event_type = 'click' AND ls_ms IS NOT NULL
+                   AND ev_ms - ls_ms <= 21600000 THEN 1 ELSE 0 END) AS d2,
+         MAX(CASE WHEN event_type = 'purchase' AND best_ms IS NOT NULL
+                   AND ev_ms - best_ms <= 21600000 THEN 1 ELSE 0 END) AS d3
+  FROM p2 GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(d1) AS BIGINT) AS n_signup,
+         CAST(SUM(d2) AS BIGINT) AS n_click_in_window,
+         CAST(SUM(d3) AS BIGINT) AS n_full_funnel_in_window
+  FROM per_user
+)
+SELECT *,
+       CASE WHEN n_signup = 0 THEN NULL
+            ELSE n_click_in_window / n_signup END AS conv_click,
+       CASE WHEN n_signup = 0 THEN NULL
+            ELSE n_full_funnel_in_window / n_signup END AS conv_full
+FROM agg
+"""

@@ -1945,3 +1945,42 @@ def test_lsh_band_salting_lossless(spark, sf_dir):
         tuple(r) for r in dedup_minhash_lsh(docs, n_splits=8).collect()
     )
     assert plain == salted and plain
+
+
+def test_events_funnel_windowed_hand_chains(spark):
+    """T47: a chain completed within the hour counts at depth 3; the same
+    stage sequence stretched past the window counts only the depths whose
+    chain fits; order violations never count. Also pins the optimality
+    trick: a LATER signup can rescue a purchase an earlier signup's
+    window would miss."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_funnel_windowed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1: full chain inside 60m → depth 3
+        (1, m(0), "signup"), (1, m(10), "click"), (1, m(30), "purchase"),
+        # u2: signup→click inside, purchase at +90m breaks the window → depth 2
+        (2, m(0), "signup"), (2, m(20), "click"), (2, m(90), "purchase"),
+        # u3: click before signup — order violation → depth 1
+        (3, m(10), "click"), (3, m(20), "signup"),
+        # u4: early signup's window misses the purchase, but the LATER
+        # signup at +50m opens a chain (50<55<70, 70-50<=60) → depth 3
+        (4, m(0), "signup"), (4, m(50), "signup"),
+        (4, m(55), "click"), (4, m(70), "purchase"),
+        # u5: no signup at all → depth 0
+        (5, m(0), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (uid, ts, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = events_funnel_windowed(ev, window_ms=3600_000).collect()[0]
+    assert got.n_users == 5
+    assert got.n_signup == 4
+    assert got.n_click_in_window == 3   # u1, u2, u4
+    assert got.n_full_funnel_in_window == 2  # u1, u4
