@@ -574,3 +574,105 @@ def dedup_simhash_hamming(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+#: KMV (k-minimum-values) sketch size for cross-source set estimation.
+KMV_K = 128
+
+#: 52-bit hash space (13 hex chars of md5) — every value is exactly
+#: representable as an IEEE double, so the BIGINT→DOUBLE casts in the
+#: estimate columns are lossless in both engines.
+KMV_SPACE = float(2**52)
+
+#: Phase-1 bucket width: h DIV 2^44 → 256 high-bit buckets.
+_KMV_BUCKET = 1 << 44
+
+
+def docs_kmv_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """D26: cross-source SHINGLE-OVERLAP estimation from KMV (theta)
+    sketches — the Druid/DataSketches set-operation shape: per source keep
+    only the ``k`` smallest distinct 3-gram-shingle hashes, then estimate
+    every pair's union size, Jaccard, and intersection size from sketches
+    alone. This is the SKETCH PATH of P16 ``cross_source_overlap`` (same
+    corpus/shingle element definition — on this corpus cross-source
+    overlap exists only at n-gram granularity, never whole-document): P16
+    joins EVERY distinct (shingle, source) row pairwise; at 100 TB this
+    operator moves 128 rows per source instead.
+
+    Estimator (Beyer et al. 2007 / theta-sketch intersection): with the
+    union's k-th minimum M over the 2^52 hash space,
+    ``union_est = (k-1)·2^52 / M``; ``jaccard_est = |both| / k`` over the
+    union sketch's members; ``inter_est = jaccard_est · union_est``.
+    When a pair's union sketch holds FEWER than k hashes it IS the exact
+    distinct union (the estimate degrades to the exact count).
+
+    Exactness: hashes are md5-derived BIGINTs (the engine-portable
+    convention), every count/rank is integer, and the three estimate
+    columns are single correctly-rounded double operations on
+    exactly-representable integers — bit-identical in Spark and DuckDB.
+
+    Scale shape: the per-source k-minimum is TWO-PHASE (the O44
+    convention) — phase 1 ranks within (source, 256 high-bit buckets),
+    fully parallel; phase 2 ranks the surviving ≤256·k rows per source.
+    No single partition ever sorts a whole source. Pair fan-out joins a
+    broadcast pair list against the k-row sketches.
+    """
+    from pyspark.sql import Window
+
+    hashes = (
+        _shingle_rows(documents)
+        .join(corpus(documents).select("doc_id", "source"), "doc_id")
+        .select("source", md5_int(F.col("shingle"), 13).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("source", "bkt").orderBy("h")
+    part = (
+        hashes.withColumn("bkt", (F.col("h") / F.lit(_KMV_BUCKET)).cast("long"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "bkt")
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        part.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    srcs = sketch.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    fanned = F.broadcast(pairs).join(
+        sketch,
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    )
+    per_h = fanned.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("source") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    w3 = Window.partitionBy("source_a", "source_b").orderBy("h")
+    u = per_h.withColumn("rn", F.row_number().over(w3)).filter(F.col("rn") <= k)
+    agg = u.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("theta_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_matches"),
+    )
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("theta_hash").cast("double")
+    )
+    jaccard_est = F.col("n_matches").cast("double") / F.col("k_used").cast("double")
+    return agg.select(
+        "source_a",
+        "source_b",
+        "k_used",
+        "theta_hash",
+        "n_matches",
+        union_est.alias("union_est"),
+        jaccard_est.alias("jaccard_est"),
+        (jaccard_est * union_est).alias("inter_est"),
+    )

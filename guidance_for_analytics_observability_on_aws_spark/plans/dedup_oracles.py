@@ -595,3 +595,73 @@ SELECT doc_a, doc_b, n_shared_bands,
 FROM pairs
 WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
+
+# D26: KMV cross-source overlap — two-phase k-minimum exactly as the
+# builder (256 high-bit buckets, then the bounded re-rank), same md5
+# hash, same correctly-rounded double estimate expressions.
+DEDUP_ORACLES["docs_kmv_overlap"] = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks
+  FROM corpus
+),
+shingled AS (
+  SELECT doc_id, source, {SHINGLES_SQL} AS sh
+  FROM ctoks WHERE len(toks) >= 3
+),
+sh_rows AS (SELECT source, unnest(sh) AS shingle FROM shingled),
+hashes AS (
+  SELECT DISTINCT source, {md5_int_sql("shingle", 13)} AS h FROM sh_rows
+),
+part AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source, h // 17592186044416
+                              ORDER BY h) AS rn
+    FROM hashes)
+  WHERE rn <= 128
+),
+sketch AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM part)
+  WHERE rn <= 128
+),
+srcs AS (SELECT DISTINCT source FROM sketch),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a, srcs b WHERE a.source < b.source
+),
+per_h AS (
+  SELECT source_a, source_b, h,
+         MAX(CASE WHEN s.source = source_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = source_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs JOIN sketch s ON s.source = source_a OR s.source = source_b
+  GROUP BY 1, 2, 3
+),
+u AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                 ORDER BY h) AS rn
+    FROM per_h)
+  WHERE rn <= 128
+),
+agg AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         MAX(h) AS theta_hash,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_matches
+  FROM u GROUP BY 1, 2
+)
+SELECT source_a, source_b, k_used, theta_hash, n_matches,
+       CASE WHEN k_used < 128 THEN CAST(k_used AS DOUBLE)
+            ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(theta_hash AS DOUBLE)
+       END AS union_est,
+       CAST(n_matches AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est,
+       (CAST(n_matches AS DOUBLE) / CAST(k_used AS DOUBLE)) *
+       (CASE WHEN k_used < 128 THEN CAST(k_used AS DOUBLE)
+             ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(theta_hash AS DOUBLE)
+        END) AS inter_est
+FROM agg
+"""

@@ -1099,3 +1099,11 @@ _register(
     lambda s, d: tpch.events_funnel_windowed(load_tables(s, d)["events"]),
     TPCH_ORACLES["events_funnel_windowed"],
 )
+
+# D26 (r8): KMV/theta-sketch cross-source overlap estimation — the
+# sketch path for P16's exact overlap; two-phase distributed k-minimum.
+_register(
+    "docs_kmv_overlap",
+    lambda s, d: dedup.docs_kmv_overlap(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["docs_kmv_overlap"],
+)

@@ -1984,3 +1984,35 @@ def test_events_funnel_windowed_hand_chains(spark):
     assert got.n_signup == 4
     assert got.n_click_in_window == 3   # u1, u2, u4
     assert got.n_full_funnel_in_window == 2  # u1, u4
+
+
+def test_kmv_overlap_exact_branch_on_small_union(spark):
+    """D26: when a pair's union sketch holds fewer than k hashes it IS the
+    exact distinct-shingle union — union_est/inter_est must equal the
+    exact set arithmetic, and jaccard_est = matches/k_used is then the
+    true containment-weighted Jaccard of the shingle sets."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        docs_kmv_overlap,
+    )
+
+    # two 5-token docs per source sharing one 3-token run across sources
+    shared = "alpha beta gamma"
+    docs = [
+        (1, f"{shared} delta epsilon", "en", "sA", 30),
+        (2, f"zeta eta theta iota kappa", "en", "sA", 30),
+        (3, f"{shared} lam mu", "en", "sB", 30),
+        (4, f"nu xi omicron pi rho", "en", "sB", 30),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = docs_kmv_overlap(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.source_a, r.source_b) == ("sA", "sB")
+    # 5-token docs → 3 shingles each, 6 per source, exactly 1 shared
+    # ("alpha beta gamma") → union = 11, all far below k=128.
+    assert r.k_used == 11
+    assert r.n_matches == 1
+    assert r.union_est == 11.0
+    assert r.inter_est == (1.0 / 11.0) * 11.0
