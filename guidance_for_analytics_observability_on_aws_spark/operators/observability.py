@@ -2161,3 +2161,66 @@ def metric_correlation(tm: DataFrame) -> DataFrame:
             F.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)),
         ).alias("pearson_r"),
     ).orderBy("type_a", "type_b")
+
+
+def ewma_smooth(tm: DataFrame) -> DataFrame:
+    """O67: EWMA trend line over the per-app per-minute run-time series —
+    the dashboard smoothing knob (Prometheus recording-rule / Grafana
+    `exp_smoothing` shape) done EXACTLY: α=1/2 truncated at 8 terms gives
+    dyadic weights 128,64,…,1, so the smoothed value is a ratio of two
+    BIGINTs (`ewma_num`/`ewma_den`) and the only float op is ONE
+    correctly-rounded division — bit-identical in any engine (a recursive
+    float EWMA is order-sensitive and engine-divergent; the truncated
+    dyadic form is the exact-arithmetic equivalent, max truncation error
+    2^-8 of the weight mass).
+
+    The spike flag compares the CURRENT minute against the EWMA of the 8
+    PRIOR minutes, cross-multiplied (`x·den_prev > 2·num_prev`) so the
+    comparison itself never leaves integers (the O58/O59 convention).
+
+    Lags run over the OBSERVED minute series — a gap compresses history
+    (document: O27/O65 own gap semantics; feed their fill through here
+    when calendar-aligned smoothing is wanted).
+
+    Scale shape: one shuffle to the per-(app, minute) rollup, then ONE
+    window pass per app over its (tiny) minute series evaluating all nine
+    lags; no self-joins, no state.
+    """
+    per_min = tm.groupBy(
+        "app_name",
+        F.expr("metric_time_ms DIV 60000 * 60000").alias("minute_ms"),
+    ).agg(F.sum("run_time_ms").cast("long").alias("run_ms_sum"))
+    w = Window.partitionBy("app_name").orderBy("minute_ms")
+    lag_cols = {i: F.lag("run_ms_sum", i).over(w) for i in range(1, 9)}
+    lagged = per_min.select(
+        "app_name",
+        "minute_ms",
+        "run_ms_sum",
+        *[lag_cols[i].alias(f"l{i}") for i in range(1, 9)],
+    )
+    x = F.col("run_ms_sum")
+    num = x * F.lit(128)
+    den = F.lit(128).cast("long")
+    for i in range(1, 8):
+        wgt = 1 << (7 - i)
+        num = num + F.coalesce(F.col(f"l{i}") * wgt, F.lit(0))
+        den = den + F.when(F.col(f"l{i}").isNotNull(), wgt).otherwise(0)
+    num_p = F.lit(0).cast("long")
+    den_p = F.lit(0).cast("long")
+    for i in range(1, 9):
+        wgt = 1 << (8 - i)
+        num_p = num_p + F.coalesce(F.col(f"l{i}") * wgt, F.lit(0))
+        den_p = den_p + F.when(F.col(f"l{i}").isNotNull(), wgt).otherwise(0)
+    return lagged.select(
+        "app_name",
+        "minute_ms",
+        "run_ms_sum",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+        F.when(den_p == 0, F.lit(0))
+        .when(x * den_p > F.lit(2) * num_p, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_spike"),
+    )

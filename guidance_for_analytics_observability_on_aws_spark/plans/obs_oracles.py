@@ -1209,3 +1209,53 @@ SELECT type_a, type_b, n_hours,
 FROM d
 ORDER BY type_a, type_b
 """
+
+
+# O67: dyadic truncated EWMA — lag chain and integer weight sums generated
+# from the same power-of-two schedule as the builder.
+def _ewma_oracle() -> str:
+    lag_defs = ",\n         ".join(
+        f"LAG(run_ms_sum, {i}) OVER (PARTITION BY app_name ORDER BY minute_ms)"
+        f" AS l{i}"
+        for i in range(1, 9)
+    )
+    num = " + ".join(
+        ["run_ms_sum * 128"]
+        + [f"COALESCE(l{i} * {1 << (7 - i)}, 0)" for i in range(1, 8)]
+    )
+    den = " + ".join(
+        ["128"]
+        + [
+            f"CASE WHEN l{i} IS NOT NULL THEN {1 << (7 - i)} ELSE 0 END"
+            for i in range(1, 8)
+        ]
+    )
+    num_p = " + ".join(f"COALESCE(l{i} * {1 << (8 - i)}, 0)" for i in range(1, 9))
+    den_p = " + ".join(
+        f"CASE WHEN l{i} IS NOT NULL THEN {1 << (8 - i)} ELSE 0 END"
+        for i in range(1, 9)
+    )
+    return f"""
+WITH {TELEMETRY_CTE},
+per_min AS (
+  SELECT app_name, metric_time_ms // 60000 * 60000 AS minute_ms,
+         CAST(SUM(run_time_ms) AS BIGINT) AS run_ms_sum
+  FROM task_metrics GROUP BY 1, 2
+),
+lagged AS (
+  SELECT app_name, minute_ms, run_ms_sum,
+         {lag_defs}
+  FROM per_min
+)
+SELECT app_name, minute_ms, run_ms_sum,
+       CAST({num} AS BIGINT) AS ewma_num,
+       CAST({den} AS BIGINT) AS ewma_den,
+       CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) AS ewma,
+       CAST(CASE WHEN {den_p} = 0 THEN 0
+                 WHEN run_ms_sum * ({den_p}) > 2 * ({num_p}) THEN 1
+                 ELSE 0 END AS INTEGER) AS is_spike
+FROM lagged
+"""
+
+
+OBS_ORACLES["obs_ewma_smooth"] = _ewma_oracle()

@@ -1107,3 +1107,11 @@ _register(
     lambda s, d: dedup.docs_kmv_overlap(load_tables(s, d)["documents"]),
     DEDUP_ORACLES["docs_kmv_overlap"],
 )
+
+# O67 (r8): dyadic truncated EWMA — exact integer num/den, one final
+# division; integer cross-multiplied spike flag vs the prior-8 EWMA.
+_register(
+    "obs_ewma_smooth",
+    lambda s, d: obs.ewma_smooth(_tm(s, d)),
+    OBS_ORACLES["obs_ewma_smooth"],
+)

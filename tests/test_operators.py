@@ -2016,3 +2016,45 @@ def test_kmv_overlap_exact_branch_on_small_union(spark):
     assert r.n_matches == 1
     assert r.union_est == 11.0
     assert r.inter_est == (1.0 / 11.0) * 11.0
+
+
+def test_ewma_smooth_hand_weights(spark):
+    """O67: pinned dyadic arithmetic on a hand series — warmup rows use
+    only the weights present, a flat series smooths to itself, and the
+    planted 5× spike trips the cross-multiplied flag exactly once."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        ewma_smooth,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # one event per minute; value v → run_time_ms = floor(v*16)
+    series = [4.0] * 10 + [20.0] + [4.0] * 3  # flat 64ms, spike 320ms, flat
+    for i, v in enumerate(series):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 0, "signup", v, '{"k": 1}'))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        r.minute_ms: r
+        for r in ewma_smooth(task_metrics(ev)).collect()
+    }
+    assert len(got) == len(series)
+    by_idx = [got[k] for k in sorted(got)]
+    # first row: no lags → den = 128, ewma = x
+    assert by_idx[0].ewma_den == 128 and by_idx[0].ewma == 64.0
+    # second row: den = 128 + 64
+    assert by_idx[1].ewma_den == 192
+    # steady flat rows smooth to exactly 64
+    assert by_idx[9].ewma_den == 255 and by_idx[9].ewma == 64.0
+    # exactly one spike, at the planted index
+    spikes = [i for i, r in enumerate(by_idx) if r.is_spike == 1]
+    assert spikes == [10]
+    # spike row's own ewma pulls up: num = 320*128 + 64*127
+    assert by_idx[10].ewma_num == 320 * 128 + 64 * 127
