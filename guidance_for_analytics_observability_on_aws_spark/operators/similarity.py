@@ -1675,3 +1675,67 @@ def similarity_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2q")
     )
+
+
+def similarity_eval_report(embeddings: DataFrame) -> DataFrame:
+    """D27: ANN RECALL evaluation report — grades every deterministic
+    searcher in the family against the exact brute-force truth AT THE SAME
+    settings the driver checks each searcher with, using the operators
+    themselves (the P17 evaluation-as-operator pattern: the report's
+    predictions cannot drift from the graded operators). This is the
+    measurement a retrieval team runs before trusting an index shape at
+    100 TB: recall@k quantifies what single-probe cells / LSH buckets
+    lose; n_pred < n_truth exposes under-filled cells.
+
+    Deliberately restricted to the DETERMINISTIC cosine searchers (D7
+    IVF, D13 multi-probe IVF, D9 hyperplane LSH) so the whole report —
+    truth included — carries a full hash-exact oracle (the trained
+    family D17/D20–D23 carries per-operator recall pins in tests
+    instead; kmeans float training is not SQL-expressible).
+
+    recall = hits/truth, precision = hits/pred, both exact BIGINT
+    ratios via try_divide (NULL on an empty side, the P17 convention).
+    """
+    settings = [
+        ("ivf", topk_ivf, dict(k=3, q_lo=8, q_hi=24)),
+        ("ivf_multiprobe", topk_ivf_multiprobe, dict(k=3, q_lo=8, q_hi=24)),
+        ("ann_lsh", topk_ann_lsh, dict(k=3, q_lo=100, q_hi=116)),
+    ]
+    out = None
+    truths: dict[tuple, DataFrame] = {}
+    for method, fn, kw in settings:
+        tkey = (kw["k"], kw["q_lo"], kw["q_hi"])
+        if tkey not in truths:
+            truths[tkey] = (
+                topk_bruteforce(
+                    embeddings, k=kw["k"], q_lo=kw["q_lo"], q_hi=kw["q_hi"]
+                )
+                .select("query_id", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+        truth = truths[tkey]
+        pred = fn(embeddings, **kw).select("query_id", "neighbor_id")
+        p = pred.localCheckpoint(eager=True)
+        row = (
+            p.agg(F.count(F.lit(1)).alias("n_pred"))
+            .crossJoin(
+                F.broadcast(
+                    p.join(truth, ["query_id", "neighbor_id"]).agg(
+                        F.count(F.lit(1)).alias("n_hits")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+            )
+            .select(F.lit(method).alias("method"), "n_pred", "n_truth", "n_hits")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "method",
+        "n_pred",
+        "n_truth",
+        "n_hits",
+        F.try_divide(F.col("n_hits"), F.col("n_truth")).alias("recall"),
+        F.try_divide(F.col("n_hits"), F.col("n_pred")).alias("precision"),
+    )

@@ -665,3 +665,68 @@ SELECT source_a, source_b, k_used, theta_hash, n_matches,
         END) AS inter_est
 FROM agg
 """
+
+
+# D27: ANN recall eval. The three graded searchers' FULL oracle statements
+# (the same SQL the driver checks them with) are embedded verbatim; the
+# brute-force truth is re-derived at each searcher's own (k, window)
+# settings from the same CTE scaffolding as the D6 oracle.
+def _bf_truth_sql(k: int, q_lo: int, q_hi: int) -> str:
+    return f"""
+{_BASE_QUANT_CTES},
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot_sql("qs.qv", "c.qv")} /
+               sqrt(CAST(qs.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)), 6) AS cosine
+  FROM norms qs
+  JOIN norms c ON qs.vec_id != c.vec_id
+  WHERE qs.vec_id >= {q_lo} AND qs.vec_id < {q_hi}
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
+"""
+
+
+def _d27_eval_oracle() -> str:
+    bf_ivf = _bf_truth_sql(3, 8, 24)
+    bf_lsh = _bf_truth_sql(3, 100, 116)
+    ivf = DEDUP_ORACLES["similarity_ivf"]
+    mp = DEDUP_ORACLES["similarity_ivf_multiprobe"]
+    lsh = DEDUP_ORACLES["similarity_ann_lsh"]
+    return f"""
+WITH truth_a AS (SELECT query_id, neighbor_id FROM ({bf_ivf}) t),
+truth_b AS (SELECT query_id, neighbor_id FROM ({bf_lsh}) t),
+pred_ivf AS (SELECT query_id, neighbor_id FROM ({ivf}) t),
+pred_mp AS (SELECT query_id, neighbor_id FROM ({mp}) t),
+pred_lsh AS (SELECT query_id, neighbor_id FROM ({lsh}) t),
+m AS (
+  SELECT 'ivf' AS method,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pred_ivf) AS n_pred,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_a) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM pred_ivf JOIN truth_a USING (query_id, neighbor_id)) AS n_hits
+  UNION ALL
+  SELECT 'ivf_multiprobe',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pred_mp),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_a),
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM pred_mp JOIN truth_a USING (query_id, neighbor_id))
+  UNION ALL
+  SELECT 'ann_lsh',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pred_lsh),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth_b),
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM pred_lsh JOIN truth_b USING (query_id, neighbor_id))
+)
+SELECT method, n_pred, n_truth, n_hits,
+       CASE WHEN n_truth = 0 THEN NULL ELSE n_hits / n_truth END AS recall,
+       CASE WHEN n_pred = 0 THEN NULL ELSE n_hits / n_pred END AS precision
+FROM m
+"""
+
+
+DEDUP_ORACLES["similarity_eval_report"] = _d27_eval_oracle()

@@ -1115,3 +1115,14 @@ _register(
     lambda s, d: obs.ewma_smooth(_tm(s, d)),
     OBS_ORACLES["obs_ewma_smooth"],
 )
+
+# D27 (r8): ANN recall eval report — deterministic searchers graded vs
+# brute-force truth at their driver-checked settings (P17's pattern for
+# the similarity family); fully hash-exact, truth included.
+_register(
+    "similarity_eval_report",
+    lambda s, d: similarity.similarity_eval_report(
+        load_tables(s, d)["embeddings"]
+    ),
+    DEDUP_ORACLES["similarity_eval_report"],
+)

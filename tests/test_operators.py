@@ -2058,3 +2058,24 @@ def test_ewma_smooth_hand_weights(spark):
     assert spikes == [10]
     # spike row's own ewma pulls up: num = 320*128 + 64*127
     assert by_idx[10].ewma_num == 320 * 128 + 64 * 127
+
+
+def test_similarity_eval_report_orders_ivf_variants(spark, sf_dir):
+    """D27: the report's recall for multi-probe IVF must be ≥ single-probe
+    IVF (structural guarantee: same index, strictly larger probe set), and
+    every searcher returns exactly k rows per query here (full cells), so
+    n_pred == n_truth and precision == recall."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        similarity_eval_report,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = {r.method: r for r in similarity_eval_report(emb).collect()}
+    assert set(rows) == {"ivf", "ivf_multiprobe", "ann_lsh"}
+    assert rows["ivf_multiprobe"].recall >= rows["ivf"].recall
+    for r in rows.values():
+        assert r.n_hits <= r.n_truth
+        assert r.recall == r.n_hits / r.n_truth
