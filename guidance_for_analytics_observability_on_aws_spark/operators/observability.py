@@ -2224,3 +2224,61 @@ def ewma_smooth(tm: DataFrame) -> DataFrame:
         .cast("int")
         .alias("is_spike"),
     )
+
+
+def error_budget(tm: DataFrame, slo_error_pct: int = 20) -> DataFrame:
+    """O68: SLO ERROR-BUDGET BURN-DOWN — the companion panel to O39's
+    burn rate: per app and day, how much of the "allowed errors" budget
+    (``slo_error_pct``% of all log events to date — the synthetic
+    corpus logs ~18% error-level, so the default 20 yields a mixed
+    exhausted/healthy panel) remains, and whether
+    it is exhausted. The SRE loop freezes launches on exhaustion, so the
+    flag must be exact, not a float comparison.
+
+    All-BIGINT: cumulative counts via a RANGE window on the day key
+    (gaps contribute nothing), ``budget_total = cum_logs·pct DIV 100``
+    (floor — the conservative reading: you never get a fractional error
+    of allowance), exhaustion cross-multiplied
+    (``cum_errors·100 > cum_logs·pct``) so no division exists anywhere.
+
+    Scale shape: one shuffle to the per-(app, day) rollup; the cumulative
+    window runs per app over its bounded day axis.
+    """
+    day_ms = F.col("metric_time_ms") - F.pmod(F.col("metric_time_ms"), F.lit(86400000))
+    per_day = (
+        tm.withColumn("day_ms", day_ms)
+        .groupBy("app_name", "day_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logs"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+    w = (
+        Window.partitionBy("app_name")
+        .orderBy("day_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    pct = F.lit(int(slo_error_pct))
+    cum = per_day.select(
+        "app_name",
+        "day_ms",
+        "n_logs",
+        "n_errors",
+        F.sum("n_logs").over(w).cast("long").alias("cum_logs"),
+        F.sum("n_errors").over(w).cast("long").alias("cum_errors"),
+    )
+    return cum.select(
+        "*",
+        F.expr(f"cum_logs * {int(slo_error_pct)} DIV 100").cast("long").alias(
+            "budget_total"
+        ),
+        (
+            F.expr(f"cum_logs * {int(slo_error_pct)} DIV 100") - F.col("cum_errors")
+        ).cast("long").alias("budget_remaining"),
+        F.when(F.col("cum_errors") * 100 > F.col("cum_logs") * pct, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_exhausted"),
+    )

@@ -1259,3 +1259,34 @@ FROM lagged
 
 
 OBS_ORACLES["obs_ewma_smooth"] = _ewma_oracle()
+
+
+# O68: error-budget burn-down — integer DIV floor budget, cross-multiplied
+# exhaustion, RANGE cumulative window on the day key.
+OBS_ORACLES["obs_error_budget"] = f"""
+WITH {TELEMETRY_CTE},
+per_day AS (
+  SELECT app_name,
+         metric_time_ms - metric_time_ms % 86400000 AS day_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_logs,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM task_metrics GROUP BY 1, 2
+),
+cum AS (
+  SELECT app_name, day_ms, n_logs, n_errors,
+         CAST(SUM(n_logs) OVER (PARTITION BY app_name ORDER BY day_ms
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_logs,
+         CAST(SUM(n_errors) OVER (PARTITION BY app_name ORDER BY day_ms
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_errors
+  FROM per_day
+)
+SELECT app_name, day_ms, n_logs, n_errors, cum_logs, cum_errors,
+       CAST(cum_logs * 20 // 100 AS BIGINT) AS budget_total,
+       CAST(cum_logs * 20 // 100 - cum_errors AS BIGINT) AS budget_remaining,
+       CAST(CASE WHEN cum_errors * 100 > cum_logs * 20 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_exhausted
+FROM cum
+"""

@@ -1126,3 +1126,11 @@ _register(
     ),
     DEDUP_ORACLES["similarity_eval_report"],
 )
+
+# O68 (r8): SLO error-budget burn-down — all-BIGINT cumulative budget,
+# cross-multiplied exhaustion flag (companion panel to O39).
+_register(
+    "obs_error_budget",
+    lambda s, d: obs.error_budget(_tm(s, d)),
+    OBS_ORACLES["obs_error_budget"],
+)
