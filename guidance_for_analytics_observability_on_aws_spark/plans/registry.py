@@ -1134,3 +1134,15 @@ _register(
     lambda s, d: obs.error_budget(_tm(s, d)),
     OBS_ORACLES["obs_error_budget"],
 )
+
+# Rows-only: O69 (r8) — dyadic EWMA ON INGEST: each app's last-8 minute
+# sums in keyed streaming state (8 BIGINTs + frontier), the exact O67 row
+# emitted per minute; bit-identity with batch ewma_smooth pinned in
+# tests/test_streaming.py across a minute-aligned ordered 4-file drive.
+def _stream_ewma(s, d):
+    from ..streaming.stateful import run_streaming_ewma
+
+    return run_streaming_ewma(s, d)
+
+
+_register("stream_ewma_smooth", _stream_ewma, None)

@@ -470,3 +470,121 @@ def run_streaming_gap_fill(
     schema = rollup.schema
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, schema)
+
+
+# --- O69: EWMA smoothing ON INGEST (streaming twin of O67) -------------------
+# The batch operator's nine lags become EIGHT BIGINTs of keyed state per
+# app (plus the emitted-minute frontier) — bounded forever, no window
+# re-sort per batch. Contract: whole minutes, in order (O65's contract;
+# a split minute would smooth a partial sum). Under it, every emitted
+# row — num, den, the single correctly-rounded division, and the
+# cross-multiplied spike flag — is BIT-IDENTICAL to batch ewma_smooth
+# (pinned in tests/test_streaming.py across an ordered multi-file drive).
+
+EWMA_OUTPUT_SCHEMA = (
+    "app_name string, minute_ms bigint, run_ms_sum bigint, ewma_num bigint, "
+    "ewma_den bigint, ewma double, is_spike int"
+)
+EWMA_STATE_SCHEMA = (
+    "last_minute bigint, n_hist bigint, l1 bigint, l2 bigint, l3 bigint, "
+    "l4 bigint, l5 bigint, l6 bigint, l7 bigint, l8 bigint"
+)
+
+
+def _ewma_update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    per_min = pdf.groupby("minute_ms")["run_time_ms"].sum().sort_index()
+    if state.exists:
+        st = state.get
+        last_minute, n_hist = int(st[0]), int(st[1])
+        lags = [int(v) for v in st[2 : 2 + min(n_hist, 8)]]
+        per_min = per_min[per_min.index > last_minute]
+        if len(per_min) == 0:
+            return
+    else:
+        lags = []
+    out = {c: [] for c in (
+        "minute_ms", "run_ms_sum", "ewma_num", "ewma_den", "ewma", "is_spike"
+    )}
+    for m, x in per_min.items():
+        x = int(x)
+        num, den = x * 128, 128
+        for i, lv in enumerate(lags[:7], start=1):
+            num += lv * (1 << (7 - i))
+            den += 1 << (7 - i)
+        num_p = den_p = 0
+        for i, lv in enumerate(lags[:8], start=1):
+            num_p += lv * (1 << (8 - i))
+            den_p += 1 << (8 - i)
+        out["minute_ms"].append(int(m))
+        out["run_ms_sum"].append(x)
+        out["ewma_num"].append(num)
+        out["ewma_den"].append(den)
+        out["ewma"].append(num / den)
+        out["is_spike"].append(
+            1 if den_p > 0 and x * den_p > 2 * num_p else 0
+        )
+        lags = ([x] + lags)[:8]
+    padded = lags + [0] * (8 - len(lags))
+    state.update((int(per_min.index.max()), len(lags), *padded))
+    yield pd.DataFrame({"app_name": [key[0]] * len(out["minute_ms"]), **out})
+
+
+def run_streaming_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """O69 runner: stream task metrics, keep each app's last-8 minute sums
+    in keyed state, emit the exact dyadic-EWMA row per minute on ingest.
+    Returns every emitted row (the same panel batch ``ewma_smooth``
+    computes — bit-identical under the whole-minutes-in-order contract)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .collector import events_stream
+
+    name = f"gfaooa_ewma_sink_{_uuid.uuid4().hex}"
+    src = sf_dir if stream_dir is None else stream_dir
+    glob = "events.parquet" if stream_dir is None else "*.parquet"
+    tm = task_metrics(
+        events_stream(
+            spark, src, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
+    )
+    base = tm.select(
+        "app_name",
+        F.expr("metric_time_ms DIV 60000 * 60000").alias("minute_ms"),
+        "run_time_ms",
+    )
+    out = base.groupBy("app_name").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    panel = spark.table(name)
+    if progress_out is not None:
+        progress_out.append(panel.count())
+    rows = panel.collect()
+    schema = panel.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

@@ -675,3 +675,60 @@ def test_streaming_trend_regression_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_ewma_matches_batch_across_batches(spark, sf_dir, tmp_path):
+    """O69: the last-8-lags keyed state must reproduce batch O67
+    BIT-identically — num/den integers, the one double division, and the
+    cross-multiplied spike flag — across a minute-aligned 4-file ordered
+    drive with maxFilesPerTrigger=1 (whole-minutes-in-order contract)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        ewma_smooth,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.stateful import (
+        run_streaming_ewma,
+    )
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .toPandas()
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    )
+    minute = pdf.ts.astype("int64") // (60_000_000_000)
+    minutes_sorted = sorted(minute.unique())
+    n_chunks = 4
+    per = (len(minutes_sorted) + n_chunks - 1) // n_chunks
+    drop_dir = str(tmp_path / "ewma_drop")
+    os.makedirs(drop_dir)
+    t0 = 1_700_000_000
+    n_files = 0
+    for i in range(n_chunks):
+        sel = minute.isin(minutes_sorted[i * per : (i + 1) * per])
+        if not sel.any():
+            continue
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf[sel], preserve_index=False), path)
+        os.utime(path, (t0 + i, t0 + i))
+        n_files += 1
+    assert n_files >= 4
+    progress: list = []
+    got = run_streaming_ewma(
+        spark,
+        sf_dir,
+        stream_dir=drop_dir,
+        max_files_per_trigger=1,
+        progress_out=progress,
+    )
+    want = ewma_smooth(task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet")))
+    got_rows = sorted((tuple(r) for r in got.collect()), key=str)
+    want_rows = sorted((tuple(r) for r in want.collect()), key=str)
+    assert got_rows == want_rows and got_rows
+    assert sum(r.is_spike for r in got.collect()) >= 1
