@@ -1005,79 +1005,78 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 #                   favor of hash-checked sql entries).
 # This changes dict ORDER only — names, builders, oracles are untouched.
 #
-# r7 window (50 slots exactly), GENERATED by the codified recipe:
-#   python tools/evidence_ledger.py --priority --changed <r7-changed list>
+# r8 window (50 slots exactly), GENERATED by the codified recipe:
+#   python tools/evidence_ledger.py --priority --changed <r8-changed list>
 # (never-checked first, then code-changed-since-evidence, then
-# oldest-evidence backfill ascending by last driver round — the standing
-# rotation contract, now executable instead of prose).
+# oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-12  — the round-7 additions, never driver-checked: D23
-    #                 multi-probe residual IVF-PQ, T44 market basket,
-    #                 S11 table stats, O58 median+MAD outliers, D24 SQ8,
-    #                 D25 Hamming-SimHash pairs, O59 CUSUM drift, P17
-    #                 dedup scale-path evaluation, O60 tail sampling,
-    #                 T45 ship-latency SLA, the O60 streaming twin, P18
-    #                 near-dup dedup on ingest.
-    "similarity_ivf_pq_multiprobe",
-    "orders_market_basket",
-    "source_table_stats",
-    "obs_anomaly_mad",
-    "similarity_sq8",
-    "dedup_simhash_hamming",
-    "obs_cusum_drift",
-    "dedup_eval_report",
-    "obs_tail_sampling",
-    "orders_ship_latency",
-    "stream_tail_sampling",
+    #   slots 1-17  — the SEVENTEEN round-8 additions, never driver-checked:
+    #                 D28 persist report, P20 epoch plan, P19 incremental
+    #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
+    #                 S12 incremental view, O66 stream trend, T46 backlog
+    #                 sweep line, M9 byte-budget sample, O63 trend
+    #                 regression, O64 metric correlation, T47 windowed
+    #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
+    #                 eval, O68 error budget, O69 stream EWMA.
+    "similarity_index_persist_report",
+    "mixture_epoch_plan",
+    "dup_groups_incremental",
+    "stream_cusum_drift",
+    "stream_gap_fill",
+    "source_incremental_view",
+    "stream_trend_regression",
+    "orders_backlog_timeline",
+    "mm_media_sample",
+    "obs_trend_regression",
+    "obs_metric_correlation",
+    "events_funnel_windowed",
+    "docs_kmv_overlap",
+    "obs_ewma_smooth",
+    "similarity_eval_report",
+    "obs_error_budget",
+    "stream_ewma_smooth",
+    #   slots 18-32 — entries whose CODE changed in r8 since their last
+    #                 driver row: P18/O43 boundary parameterization +
+    #                 schema-safe sink read, the model-cache file-footprint
+    #                 key (whole trained family), the P17 oracle
+    #                 zero-divisor guard, and the shared _ranked_with_n
+    #                 distributed order-statistic refactor (percentile
+    #                 family).
     "stream_near_dedup_ingest",
-    #   slots 13-27 — entries whose CODE changed in r7 since their last
-    #                 driver row: the trained-model-registry refactor
-    #                 (similarity family D12/D17/D20/D21/D22), the
-    #                 streaming collector (events_stream signature + the
-    #                 bounded-state rolling-WAU path), and the snapshot
-    #                 commit collision cleanup.
-    "similarity_ivf_pq_residual",
-    "similarity_ivf_pq",
-    "similarity_pq",
+    "stream_incremental_dedup",
+    "dedup_eval_report",
     "similarity_ivf_trained",
     "embedding_kmeans",
-    "stream_rolling_wau",
-    "stream_collector_pipeline",
-    "stream_stage_agg",
-    "stream_session_windows",
-    "stream_dedup_ingest",
-    "stream_alert_rules",
-    "stream_heavy_hitters",
-    "stream_metric_log_join",
-    "stream_incremental_dedup",
-    "source_snapshot_report",
-    #   slots 28-45 — the 18 oldest-evidence entries (last green row r3:
-    #                 the T tail, M plan operators, O38-O42 —
-    #                 embedding_kmeans already promoted above).
-    "pivot_status_by_priority",
-    "events_retention",
-    "window_lead_lag_ntile",
-    "set_ops_customers",
-    "merge_scd1_customers",
-    "grouping_sets_mixed",
-    "events_transition_matrix",
-    "orders_seasonality",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "mm_audio_chunks",
-    "cube_priority_segment",
-    "mm_decode_frames",
-    "obs_downsample_rollup",
-    "obs_slo_burn_rate",
-    "obs_value_histogram",
-    "obs_metric_log_correlate",
-    "obs_input_bytes_percentiles",
-    #   slots 46-50 — r4-aged backfill in registration order.
-    "obs_task_metrics",
-    "obs_stage_agg_skewness",
-    "obs_skew_distribution",
-    "obs_app_summary",
-    "obs_cardinality",
+    "similarity_pq",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_residual",
+    "similarity_ivf_pq_multiprobe",
+    "obs_anomaly_mad",
+    "obs_cusum_drift",
+    "obs_tail_sampling",
+    "orders_ship_latency",
+    "obs_percentile_timeline",
+    "obs_task_percentiles_distributed",
+    #   slots 33-50 — oldest-evidence backfill (r4-aged O core + T8) in
+    #                 ledger order.
+    "obs_date_histogram",
+    "obs_top_n_skew",
+    "obs_task_percentiles",
+    "obs_log_enrich",
+    "obs_error_rate",
+    "obs_executor_utilization",
+    "obs_session_windows",
+    "obs_skew_timeline",
+    "stream_metrics_window",
+    "obs_log_search",
+    "obs_counter_rate",
+    "obs_gap_fill",
+    "obs_anomaly_zscore",
+    "obs_log_templates",
+    "obs_heavy_hitters_cms",
+    "obs_error_rate_moving_avg",
+    "obs_alert_rules",
+    "asof_join_attribution",
 ]
 
 
@@ -1088,9 +1087,6 @@ def _apply_priority_order() -> None:
             ordered[name] = spec
     REGISTRY.clear()
     REGISTRY.update(ordered)
-
-
-_apply_priority_order()
 
 # T47 (r8): time-constrained funnel (ClickHouse windowFunnel) — sequence
 # matching via two stacked strict-before window maxima, no self-joins.
@@ -1146,3 +1142,8 @@ def _stream_ewma(s, d):
 
 
 _register("stream_ewma_smooth", _stream_ewma, None)
+
+
+# Applied LAST so every registration above (including late additions) is
+# eligible for the driver window.
+_apply_priority_order()

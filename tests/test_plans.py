@@ -291,69 +291,71 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r7 rotation: 31 sql + 19 rows-only (the changed-code re-exposures and
-    # streaming twins are rows-only runners; see the _PRIORITY ledger comment).
+    # r8 rotation: 36 sql + 14 rows-only (17 never-checked r8 additions,
+    # 15 code-changed re-exposures, 18 r4-aged backfill; see the
+    # _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 31, f"{n_sql} sql-backed entries in the driver window"
-    # the r7 additions with no driver row lead; then every entry whose code
-    # changed in r7 since its last driver row (trained-model registry
-    # refactor, streaming collector, snapshot commit cleanup):
+    assert n_sql == 36, f"{n_sql} sql-backed entries in the driver window"
+    # the r8 additions with no driver row lead; then every entry whose code
+    # changed in r8 since its last driver row (boundary parameterization,
+    # model-cache footprint key, P17 oracle guard, _ranked_with_n refactor):
     head = (
-        "similarity_ivf_pq_multiprobe",
-        "orders_market_basket",
-        "source_table_stats",
-        "obs_anomaly_mad",
-        "similarity_sq8",
-        "dedup_simhash_hamming",
-        "obs_cusum_drift",
-        "dedup_eval_report",
-        "obs_tail_sampling",
-        "orders_ship_latency",
-        "stream_tail_sampling",
+        "similarity_index_persist_report",
+        "mixture_epoch_plan",
+        "dup_groups_incremental",
+        "stream_cusum_drift",
+        "stream_gap_fill",
+        "source_incremental_view",
+        "stream_trend_regression",
+        "orders_backlog_timeline",
+        "mm_media_sample",
+        "obs_trend_regression",
+        "obs_metric_correlation",
+        "events_funnel_windowed",
+        "docs_kmv_overlap",
+        "obs_ewma_smooth",
+        "similarity_eval_report",
+        "obs_error_budget",
+        "stream_ewma_smooth",
         "stream_near_dedup_ingest",
-        "similarity_ivf_pq_residual",
-        "similarity_ivf_pq",
-        "similarity_pq",
+        "stream_incremental_dedup",
+        "dedup_eval_report",
         "similarity_ivf_trained",
         "embedding_kmeans",
-        "stream_rolling_wau",
-        "stream_collector_pipeline",
-        "stream_stage_agg",
-        "stream_session_windows",
-        "stream_dedup_ingest",
-        "stream_alert_rules",
-        "stream_heavy_hitters",
-        "stream_metric_log_join",
-        "stream_incremental_dedup",
-        "source_snapshot_report",
+        "similarity_pq",
+        "similarity_ivf_pq",
+        "similarity_ivf_pq_residual",
+        "similarity_ivf_pq_multiprobe",
+        "obs_anomaly_mad",
+        "obs_cusum_drift",
+        "obs_tail_sampling",
+        "orders_ship_latency",
+        "obs_percentile_timeline",
+        "obs_task_percentiles_distributed",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 18 r3-aged oldest-evidence entries must all be inside the window:
+    # the 18 r4-aged oldest-evidence entries must all be inside the window:
     for expected in (
-        "pivot_status_by_priority",
-        "events_retention",
-        "window_lead_lag_ntile",
-        "set_ops_customers",
-        "merge_scd1_customers",
-        "grouping_sets_mixed",
-        "events_transition_matrix",
-        "orders_seasonality",
-        "mm_frame_sample",
-        "mm_feature_extract",
-        "mm_audio_chunks",
-        "cube_priority_segment",
-        "mm_decode_frames",
-        "obs_downsample_rollup",
-        "obs_slo_burn_rate",
-        "obs_value_histogram",
-        "obs_metric_log_correlate",
-        "obs_input_bytes_percentiles",
+        "obs_date_histogram",
+        "obs_top_n_skew",
+        "obs_task_percentiles",
+        "obs_log_enrich",
+        "obs_error_rate",
+        "obs_executor_utilization",
+        "obs_session_windows",
+        "obs_skew_timeline",
+        "stream_metrics_window",
+        "obs_log_search",
+        "obs_counter_rate",
+        "obs_gap_fill",
+        "obs_anomaly_zscore",
+        "obs_log_templates",
+        "obs_heavy_hitters_cms",
+        "obs_error_rate_moving_avg",
+        "obs_alert_rules",
+        "asof_join_attribution",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # backfill holds only already-green entries; fresh r6-greens whose code
-    # is unchanged must NOT re-occupy scarce slots:
-    for fresh_green in ("obs_straggler_detect", "tpch_q9_profit", "dataset_card_report"):
-        assert fresh_green not in first50
 
 
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
