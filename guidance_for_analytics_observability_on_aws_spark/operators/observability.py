@@ -2282,3 +2282,47 @@ def error_budget(tm: DataFrame, slo_error_pct: int = 20) -> DataFrame:
         .cast("int")
         .alias("is_exhausted"),
     )
+
+
+def distinct_rollup_hll(tm: DataFrame, lg_k: int = 12) -> DataFrame:
+    """O70: DISTINCT-COUNT ROLLUP from HLL sketch partials — the
+    Druid/DataSketches pattern behind every "unique users per hour/day"
+    panel at 100 TB: per-minute HLL partials are aggregated ONCE from raw,
+    then every coarser bucket is a UNION OF SKETCHES (register-max merge)
+    — the raw data is never re-scanned per level, and unlike partial
+    distinct COUNTS (which cannot merge), sketch partials compose
+    losslessly: merging minute sketches yields exactly the sketch a
+    direct scan of the hour would build (same lgK — pinned in tests as
+    estimate equality at both rollup levels).
+
+    Entity here is ``partition_id`` (the driver corpus's only repeated
+    id); in production the column is a user/session id where exact
+    distinct per bucket is the memory bottleneck sketches exist to break.
+    O19 gives the single global approx count; this is its HIERARCHY.
+
+    Rows-only entry: DuckDB's approx_count_distinct is a different sketch
+    (no cross-engine estimate identity exists by design).
+
+    Scale shape: one shuffle to (type, minute) partials; hour/day levels
+    aggregate SKETCHES (minutes ≫ hours ≫ days, each a few hundred bytes)
+    — map-side combinable, no second raw pass, no distinct explosion.
+    """
+    minute = tm.groupBy(
+        "event_type",
+        F.expr("metric_time_ms DIV 60000 * 60000").alias("bucket_ms"),
+    ).agg(F.hll_sketch_agg(F.col("partition_id"), F.lit(lg_k)).alias("sk"))
+    hour = minute.groupBy(
+        "event_type",
+        F.expr("bucket_ms DIV 3600000 * 3600000").alias("bucket_ms"),
+    ).agg(F.hll_union_agg("sk").alias("sk"))
+    day = hour.groupBy(
+        "event_type",
+        F.expr("bucket_ms DIV 86400000 * 86400000").alias("bucket_ms"),
+    ).agg(F.hll_union_agg("sk").alias("sk"))
+    est = F.hll_sketch_estimate("sk").cast("long").alias("n_distinct_est")
+    return (
+        hour.select(F.lit("hour").alias("level"), "event_type", "bucket_ms", est)
+        .unionByName(
+            day.select(F.lit("day").alias("level"), "event_type", "bucket_ms", est)
+        )
+    )

@@ -1010,14 +1010,15 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-17  — the SEVENTEEN round-8 additions, never driver-checked:
+    #   slots 1-18  — the EIGHTEEN round-8 additions, never driver-checked:
     #                 D28 persist report, P20 epoch plan, P19 incremental
     #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
     #                 S12 incremental view, O66 stream trend, T46 backlog
     #                 sweep line, M9 byte-budget sample, O63 trend
     #                 regression, O64 metric correlation, T47 windowed
     #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
-    #                 eval, O68 error budget, O69 stream EWMA.
+    #                 eval, O68 error budget, O69 stream EWMA, O70 HLL
+    #                 sketch-partial distinct rollup.
     "similarity_index_persist_report",
     "mixture_epoch_plan",
     "dup_groups_incremental",
@@ -1035,7 +1036,8 @@ _PRIORITY = [
     "similarity_eval_report",
     "obs_error_budget",
     "stream_ewma_smooth",
-    #   slots 18-32 — entries whose CODE changed in r8 since their last
+    "obs_distinct_rollup_hll",
+    #   slots 19-33 — entries whose CODE changed in r8 since their last
     #                 driver row: P18/O43 boundary parameterization +
     #                 schema-safe sink read, the model-cache file-footprint
     #                 key (whole trained family), the P17 oracle
@@ -1057,8 +1059,9 @@ _PRIORITY = [
     "orders_ship_latency",
     "obs_percentile_timeline",
     "obs_task_percentiles_distributed",
-    #   slots 33-50 — oldest-evidence backfill (r4-aged O core + T8) in
-    #                 ledger order.
+    #   slots 34-50 — oldest-evidence backfill (r4-aged O core) in ledger
+    #                 order (T8 asof yields its slot to the never-checked
+    #                 O70 per the rotation contract).
     "obs_date_histogram",
     "obs_top_n_skew",
     "obs_task_percentiles",
@@ -1076,7 +1079,6 @@ _PRIORITY = [
     "obs_heavy_hitters_cms",
     "obs_error_rate_moving_avg",
     "obs_alert_rules",
-    "asof_join_attribution",
 ]
 
 
@@ -1142,6 +1144,16 @@ def _stream_ewma(s, d):
 
 
 _register("stream_ewma_smooth", _stream_ewma, None)
+
+
+# Rows-only: O70 (r8) — HLL sketch-partial distinct rollup (minute
+# partials → hour/day by register-max union; raw never re-scanned per
+# level); merge-identity with a direct per-level scan pinned in tests.
+_register(
+    "obs_distinct_rollup_hll",
+    lambda s, d: obs.distinct_rollup_hll(_tm(s, d)),
+    None,
+)
 
 
 # Applied LAST so every registration above (including late additions) is

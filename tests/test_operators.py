@@ -2079,3 +2079,72 @@ def test_similarity_eval_report_orders_ivf_variants(spark, sf_dir):
     for r in rows.values():
         assert r.n_hits <= r.n_truth
         assert r.recall == r.n_hits / r.n_truth
+
+
+def test_hll_rollup_merge_identity(spark, sf_dir):
+    """O70: merging minute sketches must give EXACTLY the estimate a
+    direct scan of the coarser bucket builds (same lgK) — the property
+    that makes sketch partials a valid rollup currency; and the hour
+    level's estimates are close to exact distinct counts on this
+    low-cardinality entity."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        distinct_rollup_hll,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    got = distinct_rollup_hll(tm)
+    # direct per-level sketches straight from raw — no minute hop
+    def direct(level_ms, name):
+        return (
+            tm.groupBy(
+                "event_type",
+                F.expr(f"metric_time_ms DIV {level_ms} * {level_ms}").alias(
+                    "bucket_ms"
+                ),
+            )
+            .agg(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col("partition_id"), F.lit(12))
+                )
+                .cast("long")
+                .alias("n_direct")
+            )
+            .withColumn("level", F.lit(name))
+        )
+
+    want = direct(3600000, "hour").unionByName(direct(86400000, "day"))
+    j = got.join(want, ["level", "event_type", "bucket_ms"], "full")
+    bad = j.filter(
+        F.col("n_distinct_est").isNull()
+        | F.col("n_direct").isNull()
+        | (F.col("n_distinct_est") != F.col("n_direct"))
+    ).count()
+    assert bad == 0
+    # sanity vs exact distinct at the hour level
+    exact = (
+        tm.groupBy(
+            "event_type",
+            F.expr("metric_time_ms DIV 3600000 * 3600000").alias("bucket_ms"),
+        )
+        .agg(F.countDistinct("partition_id").alias("n_exact"))
+    )
+    chk = (
+        got.filter("level = 'hour'")
+        .join(exact, ["event_type", "bucket_ms"])
+        .select(
+            F.max(
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                / F.col("n_exact")
+            ).alias("max_rel_err")
+        )
+        .collect()[0]
+    )
+    assert chk.max_rel_err is not None and chk.max_rel_err < 0.05
