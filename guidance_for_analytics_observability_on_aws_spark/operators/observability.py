@@ -2326,3 +2326,78 @@ def distinct_rollup_hll(tm: DataFrame, lg_k: int = 12) -> DataFrame:
             day.select(F.lit("day").alias("level"), "event_type", "bucket_ms", est)
         )
     )
+
+
+def burn_rate_multiwindow(tm: DataFrame, slo_error_pct: int = 20) -> DataFrame:
+    """O71: MULTI-WINDOW MULTI-BURN-RATE alerting (the Google SRE workbook
+    shape O39's single-window burn rate graduates into): a PAGE fires only
+    when BOTH a short (1h) and a long (6h) trailing window burn ≥2× the
+    SLO allowance — the long window proves it's sustained, the short
+    window makes the alert reset fast once the incident ends; a TICKET
+    fires at ≥1× over 6h AND 72h (slow leak). Single-window alerts must
+    choose between flappy (short) and sticky (long); the AND of two
+    windows is the standard fix.
+
+    Exactness: each "burn ≥ k over window w" is the cross-multiplied
+    BIGINT inequality ``errors_w·100 ≥ k·pct·logs_w`` — window sums are
+    RANGE-framed on the hour key (a missing hour contributes nothing, it
+    doesn't shift the frame), and no division exists anywhere.
+
+    Scale shape: one shuffle to the per-(app, hour) rollup; all three
+    trailing windows share ONE partition/order spec (one sort), each app's
+    hour axis is calendar-bounded.
+    """
+    hour_ms = F.col("metric_time_ms") - F.pmod(
+        F.col("metric_time_ms"), F.lit(3600000)
+    )
+    per_hour = (
+        tm.withColumn("hour_ms", hour_ms)
+        .groupBy("app_name", "hour_ms")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logs"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
+
+    def trailing(hours: int, col: str) -> F.Column:
+        w = (
+            Window.partitionBy("app_name")
+            .orderBy("hour_ms")
+            .rangeBetween(-(hours - 1) * 3600000, 0)
+        )
+        return F.sum(col).over(w).cast("long")
+
+    pct = int(slo_error_pct)
+    sums = per_hour.select(
+        "app_name",
+        "hour_ms",
+        "n_logs",
+        "n_errors",
+        trailing(1, "n_logs").alias("logs_1h"),
+        trailing(1, "n_errors").alias("errors_1h"),
+        trailing(6, "n_logs").alias("logs_6h"),
+        trailing(6, "n_errors").alias("errors_6h"),
+        trailing(72, "n_logs").alias("logs_72h"),
+        trailing(72, "n_errors").alias("errors_72h"),
+    )
+    burn_ge = lambda e, l, k: F.col(e) * 100 >= F.lit(k * pct) * F.col(l)  # noqa: E731
+    return sums.select(
+        "*",
+        F.when(
+            burn_ge("errors_1h", "logs_1h", 2) & burn_ge("errors_6h", "logs_6h", 2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("page_alert"),
+        F.when(
+            burn_ge("errors_6h", "logs_6h", 1)
+            & burn_ge("errors_72h", "logs_72h", 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("ticket_alert"),
+    )

@@ -1290,3 +1290,47 @@ SELECT app_name, day_ms, n_logs, n_errors, cum_logs, cum_errors,
             AS INTEGER) AS is_exhausted
 FROM cum
 """
+
+
+# O71: multi-window multi-burn-rate — RANGE-framed trailing sums on the
+# hour key, cross-multiplied burn inequalities, no division.
+OBS_ORACLES["obs_burn_rate_multiwindow"] = f"""
+WITH {TELEMETRY_CTE},
+per_hour AS (
+  SELECT app_name,
+         metric_time_ms - metric_time_ms % 3600000 AS hour_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_logs,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM task_metrics GROUP BY 1, 2
+),
+sums AS (
+  SELECT app_name, hour_ms, n_logs, n_errors,
+         CAST(SUM(n_logs) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS logs_1h,
+         CAST(SUM(n_errors) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT) AS errors_1h,
+         CAST(SUM(n_logs) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS logs_6h,
+         CAST(SUM(n_errors) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS errors_6h,
+         CAST(SUM(n_logs) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 255600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS logs_72h,
+         CAST(SUM(n_errors) OVER (PARTITION BY app_name ORDER BY hour_ms
+              RANGE BETWEEN 255600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS errors_72h
+  FROM per_hour
+)
+SELECT app_name, hour_ms, n_logs, n_errors,
+       logs_1h, errors_1h, logs_6h, errors_6h, logs_72h, errors_72h,
+       CAST(CASE WHEN errors_1h * 100 >= 40 * logs_1h
+                  AND errors_6h * 100 >= 40 * logs_6h THEN 1 ELSE 0 END
+            AS INTEGER) AS page_alert,
+       CAST(CASE WHEN errors_6h * 100 >= 20 * logs_6h
+                  AND errors_72h * 100 >= 20 * logs_72h THEN 1 ELSE 0 END
+            AS INTEGER) AS ticket_alert
+FROM sums
+"""

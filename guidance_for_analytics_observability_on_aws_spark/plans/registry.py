@@ -1156,6 +1156,15 @@ _register(
 )
 
 
+# O71 (r8): Google SRE multi-window multi-burn-rate alert — RANGE-framed
+# trailing sums, cross-multiplied burn inequalities, zero divisions.
+_register(
+    "obs_burn_rate_multiwindow",
+    lambda s, d: obs.burn_rate_multiwindow(_tm(s, d)),
+    OBS_ORACLES["obs_burn_rate_multiwindow"],
+)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

@@ -2148,3 +2148,59 @@ def test_hll_rollup_merge_identity(spark, sf_dir):
         .collect()[0]
     )
     assert chk.max_rel_err is not None and chk.max_rel_err < 0.05
+
+
+def test_burn_rate_multiwindow_and_semantics(spark):
+    """O71: a single-hour 100% burst does NOT page (the 6h window
+    dilutes it below 2×), a sustained 6h burst pages, and a mild
+    persistent overshoot tickets without paging — the three regimes the
+    two-window AND exists to separate."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        burn_rate_multiwindow,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def hour(app_uid, h, n_err, n_ok):
+        nonlocal eid
+        for i in range(n_err):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=i), app_uid, "error", 1.0, '{"k":1}'))
+            eid += 1
+        for i in range(n_ok):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=600 + i), app_uid, "click", 1.0, '{"k":1}'))
+            eid += 1
+
+    # app uid 0 → app-0: 23h clean, then ONE hour of 100% errors (blip)
+    for h in range(23):
+        hour(0, h, 0, 20)
+    hour(0, 23, 20, 0)
+    # app uid 1 → app-1: 18h clean, then SIX hours of 100% errors (page)
+    for h in range(18):
+        hour(1, h, 0, 20)
+    for h in range(18, 24):
+        hour(1, h, 20, 0)
+    # app uid 2 → app-2: 24h of mild overshoot (25% > 20% SLO, < 2×) (ticket)
+    for h in range(24):
+        hour(2, h, 5, 15)
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = burn_rate_multiwindow(task_metrics(ev)).collect()
+    by_app = {}
+    for r in out:
+        a = by_app.setdefault(r.app_name, {"page": 0, "ticket": 0})
+        a["page"] += r.page_alert
+        a["ticket"] += r.ticket_alert
+    # user_id % 4 → app names
+    assert by_app["app-0"]["page"] == 0  # blip diluted by the 6h window
+    assert by_app["app-1"]["page"] >= 1  # sustained burst pages
+    assert by_app["app-2"]["page"] == 0  # mild overshoot never pages...
+    assert by_app["app-2"]["ticket"] >= 1  # ...but tickets
