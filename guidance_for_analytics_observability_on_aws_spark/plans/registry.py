@@ -1010,7 +1010,7 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-18  — the EIGHTEEN round-8 additions, never driver-checked:
+    #   slots 1-19  — the NINETEEN round-8 additions, never driver-checked:
     #                 D28 persist report, P20 epoch plan, P19 incremental
     #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
     #                 S12 incremental view, O66 stream trend, T46 backlog
@@ -1018,7 +1018,8 @@ _PRIORITY = [
     #                 regression, O64 metric correlation, T47 windowed
     #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
     #                 eval, O68 error budget, O69 stream EWMA, O70 HLL
-    #                 sketch-partial distinct rollup.
+    #                 sketch-partial distinct rollup, O71 multi-window
+    #                 burn-rate alerts.
     "similarity_index_persist_report",
     "mixture_epoch_plan",
     "dup_groups_incremental",
@@ -1037,7 +1038,8 @@ _PRIORITY = [
     "obs_error_budget",
     "stream_ewma_smooth",
     "obs_distinct_rollup_hll",
-    #   slots 19-33 — entries whose CODE changed in r8 since their last
+    "obs_burn_rate_multiwindow",
+    #   slots 20-34 — entries whose CODE changed in r8 since their last
     #                 driver row: P18/O43 boundary parameterization +
     #                 schema-safe sink read, the model-cache file-footprint
     #                 key (whole trained family), the P17 oracle
@@ -1059,9 +1061,10 @@ _PRIORITY = [
     "orders_ship_latency",
     "obs_percentile_timeline",
     "obs_task_percentiles_distributed",
-    #   slots 34-50 — oldest-evidence backfill (r4-aged O core) in ledger
-    #                 order (T8 asof yields its slot to the never-checked
-    #                 O70 per the rotation contract).
+    #   slots 35-50 — oldest-evidence backfill (r4-aged O core) in ledger
+    #                 order (T8 asof and O33 alert rules yield their slots
+    #                 to the never-checked O70/O71 per the rotation
+    #                 contract).
     "obs_date_histogram",
     "obs_top_n_skew",
     "obs_task_percentiles",
@@ -1078,7 +1081,6 @@ _PRIORITY = [
     "obs_log_templates",
     "obs_heavy_hitters_cms",
     "obs_error_rate_moving_avg",
-    "obs_alert_rules",
 ]
 
 
