@@ -641,7 +641,7 @@ def docs_kmv_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     srcs = sketch.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("source_a"))
-        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
         .filter(F.col("source_a") < F.col("source_b"))
     )
     fanned = F.broadcast(pairs).join(
