@@ -79,6 +79,13 @@ HEAVY = [
     "text_tfidf_topk",
     "pack_sequences_distributed",
     "events_rolling_wau",
+    # r8 additions with non-trivial scale shapes: sketch set-ops over the
+    # shingle space, incremental CC folding, the 4-searcher eval, and the
+    # two-window-pass funnel.
+    "docs_kmv_overlap",
+    "dup_groups_incremental",
+    "similarity_eval_report",
+    "events_funnel_windowed",
 ]
 
 
