@@ -13,6 +13,7 @@ from ..functions.hashing import (
     md5_int_sql,
 )
 from ..functions.text import CORPUS_CTE, SHINGLES_SQL
+from ..operators.dedup import CDC_DIVISOR, CDC_W
 from ..functions.vectors import QUANTIZE_SQL, SQ_NORM_SQL, dot_sql
 
 DEDUP_ORACLES: dict[str, str] = {}
@@ -730,3 +731,72 @@ FROM m
 
 
 DEDUP_ORACLES["similarity_eval_report"] = _d27_eval_oracle()
+
+
+# D29: content-defined chunking — same mod-P polynomial window hash with
+# per-term reduction, same cumulative boundary chunking, same md5 span
+# fingerprints as the builder.
+DEDUP_ORACLES["dedup_cdc_chunks"] = f"""
+WITH {CORPUS_CTE},
+base AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+  WHERE len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+  FROM base
+),
+tokpos AS (
+  SELECT doc_id, pos, toks[pos] AS token,
+         {md5_int_sql("toks[pos]", 7)} AS th
+  FROM pos
+),
+lagged AS (
+  SELECT doc_id, pos, token, th,
+         LAG(th, 1) OVER w AS l1,
+         LAG(th, 2) OVER w AS l2,
+         LAG(th, 3) OVER w AS l3
+  FROM tokpos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN pos >= {CDC_W} AND (
+             (th % 2147483647)
+             + (COALESCE(l1, 0) * 1000003) % 2147483647
+             + (COALESCE(l2, 0) * 1426104154) % 2147483647
+             + (COALESCE(l3, 0) * 1049561761) % 2147483647
+           ) % 2147483647 % {CDC_DIVISOR} = 0
+         THEN 1 ELSE 0 END AS is_boundary
+  FROM lagged
+),
+chunked AS (
+  SELECT doc_id, pos, token,
+         COALESCE(SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_idx
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, chunk_idx, string_agg(token, ' ' ORDER BY pos) AS span
+  FROM chunked GROUP BY 1, 2
+),
+fps AS (
+  SELECT DISTINCT doc_id, {md5_int_sql("span", 13)} AS fp FROM spans
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fps GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, n_shared_chunks,
+       sa.sz AS n_a, sb.sz AS n_b,
+       n_shared_chunks / CAST(sa.sz AS DOUBLE) AS containment_a,
+       n_shared_chunks / CAST(sb.sz AS DOUBLE) AS containment_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""

@@ -1010,7 +1010,7 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-19  — the NINETEEN round-8 additions, never driver-checked:
+    #   slots 1-20  — the TWENTY round-8 additions, never driver-checked:
     #                 D28 persist report, P20 epoch plan, P19 incremental
     #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
     #                 S12 incremental view, O66 stream trend, T46 backlog
@@ -1019,7 +1019,7 @@ _PRIORITY = [
     #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
     #                 eval, O68 error budget, O69 stream EWMA, O70 HLL
     #                 sketch-partial distinct rollup, O71 multi-window
-    #                 burn-rate alerts.
+    #                 burn-rate alerts, D29 content-defined chunking.
     "similarity_index_persist_report",
     "mixture_epoch_plan",
     "dup_groups_incremental",
@@ -1039,7 +1039,8 @@ _PRIORITY = [
     "stream_ewma_smooth",
     "obs_distinct_rollup_hll",
     "obs_burn_rate_multiwindow",
-    #   slots 20-34 — entries whose CODE changed in r8 since their last
+    "dedup_cdc_chunks",
+    #   slots 21-35 — entries whose CODE changed in r8 since their last
     #                 driver row: P18/O43 boundary parameterization +
     #                 schema-safe sink read, the model-cache file-footprint
     #                 key (whole trained family), the P17 oracle
@@ -1061,10 +1062,9 @@ _PRIORITY = [
     "orders_ship_latency",
     "obs_percentile_timeline",
     "obs_task_percentiles_distributed",
-    #   slots 35-50 — oldest-evidence backfill (r4-aged O core) in ledger
-    #                 order (T8 asof and O33 alert rules yield their slots
-    #                 to the never-checked O70/O71 per the rotation
-    #                 contract).
+    #   slots 36-50 — oldest-evidence backfill (r4-aged O core) in ledger
+    #                 order (T8/O33/O32 yield their slots to the
+    #                 never-checked O70/O71/D29 per the rotation contract).
     "obs_date_histogram",
     "obs_top_n_skew",
     "obs_task_percentiles",
@@ -1080,7 +1080,6 @@ _PRIORITY = [
     "obs_anomaly_zscore",
     "obs_log_templates",
     "obs_heavy_hitters_cms",
-    "obs_error_rate_moving_avg",
 ]
 
 
@@ -1164,6 +1163,16 @@ _register(
     "obs_burn_rate_multiwindow",
     lambda s, d: obs.burn_rate_multiwindow(_tm(s, d)),
     OBS_ORACLES["obs_burn_rate_multiwindow"],
+)
+
+
+# D29 (r8): content-defined chunking partial-dup detection — Rabin-style
+# rolling-hash chunk boundaries, md5 span fingerprints, chunk-level
+# containment; the rsync/LBFS storage-dedup family member.
+_register(
+    "dedup_cdc_chunks",
+    lambda s, d: dedup.dedup_cdc_chunks(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_cdc_chunks"],
 )
 
 

@@ -2204,3 +2204,29 @@ def test_burn_rate_multiwindow_and_semantics(spark):
     assert by_app["app-1"]["page"] >= 1  # sustained burst pages
     assert by_app["app-2"]["page"] == 0  # mild overshoot never pages...
     assert by_app["app-2"]["ticket"] >= 1  # ...but tickets
+
+
+def test_cdc_chunks_boundary_locality(spark, sf_dir):
+    """D29: content-defined boundaries are LOCAL — exact copies share every
+    chunk (containment 1.0 both sides), truncated-to-90% variants keep a
+    high share of their parent's chunks (only the tail chunk perturbs),
+    and reversed docs never pair (no common span survives reversal)."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_cdc_chunks,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    df = dedup_cdc_chunks(load_tables(spark, sf_dir)["documents"])
+    rows = df.collect()
+    exact = [r for r in rows if r.doc_b - r.doc_a == 1000000 and r.doc_a < 1000000]
+    assert exact and all(
+        r.containment_a == 1.0 and r.containment_b == 1.0 for r in exact
+    )
+    trunc = [r for r in rows if r.doc_b - r.doc_a == 3000000 and r.doc_a < 1000000]
+    assert trunc and all(r.containment_b >= 0.5 for r in trunc)
+    reverse = [r for r in rows if r.doc_b - r.doc_a == 2000000 and r.doc_a < 1000000]
+    assert reverse == []
