@@ -1010,7 +1010,7 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-20  — the TWENTY round-8 additions, never driver-checked:
+    #   slots 1-21  — the TWENTY-ONE round-8 additions, never driver-checked:
     #                 D28 persist report, P20 epoch plan, P19 incremental
     #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
     #                 S12 incremental view, O66 stream trend, T46 backlog
@@ -1019,7 +1019,8 @@ _PRIORITY = [
     #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
     #                 eval, O68 error budget, O69 stream EWMA, O70 HLL
     #                 sketch-partial distinct rollup, O71 multi-window
-    #                 burn-rate alerts, D29 content-defined chunking.
+    #                 burn-rate alerts, D29 content-defined chunking, O72
+    #                 streaming error budget.
     "similarity_index_persist_report",
     "mixture_epoch_plan",
     "dup_groups_incremental",
@@ -1040,7 +1041,8 @@ _PRIORITY = [
     "obs_distinct_rollup_hll",
     "obs_burn_rate_multiwindow",
     "dedup_cdc_chunks",
-    #   slots 21-35 — entries whose CODE changed in r8 since their last
+    "stream_error_budget",
+    #   slots 22-36 — entries whose CODE changed in r8 since their last
     #                 driver row: P18/O43 boundary parameterization +
     #                 schema-safe sink read, the model-cache file-footprint
     #                 key (whole trained family), the P17 oracle
@@ -1062,9 +1064,10 @@ _PRIORITY = [
     "orders_ship_latency",
     "obs_percentile_timeline",
     "obs_task_percentiles_distributed",
-    #   slots 36-50 — oldest-evidence backfill (r4-aged O core) in ledger
-    #                 order (T8/O33/O32 yield their slots to the
-    #                 never-checked O70/O71/D29 per the rotation contract).
+    #   slots 37-50 — oldest-evidence backfill (r4-aged O core) in ledger
+    #                 order (T8/O33/O32/O30 yield their slots to the
+    #                 never-checked O70/O71/D29/O72 per the rotation
+    #                 contract).
     "obs_date_histogram",
     "obs_top_n_skew",
     "obs_task_percentiles",
@@ -1079,7 +1082,6 @@ _PRIORITY = [
     "obs_gap_fill",
     "obs_anomaly_zscore",
     "obs_log_templates",
-    "obs_heavy_hitters_cms",
 ]
 
 
@@ -1174,6 +1176,18 @@ _register(
     lambda s, d: dedup.dedup_cdc_chunks(load_tables(s, d)["documents"]),
     DEDUP_ORACLES["dedup_cdc_chunks"],
 )
+
+
+# Rows-only: O72 (r8) — SLO error-budget burn-down ON INGEST: additive
+# per-batch (app, day) BIGINT partials (zero state, the O66 pattern),
+# merged panel bit-identical to batch O68 (pinned in tests).
+def _stream_error_budget(s, d):
+    from ..streaming.collector import run_streaming_error_budget
+
+    return run_streaming_error_budget(s, d)
+
+
+_register("stream_error_budget", _stream_error_budget, None)
 
 
 # Applied LAST so every registration above (including late additions) is

@@ -917,3 +917,86 @@ def run_streaming_trend_regression(
         F.try_divide(cov_n * cov_n, var_t * var_x).alias("r2"),
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_error_budget(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O72: SLO error-budget burn-down ON INGEST — the streaming twin of
+    O68 by ADDITIVITY (the O66/O61 zero-state pattern): per-(app, day)
+    log/error counts are sums, so each micro-batch appends its exact
+    BIGINT partials; the final pass merges them and applies the identical
+    cumulative-budget tail (RANGE windows + floor allowance +
+    cross-multiplied exhaustion). When history == streamed series every
+    row is BIT-identical to batch ``error_budget`` (pinned in
+    ``tests/test_streaming.py``). In production the merged per-day panel
+    is what the morning report reads; no keyed state, constant memory.
+    """
+    from ..operators.observability import error_budget  # noqa: F401 (twin)
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_budget_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "app_name",
+                (
+                    F.col("metric_time_ms")
+                    - F.pmod(F.col("metric_time_ms"), F.lit(86400000))
+                ).alias("day_ms"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_logs"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("long")
+                .alias("n_errors"),
+            )
+            .write.mode("append")
+            .parquet(f"{out}/partials")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    per_day = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("app_name", "day_ms")
+        .agg(
+            F.sum("n_logs").cast("long").alias("n_logs"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    w = (
+        Window.partitionBy("app_name")
+        .orderBy("day_ms")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    pct = 20
+    cum = per_day.select(
+        "app_name",
+        "day_ms",
+        "n_logs",
+        "n_errors",
+        F.sum("n_logs").over(w).cast("long").alias("cum_logs"),
+        F.sum("n_errors").over(w).cast("long").alias("cum_errors"),
+    )
+    result = cum.select(
+        "*",
+        F.expr(f"cum_logs * {pct} DIV 100").cast("long").alias("budget_total"),
+        (F.expr(f"cum_logs * {pct} DIV 100") - F.col("cum_errors"))
+        .cast("long")
+        .alias("budget_remaining"),
+        F.when(F.col("cum_errors") * 100 > F.col("cum_logs") * F.lit(pct), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_exhausted"),
+    )
+    return _collected_and_cleaned(spark, result, work)

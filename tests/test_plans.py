@@ -291,11 +291,11 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r8 rotation: 35 sql + 15 rows-only (20 never-checked r8 additions,
-    # 15 code-changed re-exposures, 15 r4-aged backfill; see the
+    # r8 rotation: 34 sql + 16 rows-only (21 never-checked r8 additions,
+    # 15 code-changed re-exposures, 14 r4-aged backfill; see the
     # _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 35, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 34, f"{n_sql} sql-backed entries in the driver window"
     # the r8 additions with no driver row lead; then every entry whose code
     # changed in r8 since its last driver row (boundary parameterization,
     # model-cache footprint key, P17 oracle guard, _ranked_with_n refactor):
@@ -320,6 +320,7 @@ def test_driver_window_composition():
         "obs_distinct_rollup_hll",
         "obs_burn_rate_multiwindow",
         "dedup_cdc_chunks",
+        "stream_error_budget",
         "stream_near_dedup_ingest",
         "stream_incremental_dedup",
         "dedup_eval_report",
@@ -337,7 +338,7 @@ def test_driver_window_composition():
         "obs_task_percentiles_distributed",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 15 r4-aged oldest-evidence entries must all be inside the window:
+    # the 14 r4-aged oldest-evidence entries must all be inside the window:
     for expected in (
         "obs_date_histogram",
         "obs_top_n_skew",
@@ -353,7 +354,6 @@ def test_driver_window_composition():
         "obs_gap_fill",
         "obs_anomaly_zscore",
         "obs_log_templates",
-        "obs_heavy_hitters_cms",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
 

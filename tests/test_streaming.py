@@ -732,3 +732,33 @@ def test_streaming_ewma_matches_batch_across_batches(spark, sf_dir, tmp_path):
     want_rows = sorted((tuple(r) for r in want.collect()), key=str)
     assert got_rows == want_rows and got_rows
     assert sum(r.is_spike for r in got.collect()) >= 1
+
+
+def test_streaming_error_budget_matches_batch(spark, sf_dir):
+    """O72: per-batch additive (app, day) partials merged at the end must
+    reproduce batch O68 BIT-identically — counts, cumulative sums, floor
+    budget, and the cross-multiplied exhaustion flag."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        error_budget,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_error_budget,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_error_budget(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in error_budget(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
