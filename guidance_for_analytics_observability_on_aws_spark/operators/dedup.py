@@ -723,11 +723,9 @@ def dedup_cdc_chunks(
     base = _shingle_base(documents)  # (doc_id, toks), ≥3 tokens
     pos = base.select(
         "doc_id",
-        F.size("toks").alias("n_toks"),
         F.posexplode("toks").alias("pos0", "token"),
     ).select(
         "doc_id",
-        "n_toks",
         (F.col("pos0") + 1).alias("pos"),
         "token",
         md5_int(F.col("token"), 7).alias("th"),

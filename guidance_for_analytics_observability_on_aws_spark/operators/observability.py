@@ -2255,6 +2255,16 @@ def error_budget(tm: DataFrame, slo_error_pct: int = 20) -> DataFrame:
             .alias("n_errors"),
         )
     )
+    return error_budget_tail(per_day, slo_error_pct)
+
+
+def error_budget_tail(per_day: DataFrame, slo_error_pct: int = 20) -> DataFrame:
+    """O68's cumulative-budget arithmetic over a pre-aggregated
+    ``(app_name, day_ms, n_logs, n_errors)`` frame — split out so the
+    streaming twin (O72) applies the IDENTICAL tail to its merged
+    per-batch partials instead of copy-pasting it (single-definition
+    rule: the floor allowance and exhaustion inequality can never
+    drift between batch and stream)."""
     w = (
         Window.partitionBy("app_name")
         .orderBy("day_ms")

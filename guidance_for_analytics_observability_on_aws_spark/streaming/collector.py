@@ -932,7 +932,7 @@ def run_streaming_error_budget(
     ``tests/test_streaming.py``). In production the merged per-day panel
     is what the morning report reads; no keyed state, constant memory.
     """
-    from ..operators.observability import error_budget  # noqa: F401 (twin)
+    from ..operators.observability import error_budget_tail
 
     work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_budget_")
     out = out_dir or work
@@ -964,8 +964,6 @@ def run_streaming_error_budget(
         .start()
     )
     q.awaitTermination()
-    from pyspark.sql import Window
-
     per_day = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("app_name", "day_ms")
@@ -974,29 +972,6 @@ def run_streaming_error_budget(
             F.sum("n_errors").cast("long").alias("n_errors"),
         )
     )
-    w = (
-        Window.partitionBy("app_name")
-        .orderBy("day_ms")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    pct = 20
-    cum = per_day.select(
-        "app_name",
-        "day_ms",
-        "n_logs",
-        "n_errors",
-        F.sum("n_logs").over(w).cast("long").alias("cum_logs"),
-        F.sum("n_errors").over(w).cast("long").alias("cum_errors"),
-    )
-    result = cum.select(
-        "*",
-        F.expr(f"cum_logs * {pct} DIV 100").cast("long").alias("budget_total"),
-        (F.expr(f"cum_logs * {pct} DIV 100") - F.col("cum_errors"))
-        .cast("long")
-        .alias("budget_remaining"),
-        F.when(F.col("cum_errors") * 100 > F.col("cum_logs") * F.lit(pct), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_exhausted"),
-    )
+    # the IDENTICAL batch tail — single definition, zero drift possible
+    result = error_budget_tail(per_day)
     return _collected_and_cleaned(spark, result, work)

@@ -356,6 +356,17 @@ def test_driver_window_composition():
         "obs_log_templates",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
+    # and fresh already-green entries must NOT re-occupy scarce slots
+    # (the rotation contract: never-checked, then code-changed, then AGED):
+    for fresh_green in (
+        "orders_market_basket",   # r7-green, unchanged in r8
+        "obs_straggler_detect",   # r6-green, unchanged
+        "dataset_card_report",    # r6-green, unchanged
+        "tpch_q1_pricing_summary",  # r5-green, unchanged
+    ):
+        assert fresh_green not in first50, (
+            f"{fresh_green} wastes a driver-window slot"
+        )
 
 
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
