@@ -2370,6 +2370,17 @@ def burn_rate_multiwindow(tm: DataFrame, slo_error_pct: int = 20) -> DataFrame:
             .alias("n_errors"),
         )
     )
+    return burn_rate_multiwindow_tail(per_hour, slo_error_pct)
+
+
+def burn_rate_multiwindow_tail(
+    per_hour: DataFrame, slo_error_pct: int = 20
+) -> DataFrame:
+    """O71's trailing-window/flag arithmetic over a pre-aggregated
+    ``(app_name, hour_ms, n_logs, n_errors)`` frame — split out (like
+    O68's ``error_budget_tail``) so the streaming twin O73 applies the
+    IDENTICAL tail to its merged per-batch partials; the burn
+    inequalities cannot drift between batch and stream."""
 
     def trailing(hours: int, col: str) -> F.Column:
         w = (

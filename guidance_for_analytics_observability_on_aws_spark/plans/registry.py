@@ -1190,6 +1190,19 @@ def _stream_error_budget(s, d):
 _register("stream_error_budget", _stream_error_budget, None)
 
 
+# Rows-only: O73 (r8) — multi-window burn-rate alerts ON INGEST: additive
+# hourly partials + O71's shared tail (burn_rate_multiwindow_tail);
+# bit-identical to batch O71, pinned in tests. Registered beyond the
+# finalized r8 window; leads the r9 never-checked list.
+def _stream_burn_rate(s, d):
+    from ..streaming.collector import run_streaming_burn_rate
+
+    return run_streaming_burn_rate(s, d)
+
+
+_register("stream_burn_rate", _stream_burn_rate, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

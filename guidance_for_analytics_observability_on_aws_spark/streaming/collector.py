@@ -975,3 +975,60 @@ def run_streaming_error_budget(
     # the IDENTICAL batch tail — single definition, zero drift possible
     result = error_budget_tail(per_day)
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_burn_rate(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O73: multi-window multi-burn-rate alerts ON INGEST — the streaming
+    twin of O71 by ADDITIVITY (the O72/O66 zero-state pattern): hourly
+    per-app log/error counts are sums, so micro-batches append exact
+    BIGINT partials and the merged panel runs O71's IDENTICAL tail
+    (``burn_rate_multiwindow_tail`` — single definition, the page/ticket
+    inequalities cannot drift). When history == streamed series every row
+    is BIT-identical to batch O71 (pinned in ``tests/test_streaming.py``).
+    The live deployment evaluates the merged panel per trigger; paging on
+    the LAST hour's flags while the AND-of-windows logic stays shared.
+    """
+    from ..operators.observability import burn_rate_multiwindow_tail
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_burn_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                "app_name",
+                (
+                    F.col("metric_time_ms")
+                    - F.pmod(F.col("metric_time_ms"), F.lit(3600000))
+                ).alias("hour_ms"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_logs"),
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("long")
+                .alias("n_errors"),
+            )
+            .write.mode("append")
+            .parquet(f"{out}/partials")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_hour = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("app_name", "hour_ms")
+        .agg(
+            F.sum("n_logs").cast("long").alias("n_logs"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    result = burn_rate_multiwindow_tail(per_hour)
+    return _collected_and_cleaned(spark, result, work)

@@ -762,3 +762,33 @@ def test_streaming_error_budget_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_burn_rate_matches_batch(spark, sf_dir):
+    """O73: per-batch additive (app, hour) partials + O71's shared tail
+    must reproduce batch O71 BIT-identically — all six window sums and
+    both alert flags."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        burn_rate_multiwindow,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_burn_rate,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_burn_rate(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in burn_rate_multiwindow(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
