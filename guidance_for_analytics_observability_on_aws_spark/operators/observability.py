@@ -2422,3 +2422,81 @@ def burn_rate_multiwindow_tail(
         .cast("int")
         .alias("ticket_alert"),
     )
+
+
+def forecast_linear(tm: DataFrame) -> DataFrame:
+    """O74: THRESHOLD-CROSSING FORECAST — "this metric crosses its alert
+    level in N seconds", the capacity-planning projection panel O63's
+    trend line exists to feed (Prometheus `predict_linear` shape): fit
+    the exact least-squares line per metric type (O63's integer
+    sufficient statistics, the identical closed forms), set the alert
+    level at 2× the series mean, and project the crossing time
+    ``(threshold − intercept)/slope``.
+
+    Exactness: everything through slope/intercept is O63's discipline
+    (DECIMAL/HUGEINT partials, correctly-rounded double closed forms);
+    the forecast layer is three more single-rounded double ops computed
+    over the ALREADY-ALIASED columns in a second select (both engines
+    evaluate the same tree). No float→int cast anywhere (Spark truncates,
+    DuckDB rounds — `cross_t_s` stays DOUBLE). A non-positive slope
+    yields NULL crossing and flag 0: a falling series never crosses
+    upward.
+
+    Scale shape: identical to O63 — one map-side-combined aggregation to
+    per-type sufficient statistics; the forecast math runs on a
+    types-sized frame.
+    """
+    base = tm.select(
+        "event_type",
+        "metric_time_ms",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    t0 = base.groupBy("event_type").agg(F.min("metric_time_ms").alias("t0_ms"))
+    wt = base.join(F.broadcast(t0), "event_type").withColumn(
+        "t", F.expr("(metric_time_ms - t0_ms) DIV 1000")
+    )
+    dec = "decimal(38,0)"
+    stats = wt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("t").cast(dec)).alias("st"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum((F.col("t") * F.col("x")).cast(dec)).alias("stx"),
+        F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+        F.max("t").cast("long").alias("t_max"),
+        F.max("t0_ms").alias("t0_ms"),
+    )
+    n = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sx = F.col("sx").cast("double")
+    stx = F.col("stx").cast("double")
+    stt = F.col("stt").cast("double")
+    cov_n = n * stx - st * sx
+    var_t = n * stt - st * st
+    slope = F.try_divide(cov_n, var_t)
+    fitted = stats.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "t0_ms",
+        "t_max",
+        slope.alias("slope_cents_per_s"),
+        F.try_divide(sx - slope * st, n).alias("intercept_cents"),
+        (F.lit(2.0) * F.try_divide(sx, n)).alias("threshold_cents"),
+    )
+    cross = F.when(
+        F.col("slope_cents_per_s") > 0,
+        (F.col("threshold_cents") - F.col("intercept_cents"))
+        / F.col("slope_cents_per_s"),
+    )
+    return fitted.select(
+        "*",
+        cross.alias("cross_t_s"),
+        (cross - F.col("t_max").cast("double")).alias("seconds_remaining"),
+        F.when(
+            (F.col("slope_cents_per_s") > 0)
+            & (cross > F.col("t_max").cast("double")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("will_cross_ahead"),
+    )

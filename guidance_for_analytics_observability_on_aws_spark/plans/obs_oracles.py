@@ -1334,3 +1334,66 @@ SELECT app_name, hour_ms, n_logs, n_errors,
             AS INTEGER) AS ticket_alert
 FROM sums
 """
+
+
+# O74: threshold-crossing forecast — O63's stats CTEs plus a layered
+# forecast select over the already-aliased doubles (identical tree).
+OBS_ORACLES["obs_forecast_linear"] = f"""
+WITH {TELEMETRY_CTE},
+base AS (
+  SELECT event_type, metric_time_ms,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+  FROM task_metrics
+),
+t0 AS (
+  SELECT event_type, MIN(metric_time_ms) AS t0_ms FROM base GROUP BY 1
+),
+wt AS (
+  SELECT b.event_type, b.x, ((b.metric_time_ms - t.t0_ms) // 1000) AS t,
+         t.t0_ms
+  FROM base b JOIN t0 t USING (event_type)
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(t AS HUGEINT)) AS st,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(t AS HUGEINT) * x) AS stx,
+         SUM(CAST(t AS HUGEINT) * t) AS stt,
+         CAST(MAX(t) AS BIGINT) AS t_max,
+         MAX(t0_ms) AS t0_ms
+  FROM wt GROUP BY 1
+),
+d AS (
+  SELECT event_type, n, t0_ms, t_max,
+         CAST(n AS DOUBLE) AS nd, CAST(st AS DOUBLE) AS std,
+         CAST(sx AS DOUBLE) AS sxd, CAST(stx AS DOUBLE) AS stxd,
+         CAST(stt AS DOUBLE) AS sttd
+  FROM stats
+),
+fitted AS (
+  SELECT event_type,
+         n AS n_events,
+         t0_ms,
+         t_max,
+         (nd * stxd - std * sxd) / NULLIF(nd * sttd - std * std, 0)
+           AS slope_cents_per_s,
+         (sxd - ((nd * stxd - std * sxd) / NULLIF(nd * sttd - std * std, 0))
+                * std) / NULLIF(nd, 0) AS intercept_cents,
+         2.0 * (sxd / NULLIF(nd, 0)) AS threshold_cents
+  FROM d
+)
+SELECT *,
+       CASE WHEN slope_cents_per_s > 0
+            THEN (threshold_cents - intercept_cents) / slope_cents_per_s
+       END AS cross_t_s,
+       CASE WHEN slope_cents_per_s > 0
+            THEN (threshold_cents - intercept_cents) / slope_cents_per_s
+       END - CAST(t_max AS DOUBLE) AS seconds_remaining,
+       CAST(CASE WHEN slope_cents_per_s > 0
+                  AND (CASE WHEN slope_cents_per_s > 0
+                       THEN (threshold_cents - intercept_cents)
+                            / slope_cents_per_s END) > CAST(t_max AS DOUBLE)
+                 THEN 1 ELSE 0 END AS INTEGER) AS will_cross_ahead
+FROM fitted
+"""

@@ -1203,6 +1203,17 @@ def _stream_burn_rate(s, d):
 _register("stream_burn_rate", _stream_burn_rate, None)
 
 
+# O74 (r8): threshold-crossing forecast (predict_linear shape) — O63's
+# exact sufficient statistics + a layered double forecast select; no
+# float->int cast (Spark truncates, DuckDB rounds). Beyond the finalized
+# r8 window; leads the r9 never-checked list.
+_register(
+    "obs_forecast_linear",
+    lambda s, d: obs.forecast_linear(_tm(s, d)),
+    OBS_ORACLES["obs_forecast_linear"],
+)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

@@ -2230,3 +2230,45 @@ def test_cdc_chunks_boundary_locality(spark, sf_dir):
     assert trunc and all(r.containment_b >= 0.5 for r in trunc)
     reverse = [r for r in rows if r.doc_b - r.doc_a == 2000000 and r.doc_a < 1000000]
     assert reverse == []
+
+
+def test_forecast_linear_crossing_regimes(spark):
+    """O74: a steadily rising series projects a crossing AHEAD of its last
+    observation (flag 1, positive seconds_remaining); a flat series has
+    slope 0 → NULL crossing, flag 0; a falling series never crosses
+    upward (flag 0)."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        forecast_linear,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    series = {
+        "click": [10.0 + i for i in range(20)],     # rising
+        "view": [50.0] * 20,                        # flat
+        "error": [100.0 - 2 * i for i in range(20)],  # falling
+    }
+    for et, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), 1, et, v, '{"k":1}'))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.event_type: r for r in forecast_linear(task_metrics(ev)).collect()}
+    rising = got["click"]
+    assert rising.will_cross_ahead == 1 and rising.seconds_remaining > 0
+    # rising from 10 by 1/min: mean=19.5, threshold=39, crosses at
+    # value 39 → 29 minutes in → 1740 s (least squares exact on a line)
+    assert abs(rising.cross_t_s - 1740.0) < 1e-6
+    flat = got["view"]
+    assert flat.cross_t_s is None and flat.will_cross_ahead == 0
+    falling = got["error"]
+    assert falling.will_cross_ahead == 0 and falling.cross_t_s is None
