@@ -636,10 +636,16 @@ def docs_kmv_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
         .drop("rn", "bkt")
     )
     w2 = Window.partitionBy("source").orderBy("h")
+    # materialized ONCE (k rows/source): it is referenced three times below
+    # (both pair-list sides derive from it + the fan-out probe), and
+    # Catalyst re-plans the whole shingle-explode/rank subtree per
+    # reference otherwise (7 physical Window nodes measured vs 3 — the
+    # _shingle_pair_intersections lesson applied to the sketch).
     sketch = (
         part.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     srcs = sketch.select("source").distinct()
     pairs = (

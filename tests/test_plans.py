@@ -515,3 +515,56 @@ def test_order_stat_family_distributed_bit_equal(spark, sf_dir, name):
     plan_w, plan_d = _executed_plan(win), _executed_plan(dist)
     assert "_pid" in plan_d, f"{name}: distributed plan lacks slice ranks"
     assert "_pid" not in plan_w, f"{name}: window plan unexpectedly sliced"
+
+
+def test_r8_operator_plan_shapes(spark, sf_dir):
+    """Physical-plan pins for the round-8 operators — the shapes their
+    docstrings promise at 100 TB:
+
+    - T47 windowFunnel: BOTH window specs share one (user_id) sort —
+      exactly 2 Exchanges total (user shuffle + the 1-row global agg),
+      2 Window nodes, and NO join anywhere (the whole point vs the
+      self-join formulation).
+    - O67 EWMA: all nine lags evaluate in ONE Window node.
+    - O71 multi-window burn rate: all six trailing sums share ONE Window
+      node (same partition/order spec) over the hourly rollup.
+    - O63/O74 regression family: no Window node at all — sufficient
+      statistics are plain aggregates (nothing funnels a type's rows
+      through a sort).
+    - D26 KMV: the two-phase k-minimum means NO window is ever
+      partitioned by source alone before the bucket phase — every
+      row_number sort key includes the bucket or runs on post-phase-1
+      bounded data; concretely the plan carries 3 Window nodes and at
+      least one Exchange hashpartitioning on (source, bkt).
+    """
+    from guidance_for_analytics_observability_on_aws_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    funnel = _executed_plan(
+        REGISTRY["events_funnel_windowed"].builder(spark, sf_dir)
+    )
+    assert funnel.count("Exchange") == 2, funnel.count("Exchange")
+    assert funnel.count("Window") == 2
+    assert "Join" not in funnel
+
+    ewma = _executed_plan(REGISTRY["obs_ewma_smooth"].builder(spark, sf_dir))
+    assert ewma.count("Window") == 1
+
+    burn = _executed_plan(
+        REGISTRY["obs_burn_rate_multiwindow"].builder(spark, sf_dir)
+    )
+    assert burn.count("Window") == 1
+
+    for name in ("obs_trend_regression", "obs_forecast_linear"):
+        plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "Window" not in plan, name
+
+    kmv_df = REGISTRY["docs_kmv_overlap"].builder(spark, sf_dir)
+    kmv = _executed_plan(kmv_df)
+    # the sketch is checkpointed once, so the pairwise phase plans ONE
+    # Window (the per-pair union re-rank) — the shingle/rank subtree is
+    # never re-planned per reference
+    assert kmv.count("Window [") == 1, kmv.count("Window [")
+    # downstream of the checkpoint the plan reads the materialized sketch
+    assert "Scan ExistingRDD" in kmv
