@@ -618,7 +618,10 @@ def docs_kmv_overlap(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     broadcast pair list against the k-row sketches. Measured 10× growth
     (SCALE_r8) is ~3.4× — token-volume-bound LINEAR work in the shingle
     explode/distinct (the X13 attribution), not the sketch stages: the
-    pairwise phase reads 128 rows/source at any corpus size.
+    pairwise phase reads 128 rows/source at any corpus size. (The SCALE_r8
+    number predates the sketch checkpoint below, which stops the explode
+    subtree re-planning per reference — ~25% faster steady-state at
+    sf0.1.)
     """
     from pyspark.sql import Window
 
