@@ -425,3 +425,116 @@ def test_cusum_extremes_match_pure_python_reference(spark, cents):
     trough_t = 1000 * series.index(trough)
     assert (got.cum_peak, got.cum_trough) == (peak, trough)
     assert (got.peak_time_ms, got.trough_time_ms) == (peak_t, trough_t)
+
+
+# --- O67 dyadic EWMA vs a literal Python reference ---------------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (  # noqa: E402
+    ewma_smooth,
+)
+
+ewma_series = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=1, max_size=24
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ewma_series)
+def test_ewma_matches_literal_reference(spark, xs):
+    """O67 must equal the obvious Python loop: num = Σ x[t-i]·2^(7-i) over
+    present lags, den = Σ weights present, ewma = num/den, spike iff
+    x·den_prev > 2·num_prev — on arbitrary integer series."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # value*16 floors to run_time_ms: feed value = x/16 so run_ms == x
+        (i, t0 + dt.timedelta(minutes=i), 0, "click", x / 16.0, '{"k":1}')
+        for i, x in enumerate(xs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    got = sorted(ewma_smooth(task_metrics(ev)).collect(), key=lambda r: r.minute_ms)
+    series = [int((x / 16.0) * 16) for x in xs]  # floor(v*16) round-trip
+    for t, r in enumerate(got):
+        num = series[t] * 128
+        den = 128
+        for i in range(1, 8):
+            if t - i >= 0:
+                num += series[t - i] * (1 << (7 - i))
+                den += 1 << (7 - i)
+        num_p = den_p = 0
+        for i in range(1, 9):
+            if t - i >= 0:
+                num_p += series[t - i] * (1 << (8 - i))
+                den_p += 1 << (8 - i)
+        assert r.ewma_num == num and r.ewma_den == den
+        assert r.ewma == num / den
+        assert r.is_spike == (
+            1 if den_p > 0 and series[t] * den_p > 2 * num_p else 0
+        )
+
+
+# --- T47 windowFunnel vs brute-force chain search ----------------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (  # noqa: E402
+    events_funnel_windowed,
+)
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.integers(min_value=0, max_value=500),        # minute
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(funnel_events)
+def test_window_funnel_matches_bruteforce_chains(spark, evs):
+    """T47's two-window formulation must agree with the O(n³) brute force
+    (∃ s<c<p, p ≤ s+W) on arbitrary event soups — including ms ties,
+    multiple chains, and order violations."""
+    import datetime as dt
+
+    W_MIN = 60
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, et, 1.0, "{}")
+        for i, (u, m, et) in enumerate(evs)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = events_funnel_windowed(ev, window_ms=W_MIN * 60_000).collect()[0]
+
+    by_user: dict = {}
+    for u, m, et in evs:
+        by_user.setdefault(u, []).append((m, et))
+    n2 = n3 = n1 = 0
+    for u, items in by_user.items():
+        ss = [m for m, e in items if e == "signup"]
+        cs = [m for m, e in items if e == "click"]
+        ps = [m for m, e in items if e == "purchase"]
+        if ss:
+            n1 += 1
+        if any(s < c <= s + W_MIN for s in ss for c in cs):
+            n2 += 1
+        if any(
+            s < c < p <= s + W_MIN for s in ss for c in cs for p in ps
+        ):
+            n3 += 1
+    assert got.n_users == len(by_user)
+    assert got.n_signup == n1
+    assert got.n_click_in_window == n2
+    assert got.n_full_funnel_in_window == n3
