@@ -568,3 +568,33 @@ def test_r8_operator_plan_shapes(spark, sf_dir):
     assert kmv.count("Window [") == 1, kmv.count("Window [")
     # downstream of the checkpoint the plan reads the materialized sketch
     assert "Scan ExistingRDD" in kmv
+
+
+def test_r8_operator_column_pruning(spark, sf_dir):
+    """Column pruning must reach the parquet scans for the r8 operators:
+    T47 reads exactly (ts, user_id, event_type) of the 6-column events
+    table; T46's widest scans read 2 columns each of orders/lineitem; O74
+    reads (ts, event_type, value). A scan reading all columns for a
+    3-column plan is wrong at 100 TB."""
+    import re
+
+    from guidance_for_analytics_observability_on_aws_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    def schemas(name):
+        plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
+        return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+    funnel = schemas("events_funnel_windowed")
+    assert funnel and all(
+        sorted(c.split(":")[0] for c in s.split(","))
+        == ["event_type", "ts", "user_id"]
+        for s in funnel
+    ), funnel
+
+    backlog = schemas("orders_backlog_timeline")
+    assert backlog and all(len(s.split(",")) <= 2 for s in backlog), backlog
+
+    forecast = schemas("obs_forecast_linear")
+    assert forecast and all(len(s.split(",")) <= 3 for s in forecast), forecast
