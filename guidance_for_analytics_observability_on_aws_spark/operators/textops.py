@@ -575,3 +575,70 @@ def bigram_lift(
             "lang", "rank", "w1", "w2", "n_ab", "n_a", "n_b", "n_positions", "lift"
         )
     )
+
+
+def length_percentiles(
+    documents: DataFrame,
+    distributed: bool = False,
+    lo: int = 30,
+    hi: int = 80,
+) -> DataFrame:
+    """X15: per-source DOCUMENT-LENGTH distribution — the panel a curation
+    team reads before setting length gates (too-short docs are boilerplate
+    fragments, too-long ones are concatenation accidents): p25/50/75/99 of
+    per-doc token counts (the SHARED O8/T45 order-statistic convention —
+    value at row floor((n−1)·p) of the sorted group, so the panel can
+    never disagree with the observability family's rank semantics), plus
+    the two gate-design shares (docs under ``lo``/over ``hi`` tokens —
+    defaults 30/80 to discriminate on this 11–99-token corpus; production
+    gates are typically ~10/~400 and are plain parameters).
+
+    Token count is X3's whitespace definition (`size(split)`) — one
+    definition with the token-counting operator, so the gate thresholds
+    this panel motivates apply to exactly the counts the pipeline filters
+    on.
+
+    Scale shape: one narrow (source, n_tokens) projection, one ranked
+    window per source (``distributed=True`` routes through the shared
+    two-phase prefix sum when one source dominates the corpus).
+    """
+    from .observability import _ranked_with_n
+
+    base = documents.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    ranked = _ranked_with_n(base, "source", ["n_tokens", "doc_id"], distributed)
+
+    def pick(p, name):
+        return F.max(
+            F.when(
+                F.col("rn") - 1 == F.floor((F.col("n") - 1) * p),
+                F.col("n_tokens"),
+            )
+        ).alias(name)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pick(0.25, "p25_tokens"),
+            pick(0.5, "p50_tokens"),
+            pick(0.75, "p75_tokens"),
+            pick(0.99, "p99_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum(F.when(F.col("n_tokens") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_under_lo"),
+            F.sum(F.when(F.col("n_tokens") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_hi"),
+        )
+        .select(
+            "*",
+            F.try_divide(F.col("n_under_lo"), F.col("n_docs")).alias("share_under_lo"),
+            F.try_divide(F.col("n_over_hi"), F.col("n_docs")).alias("share_over_hi"),
+        )
+    )

@@ -1214,6 +1214,16 @@ _register(
 )
 
 
+# X15 (r8): per-source document-length distribution — shared O8/T45
+# order-statistic convention + X3's token definition; the length-gate
+# design panel. Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "text_length_percentiles",
+    lambda s, d: textops.length_percentiles(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["text_length_percentiles"],
+)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

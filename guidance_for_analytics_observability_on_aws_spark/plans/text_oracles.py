@@ -499,3 +499,46 @@ SELECT modality, MAX(n_total) AS n_total, MAX(total_bytes) AS total_bytes,
          / CAST(MAX(budget_bytes) AS DOUBLE) AS budget_utilization
 FROM flagged GROUP BY 1 ORDER BY modality
 """
+
+
+# X15: per-source length distribution — the shared order-statistic
+# convention (value at row floor((n-1)*p)), X3's token definition.
+TEXT_ORACLES["text_length_percentiles"] = r"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+agg AS (
+  SELECT source,
+         CAST(MAX(n) AS BIGINT) AS n_docs,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.25) AS BIGINT)
+                  THEN n_tokens END) AS p25_tokens,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                  THEN n_tokens END) AS p50_tokens,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT)
+                  THEN n_tokens END) AS p75_tokens,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT)
+                  THEN n_tokens END) AS p99_tokens,
+         MIN(n_tokens) AS min_tokens,
+         MAX(n_tokens) AS max_tokens,
+         CAST(SUM(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_under_lo,
+         CAST(SUM(CASE WHEN n_tokens > 80 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_over_hi
+  FROM ranked GROUP BY 1
+)
+SELECT *,
+       CASE WHEN n_docs = 0 THEN NULL
+            ELSE n_under_lo / n_docs END AS share_under_lo,
+       CASE WHEN n_docs = 0 THEN NULL
+            ELSE n_over_hi / n_docs END AS share_over_hi
+FROM agg
+"""

@@ -2272,3 +2272,23 @@ def test_forecast_linear_crossing_regimes(spark):
     assert flat.cross_t_s is None and flat.will_cross_ahead == 0
     falling = got["error"]
     assert falling.will_cross_ahead == 0 and falling.cross_t_s is None
+
+
+def test_length_percentiles_distributed_bit_equal(spark, sf_dir):
+    """X15: the distributed two-phase rank path must reproduce the window
+    path bit-for-bit (the family convention every _ranked_with_n consumer
+    pins)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        length_percentiles,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = sorted((tuple(r) for r in length_percentiles(docs).collect()), key=str)
+    b = sorted(
+        (tuple(r) for r in length_percentiles(docs, distributed=True).collect()),
+        key=str,
+    )
+    assert a == b and a
