@@ -538,3 +538,141 @@ def test_window_funnel_matches_bruteforce_chains(spark, evs):
     assert got.n_signup == n1
     assert got.n_click_in_window == n2
     assert got.n_full_funnel_in_window == n3
+
+
+# --- D26 KMV vs exact set arithmetic on small random corpora ------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (  # noqa: E402
+    docs_kmv_overlap,
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+kmv_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["sA", "sB"]),
+        st.lists(st.sampled_from(_WORDS), min_size=3, max_size=6),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(kmv_docs)
+def test_kmv_exact_branch_matches_set_arithmetic(spark, docs):
+    """D26 on corpora whose union sketch stays below k: every output
+    column must equal the plain set arithmetic over the true shingle sets
+    (the estimator's exact degeneration, generalized from the hand case).
+    Covers duplicate shingles within/across docs and single-source
+    corpora (no output row)."""
+    rows = [
+        (i, " ".join(words), "en", src, len(" ".join(words)))
+        for i, (src, words) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.source_a, r.source_b): r for r in docs_kmv_overlap(df).collect()}
+
+    # reference: true per-source 3-gram shingle sets over the SAME planted
+    # corpus convention (corpus() augments with +1M/+2M/+3M variants)
+    def shingle_set(words):
+        return {
+            " ".join(words[j : j + 3]) for j in range(len(words) - 2)
+        }
+
+    per_src: dict = {}
+    for i, (src, words) in enumerate(docs):
+        variants = [words]  # raw doc
+        if i % 25 == 0:
+            variants.append(words)           # +1M exact copy
+        if i % 25 == 5:
+            variants.append(list(reversed(words)))  # +2M reversed
+        if i % 25 == 10:
+            keep = max(1, int(len(words) * 0.9))
+            variants.append(words[:keep])    # +3M truncated
+        for v in variants:
+            if len(v) >= 3:
+                per_src.setdefault(src, set()).update(shingle_set(v))
+    srcs = sorted(per_src)
+    if len(srcs) < 2:
+        assert got == {}
+        return
+    a, b = per_src[srcs[0]], per_src[srcs[1]]
+    if not a or not b:
+        assert got == {}
+        return
+    r = got[(srcs[0], srcs[1])]
+    union, inter = a | b, a & b
+    assert r.k_used == len(union)  # < k=128 always here → exact
+    assert r.n_matches == len(inter)
+    assert r.union_est == float(len(union))
+    assert r.jaccard_est == len(inter) / len(union)
+
+
+# --- O71 trailing windows vs a literal reference ------------------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.observability import (  # noqa: E402
+    burn_rate_multiwindow,
+)
+
+burn_hours = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # hour index (gaps likely)
+        st.integers(min_value=0, max_value=5),    # errors
+        st.integers(min_value=1, max_value=10),   # non-errors
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(burn_hours)
+def test_burn_rate_windows_match_literal_reference(spark, hours):
+    """O71's RANGE-framed trailing sums and both cross-multiplied flags
+    must equal the obvious Python loop over (hour, errors, logs) series —
+    including calendar GAPS (a missing hour contributes nothing, it does
+    not shift the frame)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, n_err, n_ok in hours:
+        for i in range(n_err):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=i), 0, "error", 1.0, '{"k":1}'))
+            eid += 1
+        for i in range(n_ok):
+            rows.append((eid, t0 + dt.timedelta(hours=h, seconds=900 + i), 0, "click", 1.0, '{"k":1}'))
+            eid += 1
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        int((r.hour_ms - 1704067200000) // 3600000): r
+        for r in burn_rate_multiwindow(task_metrics(ev)).collect()
+    }
+    series = {h: (e, e + o) for h, e, o in hours}
+    assert set(got) == set(series)
+    for h, r in got.items():
+        for span, (ecol, lcol) in [(1, ("errors_1h", "logs_1h")),
+                                   (6, ("errors_6h", "logs_6h")),
+                                   (72, ("errors_72h", "logs_72h"))]:
+            e = sum(series[j][0] for j in series if h - span < j <= h)
+            l = sum(series[j][1] for j in series if h - span < j <= h)
+            assert getattr(r, ecol) == e and getattr(r, lcol) == l
+        page = (r.errors_1h * 100 >= 40 * r.logs_1h) and (
+            r.errors_6h * 100 >= 40 * r.logs_6h
+        )
+        ticket = (r.errors_6h * 100 >= 20 * r.logs_6h) and (
+            r.errors_72h * 100 >= 20 * r.logs_72h
+        )
+        assert r.page_alert == int(page) and r.ticket_alert == int(ticket)
