@@ -676,3 +676,142 @@ def test_burn_rate_windows_match_literal_reference(spark, hours):
             r.errors_72h * 100 >= 20 * r.logs_72h
         )
         assert r.page_alert == int(page) and r.ticket_alert == int(ticket)
+
+
+# --- T46 backlog sweep line vs brute-force interval counting ------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (  # noqa: E402
+    orders_backlog_timeline,
+)
+
+backlog_orders = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),  # open day
+        st.integers(min_value=0, max_value=20),  # ship lag days
+        st.integers(min_value=1, max_value=3),   # lineitems
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(backlog_orders)
+def test_backlog_sweep_matches_bruteforce_intervals(spark, orders):
+    """T46's +1/−1 sweep line must equal brute force: for every emitted
+    day, backlog = #orders with open_day ≤ day ≤ close_day (close = max
+    lineitem shipdate) — on random order books with overlapping spans."""
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1)
+    o_rows, l_rows = [], []
+    for i, (open_d, lag, n_li) in enumerate(orders):
+        o_rows.append((i, 0, "O", 1.0, d0 + dt.timedelta(days=open_d), "1-URGENT", "c", 0, "x"))
+        for j in range(n_li):
+            # lineitems ship between open and open+lag
+            ship = open_d + (lag * (j + 1)) // n_li
+            l_rows.append(
+                (i, j + 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 d0 + dt.timedelta(days=ship))
+            )
+    odf = spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string, o_clerk string, "
+        "o_shippriority long, o_comment string",
+    )
+    ldf = spark.createDataFrame(
+        l_rows,
+        "l_orderkey long, l_linenumber long, l_quantity long, l_extendedprice double, "
+        "l_discount double, l_tax double, l_partkey double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    got = {r.day_num: r.backlog for r in orders_backlog_timeline(ldf, odf).collect()}
+    day0 = int(d0.timestamp()) // 86400
+    spans = []
+    for i, (open_d, lag, n_li) in enumerate(orders):
+        close_d = max(open_d + (lag * (j + 1)) // n_li for j in range(n_li))
+        spans.append((open_d, close_d))
+    for day_num, backlog in got.items():
+        d = day_num - day0
+        want = sum(1 for o, c in spans if o <= d <= c)
+        assert backlog == want, (d, backlog, want)
+
+
+# --- D29 CDC chunking vs a literal Python reference ---------------------------
+
+from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (  # noqa: E402
+    CDC_B,
+    CDC_DIVISOR,
+    CDC_W,
+    dedup_cdc_chunks,
+)
+
+cdc_docs = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=20),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(cdc_docs)
+def test_cdc_chunks_match_literal_reference(spark, docs):
+    """D29's window-hash boundaries and shared-chunk counts must equal a
+    literal Python re-implementation (md5 token hashes, mod-P polynomial,
+    cumulative boundary chunking, md5 span fingerprints) over the same
+    planted corpus."""
+    import hashlib
+
+    P = 2147483647
+    rows = [
+        (i, " ".join(words), "en", "sA", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_chunks, r.n_a, r.n_b)
+        for r in dedup_cdc_chunks(df, min_shared=1).collect()
+    }
+
+    def th(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:7], 16)
+
+    def chunks(words):
+        hs = [th(w) for w in words]
+        cs = [pow(CDC_B, j, P) for j in range(CDC_W)]
+        fps, cur = set(), []
+        for p0, w in enumerate(words, start=1):
+            cur.append(w)
+            if p0 >= CDC_W:
+                h = sum((hs[p0 - 1 - j] * cs[j]) % P for j in range(CDC_W)) % P
+                if h % CDC_DIVISOR == 0:
+                    fps.add(int(hashlib.md5(" ".join(cur).encode()).hexdigest()[:13], 16))
+                    cur = []
+        if cur:
+            fps.add(int(hashlib.md5(" ".join(cur).encode()).hexdigest()[:13], 16))
+        return fps
+
+    # replicate the corpus() planting
+    planted = {}
+    for i, words in enumerate(docs):
+        planted[i] = words
+        if i % 25 == 0:
+            planted[i + 1000000] = words
+        if i % 25 == 5:
+            planted[i + 2000000] = list(reversed(words))
+        if i % 25 == 10:
+            planted[i + 3000000] = words[: max(1, int(len(words) * 0.9))]
+    planted = {k: v for k, v in planted.items() if len(v) >= 3}
+    fp_sets = {k: chunks(v) for k, v in planted.items()}
+    ids = sorted(fp_sets)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = len(fp_sets[a] & fp_sets[b])
+            if shared >= 1:
+                want[(a, b)] = (shared, len(fp_sets[a]), len(fp_sets[b]))
+    assert got == want
