@@ -2500,3 +2500,127 @@ def forecast_linear(tm: DataFrame) -> DataFrame:
         .cast("int")
         .alias("will_cross_ahead"),
     )
+
+
+def histogram_rollup(
+    tm: DataFrame, n_bins: int = 32, width: int = 100
+) -> DataFrame:
+    """O75: PERCENTILE ROLLUP from fixed-bin histogram partials — the
+    Prometheus-classic-histogram / Druid pattern that makes latency
+    percentiles re-aggregable at 100 TB: per-minute equi-width bin counts
+    (O40's binning) are aggregated ONCE from raw, then every coarser
+    bucket is a SUM OF BIN COUNTS — raw is never re-scanned per level,
+    and unlike exact percentiles (not mergeable) or t-digests (merge
+    order-dependent), fixed-bin partials compose LOSSLESSLY: the hour
+    histogram built from minute partials is bit-identical to a direct
+    hour scan (pinned in tests as panel equality), so rollup percentiles
+    carry the same bin-width error bound as first-hand ones.
+
+    This is O70's hierarchy shape for the percentile family, and — being
+    pure integer arithmetic end to end — the one sketch rollup with a
+    full hash-exact cross-engine oracle. Per (level, event_type, bucket):
+    row count and the p50/p95/p99 bin lower edges, where pXX is the bin
+    containing the ``ceil(p·n/100)``-th value (lower order statistic over
+    the binned distribution): the least bin whose cumulative count
+    reaches it, selected by the cross-multiplied integer inequality
+    ``cum·100 ≥ p·n`` — no division, no floats.
+
+    Scale shape: one shuffle to (type, minute, bin) partials (map-side
+    combined; the key space is types × minutes × n_bins, tiny vs raw);
+    hour/day levels aggregate PARTIALS. The percentile tail sorts each
+    bucket's ≤ n_bins rows in one shared window spec — partitions are
+    bin-count-bounded, never data-bounded, so no straggler exists at any
+    input size.
+    """
+    minute = histogram_minute_partials(tm, n_bins=n_bins, width=width)
+    return histogram_percentile_tail(
+        histogram_levels_from_minutes(minute), width=width
+    )
+
+
+def histogram_minute_partials(
+    tm: DataFrame, n_bins: int = 32, width: int = 100
+) -> DataFrame:
+    """O75's finest-grain partial: per-(type, minute, bin) counts — the
+    ONE pass over raw data. Shared by the batch rollup and the streaming
+    twin O76 (whose micro-batches each emit these partials additively),
+    so the binning expression has a single definition."""
+    bin_idx = F.least(
+        F.floor(F.col("run_time_ms") / width), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        tm.withColumn("bin", bin_idx)
+        .groupBy(
+            "event_type",
+            F.expr("metric_time_ms DIV 60000 * 60000").alias("bucket_ms"),
+            "bin",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_levels_from_minutes(minute: DataFrame) -> DataFrame:
+    """Hour/day histogram levels as SUMS of minute bin partials (raw is
+    never re-scanned) — the lossless-merge step both O75 and the
+    streaming twin O76 route through (single definition)."""
+    hour = minute.groupBy(
+        "event_type",
+        F.expr("bucket_ms DIV 3600000 * 3600000").alias("bucket_ms"),
+        "bin",
+    ).agg(F.sum("n").cast("long").alias("n"))
+    day = hour.groupBy(
+        "event_type",
+        F.expr("bucket_ms DIV 86400000 * 86400000").alias("bucket_ms"),
+        "bin",
+    ).agg(F.sum("n").cast("long").alias("n"))
+    return hour.select(F.lit("hour").alias("level"), "*").unionByName(
+        day.select(F.lit("day").alias("level"), "*")
+    )
+
+
+def histogram_percentile_tail(
+    bins: DataFrame, width: int = 100, percentiles: tuple[int, ...] = (50, 95, 99)
+) -> DataFrame:
+    """O75's percentile extraction over ``(level, event_type, bucket_ms,
+    bin, n)`` histogram rows — split out (the O68/O71 tail convention) so
+    the streaming twin O76 applies the IDENTICAL arithmetic to its merged
+    per-batch bin partials; the bin selection cannot drift between batch
+    and stream.
+
+    One window pair per bucket (cumulative count + total over ≤ n_bins
+    rows), then ``min(bin where cum·100 ≥ p·n)`` per percentile — integer
+    cross-multiplication selects exactly the bin holding the
+    ``ceil(p·n/100)``-th ranked value.
+    """
+    key = ["level", "event_type", "bucket_ms"]
+    w_cum = (
+        Window.partitionBy(*key)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key)
+    cum = bins.withColumns(
+        {
+            "cum": F.sum("n").over(w_cum).cast("long"),
+            "n_rows": F.sum("n").over(w_all).cast("long"),
+        }
+    )
+    p_aggs = [
+        (
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.lit(int(p)) * F.col("n_rows"),
+                    F.col("bin"),
+                )
+            )
+            * width
+        )
+        .cast("long")
+        .alias(f"p{p}_lo")
+        for p in percentiles
+    ]
+    return cum.groupBy(*key).agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        *p_aggs,
+    )

@@ -1397,3 +1397,56 @@ SELECT *,
                  THEN 1 ELSE 0 END AS INTEGER) AS will_cross_ahead
 FROM fitted
 """
+
+
+# O75: histogram-partial percentile rollup — pure integer bin counts at
+# every level (minute partials -> hour/day sums), percentile bin selected
+# by the cross-multiplied inequality cum*100 >= p*n; no floats anywhere.
+OBS_ORACLES["obs_histogram_rollup"] = f"""
+WITH {TELEMETRY_CTE},
+binned AS (
+  SELECT event_type,
+         metric_time_ms // 60000 * 60000 AS bucket_ms,
+         LEAST(run_time_ms // 100, 31) AS bin
+  FROM task_metrics
+),
+minute AS (
+  SELECT event_type, bucket_ms, bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM binned GROUP BY 1, 2, 3
+),
+hour AS (
+  SELECT event_type, bucket_ms // 3600000 * 3600000 AS bucket_ms, bin,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM minute GROUP BY 1, 2, 3
+),
+day AS (
+  SELECT event_type, bucket_ms // 86400000 * 86400000 AS bucket_ms, bin,
+         CAST(SUM(n) AS BIGINT) AS n
+  FROM hour GROUP BY 1, 2, 3
+),
+levels AS (
+  SELECT 'hour' AS level, * FROM hour
+  UNION ALL
+  SELECT 'day' AS level, * FROM day
+),
+cum AS (
+  SELECT level, event_type, bucket_ms, bin, n,
+         CAST(SUM(n) OVER (PARTITION BY level, event_type, bucket_ms
+              ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY level, event_type, bucket_ms)
+              AS BIGINT) AS n_rows
+  FROM levels
+)
+SELECT level, event_type, bucket_ms,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(MIN(CASE WHEN cum * 100 >= 50 * n_rows THEN bin END) * 100
+            AS BIGINT) AS p50_lo,
+       CAST(MIN(CASE WHEN cum * 100 >= 95 * n_rows THEN bin END) * 100
+            AS BIGINT) AS p95_lo,
+       CAST(MIN(CASE WHEN cum * 100 >= 99 * n_rows THEN bin END) * 100
+            AS BIGINT) AS p99_lo
+FROM cum
+GROUP BY 1, 2, 3
+"""

@@ -1224,6 +1224,30 @@ _register(
 )
 
 
+# O75 (r8): percentile rollup from fixed-bin histogram partials — O70's
+# hierarchy shape for the percentile family, all-integer and hash-exact
+# (the one sketch rollup a cross-engine oracle can pin bit-for-bit).
+# Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "obs_histogram_rollup",
+    lambda s, d: obs.histogram_rollup(_tm(s, d)),
+    OBS_ORACLES["obs_histogram_rollup"],
+)
+
+
+# Rows-only: O76 (r8) — percentile-rollup histograms ON INGEST: additive
+# per-batch (type, minute, bin) partials through the SAME binning
+# expression as batch O75, merged panel bit-identical (pinned in tests).
+# Beyond the finalized r8 window; r9 never-checked list.
+def _stream_histogram_rollup(s, d):
+    from ..streaming.collector import run_streaming_histogram_rollup
+
+    return run_streaming_histogram_rollup(s, d)
+
+
+_register("stream_histogram_rollup", _stream_histogram_rollup, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

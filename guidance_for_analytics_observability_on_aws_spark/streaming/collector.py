@@ -1032,3 +1032,50 @@ def run_streaming_burn_rate(
     )
     result = burn_rate_multiwindow_tail(per_hour)
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_histogram_rollup(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O76: percentile-rollup histograms ON INGEST — the streaming twin of
+    O75 by ADDITIVITY (the O72/O73 zero-state pattern): fixed-bin counts
+    are sums, so each micro-batch appends its exact per-(type, minute,
+    bin) BIGINT partials via the SAME ``histogram_minute_partials``
+    expression the batch operator scans raw with (single definition — the
+    binning cannot drift), and the final pass merges minute partials and
+    routes through the IDENTICAL level/percentile tail. When history ==
+    streamed series every row is BIT-identical to batch O75 (pinned in
+    ``tests/test_streaming.py``) — the property fixed-bin histograms have
+    and t-digests don't (merge order-dependence). No keyed state; state
+    is the partial files, bounded by types × minutes × n_bins regardless
+    of input volume.
+    """
+    from ..operators.observability import (
+        histogram_levels_from_minutes,
+        histogram_minute_partials,
+        histogram_percentile_tail,
+    )
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_histo_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        histogram_minute_partials(batch_df).write.mode("append").parquet(
+            f"{out}/partials"
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    minute = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("event_type", "bucket_ms", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    result = histogram_percentile_tail(histogram_levels_from_minutes(minute))
+    return _collected_and_cleaned(spark, result, work)

@@ -792,3 +792,34 @@ def test_streaming_burn_rate_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_histogram_rollup_matches_batch(spark, sf_dir):
+    """O76: per-batch additive (type, minute, bin) histogram partials
+    merged at the end must reproduce batch O75 BIT-identically — counts,
+    bins used, and all three cross-multiplied percentile edges (the
+    lossless-merge property t-digests lack)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        histogram_rollup,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_histogram_rollup,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_histogram_rollup(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in histogram_rollup(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
