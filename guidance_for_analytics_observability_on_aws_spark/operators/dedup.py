@@ -806,3 +806,91 @@ def dedup_cdc_chunks(
             (F.col("n_shared_chunks") / F.col("n_b")).alias("containment_b"),
         )
     )
+
+
+def dedup_sorted_neighborhood(
+    documents: DataFrame,
+    window: int = 8,
+    threshold_pct: int = 80,
+    distributed: bool = False,
+) -> DataFrame:
+    """D30: SORTED-NEIGHBORHOOD near-dup detection — the classic blocking
+    family LSH (D3) and SimHash banding (D25) don't cover: sort the corpus
+    on a compact domain key (here the 40-char normalized-whitespace text
+    prefix), then score ONLY pairs within ``window`` positions of each
+    other in the global sort order. Catches prefix-preserving near-dups
+    (same article + trailing edits, boilerplate headers, truncations) in
+    exactly N·(window−1) scored pairs — deterministic cost, no hash
+    probability, the standard record-linkage baseline (Hernández-Stolfo
+    SNM) a curation team A/Bs against LSH.
+
+    Scale shape: the global order is the family's shared two-phase rank
+    (``distributed=True`` routes ``_ranked_with_n`` through O44's
+    range-partition prefix sum — no single-task global sort; bit-equal to
+    the window path, pinned in tests). The rank-band self-join is
+    rewritten as an EQUI-join: docs bucket by ``(rn−1) DIV window`` and
+    each left row probes exactly its own and the next bucket, so the
+    neighborhood condition ``0 < rn_b − rn_a < window`` never plans a
+    non-equi join. Each candidate is scored by one JVM-side
+    ``array_intersect`` over the two distinct-shingle arrays — D2's exact
+    Jaccard arithmetic (identical intersection/union algebra), threshold
+    applied as the cross-multiplied integer inequality
+    ``inter·100 ≥ pct·union``. All-integer until the final reported
+    ratio; full hash-exact DuckDB oracle.
+    """
+    from .observability import _ranked_with_n
+
+    base = _shingle_base(documents).localCheckpoint(eager=True)
+    keyed = base.select(
+        "doc_id",
+        F.substring(F.concat_ws(" ", F.col("toks")), 1, 40).alias("skey"),
+    )
+    ranked = _ranked_with_n(
+        keyed.withColumn("_g", F.lit(0)), "_g", ["skey", "doc_id"], distributed
+    ).select("doc_id", "rn")
+    bkt = F.floor((F.col("rn") - 1) / window).cast("long")
+    left = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("jkey"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("id_b"), F.col("rn").alias("rn_b"), bkt.alias("jkey")
+    )
+    cand = (
+        left.join(right, "jkey")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") < F.col("rn_a") + window)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
+        )
+    )
+    sh = base.select("doc_id", shingles(F.col("toks")).alias("sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.col("size_a") + F.col("size_b") - F.col("intersection_size")
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            inter.alias("intersection_size"),
+            F.size("sh_a").cast("long").alias("size_a"),
+            F.size("sh_b").cast("long").alias("size_b"),
+        )
+        .filter(
+            F.col("intersection_size") * 100 >= F.lit(int(threshold_pct)) * union
+        )
+        .withColumn("jaccard", F.col("intersection_size") / union)
+    )

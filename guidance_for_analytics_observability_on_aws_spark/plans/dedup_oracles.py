@@ -800,3 +800,41 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """
+
+
+# D30: sorted-neighborhood near-dups — global ROW_NUMBER over the 40-char
+# normalized-prefix key (skey, doc_id total order mirrors the Spark
+# two-phase rank bit-for-bit), rank band 0 < gap < 8 as a literal
+# inequality join (DuckDB's planner is fine with non-equi here; the Spark
+# side rewrites it to the bucket equi-join), exact Jaccard via
+# list_intersect with the threshold cross-multiplied in integers.
+DEDUP_ORACLES["dedup_sorted_neighborhood"] = f"""
+{_SHINGLED_CTES},
+keyed AS (
+  SELECT doc_id, substr(array_to_string(toks, ' '), 1, 40) AS skey
+  FROM ctoks WHERE len(toks) >= 3
+),
+ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn FROM keyed
+),
+cand AS (
+  SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+         GREATEST(a.doc_id, b.doc_id) AS doc_b,
+         CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+  FROM ranked a
+  JOIN ranked b ON b.rn > a.rn AND b.rn < a.rn + 8
+),
+scored AS (
+  SELECT doc_a, doc_b, rank_gap,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS intersection_size,
+         CAST(len(sa.sh) AS BIGINT) AS size_a,
+         CAST(len(sb.sh) AS BIGINT) AS size_b
+  FROM cand
+  JOIN shingled sa ON sa.doc_id = doc_a
+  JOIN shingled sb ON sb.doc_id = doc_b
+)
+SELECT *,
+       intersection_size / (size_a + size_b - intersection_size) AS jaccard
+FROM scored
+WHERE intersection_size * 100 >= 80 * (size_a + size_b - intersection_size)
+"""

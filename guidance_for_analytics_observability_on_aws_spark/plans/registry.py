@@ -1235,6 +1235,17 @@ _register(
 )
 
 
+# D30 (r8): sorted-neighborhood near-dups — the Hernández-Stolfo SNM
+# blocking baseline: two-phase global rank on a 40-char prefix key, rank
+# band rewritten as a bucket EQUI-join, exact Jaccard on candidates only.
+# Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "dedup_sorted_neighborhood",
+    lambda s, d: dedup.dedup_sorted_neighborhood(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_sorted_neighborhood"],
+)
+
+
 # Rows-only: O76 (r8) — percentile-rollup histograms ON INGEST: additive
 # per-batch (type, minute, bin) partials through the SAME binning
 # expression as batch O75, merged panel bit-identical (pinned in tests).

@@ -2370,3 +2370,54 @@ def test_histogram_rollup_percentile_semantics(spark):
     # hour and day panels agree (all rows fall in one hour)
     h, d = by_level["hour"], by_level["day"]
     assert (h.p50_lo, h.p95_lo, h.p99_lo) == (d.p50_lo, d.p95_lo, d.p99_lo)
+
+
+def test_sorted_neighborhood_distributed_bit_equal(spark, sf_dir):
+    """D30: the two-phase distributed global rank must reproduce the
+    single-window rank path bit-for-bit (the _ranked_with_n family
+    convention) — same candidates, same scores."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = sorted(
+        (tuple(r) for r in dedup_sorted_neighborhood(docs).collect()), key=str
+    )
+    b = sorted(
+        (
+            tuple(r)
+            for r in dedup_sorted_neighborhood(docs, distributed=True).collect()
+        ),
+        key=str,
+    )
+    assert a == b and a
+
+
+def test_sorted_neighborhood_finds_planted_exact_dups(spark, sf_dir):
+    """D30: planted exact copies (doc_id+1000000, identical text → identical
+    sort key → adjacent ranks unless other docs share the full 40-char
+    prefix) must surface with jaccard == 1.0; every emitted pair respects
+    the window and threshold contracts."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = dedup_sorted_neighborhood(docs).collect()
+    assert rows
+    exact_pairs = [
+        r for r in rows if r.doc_b == r.doc_a + 1000000 and r.jaccard == 1.0
+    ]
+    assert exact_pairs, "no planted exact-copy pair recovered"
+    for r in rows:
+        assert 1 <= r.rank_gap <= 7
+        assert r.intersection_size * 100 >= 80 * (
+            r.size_a + r.size_b - r.intersection_size
+        )
