@@ -642,3 +642,71 @@ def length_percentiles(
             F.try_divide(F.col("n_over_hi"), F.col("n_docs")).alias("share_over_hi"),
         )
     )
+
+
+def vocab_growth(
+    documents: DataFrame, n_buckets: int = 10, distributed: bool = False
+) -> DataFrame:
+    """X16: VOCABULARY-GROWTH (Heaps-law) panel per source — the curve a
+    team reads before sizing a tokenizer vocab or deciding a source is
+    saturated: docs are ordered by ``doc_id`` within each source and cut
+    into ``n_buckets`` equal-rank slices; a token TYPE (X3's whitespace
+    token definition) is NEW in the slice where it first occurs (min
+    bucket — exact, since bucket is monotone in rank). Per (source,
+    bucket): docs, token occurrences, new types, and the cumulative
+    vocabulary/token totals whose ratio is the type-token curve — a
+    flattening `cum_types` means more data from this source buys few new
+    words.
+
+    Scale shape: doc ranks come from the SHARED ``_ranked_with_n``
+    (``distributed=True`` → O44's two-phase range-partition rank, bit
+    equal, no single-task sort); the explode is one linear pass with the
+    (source, token) min-bucket reduction map-side combined; the
+    cumulative windows run over ≤ ``n_buckets`` rows per source —
+    bounded, never data-sized. All-BIGINT until the final try_divide
+    ratios; full hash-exact oracle.
+    """
+    from .observability import _ranked_with_n
+
+    base = documents.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    ranked = _ranked_with_n(
+        base.select("source", "doc_id"), "source", ["doc_id"], distributed
+    ).withColumn(
+        "bucket", F.expr(f"(rn - 1) * {int(n_buckets)} DIV n").cast("long")
+    )
+    toks = base.select(
+        "source", "doc_id", F.explode("toks").alias("token")
+    ).join(ranked.select("source", "doc_id", "bucket"), ["source", "doc_id"])
+    occ = toks.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("source", "token").agg(
+        F.min("bucket").alias("bucket")
+    )
+    news = first_seen.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    docs = ranked.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    panel = (
+        docs.join(occ, ["source", "bucket"], "left")
+        .join(news, ["source", "bucket"], "left")
+        .fillna(0, ["n_tokens", "new_types"])
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return panel.select(
+        "source",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(w_cum).cast("long").alias("cum_types"),
+        F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+    ).withColumn(
+        "type_token_ratio", F.try_divide(F.col("cum_types"), F.col("cum_tokens"))
+    )

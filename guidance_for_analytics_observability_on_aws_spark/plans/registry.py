@@ -1235,6 +1235,17 @@ _register(
 )
 
 
+# X16 (r8): Heaps-law vocabulary growth per source — equal-rank doc
+# slices, types attributed to their min bucket (exact: bucket monotone in
+# rank), cumulative vocab/token panel. Beyond the finalized r8 window;
+# r9 never-checked list.
+_register(
+    "text_vocab_growth",
+    lambda s, d: textops.vocab_growth(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["text_vocab_growth"],
+)
+
+
 # D30 (r8): sorted-neighborhood near-dups — the Hernández-Stolfo SNM
 # blocking baseline: two-phase global rank on a 40-char prefix key, rank
 # band rewritten as a bucket EQUI-join, exact Jaccard on candidates only.

@@ -542,3 +542,60 @@ SELECT *,
             ELSE n_over_hi / n_docs END AS share_over_hi
 FROM agg
 """
+
+
+# X16: Heaps-law vocabulary growth — equal-rank doc slices per source,
+# a type is NEW at its min bucket (bucket monotone in rank → exact);
+# all-BIGINT panel, try_divide mirrored as a NULL-on-zero CASE.
+TEXT_ORACLES["text_vocab_growth"] = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS toks
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM base
+),
+bucketed AS (
+  SELECT source, doc_id, CAST((rn - 1) * 10 // n AS BIGINT) AS bucket
+  FROM ranked
+),
+toks AS (
+  SELECT b.source, b.doc_id, bk.bucket, unnest(b.toks) AS token
+  FROM base b JOIN bucketed bk ON b.source = bk.source AND b.doc_id = bk.doc_id
+),
+occ AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1, 2
+),
+first_seen AS (
+  SELECT source, token, MIN(bucket) AS bucket FROM toks GROUP BY 1, 2
+),
+news AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first_seen GROUP BY 1, 2
+),
+docs AS (
+  SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM bucketed GROUP BY 1, 2
+),
+panel AS (
+  SELECT d.source, d.bucket, d.n_docs,
+         COALESCE(o.n_tokens, 0) AS n_tokens,
+         COALESCE(nw.new_types, 0) AS new_types
+  FROM docs d
+  LEFT JOIN occ o ON o.source = d.source AND o.bucket = d.bucket
+  LEFT JOIN news nw ON nw.source = d.source AND nw.bucket = d.bucket
+)
+SELECT source, bucket, n_docs, n_tokens, new_types,
+       CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CASE WHEN CAST(SUM(n_tokens) OVER w AS BIGINT) = 0 THEN NULL
+            ELSE CAST(SUM(new_types) OVER w AS BIGINT)
+                 / CAST(SUM(n_tokens) OVER w AS BIGINT) END AS type_token_ratio
+FROM panel
+WINDOW w AS (PARTITION BY source ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""

@@ -2421,3 +2421,71 @@ def test_sorted_neighborhood_finds_planted_exact_dups(spark, sf_dir):
         assert r.intersection_size * 100 >= 80 * (
             r.size_a + r.size_b - r.intersection_size
         )
+
+
+def test_vocab_growth_distributed_bit_equal_and_totals(spark, sf_dir):
+    """X16: the distributed two-phase rank path must be bit-identical to
+    the window path, and per source the panel's totals must reconcile
+    exactly: Σnew_types == distinct types, Σn_tokens == occurrences,
+    Σn_docs == docs."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import (
+        tokens,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        vocab_growth,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = sorted((tuple(r) for r in vocab_growth(docs).collect()), key=str)
+    b = sorted(
+        (tuple(r) for r in vocab_growth(docs, distributed=True).collect()), key=str
+    )
+    assert a == b and a
+    got = {
+        r.source: r
+        for r in vocab_growth(docs)
+        .groupBy("source")
+        .agg(
+            F.sum("new_types").alias("types"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("n_docs").alias("docs"),
+        )
+        .collect()
+    }
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    want = {
+        r.source: r
+        for r in toks.groupBy("source")
+        .agg(
+            F.countDistinct("t").alias("types"), F.count(F.lit(1)).alias("toks")
+        )
+        .collect()
+    }
+    n_docs = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, r in got.items():
+        assert r.types == want[src].types
+        assert r.toks == want[src].toks
+        assert r.docs == n_docs[src]
+
+
+def test_vocab_growth_hand_case(spark):
+    """X16: two docs 'a b c' then 'a b d' — doc ranks 1,2 of n=2 land in
+    buckets 0 and 5; the second doc contributes exactly one new type."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1", 5), (2, "a b d", "en", "s1", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.bucket: r for r in vocab_growth(docs).collect()}
+    assert set(rows) == {0, 5}
+    assert rows[0].new_types == 3 and rows[0].n_tokens == 3
+    assert rows[5].new_types == 1 and rows[5].n_tokens == 3
+    assert rows[5].cum_types == 4 and rows[5].cum_tokens == 6
