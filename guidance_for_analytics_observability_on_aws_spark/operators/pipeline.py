@@ -1131,7 +1131,12 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
     candidates trade precision for recall; the sketch estimate sits
     between — the monotonicity is pinned in tests.
     """
-    from .dedup import dedup_containment_banded, dedup_minhash_estimate, dedup_ngram_jaccard
+    from .dedup import (
+        dedup_containment_banded,
+        dedup_minhash_estimate,
+        dedup_ngram_jaccard,
+        dedup_sorted_neighborhood,
+    )
 
     truth = (
         dedup_ngram_jaccard(documents)
@@ -1145,6 +1150,12 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b"),
         "sketch_estimate": dedup_minhash_estimate(documents).select(
+            "doc_a", "doc_b"
+        ),
+        # D30's pairs are exact-scored at the truth's own threshold, so
+        # precision is structurally 1.0; recall measures what the
+        # sort-key blocking alone covers (pinned in tests).
+        "snm_exact": dedup_sorted_neighborhood(documents).select(
             "doc_a", "doc_b"
         ),
     }

@@ -415,8 +415,10 @@ def _p17_eval_oracle() -> str:
     lshc = _D["dedup_minhash_lsh"]
     banded = _D["dedup_containment_banded"]
     est = _D["dedup_minhash_estimate"]
+    snm = _D["dedup_sorted_neighborhood"]
     return f"""
 WITH truth AS (SELECT doc_a, doc_b FROM ({truth}) t),
+snm AS (SELECT doc_a, doc_b FROM ({snm}) t),
 lshc AS (SELECT doc_a, doc_b FROM ({lshc}) t),
 banded AS (SELECT doc_a, doc_b FROM ({banded}) t WHERE t.jaccard >= 0.8),
 est AS (SELECT doc_a, doc_b FROM ({est}) t),
@@ -439,6 +441,12 @@ m AS (
          (SELECT n_true FROM nt),
          (SELECT CAST(COUNT(*) AS BIGINT)
           FROM est JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'snm_exact',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM snm),
+         (SELECT n_true FROM nt),
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM snm JOIN truth USING (doc_a, doc_b))
 )
 SELECT method, n_pred, n_true, tp,
        n_pred - tp AS fp,

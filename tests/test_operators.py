@@ -1740,13 +1740,21 @@ def test_dedup_eval_report_grades_scale_paths(spark, sf_dir):
 
     out = {r.method: r for r in dedup_eval_report(
         load_tables(spark, sf_dir)["documents"]).collect()}
-    assert set(out) == {"lsh_candidates", "banded_exact", "sketch_estimate"}
+    assert set(out) == {
+        "lsh_candidates",
+        "banded_exact",
+        "sketch_estimate",
+        "snm_exact",
+    }
     for r in out.values():
         assert r.tp + r.fp == r.n_pred and r.tp + r.fn == r.n_true
         assert r.recall > 0.5, r
     b = out["banded_exact"]
     assert b.precision == 1.0, b
     assert b.recall <= out["lsh_candidates"].recall
+    # D30's pairs are exact-scored at the truth's threshold → subset of
+    # truth → precision structurally 1.0 (recall is the blocking's).
+    assert out["snm_exact"].precision == 1.0, out["snm_exact"]
 
 
 def test_tail_sampling_policy_partitions_and_keeps_all_errors(spark, sf_dir):
