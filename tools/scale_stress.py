@@ -86,6 +86,10 @@ HEAVY = [
     "dup_groups_incremental",
     "similarity_eval_report",
     "events_funnel_windowed",
+    # late-r8 additions: the SNM global two-phase rank + bucket band join,
+    # and the histogram rollup's partial-merge hierarchy.
+    "dedup_sorted_neighborhood",
+    "obs_histogram_rollup",
 ]
 
 
