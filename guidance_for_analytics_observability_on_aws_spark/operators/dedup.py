@@ -812,7 +812,7 @@ def dedup_sorted_neighborhood(
     documents: DataFrame,
     window: int = 8,
     threshold_pct: int = 80,
-    distributed: bool = False,
+    distributed: bool = True,
 ) -> DataFrame:
     """D30: SORTED-NEIGHBORHOOD near-dup detection — the classic blocking
     family LSH (D3) and SimHash banding (D25) don't cover: sort the corpus
@@ -840,13 +840,28 @@ def dedup_sorted_neighborhood(
     """
     from .observability import _ranked_with_n
 
-    base = _shingle_base(documents).localCheckpoint(eager=True)
-    keyed = base.select(
-        "doc_id",
-        F.substring(F.concat_ws(" ", F.col("toks")), 1, 40).alias("skey"),
+    # One corpus pass computes BOTH derived views (sort key + shingle
+    # arrays) before the checkpoint: the materialization is referenced
+    # three times below (rank input + both scoring sides), and folding the
+    # shingle construction into it halves the array-build work vs
+    # rebuilding shingles per join side (measured ~2.3 s/side at 10×
+    # sf0.1). distributed=True is the DEFAULT: the global order has no
+    # small-group argument (the group is the whole corpus), so the window
+    # path's single-task sort is exactly the 1000× straggler.
+    base = (
+        _shingle_base(documents)
+        .select(
+            "doc_id",
+            F.substring(F.concat_ws(" ", F.col("toks")), 1, 40).alias("skey"),
+            shingles(F.col("toks")).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     ranked = _ranked_with_n(
-        keyed.withColumn("_g", F.lit(0)), "_g", ["skey", "doc_id"], distributed
+        base.select("doc_id", "skey").withColumn("_g", F.lit(0)),
+        "_g",
+        ["skey", "doc_id"],
+        distributed,
     ).select("doc_id", "rn")
     bkt = F.floor((F.col("rn") - 1) / window).cast("long")
     left = ranked.select(
@@ -869,7 +884,12 @@ def dedup_sorted_neighborhood(
             (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
         )
     )
-    sh = base.select("doc_id", shingles(F.col("toks")).alias("sh"))
+    # shuffle_hash, NOT broadcast: Catalyst's size estimate undercounts the
+    # shingle-array payload and elects to broadcast it — measured 8–10 s vs
+    # 1.5–2 s for the hash-partitioned join at 10× sf0.1, and at 100 TB an
+    # array-table broadcast is impossible outright; hash-partitioning
+    # ships each array once per scoring side.
+    sh = base.select("doc_id", "sh").hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union = F.col("size_a") + F.col("size_b") - F.col("intersection_size")
     return (

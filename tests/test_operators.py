@@ -2393,7 +2393,11 @@ def test_sorted_neighborhood_distributed_bit_equal(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir)["documents"]
     a = sorted(
-        (tuple(r) for r in dedup_sorted_neighborhood(docs).collect()), key=str
+        (
+            tuple(r)
+            for r in dedup_sorted_neighborhood(docs, distributed=False).collect()
+        ),
+        key=str,
     )
     b = sorted(
         (
