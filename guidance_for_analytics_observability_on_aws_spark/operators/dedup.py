@@ -825,8 +825,9 @@ def dedup_sorted_neighborhood(
     SNM) a curation team A/Bs against LSH.
 
     Scale shape: the global order is the family's shared two-phase rank
-    (``distributed=True`` routes ``_ranked_with_n`` through O44's
-    range-partition prefix sum — no single-task global sort; bit-equal to
+    (``distributed=True`` — the DEFAULT here, since the "group" is the
+    whole corpus — routes ``_ranked_with_n`` through O44's
+    range-partition prefix sum; no single-task global sort; bit-equal to
     the window path, pinned in tests). The rank-band self-join is
     rewritten as an EQUI-join: docs bucket by ``(rn−1) DIV window`` and
     each left row probes exactly its own and the next bucket, so the
@@ -837,6 +838,17 @@ def dedup_sorted_neighborhood(
     applied as the cross-multiplied integer inequality
     ``inter·100 ≥ pct·union``. All-integer until the final reported
     ratio; full hash-exact DuckDB oracle.
+
+    SCALE_r8 attribution: the 10× cold-first-pass ratio (~5×) is NOT
+    superlinearity — warm steady-state is ~3.4× (measured: cold 18 s →
+    warm 7.8 s in the same fresh session at 10× sf0.1), with the cold gap
+    the one-time codegen/JIT of the shingle-transform expression and the
+    remaining time the LINEAR checkpoint materialization of the
+    (skey, shingle-array) corpus pass — per-candidate work is
+    rank-bounded (N·(w−1) pairs) and every shuffle is linear in corpus
+    size. The scoring joins are pinned shuffle-hash (see inline note):
+    auto-broadcast of the array table measured 8–10 s vs 1.5–2 s and
+    cannot exist at 100 TB.
     """
     from .observability import _ranked_with_n
 
