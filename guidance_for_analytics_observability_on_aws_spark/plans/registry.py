@@ -1235,6 +1235,21 @@ _register(
 )
 
 
+# Rows-only: S13 (r8) — zone-map file-skipping report: the same rows
+# written range-clustered vs hash-scattered, per-layout skippable-file
+# counts for a date predicate plus on-data verification of the zone-map
+# guarantee (every match lives in a scanned file). Values depend on local
+# file placement → rows-only; contract + ordering pinned in tests.
+# Beyond the finalized r8 window; r9 never-checked list.
+def _zone_map_report(s, d):
+    from ..sources.zonemap import zone_map_report
+
+    return zone_map_report(s, d)
+
+
+_register("source_zone_map_report", _zone_map_report, None)
+
+
 # X16 (r8): Heaps-law vocabulary growth per source — equal-rank doc
 # slices, types attributed to their min bucket (exact: bucket monotone in
 # rank), cumulative vocab/token panel. Beyond the finalized r8 window;

@@ -458,3 +458,26 @@ def test_incremental_view_matches_full_recompute(spark, sf_dir):
     assert all(r.delta_is_partial for r in rows)
     # the view only grows (hour×type cells accumulate monotonically)
     assert rows[0].view_rows <= rows[1].view_rows <= rows[2].view_rows
+
+
+def test_zone_map_report_contract_and_ordering(spark, sf_dir):
+    """S13: the zone-map guarantee must hold on the actual rows for BOTH
+    layouts (a skippable file contains zero matches), counts must be
+    layout-invariant (same rows, different placement), and the
+    range-clustered layout must skip at least as many files as the
+    hash-scattered one — the number that justifies a clustering rewrite."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.zonemap import (
+        zone_map_report,
+    )
+
+    out = {r.layout: r for r in zone_map_report(spark, sf_dir).collect()}
+    assert set(out) == {"clustered", "scattered"}
+    c, s = out["clustered"], out["scattered"]
+    for r in (c, s):
+        assert r.guarantee_holds, r
+        assert 0 <= r.n_skippable <= r.n_files
+    assert c.n_rows == s.n_rows and c.n_match == s.n_match
+    assert c.n_match > 0  # the 1996 predicate matches real rows
+    assert c.n_skippable >= s.n_skippable
+    # clustering must actually buy skipping on a 6+-year date domain
+    assert c.n_skippable > 0
