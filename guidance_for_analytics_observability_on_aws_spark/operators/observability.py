@@ -1012,13 +1012,12 @@ ALERT_RULES = [
 ]
 
 
-def alert_violations(tm: DataFrame) -> DataFrame:
-    """Per-event rule-violation rows (the pre-rollup alert stream).
-
-    Split out so the streaming twin can persist raw violations per
-    micro-batch and still compute exact global distinct counts in its
-    final rollup (per-batch distinct partials do not merge).
-    """
+def _rules_checked(tm: DataFrame) -> DataFrame:
+    """Every (event, rule) pair with the rule's metric value extracted —
+    the PRE-verdict alert stream O33 filters to violations and O77 folds
+    into per-minute firing states; ONE definition of the rules table and
+    the metric mapping so alerting and flap detection can never disagree
+    about what a rule measures."""
     rules = F.array(
         *[
             F.struct(
@@ -1047,8 +1046,23 @@ def alert_violations(tm: DataFrame) -> DataFrame:
         F.col("r.threshold").alias("threshold"),
         "app_id",
         "executor_id",
+        "metric_time_ms",
         value.alias("value"),
-    ).filter(F.col("value") > F.col("threshold"))
+    )
+
+
+def alert_violations(tm: DataFrame) -> DataFrame:
+    """Per-event rule-violation rows (the pre-rollup alert stream).
+
+    Split out so the streaming twin can persist raw violations per
+    micro-batch and still compute exact global distinct counts in its
+    final rollup (per-batch distinct partials do not merge).
+    """
+    return (
+        _rules_checked(tm)
+        .drop("metric_time_ms")
+        .filter(F.col("value") > F.col("threshold"))
+    )
 
 
 def alert_rollup(violations: DataFrame) -> DataFrame:
@@ -2623,4 +2637,59 @@ def histogram_percentile_tail(
         F.max("n_rows").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_bins_used"),
         *p_aggs,
+    )
+
+
+def alert_flap_detect(tm: DataFrame, flap_k: int = 4) -> DataFrame:
+    """O77: alert FLAP detection — the Alertmanager/monitor-fatigue panel
+    O33's instantaneous verdicts can't express: a rule that fires,
+    resolves, and re-fires every few minutes pages someone every cycle
+    while signaling nothing. Per (rule, app): minute-grain alert STATE
+    (firing iff ANY event in the minute violates — evaluated over O33's
+    OWN rules/metric mapping via the shared ``_rules_checked``, single
+    definition), state TRANSITIONS between consecutive observed minutes
+    (lag), and the trailing-1h transition count whose ``>= flap_k``
+    verdict marks the minutes where a flap-suppression gate would hold
+    the page. All-integer: states are 0/1 maxima, transitions integer
+    inequality on lag, the trailing window a RANGE frame on the minute
+    key — full hash-exact oracle.
+
+    Scale shape: one (event × |rules|) narrow pass map-side combined to
+    (rule, app, minute) states — the window partitions are per (rule,
+    app), rows bounded by observed minutes (time, not volume); both
+    window passes share one sort. flap_k and the 1h span are plain
+    parameters.
+    """
+    minute = (
+        _rules_checked(tm)
+        .groupBy(
+            "rule_id",
+            "metric",
+            "threshold",
+            "app_id",
+            F.expr("metric_time_ms DIV 60000 * 60000").alias("minute_ms"),
+        )
+        .agg(
+            F.max((F.col("value") > F.col("threshold")).cast("int"))
+            .cast("int")
+            .alias("firing")
+        )
+    )
+    w = Window.partitionBy("rule_id", "app_id").orderBy("minute_ms")
+    w_1h = w.rangeBetween(-3540000, 0)  # trailing 60 minutes, inclusive
+    st = minute.withColumn(
+        "is_transition",
+        (
+            F.lag("firing").over(w).isNotNull()
+            & (F.col("firing") != F.lag("firing").over(w))
+        ).cast("long"),
+    ).withColumn("trans_1h", F.sum("is_transition").over(w_1h).cast("long"))
+    return st.groupBy("rule_id", "metric", "threshold", "app_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.sum("firing").cast("long").alias("n_firing_minutes"),
+        F.sum("is_transition").cast("long").alias("n_transitions"),
+        F.max("trans_1h").cast("long").alias("max_transitions_1h"),
+        F.sum((F.col("trans_1h") >= F.lit(int(flap_k))).cast("long"))
+        .cast("long")
+        .alias("n_flapping_minutes"),
     )

@@ -1450,3 +1450,53 @@ SELECT level, event_type, bucket_ms,
 FROM cum
 GROUP BY 1, 2, 3
 """
+
+
+# O77: alert flap detection — minute-grain 0/1 firing states over O33's
+# rules table, lag transitions between consecutive observed minutes,
+# trailing-1h RANGE transition counts; all-integer, flap verdict >= 4.
+OBS_ORACLES["obs_alert_flap"] = f"""
+WITH {TELEMETRY_CTE},
+rules(rule_id, metric, threshold) AS (
+  VALUES {_RULES_VALUES}
+),
+minute AS (
+  SELECT CAST(r.rule_id AS BIGINT) AS rule_id, r.metric,
+         CAST(r.threshold AS BIGINT) AS threshold, t.app_id,
+         t.metric_time_ms // 60000 * 60000 AS minute_ms,
+         CAST(MAX(CASE WHEN
+           CASE r.metric
+             WHEN 'input_bytes_read' THEN t.input_bytes_read
+             WHEN 'run_time_ms' THEN t.run_time_ms
+             WHEN 'shuffle_bytes_read' THEN t.shuffle_bytes_read
+             ELSE t.peak_execution_memory
+           END > r.threshold THEN 1 ELSE 0 END) AS INTEGER) AS firing
+  FROM task_metrics t CROSS JOIN rules r
+  GROUP BY 1, 2, 3, 4, 5
+),
+st AS (
+  SELECT *,
+         CAST(CASE WHEN LAG(firing) OVER w IS NOT NULL
+                    AND firing <> LAG(firing) OVER w
+               THEN 1 ELSE 0 END AS BIGINT) AS is_transition
+  FROM minute
+  WINDOW w AS (PARTITION BY rule_id, app_id ORDER BY minute_ms)
+),
+tr AS (
+  SELECT *,
+         CAST(SUM(is_transition) OVER (
+           PARTITION BY rule_id, app_id ORDER BY minute_ms
+           RANGE BETWEEN 3540000 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS trans_1h
+  FROM st
+)
+SELECT rule_id, metric, threshold, app_id,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes,
+       CAST(SUM(firing) AS BIGINT) AS n_firing_minutes,
+       CAST(SUM(is_transition) AS BIGINT) AS n_transitions,
+       CAST(MAX(trans_1h) AS BIGINT) AS max_transitions_1h,
+       CAST(SUM(CASE WHEN trans_1h >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flapping_minutes
+FROM tr
+GROUP BY 1, 2, 3, 4
+"""

@@ -1235,6 +1235,17 @@ _register(
 )
 
 
+# O77 (r8): alert flap detection — minute-grain firing states over O33's
+# OWN rules/metric mapping (shared _rules_checked), lag transitions,
+# trailing-1h RANGE flap verdicts; all-integer, hash-exact. Beyond the
+# finalized r8 window; r9 never-checked list.
+_register(
+    "obs_alert_flap",
+    lambda s, d: obs.alert_flap_detect(_tm(s, d)),
+    OBS_ORACLES["obs_alert_flap"],
+)
+
+
 # Rows-only: S13 (r8) — zone-map file-skipping report: the same rows
 # written range-clustered vs hash-scattered, per-layout skippable-file
 # counts for a date predicate plus on-data verification of the zone-map

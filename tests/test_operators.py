@@ -2501,3 +2501,65 @@ def test_vocab_growth_hand_case(spark):
     assert rows[0].new_types == 3 and rows[0].n_tokens == 3
     assert rows[5].new_types == 1 and rows[5].n_tokens == 3
     assert rows[5].cum_types == 4 and rows[5].cum_tokens == 6
+
+
+def test_alert_flap_detect_hand_case(spark):
+    """O77: a series alternating above/below the run_time_ms threshold
+    every minute must produce one transition per minute after the first
+    and flip the flap verdict once the trailing-1h count reaches 4 — the
+    counts are fully determined, so pin them exactly."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_flap_detect,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # run_time_ms = floor(value*16); threshold 3200 → 300→4800 fires,
+    # 100→1600 is quiet. 20 minutes, strictly alternating.
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click",
+         300.0 if i % 2 == 0 else 100.0, "{}")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.rule_id: r for r in alert_flap_detect(task_metrics(ev)).collect()}
+    r2 = got[2]  # run_time_ms > 3200
+    assert r2.n_minutes == 20
+    assert r2.n_firing_minutes == 10
+    assert r2.n_transitions == 19
+    assert r2.max_transitions_1h == 19
+    # trans_1h at minute i is i; >= 4 from minute 4 on → 16 minutes
+    assert r2.n_flapping_minutes == 16
+
+
+def test_alert_flap_detect_no_flap_on_stable_series(spark):
+    """O77: a series permanently above threshold has zero transitions and
+    zero flapping minutes — firing forever is an incident, not a flap."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_flap_detect,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", 300.0, "{}")
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    r2 = {r.rule_id: r for r in alert_flap_detect(task_metrics(ev)).collect()}[2]
+    assert r2.n_firing_minutes == 10
+    assert r2.n_transitions == 0 and r2.n_flapping_minutes == 0
