@@ -838,3 +838,45 @@ SELECT *,
 FROM scored
 WHERE intersection_size * 100 >= 80 * (size_a + size_b - intersection_size)
 """
+
+
+# D31: prefix-filtering exact join — global token order (df ASC, shingle),
+# per-doc prefix of n − ceil(t·n) + 1 tokens (integer //), candidates from
+# the prefix-token self-join only, exact verification identical to D2's
+# scoring; completeness is by theorem, so this output equals D2's.
+DEDUP_ORACLES["dedup_prefix_filter"] = f"""
+{_SHINGLED_CTES},
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+df_tbl AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM exploded GROUP BY 1
+),
+sized AS (
+  SELECT e.doc_id, e.shingle,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.shingle)
+           AS pos,
+         COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+  FROM exploded e JOIN df_tbl d USING (shingle)
+),
+prefix AS (
+  SELECT doc_id, shingle FROM sized
+  WHERE pos <= n - ((80 * n + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS intersection_size,
+         CAST(len(sa.sh) AS BIGINT) AS size_a,
+         CAST(len(sb.sh) AS BIGINT) AS size_b
+  FROM cand
+  JOIN shingled sa ON sa.doc_id = doc_a
+  JOIN shingled sb ON sb.doc_id = doc_b
+)
+SELECT *,
+       intersection_size / (size_a + size_b - intersection_size) AS jaccard
+FROM scored
+WHERE intersection_size / (size_a + size_b - intersection_size) >= 0.8
+"""

@@ -1235,6 +1235,17 @@ _register(
 )
 
 
+# D31 (r8): prefix-filtering exact join (AllPairs/PPJoin) — lossless
+# candidate pruning by the prefix-overlap theorem; output equals D2
+# row-for-row (pinned), candidates bounded by rare-token prefixes.
+# Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "dedup_prefix_filter",
+    lambda s, d: dedup.dedup_prefix_filter(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_prefix_filter"],
+)
+
+
 # O77 (r8): alert flap detection — minute-grain firing states over O33's
 # OWN rules/metric mapping (shared _rules_checked), lag transitions,
 # trailing-1h RANGE flap verdicts; all-integer, hash-exact. Beyond the
