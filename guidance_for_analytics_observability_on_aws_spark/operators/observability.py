@@ -2660,7 +2660,16 @@ def alert_flap_detect(tm: DataFrame, flap_k: int = 4) -> DataFrame:
     window passes share one sort. flap_k and the 1h span are plain
     parameters.
     """
-    minute = (
+    return alert_flap_tail(alert_minute_states(tm), flap_k=flap_k)
+
+
+def alert_minute_states(tm: DataFrame) -> DataFrame:
+    """O77's finest-grain partial: per-(rule, app, minute) 0/1 firing
+    maxima — the ONE pass over raw events. A MAX is mergeable (max of
+    per-batch maxima == global max), so the streaming twin O78 emits
+    these per micro-batch and merges additively; single definition of
+    the state evaluation."""
+    return (
         _rules_checked(tm)
         .groupBy(
             "rule_id",
@@ -2675,6 +2684,13 @@ def alert_flap_detect(tm: DataFrame, flap_k: int = 4) -> DataFrame:
             .alias("firing")
         )
     )
+
+
+def alert_flap_tail(minute: DataFrame, flap_k: int = 4) -> DataFrame:
+    """O77's transition/flap extraction over (rule_id, metric, threshold,
+    app_id, minute_ms, firing) state rows — split out (the O68/O71/O75
+    tail convention) so the streaming twin O78 applies the IDENTICAL
+    arithmetic to its merged per-batch states."""
     w = Window.partitionBy("rule_id", "app_id").orderBy("minute_ms")
     w_1h = w.rangeBetween(-3540000, 0)  # trailing 60 minutes, inclusive
     st = minute.withColumn(

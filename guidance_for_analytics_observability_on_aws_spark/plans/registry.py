@@ -1307,6 +1307,20 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# Rows-only: O78 (r8) — alert flap detection ON INGEST: per-batch
+# per-(rule, app, minute) firing MAXIMA (maxima merge — the O76 pattern
+# with MAX) through the SAME alert_minute_states as batch O77, merged
+# panel bit-identical (pinned in tests). Beyond the finalized r8 window;
+# r9 never-checked list.
+def _stream_alert_flap(s, d):
+    from ..streaming.collector import run_streaming_alert_flap
+
+    return run_streaming_alert_flap(s, d)
+
+
+_register("stream_alert_flap", _stream_alert_flap, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

@@ -1079,3 +1079,47 @@ def run_streaming_histogram_rollup(
     )
     result = histogram_percentile_tail(histogram_levels_from_minutes(minute))
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_alert_flap(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O78: alert FLAP detection ON INGEST — the streaming twin of O77 by
+    MERGEABILITY (the O76 pattern, with MAX instead of SUM): a minute's
+    0/1 firing state is a maximum, and the max of per-batch maxima IS the
+    global max, so each micro-batch appends its per-(rule, app, minute)
+    states via the SAME ``alert_minute_states`` the batch operator scans
+    raw with (single definition — the rule evaluation cannot drift), and
+    the final pass max-merges them and routes through the IDENTICAL
+    transition/flap tail. When history == streamed series every row is
+    BIT-identical to batch O77 (pinned in ``tests/test_streaming.py``).
+    No keyed state; the partial volume is bounded by rules × apps ×
+    minutes regardless of event volume. The live deployment evaluates
+    the merged panel per trigger and suppresses pages for (rule, app)
+    rows currently flap-flagged.
+    """
+    from ..operators.observability import alert_flap_tail, alert_minute_states
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_flap_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        alert_minute_states(batch_df).write.mode("append").parquet(
+            f"{out}/partials"
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    minute = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("rule_id", "metric", "threshold", "app_id", "minute_ms")
+        .agg(F.max("firing").cast("int").alias("firing"))
+    )
+    result = alert_flap_tail(minute)
+    return _collected_and_cleaned(spark, result, work)

@@ -823,3 +823,33 @@ def test_streaming_histogram_rollup_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_alert_flap_matches_batch(spark, sf_dir):
+    """O78: per-batch per-(rule, app, minute) firing maxima max-merged at
+    the end must reproduce batch O77 BIT-identically — states are maxima
+    and maxima merge, so transitions and flap verdicts cannot differ."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_flap_detect,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_alert_flap,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_alert_flap(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in alert_flap_detect(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
