@@ -87,9 +87,11 @@ HEAVY = [
     "similarity_eval_report",
     "events_funnel_windowed",
     # late-r8 additions: the SNM global two-phase rank + bucket band join,
-    # and the histogram rollup's partial-merge hierarchy.
+    # the histogram rollup's partial-merge hierarchy, and the prefix-filter
+    # join (df-ordered prefix index + verify — the exact-dedup scale path).
     "dedup_sorted_neighborhood",
     "obs_histogram_rollup",
+    "dedup_prefix_filter",
 ]
 
 
