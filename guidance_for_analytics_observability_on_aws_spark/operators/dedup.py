@@ -959,23 +959,33 @@ def dedup_prefix_filter(documents: DataFrame, threshold_pct: int = 80) -> DataFr
     broadcasting arrays measured 5× slower and is impossible at 100 TB).
     Prefix length is all-integer (``n − (pct·n + 99) DIV 100 + 1``);
     full hash-exact DuckDB oracle mirrors the same algorithm.
+
+    SCALE_r8 attribution: measured candidate growth on the decorrelated
+    10× replica is SUB-linear (143,577 → 1,265,166 pairs, 8.8× on 10×
+    docs), and every stage (checkpoint, df count, rank shuffle, prefix
+    join, array verify) is linear in corpus or candidate volume — the
+    cold-first-pass ratio in the artifact carries the same one-time
+    shingle-codegen JIT constant attributed on D30.
     """
     base = (
         _shingle_base(documents)
         .select("doc_id", shingles(F.col("toks")).alias("sh"))
         .localCheckpoint(eager=True)
     )
-    exploded = base.select("doc_id", F.explode("sh").alias("shingle"))
+    # n rides along from the array size — a per-doc COUNT window here would
+    # add a second window pass over the exploded table for a value the
+    # checkpointed array already knows.
+    exploded = base.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n"),
+        F.explode("sh").alias("shingle"),
+    )
     df_tbl = exploded.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sized = (
-        exploded.join(df_tbl, "shingle")
-        .withColumn("pos", F.row_number().over(w_doc).cast("long"))
-        .withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("long")
-        )
+    sized = exploded.join(df_tbl, "shingle").withColumn(
+        "pos", F.row_number().over(w_doc).cast("long")
     )
     pct = int(threshold_pct)
     # prefix_len = n − ceil(pct·n/100) + 1, all-integer (Spark's `/` is
