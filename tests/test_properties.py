@@ -815,3 +815,137 @@ def test_cdc_chunks_match_literal_reference(spark, docs):
             if shared >= 1:
                 want[(a, b)] = (shared, len(fp_sets[a]), len(fp_sets[b]))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_prefix_filter_matches_brute_force(spark, token_lists):
+    """D31's lossless-pruning claim attacked with random small-vocabulary
+    corpora (maximal shared-shingle fan-out — the regime where a broken
+    prefix bound would drop pairs): output must equal a PURE-PYTHON
+    all-pairs Jaccard >= 0.8 over the same planted corpus, pair for pair
+    including sizes and intersections."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_prefix_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(ws), "en", "s1", len(" ".join(ws)))
+            for i, ws in enumerate(token_lists)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.intersection_size, r.size_a, r.size_b)
+        for r in dedup_prefix_filter(docs).collect()
+    }
+    # replicate the corpus() planting, then brute-force every pair
+    planted = {}
+    for i, ws in enumerate(token_lists):
+        planted[i] = ws
+        if i % 25 == 0:
+            planted[i + 1000000] = ws
+        if i % 25 == 5:
+            planted[i + 2000000] = list(reversed(ws))
+        if i % 25 == 10:
+            planted[i + 3000000] = ws[: max(1, int(len(ws) * 0.9))]
+    sh = {
+        k: {" ".join(v[j : j + 3]) for j in range(len(v) - 2)}
+        for k, v in planted.items()
+        if len(v) >= 3
+    }
+    ids = sorted(sh)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            if union and inter / union >= 0.8:
+                want[(a, b)] = (inter, len(sh[a]), len(sh[b]))
+    assert got == want
+
+
+minute_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # minute offset (gaps!)
+        st.integers(min_value=0, max_value=1),  # firing state
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(minute_series)
+def test_alert_flap_tail_matches_literal_loop(spark, series):
+    """O77's transition/flap arithmetic vs a literal Python loop on random
+    gappy minute series — the trailing-1h RANGE frame must honor calendar
+    gaps (a transition 61 minutes ago is outside the window even when only
+    3 observed rows separate them), which a rowsBetween frame would get
+    wrong."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        alert_flap_tail,
+    )
+
+    series = sorted(series)
+    minute = spark.createDataFrame(
+        [(1, "run_time_ms", 3200, "app", m * 60000, f) for m, f in series],
+        "rule_id long, metric string, threshold long, app_id string, "
+        "minute_ms long, firing int",
+    )
+    r = alert_flap_tail(minute).collect()[0]
+    fires = [f for _, f in series]
+    trans = [
+        1 if i > 0 and fires[i] != fires[i - 1] else 0
+        for i in range(len(series))
+    ]
+    trail = [
+        sum(
+            trans[j]
+            for j in range(i + 1)
+            if series[i][0] - series[j][0] <= 59
+        )
+        for i in range(len(series))
+    ]
+    assert r.n_minutes == len(series)
+    assert r.n_firing_minutes == sum(fires)
+    assert r.n_transitions == sum(trans)
+    assert r.max_transitions_1h == max(trail)
+    assert r.n_flapping_minutes == sum(1 for t in trail if t >= 4)
+
+
+hist_values = st.lists(
+    st.integers(min_value=0, max_value=5000), min_size=1, max_size=200
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(hist_values)
+def test_histogram_percentile_tail_matches_literal_selection(spark, vals):
+    """O75's cross-multiplied bin selection vs the literal definition: the
+    returned pXX edge must be the bin of the ceil(p*n/100)-th ranked value
+    under the same clamped equi-width binning, for random value sets."""
+    import math
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        histogram_percentile_tail,
+    )
+
+    bins = {}
+    for v in vals:
+        b = min(v // 100, 31)
+        bins[b] = bins.get(b, 0) + 1
+    bdf = spark.createDataFrame(
+        [("hour", "click", 0, b, n) for b, n in sorted(bins.items())],
+        "level string, event_type string, bucket_ms long, bin long, n long",
+    )
+    r = histogram_percentile_tail(bdf).collect()[0]
+    ranked = sorted(min(v // 100, 31) for v in vals)
+    n = len(ranked)
+    for p, got in ((50, r.p50_lo), (95, r.p95_lo), (99, r.p99_lo)):
+        want_bin = ranked[math.ceil(p * n / 100) - 1]
+        assert got == want_bin * 100, (p, got, want_bin, vals)
+    assert r.n_rows == n and r.n_bins_used == len(bins)
