@@ -1307,6 +1307,20 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# Rows-only: S14 (r8) — snapshot diff / incremental-read report: manifest
+# comparison yields added/removed files (pure metadata), and the
+# append-only contract (added-files read == full anti-join diff) is
+# verified on real commits. Beyond the finalized r8 window; r9
+# never-checked list.
+def _snapshot_diff_report(s, d):
+    from ..sources.snapshots import snapshot_diff_report
+
+    return snapshot_diff_report(s, d)
+
+
+_register("source_snapshot_diff_report", _snapshot_diff_report, None)
+
+
 # Rows-only: O78 (r8) — alert flap detection ON INGEST: per-batch
 # per-(rule, app, minute) firing MAXIMA (maxima merge — the O76 pattern
 # with MAX) through the SAME alert_minute_states as batch O77, merged

@@ -183,3 +183,70 @@ def snapshot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+def manifest_files(table_dir: str, version: int) -> list[str]:
+    """The exact file list a version pins — the metadata a diff reads."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)["files"]
+
+
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: SNAPSHOT DIFF / incremental-read report — the Iceberg
+    ``changes``-table shape S10's time travel enables: between two
+    versions, the files ADDED and REMOVED come from comparing two
+    manifests (pure metadata — O(manifest), no data scan), and because
+    commits are append-only, reading ONLY the added files yields exactly
+    the new rows. That contract is what incremental consumers (CDC
+    downstreams, nightly dedup folds like P19) rely on at 100 TB: a
+    version-to-version sync scans the delta, never the table.
+
+    The report VERIFIES the contract on real commits instead of assuming
+    it: per version step, ``rows_added_incremental`` (count over added
+    files only) must equal ``rows_added_antijoin`` (v_b exceptAll v_a —
+    the full-diff definition, quadratic-scan expensive, computed here as
+    the independent check) — ``incremental_read_exact`` pinned in tests.
+    Rows-only driver check (paths are environment-local).
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="gfaooa_snapdiff_")
+    table = os.path.join(work, "events_table")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        slices = [
+            events.filter("event_id % 3 = 0"),
+            events.filter("event_id % 3 = 1"),
+            events.filter("event_id % 3 = 2"),
+        ]
+        versions = [commit_append(s, table) for s in slices]
+        rows = []
+        for va, vb in zip(versions, versions[1:]):
+            fa, fb = set(manifest_files(table, va)), set(manifest_files(table, vb))
+            added, removed = sorted(fb - fa), sorted(fa - fb)
+            inc = spark.read.parquet(*added).count() if added else 0
+            anti = (
+                read_snapshot(spark, table, vb)
+                .exceptAll(read_snapshot(spark, table, va))
+                .count()
+            )
+            rows.append(
+                (
+                    va,
+                    vb,
+                    len(added),
+                    len(removed),
+                    int(inc),
+                    int(anti),
+                    inc == anti,
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version_from int, version_to int, n_files_added long, "
+        "n_files_removed long, rows_added_incremental long, "
+        "rows_added_antijoin long, incremental_read_exact boolean",
+    )

@@ -481,3 +481,22 @@ def test_zone_map_report_contract_and_ordering(spark, sf_dir):
     assert c.n_skippable >= s.n_skippable
     # clustering must actually buy skipping on a 6+-year date domain
     assert c.n_skippable > 0
+
+
+def test_snapshot_diff_incremental_read_contract(spark, sf_dir):
+    """S14: for append-only commits, reading ONLY the manifest-diff's
+    added files must yield exactly the rows the full anti-join diff
+    finds, with zero files removed — the contract incremental consumers
+    scan deltas by."""
+    from guidance_for_analytics_observability_on_aws_spark.sources.snapshots import (
+        snapshot_diff_report,
+    )
+
+    rows = snapshot_diff_report(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.incremental_read_exact, r
+        assert r.n_files_removed == 0
+        assert r.n_files_added >= 1
+        assert r.rows_added_incremental > 0
+        assert r.version_to == r.version_from + 1
