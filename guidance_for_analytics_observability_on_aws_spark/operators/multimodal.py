@@ -373,3 +373,84 @@ def mm_media_sample(documents: DataFrame, budget_den: int = 4) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+def mm_frame_dedup(documents: DataFrame, min_shared: int = 1) -> DataFrame:
+    """M10: CROSS-VIDEO shared-frame detection — near-dup videos by
+    frame-content overlap, the media-granular analogue of D29's chunk
+    containment: M8 only catches byte-identical payloads, but re-encoded
+    clips, trims and compilations share FRAMES, not bytes. Each video's
+    frames are content-addressed fingerprints (md5 of the frame-sized
+    payload slice — M1's ``n_frames = n_chars DIV 16`` frame geometry, so
+    frame i is the 16-char slice at offset 16·i; a real decoder would
+    emit per-frame perceptual hashes through the same plan); pairs
+    sharing ≥ ``min_shared`` distinct frames are reported with
+    both-direction containments (shared/n_frames — a trim is contained
+    in its source at ~1.0 while the source's containment is partial).
+
+    Scale shape: frames explode in the SAME projection that slices them
+    (the `_shingle_rows` lesson — no per-element re-evaluation), one
+    distinct, and the pair join keys on frame fingerprints whose fan-out
+    is content-bounded; sizes join back broadcast (|videos| rows). All
+    BIGINT counts + two exact divisions — full hash-exact oracle.
+    """
+    vids = documents.filter(F.col("doc_id") % 3 == 2).filter(
+        F.col("n_chars") >= 16
+    )
+    fps = (
+        vids.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), (F.col("n_chars") / 16).cast("long") - 1
+                    ),
+                    lambda i: F.md5(
+                        F.substring(
+                            F.col("text"), (i * 16 + 1).cast("int"), 16
+                        )
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    shared = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= int(min_shared))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_frames",
+            "n_a",
+            "n_b",
+            (F.col("n_shared_frames") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_shared_frames") / F.col("n_b")).alias("containment_b"),
+        )
+    )

@@ -1307,6 +1307,17 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# M10 (r8): cross-video shared-frame detection — content-addressed frame
+# fingerprints over M1's frame geometry, D29's containment shape at media
+# granularity (M8 only catches byte-identical payloads). Beyond the
+# finalized r8 window; r9 never-checked list.
+_register(
+    "mm_frame_dedup",
+    lambda s, d: multimodal.mm_frame_dedup(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["mm_frame_dedup"],
+)
+
+
 # Rows-only: S14 (r8) — snapshot diff / incremental-read report: manifest
 # comparison yields added/removed files (pure metadata), and the
 # append-only contract (added-files read == full anti-join diff) is

@@ -599,3 +599,40 @@ FROM panel
 WINDOW w AS (PARTITION BY source ORDER BY bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# M10: cross-video shared-frame detection — content-addressed md5 frame
+# fingerprints over M1's n_chars DIV 16 frame geometry, distinct per
+# video, pairwise shared counts + both-direction containments.
+TEXT_ORACLES["mm_frame_dedup"] = """
+WITH vids AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id % 3 = 2 AND n_chars >= 16
+),
+idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(n_chars // 16 - 1 AS BIGINT))) AS i
+  FROM vids
+),
+fps AS (
+  SELECT DISTINCT doc_id, md5(substr(text, CAST(16 * i + 1 AS BIGINT), 16)) AS fp
+  FROM idx
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM fps GROUP BY 1
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 1
+)
+SELECT doc_a, doc_b, n_shared_frames,
+       sa.sz AS n_a, sb.sz AS n_b,
+       n_shared_frames / CAST(sa.sz AS DOUBLE) AS containment_a,
+       n_shared_frames / CAST(sb.sz AS DOUBLE) AS containment_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""

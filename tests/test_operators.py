@@ -2646,3 +2646,40 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
     assert pruned < full
     # on this corpus the rare-token prefixes prune aggressively
     assert pruned <= full // 2, (pruned, full)
+
+
+def test_mm_frame_dedup_detects_trim(spark):
+    """M10: a trimmed clip (prefix of the source payload) must surface
+    with containment 1.0 on the trim side and partial on the source side
+    — the asymmetry that distinguishes a trim from a re-encode."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
+        mm_frame_dedup,
+    )
+
+    src = "abcdefghijklmnop" * 4  # 4 frames of 16 chars
+    trim = src[:32]  # first 2 frames
+    other = "zyxwvutsrqponmlk" * 3  # unrelated video
+    docs = spark.createDataFrame(
+        [
+            (2, src, "en", "s1", len(src)),
+            (5, trim, "en", "s1", len(trim)),
+            (8, other, "en", "s1", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = mm_frame_dedup(docs).collect()
+    # src repeats one 16-char block -> 1 DISTINCT frame; trim likewise
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (2, 5)
+    assert r.n_shared_frames == 1 and r.n_a == 1 and r.n_b == 1
+    assert r.containment_a == 1.0 and r.containment_b == 1.0
+    # distinct-frame semantics with non-repeating content
+    src2 = "".join(chr(97 + k) * 16 for k in range(4))  # aaaa.. bbbb.. cccc.. dddd..
+    docs2 = spark.createDataFrame(
+        [(2, src2, "en", "s1", 64), (5, src2[:32], "en", "s1", 32)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r2 = mm_frame_dedup(docs2).collect()[0]
+    assert r2.n_a == 4 and r2.n_b == 2 and r2.n_shared_frames == 2
+    assert r2.containment_b == 1.0 and r2.containment_a == 0.5
