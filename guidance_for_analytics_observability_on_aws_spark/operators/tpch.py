@@ -1693,3 +1693,75 @@ def events_funnel_windowed(events: DataFrame, window_ms: int = 21600_000) -> Dat
             "conv_full"
         ),
     )
+
+
+def events_attribution_multitouch(
+    events: DataFrame, lookback_ms: int = 7 * 86400000
+) -> DataFrame:
+    """T48: MULTI-TOUCH attribution — the marketing-analytics shape T8's
+    last-touch as-of join can't express: every click a user made in the
+    7-day lookback before a purchase shares the purchase's value. Credit
+    is split EXACTLY in integer cents by the largest-remainder rule
+    (``cents DIV n`` each, the first ``cents % n`` touches by recency one
+    extra cent), so per-purchase credit CONSERVATION is an identity —
+    ``Σcredit == purchase_cents`` bit-for-bit (pinned in tests; a float
+    1/n split leaks cents and double-counts revenue downstream). Touches
+    are position-labeled first/middle/last for position-weighted models.
+
+    Scale shape: one equi-join on user_id (clicks × purchases fan out
+    only within a user's own activity) with the lookback as a pushed
+    range predicate; ranking windows partition per purchase — bounded by
+    that purchase's touch count, never by table size. All-BIGINT money;
+    full hash-exact oracle.
+    """
+    events = normalize_events(events)
+    ms = F.unix_millis(F.col("ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        ms.alias("click_ms"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        ms.alias("purchase_ms"),
+        cents(F.col("value")).cast("long").alias("purchase_cents"),
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("click_ms") < F.col("purchase_ms"))
+        & (F.col("click_ms") >= F.col("purchase_ms") - F.lit(int(lookback_ms)))
+    )
+    w = Window.partitionBy("purchase_event_id").orderBy(
+        F.col("click_ms").desc(), F.col("click_event_id").desc()
+    )
+    ranked = touched.withColumns(
+        {
+            "touch_rank": F.row_number().over(w).cast("long"),
+            "n_touches": F.count(F.lit(1))
+            .over(Window.partitionBy("purchase_event_id"))
+            .cast("long"),
+        }
+    )
+    return ranked.select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ms",
+        "purchase_cents",
+        "click_event_id",
+        "click_ms",
+        "touch_rank",
+        "n_touches",
+        F.when(F.col("touch_rank") == F.col("n_touches"), "first")
+        .when(F.col("touch_rank") == 1, "last")
+        .otherwise("middle")
+        .alias("position"),
+        (
+            F.expr("purchase_cents DIV n_touches")
+            + F.when(
+                F.col("touch_rank") <= F.col("purchase_cents") % F.col("n_touches"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("credit_cents"),
+    )

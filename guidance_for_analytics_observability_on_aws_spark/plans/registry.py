@@ -1307,6 +1307,19 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# T48 (r8): multi-touch attribution — per-user lookback join, recency
+# touch ranks, EXACT largest-remainder cent split (credit conservation
+# is an identity, not an approximation). Beyond the finalized r8 window;
+# r9 never-checked list.
+_register(
+    "events_attribution_multitouch",
+    lambda s, d: tpch.events_attribution_multitouch(
+        load_tables(s, d)["events"]
+    ),
+    TPCH_ORACLES["events_attribution_multitouch"],
+)
+
+
 # M10 (r8): cross-video shared-frame detection — content-addressed frame
 # fingerprints over M1's frame geometry, D29's containment shape at media
 # granularity (M8 only catches byte-identical payloads). Beyond the

@@ -894,3 +894,43 @@ SELECT *,
             ELSE n_full_funnel_in_window / n_signup END AS conv_full
 FROM agg
 """
+
+
+# T48: multi-touch attribution — per-user click×purchase lookback join,
+# recency-desc touch ranks, exact largest-remainder cent split
+# (DIV + one extra cent for the first cents % n touches).
+TPCH_ORACLES["events_attribution_multitouch"] = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_event_id, epoch_ms(ts) AS click_ms
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, event_id AS purchase_event_id, epoch_ms(ts) AS purchase_ms,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+),
+touched AS (
+  SELECT p.*, c.click_event_id, c.click_ms
+  FROM purchases p JOIN clicks c USING (user_id)
+  WHERE c.click_ms < p.purchase_ms
+    AND c.click_ms >= p.purchase_ms - 604800000
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (PARTITION BY purchase_event_id
+              ORDER BY click_ms DESC, click_event_id DESC) AS BIGINT)
+           AS touch_rank,
+         CAST(COUNT(*) OVER (PARTITION BY purchase_event_id) AS BIGINT)
+           AS n_touches
+  FROM touched
+)
+SELECT purchase_event_id, user_id, purchase_ms, purchase_cents,
+       click_event_id, click_ms, touch_rank, n_touches,
+       CASE WHEN touch_rank = n_touches THEN 'first'
+            WHEN touch_rank = 1 THEN 'last'
+            ELSE 'middle' END AS position,
+       CAST(purchase_cents // n_touches
+            + CASE WHEN touch_rank <= purchase_cents % n_touches
+                   THEN 1 ELSE 0 END AS BIGINT) AS credit_cents
+FROM ranked
+"""

@@ -2683,3 +2683,64 @@ def test_mm_frame_dedup_detects_trim(spark):
     r2 = mm_frame_dedup(docs2).collect()[0]
     assert r2.n_a == 4 and r2.n_b == 2 and r2.n_shared_frames == 2
     assert r2.containment_b == 1.0 and r2.containment_a == 0.5
+
+
+def test_attribution_multitouch_conserves_cents(spark, sf_dir):
+    """T48: per purchase, the integer credit split must sum EXACTLY to the
+    purchase's cents (largest-remainder identity — a float 1/n split
+    leaks cents), with exactly one 'last' and one 'first' touch each."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_attribution_multitouch,
+    )
+
+    out = events_attribution_multitouch(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    bad = (
+        out.groupBy("purchase_event_id", "purchase_cents")
+        .agg(
+            F.sum("credit_cents").alias("tot"),
+            F.sum((F.col("position") == "last").cast("int")).alias("n_last"),
+            F.sum((F.col("position") == "first").cast("int")).alias("n_first"),
+            F.max("n_touches").alias("n"),
+        )
+        .filter(
+            (F.col("tot") != F.col("purchase_cents"))
+            | (F.col("n_last") + F.when(F.col("n") == 1, 1).otherwise(0) != 1)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert out.count() > 0
+
+
+def test_attribution_multitouch_hand_case(spark):
+    """T48: purchase of 1.01 (101 cents) after 3 clicks → credits 34/34/33
+    with the extra cents going to the most recent touches; clicks outside
+    the 7-day lookback are excluded."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_attribution_multitouch,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(days=8), 7, "click", 0.0, "{}"),  # outside lookback
+        (2, t0 - dt.timedelta(days=3), 7, "click", 0.0, "{}"),
+        (3, t0 - dt.timedelta(days=2), 7, "click", 0.0, "{}"),
+        (4, t0 - dt.timedelta(days=1), 7, "click", 0.0, "{}"),
+        (5, t0, 7, "purchase", 1.01, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.click_event_id: r for r in events_attribution_multitouch(ev).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[4].position == "last" and got[4].credit_cents == 34
+    assert got[3].position == "middle" and got[3].credit_cents == 34
+    assert got[2].position == "first" and got[2].credit_cents == 33
+    assert sum(r.credit_cents for r in got.values()) == 101
