@@ -1235,3 +1235,46 @@ def mixture_epoch_plan(
         )
         .orderBy("source")
     )
+
+
+def export_order_plan(
+    documents: DataFrame, shard_docs: int = 256, distributed: bool = True
+) -> DataFrame:
+    """P21: deterministic GLOBAL training order + shard/offset plan — the
+    export step after curation: training wants the corpus in a shuffled
+    order that is (a) uniform, (b) reproducible run-to-run, and (c)
+    resumable mid-epoch by (shard, offset). The order key is the md5
+    permutation of ``doc_id`` (content-independent — the P1/P2
+    determinism contract: re-crawls and re-runs place every doc at the
+    same position), the global rank comes from the SHARED two-phase
+    ``_ranked_with_n`` (``distributed=True`` default — the whole corpus
+    is one order group, the D30 argument; no single-task sort), and
+    ``shard = (rank−1) DIV shard_docs`` / ``offset = (rank−1) %
+    shard_docs`` are pure integer arithmetic. A trainer resumes from any
+    (shard, offset) without re-deriving anything; writers consume the
+    plan sorted by (shard_id, offset). Full hash-exact oracle (md5 hex
+    sorts identically in ASCII in both engines).
+    """
+    from .observability import _ranked_with_n
+
+    keyed = documents.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+    )
+    ranked = _ranked_with_n(
+        keyed.withColumn("_g", F.lit(0)),
+        "_g",
+        ["sample_key", "doc_id"],
+        distributed,
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "sample_key",
+        "ws_tokens",
+        F.col("rn").cast("long").alias("rank"),
+        F.expr(f"(rn - 1) DIV {int(shard_docs)}").cast("long").alias("shard_id"),
+        ((F.col("rn") - 1) % shard_docs).cast("long").alias("offset"),
+    )

@@ -485,3 +485,23 @@ SELECT p.source, t.wt, p.n_docs, p.available_tokens, t.target_tokens,
 FROM per_src p JOIN targets t USING (source)
 ORDER BY source
 """
+
+
+# P21: deterministic export order — md5(doc_id) permutation rank, integer
+# shard/offset; hex keys sort identically in ASCII in both engines.
+PIPELINE_ORACLES["export_order_plan"] = f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+         CAST({_WS_TOKENS} AS BIGINT) AS ws_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sample_key, doc_id) AS BIGINT)
+            AS rank
+  FROM keyed
+)
+SELECT doc_id, source, sample_key, ws_tokens, rank,
+       CAST((rank - 1) // 256 AS BIGINT) AS shard_id,
+       CAST((rank - 1) % 256 AS BIGINT) AS offset
+FROM ranked
+"""

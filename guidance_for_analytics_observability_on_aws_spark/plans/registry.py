@@ -1307,6 +1307,17 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# P21 (r8): deterministic export order + shard/offset plan — md5(doc_id)
+# permutation rank via the shared two-phase rank (distributed default),
+# integer shard arithmetic; the resumable training-order export step.
+# Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "export_order_plan",
+    lambda s, d: pipeline.export_order_plan(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["export_order_plan"],
+)
+
+
 # T48 (r8): multi-touch attribution — per-user lookback join, recency
 # touch ranks, EXACT largest-remainder cent split (credit conservation
 # is an identity, not an approximation). Beyond the finalized r8 window;

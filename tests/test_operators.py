@@ -2744,3 +2744,41 @@ def test_attribution_multitouch_hand_case(spark):
     assert got[3].position == "middle" and got[3].credit_cents == 34
     assert got[2].position == "first" and got[2].credit_cents == 33
     assert sum(r.credit_cents for r in got.values()) == 101
+
+
+def test_export_order_plan_contracts(spark, sf_dir):
+    """P21: ranks are a permutation (1..N, no gaps), shard/offset are
+    consistent integer arithmetic on the rank, the distributed rank path
+    is bit-identical to the window path, and the order is reproducible
+    (two runs produce identical plans)."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        export_order_plan,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = export_order_plan(docs)
+    n = docs.count()
+    agg = plan.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("rank").alias("lo"),
+        F.max("rank").alias("hi"),
+        F.countDistinct("rank").alias("d"),
+        F.sum(
+            (
+                F.col("shard_id") * 256 + F.col("offset") != F.col("rank") - 1
+            ).cast("int")
+        ).alias("bad"),
+    ).collect()[0]
+    assert (agg.rows, agg.lo, agg.hi, agg.d, agg.bad) == (n, 1, n, n, 0)
+    a = sorted((tuple(r) for r in plan.collect()), key=str)
+    b = sorted(
+        (tuple(r) for r in export_order_plan(docs, distributed=False).collect()),
+        key=str,
+    )
+    c = sorted((tuple(r) for r in export_order_plan(docs).collect()), key=str)
+    assert a == b == c
