@@ -1278,3 +1278,97 @@ def export_order_plan(
         F.expr(f"(rn - 1) DIV {int(shard_docs)}").cast("long").alias("shard_id"),
         ((F.col("rn") - 1) % shard_docs).cast("long").alias("offset"),
     )
+
+
+def decontaminate_neardup(
+    documents: DataFrame, threshold_pct: int = 80
+) -> DataFrame:
+    """P22: NEAR-DUP decontamination — the pairwise upgrade of P6's pooled
+    ratio: P6 answers "how much benchmark n-gram mass does this doc carry"
+    against the UNION of benchmark shingles, which dilutes for long docs
+    and cannot say WHICH eval item leaked. This flags (train_doc,
+    bench_doc) PAIRS whose shingle CONTAINMENT of the benchmark side
+    reaches ``threshold_pct`` — the "this training doc embeds that eval
+    question" verdict, robust to the training doc being 100× longer.
+
+    Lossless bipartite prefix filtering (D31's theorem, containment
+    variant): containment(s in r) ≥ t forces |r∩s| ≥ ceil(t·|s|), so the
+    smallest common shingle under ANY fixed total order must lie within
+    the benchmark doc's first ``|s| − ceil(t·|s|) + 1`` shingles (same
+    contradiction argument as D31 — only the bounded side needs a
+    prefix; the train side is indexed in full). The order here is plain
+    lexicographic, so bench prefixes are ``slice(array_sort(sh), 1, p)``
+    — no df pass, no window: benchmarks are small by definition.
+
+    Scale shape: bench prefixes explode to a TINY broadcast set (P6's
+    broadcast argument, further prefix-shrunk); the corpus side is one
+    explode + semi-style pair distinct; exact verification joins the
+    candidate pairs back to shingle arrays — train side shuffle-hash
+    (the D30 pin), bench side broadcast. Planted exact copies (+1M of
+    the %25==0 slice) are guaranteed true positives at containment 1.0
+    (pinned). Full hash-exact oracle.
+    """
+    from ..functions.text import corpus, shingles
+
+    toks = tokens(F.col("text"))
+    pct = int(threshold_pct)
+    is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+    bench_sh = (
+        documents.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "bench_doc_id", F.array_sort(shingles(F.col("toks"))).alias("sh_b")
+        )
+        .localCheckpoint(eager=True)
+    )
+    prefix = bench_sh.select(
+        "bench_doc_id",
+        F.explode(
+            F.slice(
+                F.col("sh_b"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (
+                        F.size("sh_b")
+                        - F.expr(f"({pct} * size(sh_b) + 99) DIV 100")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    train = (
+        corpus(documents)
+        .filter(~is_bench)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", shingles(F.col("toks")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    train_sh = train.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = (
+        train_sh.join(F.broadcast(prefix), "shingle")
+        .select("doc_id", "bench_doc_id")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("sh", "sh_b")).cast("long")
+    return (
+        cand.join(train.hint("shuffle_hash"), "doc_id")
+        .join(F.broadcast(bench_sh), "bench_doc_id")
+        .select(
+            "doc_id",
+            "bench_doc_id",
+            shared.alias("n_shared"),
+            F.size("sh").cast("long").alias("n_train_shingles"),
+            F.size("sh_b").cast("long").alias("n_bench_shingles"),
+        )
+        .filter(
+            F.col("n_shared") * 100 >= F.lit(pct) * F.col("n_bench_shingles")
+        )
+        .withColumn(
+            "containment_bench",
+            F.col("n_shared") / F.col("n_bench_shingles"),
+        )
+    )

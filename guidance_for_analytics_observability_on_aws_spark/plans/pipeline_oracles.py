@@ -505,3 +505,53 @@ SELECT doc_id, source, sample_key, ws_tokens, rank,
        CAST((rank - 1) % 256 AS BIGINT) AS offset
 FROM ranked
 """
+
+
+# P22: near-dup decontamination — bipartite prefix filter (containment
+# variant: only the bounded bench side gets a prefix, lexicographic order
+# via list_sort), exact array-intersect verification, cross-multiplied
+# containment threshold.
+PIPELINE_ORACLES["decontaminate_neardup"] = f"""
+WITH {CORPUS_CTE},
+bench AS (
+  SELECT doc_id AS bench_doc_id,
+         list_sort({_SHINGLES_SQL}) AS sh_b
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+    FROM documents WHERE doc_id % 25 = 0
+  ) WHERE len(toks) >= 3
+),
+prefix AS (
+  SELECT bench_doc_id,
+         unnest(sh_b[1:GREATEST(1,
+           CAST(len(sh_b) - ((80 * len(sh_b) + 99) // 100) + 1 AS BIGINT))])
+           AS shingle
+  FROM bench
+),
+train AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+    FROM corpus
+    WHERE NOT (doc_id < 1000000 AND doc_id % 25 = 0)
+  ) WHERE len(toks) >= 3
+),
+train_sh AS (SELECT doc_id, unnest(sh) AS shingle FROM train),
+cand AS (
+  SELECT DISTINCT t.doc_id, p.bench_doc_id
+  FROM train_sh t JOIN prefix p USING (shingle)
+),
+scored AS (
+  SELECT c.doc_id, c.bench_doc_id,
+         CAST(len(list_intersect(tr.sh, b.sh_b)) AS BIGINT) AS n_shared,
+         CAST(len(tr.sh) AS BIGINT) AS n_train_shingles,
+         CAST(len(b.sh_b) AS BIGINT) AS n_bench_shingles
+  FROM cand c
+  JOIN train tr ON tr.doc_id = c.doc_id
+  JOIN bench b ON b.bench_doc_id = c.bench_doc_id
+)
+SELECT *,
+       n_shared / CAST(n_bench_shingles AS DOUBLE) AS containment_bench
+FROM scored
+WHERE n_shared * 100 >= 80 * n_bench_shingles
+"""

@@ -1307,6 +1307,17 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# P22 (r8): near-dup decontamination — bipartite prefix filter
+# (containment variant of D31's theorem; lexicographic order, bench-side
+# prefixes only), pairwise "which eval item leaked into which doc"
+# verdicts. Beyond the finalized r8 window; r9 never-checked list.
+_register(
+    "decontaminate_neardup",
+    lambda s, d: pipeline.decontaminate_neardup(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["decontaminate_neardup"],
+)
+
+
 # P21 (r8): deterministic export order + shard/offset plan — md5(doc_id)
 # permutation rank via the shared two-phase rank (distributed default),
 # integer shard arithmetic; the resumable training-order export step.

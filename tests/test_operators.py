@@ -2782,3 +2782,38 @@ def test_export_order_plan_contracts(spark, sf_dir):
     )
     c = sorted((tuple(r) for r in export_order_plan(docs).collect()), key=str)
     assert a == b == c
+
+
+def test_decontaminate_neardup_finds_every_planted_copy(spark, sf_dir):
+    """P22: every planted exact copy (+1M of the %25==0 benchmark slice,
+    ≥3 tokens) must pair with ITS OWN benchmark source at containment 1.0
+    — the pairwise verdict P6's pooled ratio cannot produce; every
+    reported pair must meet the cross-multiplied containment bound."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import (
+        tokens,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_neardup,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = decontaminate_neardup(docs).collect()
+    assert rows
+    got_pairs = {(r.doc_id, r.bench_doc_id) for r in rows}
+    bench_ids = {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.size(tokens(F.col("text"))) >= 3)
+        ).collect()
+    }
+    for b in bench_ids:
+        assert (b + 1000000, b) in got_pairs, f"planted copy of {b} missed"
+    for r in rows:
+        assert r.n_shared * 100 >= 80 * r.n_bench_shingles
+        if r.doc_id == r.bench_doc_id + 1000000:
+            assert r.containment_bench == 1.0
