@@ -710,3 +710,77 @@ def vocab_growth(
     ).withColumn(
         "type_token_ratio", F.try_divide(F.col("cum_types"), F.col("cum_tokens"))
     )
+
+
+def dup_fraction(
+    documents: DataFrame, df_threshold: int = 2, n_bins: int = 10
+) -> DataFrame:
+    """X17: per-document DUPLICATE-FRACTION scoring — the soft-dedup
+    signal between "keep" and "delete": the share of a doc's distinct
+    shingles that also occur in other documents (corpus document
+    frequency ≥ ``df_threshold``). Hard dedup (D-group) removes
+    near-identical PAIRS; this scores every doc's boilerplate-ness on a
+    continuum — the RefinedWeb/SlimPajama-style signal a pipeline uses
+    to DOWN-WEIGHT templated/syndicated text rather than drop it, and
+    the distribution a team reads before choosing that weight curve.
+
+    Output is the per-(source, decile-bin) panel of that distribution:
+    doc counts and token mass per dup-fraction bin — all-BIGINT counts
+    with the fraction binned by the cross-multiplied integer rule
+    ``bin = min(n_dup·n_bins DIV n_shingles, n_bins−1)`` (no float
+    boundaries to disagree on). Full hash-exact oracle.
+
+    Scale shape: shingle df is one explode + map-side-combined groupBy;
+    the per-doc score is a second aggregation of the SAME exploded rows
+    joined to df (shuffle keyed on shingle, then on doc) — both linear;
+    the panel is |sources| × n_bins rows.
+    """
+    from ..functions.text import corpus, shingles
+
+    toks = tokens(F.col("text"))
+    base = (
+        corpus(documents)
+        .select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            shingles(F.col("toks")).alias("sh"),
+            F.size("toks").cast("long").alias("ws_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_doc = (
+        ex.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= int(df_threshold)).cast("long"))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    scored = base.select("doc_id", "source", "ws_tokens").join(per_doc, "doc_id")
+    bin_col = F.least(
+        F.expr(f"n_dup * {int(n_bins)} DIV n_shingles"), F.lit(n_bins - 1)
+    ).cast("long")
+    return (
+        scored.groupBy("source", bin_col.alias("dup_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_dup").cast("long").alias("total_dup_shingles"),
+            F.sum("n_shingles").cast("long").alias("total_shingles"),
+        )
+        .withColumn(
+            "token_share_of_source",
+            F.try_divide(
+                F.col("total_tokens"),
+                F.sum("total_tokens").over(Window.partitionBy("source")),
+            ),
+        )
+    )

@@ -1307,6 +1307,17 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# X17 (r8): duplicate-fraction distribution — the soft-dedup weighting
+# signal: per-doc share of corpus-duplicated shingles, binned by the
+# cross-multiplied integer rule into a per-source panel. Beyond the
+# finalized r8 window; r9 never-checked list.
+_register(
+    "text_dup_fraction",
+    lambda s, d: textops.dup_fraction(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["text_dup_fraction"],
+)
+
+
 # P22 (r8): near-dup decontamination — bipartite prefix filter
 # (containment variant of D31's theorem; lexicographic order, bench-side
 # prefixes only), pairwise "which eval item leaked into which doc"

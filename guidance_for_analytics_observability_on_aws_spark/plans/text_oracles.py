@@ -1,6 +1,6 @@
 """DuckDB oracle SQL for text analysis (X) and multimodal (M) groups."""
 
-from ..functions.text import CORPUS_CTE
+from ..functions.text import CORPUS_CTE, SHINGLES_SQL
 from ..operators.textops import BPE_PATTERN, STOPWORDS
 
 TEXT_ORACLES: dict[str, str] = {}
@@ -635,4 +635,51 @@ SELECT doc_a, doc_b, n_shared_frames,
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+# X17: duplicate-fraction distribution — corpus shingle df >= 2 marks a
+# shingle as duplicated; per-doc dup share binned by the cross-multiplied
+# integer rule; per-(source, bin) panel with windowed token shares.
+TEXT_ORACLES["text_dup_fraction"] = f"""
+WITH {CORPUS_CTE},
+base AS (
+  SELECT doc_id, source, {SHINGLES_SQL} AS sh,
+         CAST(len(toks) AS BIGINT) AS ws_tokens
+  FROM (
+    SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks
+    FROM corpus
+  ) WHERE len(toks) >= 3
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+df_tbl AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1
+),
+per_doc AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM ex e JOIN df_tbl d USING (shingle)
+  GROUP BY 1
+),
+scored AS (
+  SELECT b.source, b.ws_tokens, p.n_shingles, p.n_dup,
+         LEAST(p.n_dup * 10 // p.n_shingles, 9) AS dup_bin
+  FROM base b JOIN per_doc p USING (doc_id)
+),
+panel AS (
+  SELECT source, CAST(dup_bin AS BIGINT) AS dup_bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_dup) AS BIGINT) AS total_dup_shingles,
+         CAST(SUM(n_shingles) AS BIGINT) AS total_shingles
+  FROM scored GROUP BY 1, 2
+)
+SELECT *,
+       CASE WHEN CAST(SUM(total_tokens) OVER (PARTITION BY source) AS BIGINT) = 0
+            THEN NULL
+            ELSE total_tokens /
+                 CAST(SUM(total_tokens) OVER (PARTITION BY source) AS DOUBLE)
+       END AS token_share_of_source
+FROM panel
 """

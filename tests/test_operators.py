@@ -2817,3 +2817,34 @@ def test_decontaminate_neardup_finds_every_planted_copy(spark, sf_dir):
         assert r.n_shared * 100 >= 80 * r.n_bench_shingles
         if r.doc_id == r.bench_doc_id + 1000000:
             assert r.containment_bench == 1.0
+
+
+def test_dup_fraction_hand_case(spark):
+    """X17: two identical docs (every shingle duplicated → bin 9) and one
+    unique doc (df 1 everywhere → bin 0) — counts and bins pinned.
+    Uses doc_ids that dodge the corpus() planting residues."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        dup_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps over lazy dog", "en", "sA", 27),
+            (2, "red fox jumps over lazy dog", "en", "sA", 27),
+            (3, "entirely different words here now", "en", "sB", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {(r.source, r.dup_bin): r for r in dup_fraction(docs).collect()}
+    assert rows[("sA", 9)].n_docs == 2
+    assert rows[("sA", 9)].total_dup_shingles == rows[("sA", 9)].total_shingles
+    assert rows[("sB", 0)].n_docs == 1
+    assert rows[("sB", 0)].total_dup_shingles == 0
+    # token shares sum to 1 per source
+    import collections
+
+    share = collections.defaultdict(float)
+    for r in dup_fraction(docs).collect():
+        share[r.source] += r.token_share_of_source
+    for s, v in share.items():
+        assert abs(v - 1.0) < 1e-12, (s, v)
