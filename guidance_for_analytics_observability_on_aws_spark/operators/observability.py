@@ -2709,3 +2709,57 @@ def alert_flap_tail(minute: DataFrame, flap_k: int = 4) -> DataFrame:
         .cast("long")
         .alias("n_flapping_minutes"),
     )
+
+
+def red_panel(tm: DataFrame, err_pct: int = 5, distributed: bool = False) -> DataFrame:
+    """O79: RED-method panel per (app, hour) — the Rate/Errors/Duration
+    triple every service dashboard leads with (Weaveworks RED; the
+    Grafana default): request rate, error share with a budget-breach
+    verdict, and duration percentiles — composed entirely from this
+    repo's shared conventions so nothing here can drift from the
+    operators that own them: percentiles are the O8/O44 explicit lower
+    order statistics via ``_ranked_with_n`` (``distributed=True`` routes
+    the two-phase rank — a hot app-hour cannot straggle) +
+    ``_order_stat_aggs``; the breach verdict is the O68-style
+    cross-multiplied integer inequality ``n_errors·100 > pct·n_logs``;
+    the only divisions are try_divide display ratios. Full hash-exact
+    oracle.
+    """
+    base = tm.select(
+        "app_id",
+        F.expr("metric_time_ms DIV 3600000 * 3600000").alias("hour_ms"),
+        "event_type",
+        "run_time_ms",
+        "task_id",
+    ).withColumn("_grp", F.concat_ws("#", "app_id", "hour_ms"))
+    ranked = _ranked_with_n(
+        base.select("_grp", "run_time_ms", "task_id"),
+        "_grp",
+        ["run_time_ms", "task_id"],
+        distributed,
+    )
+    dur = ranked.groupBy("_grp").agg(*_order_stat_aggs("run_time_ms"))
+    re = base.groupBy("app_id", "hour_ms", "_grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_logs"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    return (
+        re.join(dur, "_grp")
+        .drop("_grp", "n_tasks")
+        .select(
+            "app_id",
+            "hour_ms",
+            "n_logs",
+            "n_errors",
+            F.try_divide(F.col("n_logs"), F.lit(60)).alias("rate_per_min"),
+            F.try_divide(F.col("n_errors"), F.col("n_logs")).alias("err_share"),
+            (F.col("n_errors") * 100 > F.lit(int(err_pct)) * F.col("n_logs"))
+            .cast("int")
+            .alias("err_breach"),
+            F.col("p50").cast("long").alias("p50_ms"),
+            F.col("p75").cast("long").alias("p75_ms"),
+            F.col("p99").cast("long").alias("p99_ms"),
+        )
+    )

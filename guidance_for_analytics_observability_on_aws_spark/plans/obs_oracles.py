@@ -1500,3 +1500,44 @@ SELECT rule_id, metric, threshold, app_id,
 FROM tr
 GROUP BY 1, 2, 3, 4
 """
+
+
+# O79: RED panel — shared floor((n-1)p) order statistics per (app, hour),
+# cross-multiplied error-budget breach, try_divide display ratios.
+OBS_ORACLES["obs_red_panel"] = f"""
+WITH {TELEMETRY_CTE},
+ranked AS (
+  SELECT app_id, metric_time_ms // 3600000 * 3600000 AS hour_ms,
+         run_time_ms, task_id,
+         ROW_NUMBER() OVER (PARTITION BY app_id, metric_time_ms // 3600000
+                            ORDER BY run_time_ms, task_id) AS rn,
+         COUNT(*) OVER (PARTITION BY app_id, metric_time_ms // 3600000) AS n
+  FROM task_metrics
+),
+dur AS (
+  SELECT app_id, hour_ms,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+             THEN run_time_ms END) AS p50_ms,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.75) AS BIGINT)
+             THEN run_time_ms END) AS p75_ms,
+         MAX(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 0.99) AS BIGINT)
+             THEN run_time_ms END) AS p99_ms
+  FROM ranked GROUP BY 1, 2
+),
+re AS (
+  SELECT app_id, metric_time_ms // 3600000 * 3600000 AS hour_ms,
+         CAST(COUNT(*) AS BIGINT) AS n_logs,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM task_metrics GROUP BY 1, 2
+)
+SELECT re.app_id, re.hour_ms, re.n_logs, re.n_errors,
+       re.n_logs / 60 AS rate_per_min,
+       re.n_errors / re.n_logs AS err_share,
+       CAST(CASE WHEN re.n_errors * 100 > 5 * re.n_logs THEN 1 ELSE 0 END
+            AS INTEGER) AS err_breach,
+       CAST(d.p50_ms AS BIGINT) AS p50_ms,
+       CAST(d.p75_ms AS BIGINT) AS p75_ms,
+       CAST(d.p99_ms AS BIGINT) AS p99_ms
+FROM re JOIN dur d ON d.app_id = re.app_id AND d.hour_ms = re.hour_ms
+"""

@@ -1307,6 +1307,17 @@ def _stream_histogram_rollup(s, d):
 _register("stream_histogram_rollup", _stream_histogram_rollup, None)
 
 
+# O79 (r8): RED-method panel per (app, hour) — rate/errors/duration from
+# the shared order-stat + cross-multiplied-verdict conventions; the
+# Grafana-default service dashboard triple. Beyond the finalized r8
+# window; r9 never-checked list.
+_register(
+    "obs_red_panel",
+    lambda s, d: obs.red_panel(_tm(s, d)),
+    OBS_ORACLES["obs_red_panel"],
+)
+
+
 # X17 (r8): duplicate-fraction distribution — the soft-dedup weighting
 # signal: per-doc share of corpus-duplicated shingles, binned by the
 # cross-multiplied integer rule into a per-source panel. Beyond the

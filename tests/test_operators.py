@@ -2848,3 +2848,29 @@ def test_dup_fraction_hand_case(spark):
         share[r.source] += r.token_share_of_source
     for s, v in share.items():
         assert abs(v - 1.0) < 1e-12, (s, v)
+
+
+def test_red_panel_contracts(spark, sf_dir):
+    """O79: the distributed rank path is bit-identical to the window path,
+    error shares honor the cross-multiplied breach rule, and duration
+    percentiles are monotone p50<=p75<=p99."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        red_panel,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tm = task_metrics(load_tables(spark, sf_dir)["events"])
+    rows = red_panel(tm).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_ms <= r.p75_ms <= r.p99_ms
+        assert r.err_breach == int(r.n_errors * 100 > 5 * r.n_logs)
+        assert 0 <= r.n_errors <= r.n_logs
+    a = sorted((tuple(r) for r in red_panel(tm, distributed=False).collect()), key=str)
+    b = sorted((tuple(r) for r in red_panel(tm, distributed=True).collect()), key=str)
+    assert a == b
