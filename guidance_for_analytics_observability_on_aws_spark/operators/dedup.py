@@ -134,15 +134,19 @@ def _shingle_pair_intersections(
     )
 
 
-def dedup_ngram_jaccard(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+def dedup_ngram_jaccard(
+    documents: DataFrame, threshold: float = 0.8, base: DataFrame | None = None
+) -> DataFrame:
     """D2: exact 3-gram-shingle Jaccard candidate pairs (≥ threshold).
 
     Correctness baseline (all-pairs within shared shingles — quadratic in
     shingle document frequency). The wired production path at scale is
     :func:`dedup_containment_banded` (D15), which runs this exact scoring
-    arithmetic over D3's LSH candidate pairs only.
+    arithmetic over D3's LSH candidate pairs only. ``base`` lets a
+    multi-method caller (P17) share one materialized (doc_id, toks)
+    corpus pass across every method it grades.
     """
-    out = _shingle_pair_intersections(documents).select(
+    out = _shingle_pair_intersections(documents, base=base).select(
         "doc_a",
         "doc_b",
         "intersection_size",
@@ -276,7 +280,7 @@ def dedup_minhash_lsh(
 
 
 def dedup_minhash_estimate(
-    documents: DataFrame, min_matching: int = 13
+    documents: DataFrame, min_matching: int = 13, base: DataFrame | None = None
 ) -> DataFrame:
     """D18: Jaccard ESTIMATED from MinHash signature agreement alone — the
     sketch-only dedup verdict, no shingle re-scoring at any point.
@@ -301,7 +305,7 @@ def dedup_minhash_estimate(
     # One signature computation feeds the banding join AND both scoring
     # sides; without the checkpoint Catalyst re-derives the corpus-wide
     # aggregation per reference (3 full corpus scans at object-store cost).
-    sig = minhash_signatures(documents).localCheckpoint(eager=True)
+    sig = minhash_signatures(documents, base=base).localCheckpoint(eager=True)
     pairs = _lsh_candidate_pairs(sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -385,6 +389,7 @@ def dedup_containment_banded(
     documents: DataFrame,
     jaccard_threshold: float = 0.8,
     containment_threshold: float = 0.9,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """D15: the PRODUCTION scale path for D2 (Jaccard) and D14
     (containment) — exact shingle scoring restricted to D3's MinHash-LSH
@@ -422,7 +427,11 @@ def dedup_containment_banded(
     # materialized: without it the LSH subtree re-executes once per
     # downstream reference (~5×, 41-Exchange plan measured). `cand` is the
     # LSH edge list; `base` one row per CANDIDATE doc — both ≪ corpus.
-    base_all = _shingle_base(documents).localCheckpoint(eager=True)
+    base_all = (
+        base
+        if base is not None
+        else _shingle_base(documents).localCheckpoint(eager=True)
+    )
     cand = (
         dedup_minhash_lsh(documents, base=base_all)
         .select("doc_a", "doc_b")
@@ -813,6 +822,7 @@ def dedup_sorted_neighborhood(
     window: int = 8,
     threshold_pct: int = 80,
     distributed: bool = True,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """D30: SORTED-NEIGHBORHOOD near-dup detection — the classic blocking
     family LSH (D3) and SimHash banding (D25) don't cover: sort the corpus
@@ -860,15 +870,12 @@ def dedup_sorted_neighborhood(
     # sf0.1). distributed=True is the DEFAULT: the global order has no
     # small-group argument (the group is the whole corpus), so the window
     # path's single-task sort is exactly the 1000× straggler.
-    base = (
-        _shingle_base(documents)
-        .select(
-            "doc_id",
-            F.substring(F.concat_ws(" ", F.col("toks")), 1, 40).alias("skey"),
-            shingles(F.col("toks")).alias("sh"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    pre = base if base is not None else _shingle_base(documents)
+    base = pre.select(
+        "doc_id",
+        F.substring(F.concat_ws(" ", F.col("toks")), 1, 40).alias("skey"),
+        shingles(F.col("toks")).alias("sh"),
+    ).localCheckpoint(eager=True)
     ranked = _ranked_with_n(
         base.select("doc_id", "skey").withColumn("_g", F.lit(0)),
         "_g",
@@ -928,7 +935,9 @@ def dedup_sorted_neighborhood(
     )
 
 
-def dedup_prefix_filter(documents: DataFrame, threshold_pct: int = 80) -> DataFrame:
+def dedup_prefix_filter(
+    documents: DataFrame, threshold_pct: int = 80, base: DataFrame | None = None
+) -> DataFrame:
     """D31: PREFIX-FILTERING exact near-dup join (Bayardo AllPairs /
     PPJoin) — the provably-LOSSLESS candidate pruning the probabilistic
     blockers (D3 LSH, D25 SimHash bands, D30 SNM) can't offer: sort each
@@ -967,11 +976,10 @@ def dedup_prefix_filter(documents: DataFrame, threshold_pct: int = 80) -> DataFr
     cold-first-pass ratio in the artifact carries the same one-time
     shingle-codegen JIT constant attributed on D30.
     """
-    base = (
-        _shingle_base(documents)
-        .select("doc_id", shingles(F.col("toks")).alias("sh"))
-        .localCheckpoint(eager=True)
-    )
+    pre = base if base is not None else _shingle_base(documents)
+    base = pre.select(
+        "doc_id", shingles(F.col("toks")).alias("sh")
+    ).localCheckpoint(eager=True)
     # n rides along from the array size — a per-doc COUNT window here would
     # add a second window pass over the exploded table for a value the
     # checkpointed array already knows.

@@ -1132,30 +1132,38 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
     between — the monotonicity is pinned in tests.
     """
     from .dedup import (
+        _shingle_base,
         dedup_containment_banded,
         dedup_minhash_estimate,
         dedup_ngram_jaccard,
         dedup_sorted_neighborhood,
     )
 
+    # ONE (doc_id, toks) corpus materialization shared by ALL graded
+    # methods — without it each of the five re-derives the corpus union
+    # (five full corpus scans at object-store cost; ~2× the report's
+    # wall-clock measured at sf0.1 when snm_exact joined the panel).
+    shared = _shingle_base(documents).localCheckpoint(eager=True)
     truth = (
-        dedup_ngram_jaccard(documents)
+        dedup_ngram_jaccard(documents, base=shared)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     preds = {
-        "lsh_candidates": dedup_minhash_lsh(documents).select("doc_a", "doc_b"),
-        "banded_exact": dedup_containment_banded(documents)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b"),
-        "sketch_estimate": dedup_minhash_estimate(documents).select(
+        "lsh_candidates": dedup_minhash_lsh(documents, base=shared).select(
             "doc_a", "doc_b"
         ),
+        "banded_exact": dedup_containment_banded(documents, base=shared)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b"),
+        "sketch_estimate": dedup_minhash_estimate(
+            documents, base=shared
+        ).select("doc_a", "doc_b"),
         # D30's pairs are exact-scored at the truth's own threshold, so
         # precision is structurally 1.0; recall measures what the
         # sort-key blocking alone covers (pinned in tests).
-        "snm_exact": dedup_sorted_neighborhood(documents).select(
+        "snm_exact": dedup_sorted_neighborhood(documents, base=shared).select(
             "doc_a", "doc_b"
         ),
     }
