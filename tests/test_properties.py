@@ -949,3 +949,97 @@ def test_histogram_percentile_tail_matches_literal_selection(spark, vals):
         want_bin = ranked[math.ceil(p * n / 100) - 1]
         assert got == want_bin * 100, (p, got, want_bin, vals)
     assert r.n_rows == n and r.n_bins_used == len(bins)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_sorted_neighborhood_matches_literal_reference(spark, token_lists):
+    """D30 vs a literal Python SNM (sort by the 40-char normalized prefix,
+    scan a window of 8, exact Jaccard >= 0.8) over the planted corpus —
+    attacks the rank/bucket-join rewrite with random small-vocabulary
+    docs where many share identical prefixes (maximal rank-tie stress)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(ws), "en", "s1", len(" ".join(ws)))
+            for i, ws in enumerate(token_lists)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.rank_gap, r.intersection_size)
+        for r in dedup_sorted_neighborhood(docs).collect()
+    }
+    planted = {}
+    for i, ws in enumerate(token_lists):
+        planted[i] = ws
+        if i % 25 == 0:
+            planted[i + 1000000] = ws
+        if i % 25 == 5:
+            planted[i + 2000000] = list(reversed(ws))
+        if i % 25 == 10:
+            planted[i + 3000000] = ws[: max(1, int(len(ws) * 0.9))]
+    eligible = {k: v for k, v in planted.items() if len(v) >= 3}
+    order = sorted(eligible, key=lambda k: (" ".join(eligible[k])[:40], k))
+    sh = {
+        k: {" ".join(v[j : j + 3]) for j in range(len(v) - 2)}
+        for k, v in eligible.items()
+    }
+    want = {}
+    for x in range(len(order)):
+        for y in range(x + 1, min(x + 8, len(order))):
+            a, b = order[x], order[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            if union and inter * 100 >= 80 * union:
+                want[(min(a, b), max(a, b))] = (y - x, inter)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs_strategy)
+def test_vocab_growth_matches_literal_reference(spark, token_lists):
+    """X16 vs a literal Python loop: equal-rank decile buckets, first-seen
+    type attribution, cumulative totals — on random corpora where many
+    docs share the whole vocabulary (the worst case for 'new type'
+    bookkeeping)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(ws), "en", "s1", len(" ".join(ws)))
+            for i, ws in enumerate(token_lists)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.bucket: (r.n_docs, r.n_tokens, r.new_types, r.cum_types, r.cum_tokens)
+        for r in vocab_growth(docs).collect()
+    }
+    n = len(token_lists)
+    seen: set = set()
+    buckets: dict = {}
+    for rank, (i, ws) in enumerate(
+        sorted(enumerate(token_lists), key=lambda t: t[0]), start=1
+    ):
+        b = (rank - 1) * 10 // n
+        d = buckets.setdefault(b, [0, 0, 0])
+        d[0] += 1
+        d[1] += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                d[2] += 1
+    want = {}
+    ct = ck = 0
+    for b in sorted(buckets):
+        nd, nt, nw = buckets[b]
+        ct += nw
+        ck += nt
+        want[b] = (nd, nt, nw, ct, ck)
+    assert got == want
