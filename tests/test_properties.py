@@ -1043,3 +1043,67 @@ def test_vocab_growth_matches_literal_reference(spark, token_lists):
         ck += nt
         want[b] = (nd, nt, nw, ct, ck)
     assert got == want
+
+
+click_purchase_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20 * 86400),  # second offset
+        st.sampled_from(["click", "purchase"]),
+        st.integers(min_value=0, max_value=100000),  # value cents*? raw value
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(click_purchase_series)
+def test_attribution_matches_literal_loop(spark, series):
+    """T48 vs a literal Python loop on random event series: lookback
+    membership, recency ranks, and the largest-remainder cent split must
+    all match — and every purchase's credits must sum to its cents."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_attribution_multitouch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=s), 1, et, v / 100.0, "{}")
+        for i, (s, et, v) in enumerate(sorted(series))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r.purchase_event_id, r.click_event_id): (
+            r.touch_rank,
+            r.n_touches,
+            r.credit_cents,
+        )
+        for r in events_attribution_multitouch(ev).collect()
+    }
+    import math
+
+    evs = [
+        (i, s * 1000, et, math.floor(v / 100.0 * 100 + 0.5))
+        for i, (s, et, v) in enumerate(sorted(series))
+    ]
+    want = {}
+    for pid, pms, pet, pcents in evs:
+        if pet != "purchase":
+            continue
+        touches = [
+            (cid, cms)
+            for cid, cms, cet, _ in evs
+            if cet == "click" and cms < pms and cms >= pms - 7 * 86400000
+        ]
+        touches.sort(key=lambda t: (-t[1], -t[0]))
+        n = len(touches)
+        for rank, (cid, cms) in enumerate(touches, start=1):
+            credit = pcents // n + (1 if rank <= pcents % n else 0)
+            want[(pid, cid)] = (rank, n, credit)
+    assert got == want
