@@ -1403,6 +1403,20 @@ def _stream_alert_flap(s, d):
 _register("stream_alert_flap", _stream_alert_flap, None)
 
 
+# Rows-only: O80 (r8) — RED panel ON INGEST: additive count partials
+# (O72 pattern) + mergeable histogram-bin durations (O75 pattern);
+# rate/error half bit-identical to batch O79, duration edges bit-identical
+# to the shared histogram tail (both pinned). Beyond the finalized r8
+# window; r9 never-checked list.
+def _stream_red_panel(s, d):
+    from ..streaming.collector import run_streaming_red_panel
+
+    return run_streaming_red_panel(s, d)
+
+
+_register("stream_red_panel", _stream_red_panel, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

@@ -1123,3 +1123,107 @@ def run_streaming_alert_flap(
     )
     result = alert_flap_tail(minute)
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_red_panel(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O80: RED-method panel ON INGEST — the capstone composition of the
+    round's mergeability patterns: per-(app, hour) request/error COUNTS
+    are sums (the O72 additive pattern) and duration percentiles come
+    from fixed-bin histogram partials (the O75 lossless-merge pattern;
+    exact order statistics do NOT merge, which is why live dashboards
+    everywhere serve bin-edge percentiles). Each micro-batch appends one
+    row-group of count partials and one of (app, hour, bin) duration
+    bins; the final pass merges both and emits rate/error columns
+    BIT-identical to batch O79 (same counts, same cross-multiplied
+    breach — pinned in tests) plus p50/p95/p99 duration bin edges
+    bit-identical to ``histogram_percentile_tail`` over a direct batch
+    scan (pinned). Zero keyed state; partial volume bounded by apps ×
+    hours × n_bins.
+
+    Documented delta vs batch O79: durations are bin LOWER EDGES (width
+    100 ms), not exact order statistics — the precision a mergeable
+    streaming percentile can honestly offer (the O75 bin-width bound).
+    """
+    from ..operators.observability import histogram_percentile_tail
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_red_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        hour = (
+            F.col("metric_time_ms")
+            - F.pmod(F.col("metric_time_ms"), F.lit(3600000))
+        ).alias("hour_ms")
+        (
+            batch_df.groupBy("app_id", hour)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_logs"),
+                F.sum((F.col("event_type") == "error").cast("long"))
+                .cast("long")
+                .alias("n_errors"),
+            )
+            .write.mode("append")
+            .parquet(f"{out}/counts")
+        )
+        bin_idx = F.least(
+            F.floor(F.col("run_time_ms") / 100), F.lit(31)
+        ).cast("long")
+        (
+            batch_df.groupBy("app_id", hour, bin_idx.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .write.mode("append")
+            .parquet(f"{out}/bins")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = (
+        spark.read.parquet(f"{out}/counts")
+        .groupBy("app_id", "hour_ms")
+        .agg(
+            F.sum("n_logs").cast("long").alias("n_logs"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        )
+    )
+    bins = (
+        spark.read.parquet(f"{out}/bins")
+        .groupBy("app_id", "hour_ms", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(
+            F.lit("hour").alias("level"),
+            F.col("app_id").alias("event_type"),  # tail's generic key slot
+            F.col("hour_ms").alias("bucket_ms"),
+            "bin",
+            "n",
+        )
+    )
+    dur = histogram_percentile_tail(bins).select(
+        F.col("event_type").alias("app_id"),
+        F.col("bucket_ms").alias("hour_ms"),
+        "p50_lo",
+        "p95_lo",
+        "p99_lo",
+    )
+    result = counts.join(dur, ["app_id", "hour_ms"]).select(
+        "app_id",
+        "hour_ms",
+        "n_logs",
+        "n_errors",
+        F.try_divide(F.col("n_logs"), F.lit(60)).alias("rate_per_min"),
+        F.try_divide(F.col("n_errors"), F.col("n_logs")).alias("err_share"),
+        (F.col("n_errors") * 100 > 5 * F.col("n_logs"))
+        .cast("int")
+        .alias("err_breach"),
+        "p50_lo",
+        "p95_lo",
+        "p99_lo",
+    )
+    return _collected_and_cleaned(spark, result, work)

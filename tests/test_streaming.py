@@ -853,3 +853,77 @@ def test_streaming_alert_flap_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_red_panel_matches_batch_halves(spark, sf_dir):
+    """O80: the merged rate/error columns must be BIT-identical to batch
+    O79's (counts are sums, verdict shared arithmetic), and the duration
+    bin edges bit-identical to histogram_percentile_tail over a direct
+    batch scan of the same (app, hour) bins."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        histogram_percentile_tail,
+        red_panel,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_red_panel,
+    )
+
+    got = run_streaming_red_panel(spark, sf_dir)
+    tm = task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # rate/error half vs batch O79
+    a = sorted(
+        (
+            tuple(r)
+            for r in got.select(
+                "app_id", "hour_ms", "n_logs", "n_errors",
+                "rate_per_min", "err_share", "err_breach",
+            ).collect()
+        ),
+        key=str,
+    )
+    b = sorted(
+        (
+            tuple(r)
+            for r in red_panel(tm)
+            .select(
+                "app_id", "hour_ms", "n_logs", "n_errors",
+                "rate_per_min", "err_share", "err_breach",
+            )
+            .collect()
+        ),
+        key=str,
+    )
+    assert a == b and a
+    # duration half vs a direct batch histogram of the same bins
+    direct = (
+        tm.withColumn(
+            "bin", F.least(F.floor(F.col("run_time_ms") / 100), F.lit(31)).cast("long")
+        )
+        .groupBy(
+            F.col("app_id").alias("event_type"),
+            F.expr("metric_time_ms DIV 3600000 * 3600000").alias("bucket_ms"),
+            "bin",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("hour").alias("level"), "*")
+    )
+    want_dur = sorted(
+        (
+            (r.event_type, r.bucket_ms, r.p50_lo, r.p95_lo, r.p99_lo)
+            for r in histogram_percentile_tail(direct).collect()
+        ),
+        key=str,
+    )
+    got_dur = sorted(
+        (
+            (r.app_id, r.hour_ms, r.p50_lo, r.p95_lo, r.p99_lo)
+            for r in got.collect()
+        ),
+        key=str,
+    )
+    assert got_dur == want_dur and got_dur
