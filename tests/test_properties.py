@@ -1107,3 +1107,91 @@ def test_attribution_matches_literal_loop(spark, series):
             credit = pcents // n + (1 if rank <= pcents % n else 0)
             want[(pid, cid)] = (rank, n, credit)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_decontaminate_neardup_matches_brute_force(spark, token_lists):
+    """P22's bipartite prefix filter vs a pure-Python brute force over
+    every (train, bench) pair at containment >= 0.8 — attacks the
+    bench-side-only prefix bound (the asymmetric variant of the AllPairs
+    theorem) with random small-vocabulary corpora."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_neardup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(ws), "en", "s1", len(" ".join(ws)))
+            for i, ws in enumerate(token_lists)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_id, r.bench_doc_id): (r.n_shared, r.n_bench_shingles)
+        for r in decontaminate_neardup(docs).collect()
+    }
+    planted = {}
+    for i, ws in enumerate(token_lists):
+        planted[i] = ws
+        if i % 25 == 0:
+            planted[i + 1000000] = ws
+        if i % 25 == 5:
+            planted[i + 2000000] = list(reversed(ws))
+        if i % 25 == 10:
+            planted[i + 3000000] = ws[: max(1, int(len(ws) * 0.9))]
+    sh = {
+        k: {" ".join(v[j : j + 3]) for j in range(len(v) - 2)}
+        for k, v in planted.items()
+        if len(v) >= 3
+    }
+    bench = {
+        i: s
+        for i, s in sh.items()
+        if i < 1000000 and i % 25 == 0
+    }
+    train = {i: s for i, s in sh.items() if not (i < 1000000 and i % 25 == 0)}
+    want = {}
+    for t, ts in train.items():
+        for b, bs in bench.items():
+            inter = len(ts & bs)
+            if inter * 100 >= 80 * len(bs):
+                want[(t, b)] = (inter, len(bs))
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="abcde fgh", min_size=1, max_size=120),
+                min_size=1, max_size=10))
+def test_mm_frame_dedup_matches_literal_slicing(spark, texts):
+    """M10 vs a literal Python slicer: distinct 16-char frame sets per
+    video (doc_id % 3 == 2 only, >= 16 chars), pairwise shared counts and
+    containments — random texts stress partial final frames (dropped) and
+    repeated-frame dedup."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
+        mm_frame_dedup,
+    )
+
+    rows = [(i, t, "en", "s1", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_frames, r.n_a, r.n_b)
+        for r in mm_frame_dedup(docs).collect()
+    }
+    frames = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 2 or len(t) < 16:
+            continue
+        frames[i] = {t[16 * j : 16 * j + 16] for j in range(len(t) // 16)}
+    ids = sorted(frames)
+    want = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(frames[a] & frames[b])
+            if inter >= 1:
+                want[(a, b)] = (inter, len(frames[a]), len(frames[b]))
+    assert got == want
