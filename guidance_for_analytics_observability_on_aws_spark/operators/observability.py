@@ -274,7 +274,7 @@ def _order_stat_aggs(value_col: str) -> list:
 
 def _ranked_with_n(
     df: DataFrame,
-    part_col: str,
+    part_col: str | list[str],
     order_cols: list[str],
     distributed: bool = False,
 ) -> DataFrame:
@@ -294,19 +294,25 @@ def _ranked_with_n(
     task holds one range slice regardless of group size. Rank assignment
     is bit-identical to the window path (same total order, same 1-based
     dense positions), pinned per family member in ``tests/test_plans.py``.
+
+    ``part_col`` may be a LIST of columns for a composite group key
+    (e.g. O79's (app_id, hour_ms)) — ranked on the columns directly, not
+    a string concatenation, so a key value containing the separator can
+    never alias two groups.
     """
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if not distributed:
-        w = Window.partitionBy(part_col).orderBy(*order_cols)
+        w = Window.partitionBy(*parts).orderBy(*order_cols)
         return df.withColumn("rn", F.row_number().over(w)).withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy(part_col))
+            "n", F.count(F.lit(1)).over(Window.partitionBy(*parts))
         )
     from .pipeline import _prefix_sum
 
     ranked = _prefix_sum(
-        df.withColumn("_one", F.lit(1)), part_col, order_cols, "_one", "rn"
+        df.withColumn("_one", F.lit(1)), parts, order_cols, "_one", "rn"
     ).drop("_one")
-    counts = ranked.groupBy(part_col).agg(F.count(F.lit(1)).alias("n"))
-    return ranked.join(F.broadcast(counts), part_col)
+    counts = ranked.groupBy(*parts).agg(F.count(F.lit(1)).alias("n"))
+    return ranked.join(F.broadcast(counts), parts)
 
 
 def task_percentiles(tm: DataFrame, distributed: bool = False) -> DataFrame:
@@ -1210,9 +1216,9 @@ def value_histogram(tm: DataFrame, n_bins: int = 16, width: int = 100) -> DataFr
     (vs quantile bins) is the one that composes across partitions and
     re-aggregates across time windows at any scale.
     """
-    bin_idx = F.least(F.floor(F.col("run_time_ms") / width), F.lit(n_bins - 1)).cast(
-        "long"
-    )
+    bin_idx = F.least(
+        F.expr(f"run_time_ms DIV {int(width)}"), F.lit(n_bins - 1)
+    ).cast("long")
     binned = (
         tm.withColumn("bin", bin_idx)
         .groupBy("metrics_type", "bin")
@@ -2558,9 +2564,11 @@ def histogram_minute_partials(
     """O75's finest-grain partial: per-(type, minute, bin) counts — the
     ONE pass over raw data. Shared by the batch rollup and the streaming
     twin O76 (whose micro-batches each emit these partials additively),
-    so the binning expression has a single definition."""
+    so the binning expression has a single definition. The bin index is
+    integer ``DIV`` (the repo-wide convention) — double division only
+    agrees with the oracle's ``//`` while values stay below 2^53."""
     bin_idx = F.least(
-        F.floor(F.col("run_time_ms") / width), F.lit(n_bins - 1)
+        F.expr(f"run_time_ms DIV {int(width)}"), F.lit(n_bins - 1)
     ).cast("long")
     return (
         tm.withColumn("bin", bin_idx)
@@ -2722,8 +2730,10 @@ def red_panel(tm: DataFrame, err_pct: int = 5, distributed: bool = False) -> Dat
     the two-phase rank — a hot app-hour cannot straggle) +
     ``_order_stat_aggs``; the breach verdict is the O68-style
     cross-multiplied integer inequality ``n_errors·100 > pct·n_logs``;
-    the only divisions are try_divide display ratios. Full hash-exact
-    oracle.
+    the only divisions are try_divide display ratios. The rank group is
+    the COMPOSITE (app_id, hour_ms) key directly — never a string
+    concatenation, which could alias two (app, hour) groups when an
+    app_id contains the separator. Full hash-exact oracle.
     """
     base = tm.select(
         "app_id",
@@ -2731,23 +2741,23 @@ def red_panel(tm: DataFrame, err_pct: int = 5, distributed: bool = False) -> Dat
         "event_type",
         "run_time_ms",
         "task_id",
-    ).withColumn("_grp", F.concat_ws("#", "app_id", "hour_ms"))
+    )
     ranked = _ranked_with_n(
-        base.select("_grp", "run_time_ms", "task_id"),
-        "_grp",
+        base.select("app_id", "hour_ms", "run_time_ms", "task_id"),
+        ["app_id", "hour_ms"],
         ["run_time_ms", "task_id"],
         distributed,
     )
-    dur = ranked.groupBy("_grp").agg(*_order_stat_aggs("run_time_ms"))
-    re = base.groupBy("app_id", "hour_ms", "_grp").agg(
+    dur = ranked.groupBy("app_id", "hour_ms").agg(*_order_stat_aggs("run_time_ms"))
+    re = base.groupBy("app_id", "hour_ms").agg(
         F.count(F.lit(1)).cast("long").alias("n_logs"),
         F.sum((F.col("event_type") == "error").cast("long"))
         .cast("long")
         .alias("n_errors"),
     )
     return (
-        re.join(dur, "_grp")
-        .drop("_grp", "n_tasks")
+        re.join(dur, ["app_id", "hour_ms"])
+        .drop("n_tasks")
         .select(
             "app_id",
             "hour_ms",

@@ -520,7 +520,7 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
 
 def _prefix_sum(
     df: DataFrame,
-    part_col: str,
+    part_col: str | list[str],
     order_cols: list[str],
     value_col: str,
     out_col: str,
@@ -545,7 +545,13 @@ def _prefix_sum(
     scales with the deployment instead of a fixed constant re-creating the
     one-big-task problem at 100 TB. The RESULT is slice-count invariant
     (property-tested across counts); only task granularity changes.
+
+    ``part_col`` may be a LIST of columns for a composite group key —
+    ranked/partitioned on the columns directly, never a string
+    concatenation (a ``concat_ws`` key can alias two groups when a key
+    value contains the separator).
     """
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if n_slices is None:
         try:
             n_slices = int(
@@ -553,24 +559,24 @@ def _prefix_sum(
             )
         except (TypeError, ValueError):  # e.g. "auto" under some AQE configs
             n_slices = 200
-    sliced = df.repartitionByRange(n_slices, part_col, *order_cols).withColumn(
+    sliced = df.repartitionByRange(n_slices, *parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    w_local = Window.partitionBy("_pid", part_col).orderBy(*order_cols)
+    w_local = Window.partitionBy("_pid", *parts).orderBy(*order_cols)
     local = sliced.withColumn("_local_cum", F.sum(value_col).over(w_local))
-    totals = local.groupBy("_pid", part_col).agg(
+    totals = local.groupBy("_pid", *parts).agg(
         F.sum(value_col).alias("_pt")
     )
     w_off = (
-        Window.partitionBy(part_col)
+        Window.partitionBy(*parts)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        "_pid", part_col, F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off")
+        "_pid", *parts, F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off")
     )
     return (
-        local.join(F.broadcast(offsets), ["_pid", part_col])
+        local.join(F.broadcast(offsets), ["_pid", *parts])
         .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
         .drop("_pid", "_local_cum", "_off")
     )

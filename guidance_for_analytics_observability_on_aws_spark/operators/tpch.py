@@ -1701,12 +1701,20 @@ def events_attribution_multitouch(
     """T48: MULTI-TOUCH attribution — the marketing-analytics shape T8's
     last-touch as-of join can't express: every click a user made in the
     7-day lookback before a purchase shares the purchase's value. Credit
-    is split EXACTLY in integer cents by the largest-remainder rule
-    (``cents DIV n`` each, the first ``cents % n`` touches by recency one
-    extra cent), so per-purchase credit CONSERVATION is an identity —
-    ``Σcredit == purchase_cents`` bit-for-bit (pinned in tests; a float
-    1/n split leaks cents and double-counts revenue downstream). Touches
-    are position-labeled first/middle/last for position-weighted models.
+    is split EXACTLY in integer cents by the largest-remainder rule: each
+    touch gets the FLOOR share ``(cents - pmod(cents, n)) DIV n`` and the
+    first ``pmod(cents, n)`` touches by recency one extra cent. The split
+    is SIGN-SAFE — ``pmod`` is non-negative and the subtracted dividend
+    is exactly divisible, so truncating (Spark DIV) and flooring (DuckDB
+    ``//``) quotients agree even for negative cents (refunds /
+    chargebacks), and per-purchase credit CONSERVATION stays an identity:
+    ``n*base + pmod == cents`` ⇒ ``Σcredit == purchase_cents``
+    bit-for-bit for ANY sign (pinned in tests; a float 1/n split leaks
+    cents and double-counts revenue downstream). Touches are
+    position-labeled for position-weighted (U-shaped / last-touch)
+    models; a purchase with a SINGLE touch is labeled the distinct
+    ``'only'`` class — it is simultaneously first and last, and folding
+    it into either would mis-credit 40/20/40-style weighting schemes.
 
     Scale shape: one equi-join on user_id (clicks × purchases fan out
     only within a user's own activity) with the lookback as a pushed
@@ -1751,14 +1759,17 @@ def events_attribution_multitouch(
         "click_ms",
         "touch_rank",
         "n_touches",
-        F.when(F.col("touch_rank") == F.col("n_touches"), "first")
+        F.when(F.col("n_touches") == 1, "only")
+        .when(F.col("touch_rank") == F.col("n_touches"), "first")
         .when(F.col("touch_rank") == 1, "last")
         .otherwise("middle")
         .alias("position"),
         (
-            F.expr("purchase_cents DIV n_touches")
+            F.expr(
+                "(purchase_cents - pmod(purchase_cents, n_touches)) DIV n_touches"
+            )
             + F.when(
-                F.col("touch_rank") <= F.col("purchase_cents") % F.col("n_touches"),
+                F.col("touch_rank") <= F.pmod("purchase_cents", "n_touches"),
                 1,
             ).otherwise(0)
         )

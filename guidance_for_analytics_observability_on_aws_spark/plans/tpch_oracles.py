@@ -897,8 +897,9 @@ FROM agg
 
 
 # T48: multi-touch attribution — per-user click×purchase lookback join,
-# recency-desc touch ranks, exact largest-remainder cent split
-# (DIV + one extra cent for the first cents % n touches).
+# recency-desc touch ranks, exact SIGN-SAFE largest-remainder cent split
+# (pmod remainder + exactly-divisible floor share, so DuckDB // and
+# Spark DIV agree for negative refund cents too).
 TPCH_ORACLES["events_attribution_multitouch"] = """
 WITH clicks AS (
   SELECT user_id, event_id AS click_event_id, epoch_ms(ts) AS click_ms
@@ -926,11 +927,14 @@ ranked AS (
 )
 SELECT purchase_event_id, user_id, purchase_ms, purchase_cents,
        click_event_id, click_ms, touch_rank, n_touches,
-       CASE WHEN touch_rank = n_touches THEN 'first'
+       CASE WHEN n_touches = 1 THEN 'only'
+            WHEN touch_rank = n_touches THEN 'first'
             WHEN touch_rank = 1 THEN 'last'
             ELSE 'middle' END AS position,
-       CAST(purchase_cents // n_touches
-            + CASE WHEN touch_rank <= purchase_cents % n_touches
+       CAST((purchase_cents - ((purchase_cents % n_touches) + n_touches)
+                              % n_touches) // n_touches
+            + CASE WHEN touch_rank <= ((purchase_cents % n_touches)
+                                       + n_touches) % n_touches
                    THEN 1 ELSE 0 END AS BIGINT) AS credit_cents
 FROM ranked
 """

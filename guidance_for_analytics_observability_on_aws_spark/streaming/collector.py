@@ -1126,7 +1126,11 @@ def run_streaming_alert_flap(
 
 
 def run_streaming_red_panel(
-    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    bin_width_ms: int = 100,
+    n_bins: int = 32,
 ) -> DataFrame:
     """O80: RED-method panel ON INGEST — the capstone composition of the
     round's mergeability patterns: per-(app, hour) request/error COUNTS
@@ -1142,9 +1146,18 @@ def run_streaming_red_panel(
     scan (pinned). Zero keyed state; partial volume bounded by apps ×
     hours × n_bins.
 
-    Documented delta vs batch O79: durations are bin LOWER EDGES (width
-    100 ms), not exact order statistics — the precision a mergeable
-    streaming percentile can honestly offer (the O75 bin-width bound).
+    Documented delta vs batch O79: durations are bin LOWER EDGES, not
+    exact order statistics — the precision a mergeable streaming
+    percentile can honestly offer. ``bin_width_ms`` is the explicit
+    precision knob, and the tradeoff is SURFACED per row: each
+    percentile carries ``pXX_err_bound_ms`` = the O75 bin-width
+    guarantee (the true order statistic lies in
+    ``[pXX_lo, pXX_lo + err_bound]``; pinned against batch-exact values
+    in tests). The bound is NULL exactly when the percentile landed in
+    the clamped overflow bin (values ≥ ``(n_bins-1)·width`` share one
+    bin, so no upper bound can honestly be claimed there) — a dashboard
+    consumer sees per row whether the ±width guarantee holds or the
+    panel needs more bins.
     """
     from ..operators.observability import histogram_percentile_tail
 
@@ -1167,8 +1180,10 @@ def run_streaming_red_panel(
             .write.mode("append")
             .parquet(f"{out}/counts")
         )
+        # integer DIV bin index — the repo-wide convention (double
+        # division only matches // while values stay below 2^53)
         bin_idx = F.least(
-            F.floor(F.col("run_time_ms") / 100), F.lit(31)
+            F.expr(f"run_time_ms DIV {int(bin_width_ms)}"), F.lit(int(n_bins) - 1)
         ).cast("long")
         (
             batch_df.groupBy("app_id", hour, bin_idx.alias("bin"))
@@ -1205,12 +1220,20 @@ def run_streaming_red_panel(
             "n",
         )
     )
-    dur = histogram_percentile_tail(bins).select(
+    clamp_lo = (int(n_bins) - 1) * int(bin_width_ms)
+    err_bounds = [
+        F.when(F.col(f"p{p}_lo") < F.lit(clamp_lo), F.lit(int(bin_width_ms) - 1))
+        .cast("long")
+        .alias(f"p{p}_err_bound_ms")
+        for p in (50, 95, 99)
+    ]
+    dur = histogram_percentile_tail(bins, width=bin_width_ms).select(
         F.col("event_type").alias("app_id"),
         F.col("bucket_ms").alias("hour_ms"),
         "p50_lo",
         "p95_lo",
         "p99_lo",
+        *err_bounds,
     )
     result = counts.join(dur, ["app_id", "hour_ms"]).select(
         "app_id",
@@ -1223,7 +1246,10 @@ def run_streaming_red_panel(
         .cast("int")
         .alias("err_breach"),
         "p50_lo",
+        "p50_err_bound_ms",
         "p95_lo",
+        "p95_err_bound_ms",
         "p99_lo",
+        "p99_err_bound_ms",
     )
     return _collected_and_cleaned(spark, result, work)

@@ -2688,7 +2688,8 @@ def test_mm_frame_dedup_detects_trim(spark):
 def test_attribution_multitouch_conserves_cents(spark, sf_dir):
     """T48: per purchase, the integer credit split must sum EXACTLY to the
     purchase's cents (largest-remainder identity — a float 1/n split
-    leaks cents), with exactly one 'last' and one 'first' touch each."""
+    leaks cents); multi-touch purchases carry exactly one 'last' and one
+    'first' touch, single-touch purchases exactly one 'only' touch."""
     from pyspark.sql import functions as F
 
     from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
@@ -2704,11 +2705,14 @@ def test_attribution_multitouch_conserves_cents(spark, sf_dir):
             F.sum("credit_cents").alias("tot"),
             F.sum((F.col("position") == "last").cast("int")).alias("n_last"),
             F.sum((F.col("position") == "first").cast("int")).alias("n_first"),
+            F.sum((F.col("position") == "only").cast("int")).alias("n_only"),
             F.max("n_touches").alias("n"),
         )
         .filter(
             (F.col("tot") != F.col("purchase_cents"))
-            | (F.col("n_last") + F.when(F.col("n") == 1, 1).otherwise(0) != 1)
+            | (F.col("n_last") + F.col("n_only") != 1)
+            | (F.col("n_first") + F.col("n_only") != 1)
+            | ((F.col("n") == 1) != (F.col("n_only") == 1))
         )
         .count()
     )
@@ -2744,6 +2748,41 @@ def test_attribution_multitouch_hand_case(spark):
     assert got[3].position == "middle" and got[3].credit_cents == 34
     assert got[2].position == "first" and got[2].credit_cents == 33
     assert sum(r.credit_cents for r in got.values()) == 101
+
+
+def test_attribution_multitouch_sign_safe_and_only_label(spark):
+    """T48: a NEGATIVE purchase (refund, -1.01 → -101 cents) must still
+    conserve cents exactly — pmod remainder + exactly-divisible floor
+    share give -33/-34/-34 by recency (trunc-vs-floor quotients agree
+    because the adjusted dividend divides exactly); a single-touch
+    purchase is labeled the distinct 'only' class."""
+    import datetime as dt
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        events_attribution_multitouch,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(days=3), 7, "click", 0.0, "{}"),
+        (2, t0 - dt.timedelta(days=2), 7, "click", 0.0, "{}"),
+        (3, t0 - dt.timedelta(days=1), 7, "click", 0.0, "{}"),
+        (4, t0, 7, "purchase", -1.01, "{}"),  # refund
+        (5, t0 - dt.timedelta(days=1), 9, "click", 0.0, "{}"),
+        (6, t0, 9, "purchase", 2.50, "{}"),  # single touch
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r.click_event_id: r for r in events_attribution_multitouch(ev).collect()}
+    assert got[3].credit_cents == -33 and got[3].position == "last"
+    assert got[2].credit_cents == -34 and got[2].position == "middle"
+    assert got[1].credit_cents == -34 and got[1].position == "first"
+    assert sum(
+        r.credit_cents for r in got.values() if r.purchase_event_id == 4
+    ) == -101
+    assert got[5].position == "only" and got[5].credit_cents == 250
 
 
 def test_export_order_plan_contracts(spark, sf_dir):

@@ -902,7 +902,7 @@ def test_streaming_red_panel_matches_batch_halves(spark, sf_dir):
     # duration half vs a direct batch histogram of the same bins
     direct = (
         tm.withColumn(
-            "bin", F.least(F.floor(F.col("run_time_ms") / 100), F.lit(31)).cast("long")
+            "bin", F.least(F.expr("run_time_ms DIV 100"), F.lit(31)).cast("long")
         )
         .groupBy(
             F.col("app_id").alias("event_type"),
@@ -927,3 +927,33 @@ def test_streaming_red_panel_matches_batch_halves(spark, sf_dir):
         key=str,
     )
     assert got_dur == want_dur and got_dur
+    # err-bound half: where pXX_err_bound_ms is non-NULL the batch-EXACT
+    # order statistic (same ceil(p·n/100) rank the bin selection targets)
+    # must lie in [pXX_lo, pXX_lo + err_bound]; NULL exactly on the
+    # clamped overflow bin, where no upper bound can honestly be claimed.
+    import math
+
+    exact: dict[tuple, list] = {}
+    for r in tm.select(
+        "app_id",
+        F.expr("metric_time_ms DIV 3600000 * 3600000").alias("hour_ms"),
+        "run_time_ms",
+    ).collect():
+        exact.setdefault((r.app_id, r.hour_ms), []).append(r.run_time_ms)
+    clamp_lo = 31 * 100
+    checked = 0
+    for r in got.collect():
+        vals = sorted(exact[(r.app_id, r.hour_ms)])
+        n = len(vals)
+        for p, lo, eb in (
+            (50, r.p50_lo, r.p50_err_bound_ms),
+            (95, r.p95_lo, r.p95_err_bound_ms),
+            (99, r.p99_lo, r.p99_err_bound_ms),
+        ):
+            v = vals[math.ceil(p * n / 100) - 1]
+            if eb is None:
+                assert lo == clamp_lo and v >= clamp_lo
+            else:
+                assert eb == 99 and lo <= v <= lo + eb
+                checked += 1
+    assert checked > 0
