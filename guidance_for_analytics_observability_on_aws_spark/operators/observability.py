@@ -315,6 +315,26 @@ def _ranked_with_n(
     return ranked.join(F.broadcast(counts), parts)
 
 
+def _ntile_from_rank(k: int):
+    """Spark's ``ntile(k)`` recomputed from the :func:`_ranked_with_n`
+    contract columns ``rn``/``n`` in pure integer arithmetic — so NTILE
+    operators (T40) can route the distributed two-phase rank instead of
+    one global window sort, bit-identically: with ``q = n DIV k`` and
+    ``r = n % k``, the first ``r`` tiles hold ``q+1`` rows and the rest
+    ``q`` (exactly Spark's split), hence tile = ``ceil(rn/(q+1))`` up to
+    the boundary ``r·(q+1)`` and ``r + ceil((rn-boundary)/q)`` past it
+    (``greatest(q,1)`` guards the n < k case, where the boundary covers
+    every row and the ELSE branch is unreachable).
+    """
+    k = int(k)
+    return F.expr(
+        f"CASE WHEN rn <= (n % {k}) * (n DIV {k} + 1) "
+        f"THEN (rn + n DIV {k}) DIV (n DIV {k} + 1) "
+        f"ELSE n % {k} + (rn - (n % {k}) * (n DIV {k} + 1) + n DIV {k} - 1) "
+        f"DIV greatest(n DIV {k}, 1) END"
+    ).cast("long")
+
+
 def task_percentiles(tm: DataFrame, distributed: bool = False) -> DataFrame:
     """O8: p25/50/75/99 per event_type via explicit lower order statistics
     (:func:`_order_stat_aggs`); ``distributed=True`` swaps the per-group
@@ -948,8 +968,16 @@ def cms_key_buckets(tm: DataFrame) -> DataFrame:
     )
 
 
-def cms_topk(key_buckets: DataFrame, k: int = 20) -> DataFrame:
-    """Estimate + rank stage over (possibly merged) key-bucket partials."""
+def cms_topk(
+    key_buckets: DataFrame, k: int = 20, distributed: bool = False
+) -> DataFrame:
+    """Estimate + rank stage over (possibly merged) key-bucket partials.
+
+    The ranked KEY table grows with the corpus (every distinct key, not
+    the fixed-size sketch), so ``distributed=True`` routes the shared
+    two-phase rank (:func:`_ranked_with_n`) instead of one global window
+    sort — bit-identical top-k pinned in tests.
+    """
     merged = key_buckets.groupBy("key", "row_id", "bucket").agg(
         F.sum("exact_n").alias("exact_n")
     )
@@ -959,15 +987,24 @@ def cms_topk(key_buckets: DataFrame, k: int = 20) -> DataFrame:
         .groupBy("key", "exact_n")
         .agg(F.min("c").alias("est_n"))
     )
-    w = Window.orderBy(F.col("est_n").desc(), F.col("key"))
-    return (
-        est.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "key", "est_n", "exact_n")
+    if distributed:
+        ranked = _ranked_with_n(
+            est.withColumn("_g", F.lit(1)).withColumn("_neg_est", -F.col("est_n")),
+            "_g",
+            ["_neg_est", "key"],
+            distributed=True,
+        ).withColumn("rank", F.col("rn").cast("long"))
+    else:
+        w = Window.orderBy(F.col("est_n").desc(), F.col("key"))
+        ranked = est.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.filter(F.col("rank") <= k).select(
+        "rank", "key", "est_n", "exact_n"
     )
 
 
-def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
+def heavy_hitters_cms(
+    tm: DataFrame, k: int = 20, distributed: bool = False
+) -> DataFrame:
     """O30: top-k heavy hitters via a Count-Min sketch (Cormode &
     Muthukrishnan '05) — the fixed-memory scale path for "top talkers"
     dashboard tiles.
@@ -980,7 +1017,7 @@ def heavy_hitters_cms(tm: DataFrame, k: int = 20) -> DataFrame:
     md5-derived hashing keeps the sketch deterministic and engine-portable
     (exact DuckDB oracle), unlike RNG-seeded implementations.
     """
-    return cms_topk(cms_key_buckets(tm), k)
+    return cms_topk(cms_key_buckets(tm), k, distributed=distributed)
 
 
 def error_rate_moving_avg(tm: DataFrame, window_hours: int = 7) -> DataFrame:
@@ -1730,7 +1767,9 @@ def seasonal_baseline(tm: DataFrame) -> DataFrame:
     )
 
 
-def top_movers(tm: DataFrame, top_n: int = 10) -> DataFrame:
+def top_movers(
+    tm: DataFrame, top_n: int = 10, distributed: bool = False
+) -> DataFrame:
     """O57: biggest half-over-half movers — which executors' run-time
     totals changed most between the two halves of the timeline (the
     "what regressed since last week" leaderboard every ops dashboard
@@ -1741,7 +1780,10 @@ def top_movers(tm: DataFrame, top_n: int = 10) -> DataFrame:
     totals as conditional sums (no self-join, no second scan), and the
     leaderboard ranks by absolute BIGINT delta with a deterministic
     executor tie-break. ``pct_change`` is one final division, NULL for
-    executors new in the second half (try_divide).
+    executors new in the second half (try_divide). The ranked EXECUTOR
+    table grows with the fleet, so ``distributed=True`` routes the
+    shared two-phase rank (:func:`_ranked_with_n`) instead of one global
+    window sort — bit-identical top-n pinned in tests.
     """
     span = tm.agg(
         F.min("metric_time_ms").alias("t0"), F.max("metric_time_ms").alias("t1")
@@ -1759,11 +1801,21 @@ def top_movers(tm: DataFrame, top_n: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("n_tasks"),
     )
     delta = F.col("second_half_ms") - F.col("first_half_ms")
-    w = Window.orderBy(F.abs(delta).desc(), "executor_id")
+    with_delta = agg.withColumn("delta_ms", delta)
+    if distributed:
+        ranked = _ranked_with_n(
+            with_delta.withColumn("_g", F.lit(1)).withColumn(
+                "_neg_abs", -F.abs(F.col("delta_ms"))
+            ),
+            "_g",
+            ["_neg_abs", "executor_id"],
+            distributed=True,
+        ).withColumn("rank", F.col("rn").cast("long"))
+    else:
+        w = Window.orderBy(F.abs(F.col("delta_ms")).desc(), "executor_id")
+        ranked = with_delta.withColumn("rank", F.row_number().over(w).cast("long"))
     return (
-        agg.withColumn("delta_ms", delta)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
+        ranked.filter(F.col("rank") <= top_n)
         .select(
             "rank",
             "executor_id",

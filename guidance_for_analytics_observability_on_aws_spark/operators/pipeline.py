@@ -522,8 +522,8 @@ def _prefix_sum(
     df: DataFrame,
     part_col: str | list[str],
     order_cols: list[str],
-    value_col: str,
-    out_col: str,
+    value_col: str | list[str],
+    out_col: str | list[str],
     n_slices: int | None = None,
 ) -> DataFrame:
     """TWO-PHASE distributed prefix sum of ``value_col`` over the total
@@ -549,9 +549,14 @@ def _prefix_sum(
     ``part_col`` may be a LIST of columns for a composite group key —
     ranked/partitioned on the columns directly, never a string
     concatenation (a ``concat_ws`` key can alias two groups when a key
-    value contains the separator).
+    value contains the separator). ``value_col``/``out_col`` may be
+    parallel LISTS: every listed column is prefix-summed in the SAME
+    range-partitioned pass (one shuffle serves e.g. T39's rank AND its
+    running revenue instead of two).
     """
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
     if n_slices is None:
         try:
             n_slices = int(
@@ -563,9 +568,11 @@ def _prefix_sum(
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid", *parts).orderBy(*order_cols)
-    local = sliced.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    local = sliced.withColumns(
+        {f"_lc{i}": F.sum(v).over(w_local) for i, v in enumerate(vals)}
+    )
     totals = local.groupBy("_pid", *parts).agg(
-        F.sum(value_col).alias("_pt")
+        *[F.sum(v).alias(f"_pt{i}") for i, v in enumerate(vals)]
     )
     w_off = (
         Window.partitionBy(*parts)
@@ -573,12 +580,23 @@ def _prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        "_pid", *parts, F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_off")
+        "_pid",
+        *parts,
+        *[
+            F.coalesce(F.sum(f"_pt{i}").over(w_off), F.lit(0)).alias(f"_off{i}")
+            for i in range(len(vals))
+        ],
     )
     return (
         local.join(F.broadcast(offsets), ["_pid", *parts])
-        .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
-        .drop("_pid", "_local_cum", "_off")
+        .withColumns(
+            {o: F.col(f"_lc{i}") + F.col(f"_off{i}") for i, o in enumerate(outs)}
+        )
+        .drop(
+            "_pid",
+            *[f"_lc{i}" for i in range(len(vals))],
+            *[f"_off{i}" for i in range(len(vals))],
+        )
     )
 
 
@@ -792,7 +810,7 @@ def filter_ablation(documents: DataFrame) -> DataFrame:
 VOCAB_POINTS = [5, 10, 20, 30]
 
 
-def vocab_coverage(documents: DataFrame) -> DataFrame:
+def vocab_coverage(documents: DataFrame, distributed: bool = False) -> DataFrame:
     """P14: tokenizer vocabulary coverage curve — what share of all token
     OCCURRENCES the top-k most frequent types cover, for the standard
     vocab sizes ("how large a vocabulary do we need").
@@ -800,8 +818,12 @@ def vocab_coverage(documents: DataFrame) -> DataFrame:
     One token aggregation (the only corpus-sized shuffle), then the
     curve is computed on the type-frequency table: rank types by count,
     running occurrence total, report at each k in :data:`VOCAB_POINTS`.
-    The rank window orders the TYPE table (vocab-sized, not corpus-
-    sized); counts stay BIGINT, coverage is one division per point.
+    Counts stay BIGINT, coverage is one division per point. The TYPE
+    table grows with the corpus (Heaps' law — X16 measures exactly
+    that), so ``distributed=True`` routes the shared two-phase prefix
+    sum (multi-value: rank and running occurrences in ONE
+    range-partitioned pass) instead of one global window sort —
+    bit-identical output pinned in tests.
     """
     from ..functions.text import corpus, tokens
 
@@ -811,11 +833,24 @@ def vocab_coverage(documents: DataFrame) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    w = Window.orderBy(F.col("n_occ").desc(), "token")
-    ranked = freq.withColumn("rnk", F.row_number().over(w).cast("long")).withColumn(
-        "cum_occ",
-        F.sum("n_occ").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    if distributed:
+        ranked = _prefix_sum(
+            freq.withColumn("_g", F.lit(1))
+            .withColumn("_neg_occ", -F.col("n_occ"))
+            .withColumn("_one", F.lit(1)),
+            "_g",
+            ["_neg_occ", "token"],
+            ["_one", "n_occ"],
+            ["rnk", "cum_occ"],
+        ).withColumn("rnk", F.col("rnk").cast("long"))
+    else:
+        w = Window.orderBy(F.col("n_occ").desc(), "token")
+        ranked = freq.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        ).withColumn(
+            "cum_occ",
+            F.sum("n_occ").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     totals = freq.agg(
         F.sum("n_occ").alias("total_occ"),
         F.count(F.lit(1)).alias("n_types"),

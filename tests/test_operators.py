@@ -2913,3 +2913,36 @@ def test_red_panel_contracts(spark, sf_dir):
     a = sorted((tuple(r) for r in red_panel(tm, distributed=False).collect()), key=str)
     b = sorted((tuple(r) for r in red_panel(tm, distributed=True).collect()), key=str)
     assert a == b
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """`_ntile_from_rank` must reproduce Spark's ntile() split exactly
+    for every (n, k) shape — including n < k, where every row gets its
+    own tile and the ELSE branch (guarded q=0 division) is unreachable."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        _ntile_from_rank,
+    )
+
+    for n in (1, 2, 3, 4, 5, 6, 11, 13, 25):
+        for k in (2, 3, 5, 7):
+            df = spark.range(1, n + 1).select(
+                F.col("id").alias("rn"), F.lit(n).cast("long").alias("n")
+            )
+            got = {
+                r.rn: r.tile
+                for r in df.select("rn", _ntile_from_rank(k).alias("tile")).collect()
+            }
+            want = {
+                r.rn: r.tile
+                for r in spark.range(1, n + 1)
+                .select(F.col("id").alias("rn"))
+                .select(
+                    "rn",
+                    F.ntile(k).over(Window.orderBy("rn")).cast("long").alias("tile"),
+                )
+                .collect()
+            }
+            assert got == want, (n, k)

@@ -517,6 +517,69 @@ def test_order_stat_family_distributed_bit_equal(spark, sf_dir, name):
     assert "_pid" not in plan_w, f"{name}: window plan unexpectedly sliced"
 
 
+GLOBAL_RANK_FAMILY = [
+    "customers_abc_pareto",
+    "customers_rfm_segments",
+    "vocab_coverage",
+    "heavy_hitters_cms",
+    "top_movers",
+]
+
+
+@pytest.mark.parametrize("name", GLOBAL_RANK_FAMILY)
+def test_global_rank_family_distributed_bit_equal(spark, sf_dir, name):
+    """r9: the five operators that rank data-dependent cardinalities
+    (customers, vocabulary types, sketch keys, executors — all of which
+    GROW with the corpus) now take ``distributed=True`` through the
+    shared `_ranked_with_n`/`_prefix_sum` two-phase rank: bit-identical
+    to the global-window formulation, and the distributed plan carries
+    the `_pid` slice ranks while the window plan must not."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        heavy_hitters_cms,
+        top_movers,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        vocab_coverage,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.tpch import (
+        customers_abc_pareto,
+        customers_rfm_segments,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.telemetry import (
+        task_metrics,
+    )
+
+    tables = load_tables(spark, sf_dir)
+    builders = {
+        "customers_abc_pareto": lambda d: customers_abc_pareto(
+            tables["orders"], distributed=d
+        ),
+        "customers_rfm_segments": lambda d: customers_rfm_segments(
+            tables["orders"], distributed=d
+        ),
+        "vocab_coverage": lambda d: vocab_coverage(
+            tables["documents"], distributed=d
+        ),
+        "heavy_hitters_cms": lambda d: heavy_hitters_cms(
+            task_metrics(tables["events"]), distributed=d
+        ),
+        "top_movers": lambda d: top_movers(
+            task_metrics(tables["events"]), distributed=d
+        ),
+    }
+    win, dist = builders[name](False), builders[name](True)
+    rows_w = sorted((tuple(r) for r in win.collect()), key=str)
+    rows_d = sorted((tuple(r) for r in dist.collect()), key=str)
+    assert rows_w == rows_d, f"{name}: distributed path diverged"
+    assert rows_w, f"{name}: empty result"
+    plan_w, plan_d = _executed_plan(win), _executed_plan(dist)
+    assert "_pid" in plan_d, f"{name}: distributed plan lacks slice ranks"
+    assert "_pid" not in plan_w, f"{name}: window plan unexpectedly sliced"
+
+
 def test_r8_operator_plan_shapes(spark, sf_dir):
     """Physical-plan pins for the round-8 operators — the shapes their
     docstrings promise at 100 TB:
