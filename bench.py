@@ -244,6 +244,53 @@ def main() -> None:
     totals["n_rows_only"] = len(rows_only)
     totals["rows_only_total"] = round(sum(rows_only.values()), 3)
     print(json.dumps({**totals, "rows_only_sec": rows_only}))
+    # Per-query SQL timings -> a FILE artifact (BENCH_PERQUERY.json).
+    # The driver records only the last JSON line + a 2000-char stdout
+    # tail, so the 175-entry sql_sec map can never fit there (the r8
+    # verdict's "single-query SQL regression is invisible" nit); the file
+    # is committed per round and carries its own regression note vs the
+    # previous run's minima (minima, not first-pass — first-pass noise is
+    # JIT + session churn).
+    perquery_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PERQUERY.json"
+    )
+    prev_min: dict[str, float] = {}
+    try:
+        with open(perquery_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == totals["sf"]:  # never compare across scales
+            prev_min = prev.get("sql_sec_min", {})
+    except (OSError, ValueError):
+        pass
+    regressions = sorted(
+        (
+            (n, prev_min[n], best[n])
+            for n in best
+            if n in prev_min and best[n] > prev_min[n] * 1.2 and best[n] - prev_min[n] > 0.3
+        ),
+        key=lambda t: t[2] - t[1],
+        reverse=True,
+    )
+    with open(perquery_path, "w") as fh:
+        json.dump(
+            {
+                "sf": totals["sf"],
+                "sql_sec": first,
+                "sql_sec_min": best,
+                "rows_only_sec": rows_only,
+                "regressions_vs_prev": [
+                    {"query": n, "prev_min": p, "now_min": c}
+                    for n, p, c in regressions
+                ],
+            },
+            fh,
+            indent=1,
+        )
+    totals["perquery_file"] = "BENCH_PERQUERY.json"
+    totals["n_regressed"] = len(regressions)
+    totals["top_regressions"] = [
+        [n, p, c] for n, p, c in regressions[:3]
+    ]
     # Truncation-proof record: the driver captures the TAIL of stdout and
     # BENCH_r05 lost its totals when the (large) per-query line was cut.
     # Emit a compact totals-only line LAST so the final line always parses.

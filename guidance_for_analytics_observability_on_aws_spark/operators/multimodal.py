@@ -262,6 +262,35 @@ def shard_manifest(documents: DataFrame, shard_bytes: int = 65536) -> DataFrame:
     )
 
 
+def media_fingerprints(
+    documents: DataFrame | None, corpused: DataFrame | None = None
+) -> DataFrame:
+    """M8's (doc_id, modality, payload_md5, byte_len) payload-fingerprint
+    extraction — split out (the batch/stream twin discipline) so the
+    ingest gate M11 hashes arriving payloads with the IDENTICAL
+    definition: md5 over the RAW BYTES, modality derived from payload
+    content (md5 mod 3). Pass ``corpused=`` for a frame that is already
+    augmented (e.g. a filtered stream) — passing it as ``documents``
+    would re-apply corpus() and plant plants-of-plants.
+    """
+    from ..functions.hashing import md5_int
+    from ..functions.text import corpus
+
+    src = corpus(documents) if corpused is None else corpused
+    payload = F.encode(F.col("text"), "UTF-8")
+    modality = (
+        F.when(md5_int(F.col("text"), 4) % 3 == 0, "image")
+        .when(md5_int(F.col("text"), 4) % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return src.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.md5(payload).alias("payload_md5"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+    )
+
+
 def mm_dedup_exact(documents: DataFrame) -> DataFrame:
     """M8: exact payload dedup per modality — D1 extended to binary
     columns.
@@ -280,21 +309,7 @@ def mm_dedup_exact(documents: DataFrame) -> DataFrame:
     is what makes "dedup within modality" well-defined for the synthetic
     payloads.
     """
-    from ..functions.hashing import md5_int
-    from ..functions.text import corpus
-
-    payload = F.encode(F.col("text"), "UTF-8")
-    modality = (
-        F.when(md5_int(F.col("text"), 4) % 3 == 0, "image")
-        .when(md5_int(F.col("text"), 4) % 3 == 1, "audio")
-        .otherwise("video")
-    )
-    hashed = corpus(documents).select(
-        "doc_id",
-        modality.alias("modality"),
-        F.md5(payload).alias("payload_md5"),
-        F.octet_length(payload).cast("long").alias("byte_len"),
-    )
+    hashed = media_fingerprints(documents)
     return (
         hashed.groupBy("modality", "payload_md5")
         .agg(

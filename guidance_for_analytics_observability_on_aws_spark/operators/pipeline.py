@@ -1079,6 +1079,164 @@ def dup_groups_incremental(
     )
 
 
+def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFrame:
+    """P23: the P19 fold closed into the PRODUCTION nightly loop over
+    REAL commits — P19's demo derives its "prior labels" in-process; here
+    every night's state round-trips through the S10 snapshot tables the
+    deployment would actually use, across ≥2 commits:
+
+    - **docs table** (S10 ``commit_append``): night N commits its batch;
+      the batch's rows are then read back via the S14 manifest-diff
+      contract (ONLY the files the new manifest added — pure metadata,
+      no old-data scan).
+    - **bands table** (append-only LSH index): each night appends ONLY
+      the batch's band-bucket rows (old docs' bands never change, so the
+      index is append-only by construction). Night N's delta edges =
+      batch bands probed against the STORED index (old×new) plus the
+      batch self-join (new×new) — per-night work is bounded by the
+      batch, never the corpus, and the union is exactly the D3 pair set
+      restricted to pairs touching the batch.
+    - **labels table**: the fold reads the STORED night-(N−1) labels
+      (again via manifest diff — each version's added files ARE that
+      night's full label set) and commits the folded result as version N.
+
+    Per night the folded labels are checked EQUAL (set equality both
+    ways) to a from-scratch D3+star recompute over the night's full
+    snapshot — the verification oracle only; production runs just the
+    fold. Rows-only driver check (snapshot paths are environment-local);
+    the equality verdict is also asserted in ``tests/test_pipeline.py``.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from ..functions.text import corpus
+    from ..sources.snapshots import commit_append, manifest_files, read_snapshot
+    from .dedup import band_buckets, minhash_signatures
+
+    def shingle_base(df: DataFrame) -> DataFrame:
+        # already-committed (hence already-augmented) rows: pass base=
+        # everywhere so corpus() is never re-applied (plants-of-plants).
+        return df.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+            F.size("toks") >= 3
+        )
+
+    def pairs_over(df: DataFrame) -> DataFrame:
+        return (
+            dedup_minhash_lsh(None, base=shingle_base(df))
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def label_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+        cols = ["src", "group_id"]
+        return (
+            a.select(cols).exceptAll(b.select(cols)).isEmpty()
+            and b.select(cols).exceptAll(a.select(cols)).isEmpty()
+        )
+
+    work = tempfile.mkdtemp(prefix="gfaooa_nightly_")
+    docs_tbl, bands_tbl, labels_tbl = (
+        f"{work}/docs", f"{work}/bands", f"{work}/labels",
+    )
+    try:
+        aug = corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        nights = [
+            aug.filter(F.col("doc_id") < 1_000_000),
+            aug.filter(
+                (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+            ),
+            aug.filter(F.col("doc_id") >= 2_000_000),
+        ]
+        report: list[Row] = []
+        doc_files: set[str] = set()
+        for night, batch in enumerate(nights):
+            v = commit_append(batch, docs_tbl)
+            added = [f for f in manifest_files(docs_tbl, v) if f not in doc_files]
+            doc_files.update(added)
+            delta = spark.read.parquet(*added)  # S14: the commit's rows
+            batch_bands = band_buckets(
+                minhash_signatures(None, base=shingle_base(delta))
+            ).localCheckpoint(eager=True)
+            if night == 0:
+                delta_edges = pairs_over(delta)
+                folded = dup_labels_star(
+                    None, max_iter=max_iter, pairs=delta_edges
+                ).localCheckpoint(eager=True)
+            else:
+                stored = read_snapshot(spark, bands_tbl)
+                old_new = (
+                    batch_bands.alias("n")
+                    .join(
+                        stored.alias("o"),
+                        (F.col("n.band_id") == F.col("o.band_id"))
+                        & (F.col("n.band_hash") == F.col("o.band_hash")),
+                    )
+                    .select(
+                        F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                        F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+                    )
+                )
+                new_new = (
+                    batch_bands.alias("a")
+                    .join(
+                        batch_bands.alias("b"),
+                        (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.band_hash") == F.col("b.band_hash"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                    )
+                )
+                delta_edges = (
+                    old_new.unionByName(new_new).distinct().localCheckpoint(eager=True)
+                )
+                # stored night-(N−1) labels = the files label-version N
+                # ADDED over N−1 (S14 manifest diff on the label table)
+                before = (
+                    set(manifest_files(labels_tbl, night - 1))
+                    if night >= 2
+                    else set()
+                )
+                prior = spark.read.parquet(
+                    *[
+                        f
+                        for f in manifest_files(labels_tbl, night)
+                        if f not in before
+                    ]
+                )
+                folded = dup_labels_incremental_fold(
+                    prior, delta_edges, max_iter=max_iter
+                ).localCheckpoint(eager=True)
+            commit_append(folded, labels_tbl)
+            commit_append(batch_bands, bands_tbl)
+            full = dup_labels_star(
+                None,
+                max_iter=max_iter,
+                pairs=pairs_over(read_snapshot(spark, docs_tbl, v)),
+            )
+            equal = label_sets_equal(folded, full)
+            if not equal:
+                raise AssertionError(f"night {night}: fold != full recompute")
+            report.append(
+                Row(
+                    night=night,
+                    docs_version=v,
+                    n_new_docs=delta.count(),
+                    n_delta_edges=delta_edges.count(),
+                    n_labeled=folded.count(),
+                    n_groups=folded.select("group_id").distinct().count(),
+                    fold_equals_full=equal,
+                )
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(report)
+
+
 def cross_source_overlap(documents: DataFrame) -> DataFrame:
     """P16: cross-source CONTENT-OVERLAP matrix — pairwise 3-gram-shingle
     Jaccard between corpus slices (scraped mirrors, vendor overlap,

@@ -1417,6 +1417,35 @@ def _stream_red_panel(s, d):
 _register("stream_red_panel", _stream_red_panel, None)
 
 
+# Rows-only: P23 (r9) — the P19 fold closed into the production nightly
+# loop: three REAL S10 commits (docs + append-only band index + label
+# table), delta edges from probing the STORED index (bounded by the
+# batch), prior labels read via the S14 manifest diff, per-night fold ≡
+# full-recompute equality asserted inside the runner.
+def _dup_groups_nightly(s, d):
+    from ..operators.pipeline import dup_groups_nightly_report
+
+    return dup_groups_nightly_report(s, d)
+
+
+_register("dup_groups_nightly", _dup_groups_nightly, None)
+
+
+# Rows-only: M11 (r9) — media ingest dedup: M8's byte-exact gate as a
+# zero-state STREAM-STATIC anti-join (the O43/P18 ingest pattern); the
+# arriving micro-batches' (modality, payload_md5) fingerprints — the
+# SAME media_fingerprints definition batch M8 uses — probe the static
+# corpus dictionary; kept-counts parity with the batch formulation
+# pinned in tests/test_streaming.py.
+def _stream_media_dedup(s, d):
+    from ..streaming.collector import run_streaming_media_dedup
+
+    return run_streaming_media_dedup(s, d)
+
+
+_register("stream_media_dedup_ingest", _stream_media_dedup, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

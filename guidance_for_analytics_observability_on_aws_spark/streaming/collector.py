@@ -384,6 +384,76 @@ def run_streaming_incremental_dedup(
     return result
 
 
+def run_streaming_media_dedup(
+    spark: SparkSession, sf_dir: str, corpus_boundary: int = NEW_DOC_BOUNDARY
+) -> DataFrame:
+    """M11: media-ingest dedup — M8's byte-exact payload gate as a
+    STREAM-STATIC anti-join, the M-group's streaming member (every other
+    family carries batch/stream twins; media re-crawls are the
+    highest-volume dup source an ingest pipeline sees, and bytes are the
+    budget, so dropping them BEFORE they land is worth the most).
+
+    Arriving payloads are fingerprinted with the IDENTICAL definition
+    batch M8 uses (``media_fingerprints`` — md5 over raw bytes, modality
+    from payload content) and anti-joined per micro-batch against the
+    static corpus's (modality, payload_md5) dictionary. ZERO streaming
+    state (the O43/P18 ingest pattern): the dictionary is planned per
+    micro-batch — broadcast here; at 100 TB it is the persisted
+    fingerprint index and the anti-join shuffles the BATCH, never the
+    corpus — so ingest runs forever at constant memory. Kept rows stream
+    to an append sink; per-modality kept counts and byte volumes must
+    equal the batch-computed anti-join (pinned in
+    ``tests/test_streaming.py``).
+    """
+    from ..functions.text import corpus
+    from ..operators.multimodal import media_fingerprints
+
+    name = f"gfaooa_mediadedup_sink_{uuid.uuid4().hex}"
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    new_fp = media_fingerprints(
+        None, corpused=corpus(stream).filter(F.col("doc_id") >= corpus_boundary)
+    )
+    static_dict = (
+        media_fingerprints(
+            None,
+            corpused=corpus(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ).filter(F.col("doc_id") < corpus_boundary),
+        )
+        .select("modality", "payload_md5")
+        .distinct()
+    )
+    kept = new_fp.join(
+        F.broadcast(static_dict), ["modality", "payload_md5"], "left_anti"
+    )
+    q = (
+        kept.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = _collected_and_cleaned(
+        spark,
+        spark.table(name)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("byte_len").cast("long").alias("kept_bytes"),
+        )
+        .orderBy("modality"),
+        None,
+    )
+    spark.catalog.dropTempView(name)
+    return result
+
+
 def run_streaming_heavy_hitters(
     spark: SparkSession, sf_dir: str, out_dir: str | None = None
 ) -> DataFrame:

@@ -2946,3 +2946,25 @@ def test_ntile_from_rank_matches_spark_ntile(spark):
                 .collect()
             }
             assert got == want, (n, k)
+
+
+def test_dup_groups_nightly_loop_contracts(spark, sf_dir):
+    """P23: three REAL snapshot commits; every night's fold (prior labels
+    read from the stored label table via manifest diff, delta edges from
+    probing the stored band index) must equal the from-scratch recompute
+    — the runner itself raises otherwise — and the later nights must do
+    batch-bounded work (delta edges exist, docs arrive each night)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups_nightly_report,
+    )
+
+    rows = {r.night: r for r in dup_groups_nightly_report(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert r.fold_equals_full
+        assert r.n_new_docs > 0
+    # night 1 commits the planted byte-exact copies: they MUST edge to
+    # their originals; groups can only grow as nights accumulate
+    assert rows[1].n_delta_edges > 0
+    assert rows[0].n_labeled <= rows[1].n_labeled <= rows[2].n_labeled
+    assert rows[1].docs_version == 2 and rows[2].docs_version == 3

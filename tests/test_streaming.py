@@ -957,3 +957,50 @@ def test_streaming_red_panel_matches_batch_halves(spark, sf_dir):
                 assert eb == 99 and lo <= v <= lo + eb
                 checked += 1
     assert checked > 0
+
+
+def test_streaming_media_dedup_matches_batch(spark, sf_dir):
+    """M11: per-modality kept counts/bytes from the zero-state
+    stream-static anti-join must equal the batch-computed anti-join over
+    the same fingerprints (shared media_fingerprints definition), and
+    the gate must actually drop the planted byte-exact re-crawls."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.multimodal import (
+        media_fingerprints,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_media_dedup,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_media_dedup(spark, sf_dir).collect()),
+        key=str,
+    )
+    fp = media_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    new = fp.filter(F.col("doc_id") >= 1_000_000)
+    static_dict = (
+        fp.filter(F.col("doc_id") < 1_000_000)
+        .select("modality", "payload_md5")
+        .distinct()
+    )
+    kept = new.join(F.broadcast(static_dict), ["modality", "payload_md5"], "left_anti")
+    want = sorted(
+        (
+            tuple(r)
+            for r in kept.groupBy("modality")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("byte_len").cast("long").alias("kept_bytes"),
+            )
+            .collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
+    # the planted exact copies (doc_id in [1M, 2M)) byte-match their
+    # originals, so the gate must drop ALL of them
+    n_arrived = new.count()
+    n_kept_total = sum(r[1] for r in got)
+    n_exact_copies = new.filter(F.col("doc_id") < 2_000_000).count()
+    assert n_kept_total <= n_arrived - n_exact_copies
