@@ -1034,3 +1034,105 @@ def dedup_prefix_filter(
         .withColumn("jaccard", _jaccard_col())
         .filter(F.col("jaccard") >= pct / 100.0)
     )
+
+
+def dedup_bloom_gate(
+    documents: DataFrame,
+    m_bits: int = 1 << 20,
+    boundary: int = 1_000_000,
+) -> DataFrame:
+    """D32: BLOOM-FILTER ingest gate + its own error audit — the
+    constant-size membership sketch that completes the dedup-sketch
+    family (KMV D26 estimates set sizes, HLL O70 counts distincts; the
+    Bloom filter answers "have we seen THIS one?" in O(1) bits/key with
+    NO false negatives).
+
+    The filter is built DISTRIBUTED and MERGEABLE: each corpus key
+    (md5 of text) sets k=4 bit positions derived from its own md5 hex
+    (deterministic — no RNG, engine-portable); positions aggregate into
+    32-bit words via ``bit_or``, and bit_or partials over ANY partition
+    of the corpus merge losslessly into the same words (the O70/O75
+    partial pattern — a streaming twin appends word partials). The whole
+    filter is ``m_bits/32`` rows (≤32768 here) — broadcast to the probe
+    side, so gating a batch never shuffles the corpus.
+
+    Probing is AUDITED in the same frame (the P17/D27
+    evaluation-as-operator posture): per source, arriving docs (doc_id ≥
+    ``boundary``) are gated by the filter AND checked against exact
+    membership truth, reporting true dups, flagged count, false
+    positives and the realized FP rate. ``all_true_dups_flagged`` is the
+    Bloom no-false-negative THEOREM surfacing as a per-row invariant
+    (pinned in tests); the FP rate is the capacity signal a production
+    deployment alarms on (size m to n — the default 2^20 bits holds
+    n/m ≪ 1 at every test SF; at 100 TB the filter is sized or sharded
+    by key range, words stay mergeable either way). Full hash-exact
+    oracle: md5-derived positions, BIGINT bit words, integer flags.
+    """
+    from ..functions.text import corpus
+
+    w = 32  # word width: 1<<bit stays positive in a signed BIGINT
+    n_words = m_bits // w
+    c = corpus(documents).select("doc_id", "source", F.md5("text").alias("key"))
+    old_keys = c.filter(F.col("doc_id") < boundary).select("key").distinct()
+    ii = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+
+    def positions(df: DataFrame) -> DataFrame:
+        # 4 positions from one md5: hex chars [1..8],[9..16],[17..24],[25..32]
+        # (32 bits each — lossless through BIGINT), each mod m.
+        return df.select(
+            "*", ii
+        ).withColumn(
+            "pos",
+            F.expr(
+                f"CAST(conv(substring(key, 1 + 8*i, 8), 16, 10) AS BIGINT) "
+                f"% {int(m_bits)}"
+            ),
+        )
+
+    words = (
+        positions(old_keys)
+        .groupBy(F.expr(f"pos DIV {w}").alias("word_idx"))
+        .agg(
+            F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {w} AS INT))"))
+            .alias("bits")
+        )
+    )
+    new_docs = c.filter(F.col("doc_id") >= boundary)
+    tested = (
+        positions(new_docs)
+        .join(F.broadcast(words), F.expr(f"pos DIV {w}") == F.col("word_idx"), "left")
+        .groupBy("doc_id", "source", "key")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(
+                        f"(coalesce(bits, CAST(0 AS BIGINT)) "
+                        f">> CAST(pos % {w} AS INT)) & 1"
+                    )
+                    == 1,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("flagged")
+        )
+    )
+    truth = tested.join(
+        old_keys.withColumn("is_dup", F.lit(1)), "key", "left"
+    ).withColumn("is_dup", F.coalesce("is_dup", F.lit(0)).cast("long"))
+    return truth.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.sum("is_dup").cast("long").alias("n_true_dup"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.sum(((F.col("flagged") == 1) & (F.col("is_dup") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        (
+            F.sum(((F.col("flagged") == 1) & (F.col("is_dup") == 1)).cast("long"))
+            == F.sum("is_dup")
+        ).alias("all_true_dups_flagged"),
+        F.try_divide(
+            F.sum(((F.col("flagged") == 1) & (F.col("is_dup") == 0)).cast("long")),
+            F.sum((F.col("is_dup") == 0).cast("long")),
+        ).alias("fp_rate"),
+    )

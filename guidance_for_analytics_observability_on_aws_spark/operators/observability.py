@@ -2537,6 +2537,16 @@ def forecast_linear(tm: DataFrame) -> DataFrame:
         F.max("t").cast("long").alias("t_max"),
         F.max("t0_ms").alias("t0_ms"),
     )
+    return forecast_tail(stats)
+
+
+def forecast_tail(stats: DataFrame) -> DataFrame:
+    """O74's fit + projection tail over (event_type, n, st, sx, stx, stt,
+    t_max, t0_ms) sufficient-statistic rows — split out (the
+    O68/O71/O75 tail convention) so the streaming twin O81 applies the
+    IDENTICAL closed forms to its merged per-batch partials; the
+    projection arithmetic has ONE definition.
+    """
     n = F.col("n").cast("double")
     st = F.col("st").cast("double")
     sx = F.col("sx").cast("double")

@@ -880,3 +880,55 @@ SELECT *,
 FROM scored
 WHERE intersection_size / (size_a + size_b - intersection_size) >= 0.8
 """
+
+
+# D32: deterministic Bloom gate — 4 md5-hex-derived positions per key,
+# 32-bit bit_or words, probe + exact-truth audit per source. Same
+# position arithmetic as the Spark side (8 hex chars -> BIGINT, mod m).
+DEDUP_ORACLES["dedup_bloom_gate"] = f"""
+WITH {CORPUS_CTE},
+keyed AS (SELECT doc_id, source, md5(text) AS key FROM corpus),
+old_keys AS (SELECT DISTINCT key FROM keyed WHERE doc_id < 1000000),
+idx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+build_pos AS (
+  SELECT key,
+         CAST('0x' || substr(key, 1 + 8*i, 8) AS BIGINT) % 1048576 AS pos
+  FROM old_keys CROSS JOIN idx
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM build_pos GROUP BY 1
+),
+probe_pos AS (
+  SELECT doc_id, source, key,
+         CAST('0x' || substr(key, 1 + 8*i, 8) AS BIGINT) % 1048576 AS pos
+  FROM keyed CROSS JOIN idx
+  WHERE doc_id >= 1000000
+),
+tested AS (
+  SELECT doc_id, source, key,
+         CAST(MIN(CASE WHEN ((COALESCE(w.bits, 0) >> CAST(pos % 32 AS INT))
+                             & 1) = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS flagged
+  FROM probe_pos p LEFT JOIN words w ON w.word_idx = p.pos // 32
+  GROUP BY 1, 2, 3
+),
+truth AS (
+  SELECT t.*, CASE WHEN o.key IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM tested t LEFT JOIN old_keys o USING (key)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(is_dup) AS BIGINT) AS n_true_dup,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN flagged = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       SUM(CASE WHEN flagged = 1 AND is_dup = 1 THEN 1 ELSE 0 END)
+         = SUM(is_dup) AS all_true_dups_flagged,
+       CAST(SUM(CASE WHEN flagged = 1 AND is_dup = 0 THEN 1 ELSE 0 END)
+            AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN is_dup = 0 THEN 1 ELSE 0 END), 0) AS fp_rate
+FROM truth
+GROUP BY source
+"""

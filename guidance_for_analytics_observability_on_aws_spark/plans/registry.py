@@ -1417,6 +1417,38 @@ def _stream_red_panel(s, d):
 _register("stream_red_panel", _stream_red_panel, None)
 
 
+# Rows-only: O81 (r9) — streaming twin of O74 predict_linear: zero-state
+# additive regression partials (DECIMAL sums + MAX t), history-trained
+# t0, the shared forecast_tail; bit-identity with batch O74 pinned.
+def _stream_forecast_linear(s, d):
+    from ..streaming.collector import run_streaming_forecast_linear
+
+    return run_streaming_forecast_linear(s, d)
+
+
+_register("stream_forecast_linear", _stream_forecast_linear, None)
+
+
+# X18 (r9): unigram-LM surprisal quality score — the perplexity-filter
+# signal at integer-exact log2 granularity (bitlen arithmetic, no float
+# log), corpus mean broadcast, cross-multiplied verdict.
+_register(
+    "text_unigram_surprisal",
+    lambda s, d: textops.text_unigram_surprisal(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["text_unigram_surprisal"],
+)
+
+
+# D32 (r9): deterministic Bloom-filter ingest gate + its own error audit —
+# mergeable bit_or word partials (the O70/O75 pattern for membership),
+# broadcast-sized filter, no-false-negative theorem surfaced as a column.
+_register(
+    "dedup_bloom_gate",
+    lambda s, d: dedup.dedup_bloom_gate(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_bloom_gate"],
+)
+
+
 # Rows-only: P23 (r9) — the P19 fold closed into the production nightly
 # loop: three REAL S10 commits (docs + append-only band index + label
 # table), delta edges from probing the STORED index (bounded by the

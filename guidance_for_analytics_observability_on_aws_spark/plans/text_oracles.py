@@ -683,3 +683,44 @@ SELECT *,
        END AS token_share_of_source
 FROM panel
 """
+
+
+# X18: unigram surprisal — bitlen(N) - bitlen(c) per token (exact integer
+# log2 granularity; length(bin(BIGINT)) agrees between engines), doc sums,
+# cross-multiplied above-average verdict.
+TEXT_ORACLES["text_unigram_surprisal"] = r"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+total AS (
+  SELECT SUM(c) AS n_total,
+         CAST(length(bin(CAST(SUM(c) AS BIGINT))) AS BIGINT) AS total_bits
+  FROM freq
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(total_bits
+                  - length(bin(CAST(f.c AS BIGINT)))) AS BIGINT)
+           AS sum_surprisal_bits
+  FROM tok t JOIN freq f USING (token) CROSS JOIN total
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT *, sum_surprisal_bits * 100 // n_tokens AS mean_surprisal_x100
+  FROM per_doc
+),
+cm AS (
+  SELECT SUM(sum_surprisal_bits) AS corpus_bits,
+         SUM(n_tokens) AS corpus_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, sum_surprisal_bits, mean_surprisal_x100,
+       CAST(CASE WHEN sum_surprisal_bits * corpus_tokens
+                      > corpus_bits * n_tokens
+                 THEN 1 ELSE 0 END AS INT) AS above_corpus_avg,
+       CAST(corpus_bits AS DOUBLE) / corpus_tokens AS corpus_mean_bits
+FROM scored CROSS JOIN cm
+"""

@@ -1323,3 +1323,78 @@ def run_streaming_red_panel(
         "p99_err_bound_ms",
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_forecast_linear(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O81: threshold-crossing forecast ON INGEST — the streaming twin of
+    O74 (predict_linear), completing the twin surface over the additive
+    regression family: the fit's sufficient statistics (n, Σt, Σx, Σtx,
+    Σt²) are SUMS and t_max is a MAX — both mergeable — so each
+    micro-batch appends exact DECIMAL(38,0) partials and the shared
+    ``forecast_tail`` (ONE definition with batch O74) runs once over the
+    merged totals. Zero keyed state (the O66/O72 pattern); the per-type
+    time origin t0 is trained on the history table exactly like O66's,
+    so when history == streamed series every output column —
+    slope/intercept/threshold/crossing/verdict — is BIT-identical to
+    batch O74 (pinned in ``tests/test_streaming.py``).
+    """
+    from ..operators.observability import forecast_tail
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_forecast_")
+    out = out_dir or work
+    static_tm = task_metrics(
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
+    t0 = (
+        static_tm.groupBy("event_type")
+        .agg(F.min("metric_time_ms").alias("t0_ms"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select(
+            "event_type",
+            "metric_time_ms",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        ).join(F.broadcast(t0), "event_type")
+        wt = base.withColumn("t", F.expr("(metric_time_ms - t0_ms) DIV 1000"))
+        (
+            wt.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("t").cast(dec)).alias("st"),
+                F.sum(F.col("x").cast(dec)).alias("sx"),
+                F.sum((F.col("t") * F.col("x")).cast(dec)).alias("stx"),
+                F.sum((F.col("t") * F.col("t")).cast(dec)).alias("stt"),
+                F.max("t").cast("long").alias("t_max"),
+                F.max("t0_ms").alias("t0_ms"),
+            )
+            .write.mode("append")
+            .parquet(f"{out}/partials")
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = (
+        spark.read.parquet(f"{out}/partials")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("st").cast(dec).alias("st"),
+            F.sum("sx").cast(dec).alias("sx"),
+            F.sum("stx").cast(dec).alias("stx"),
+            F.sum("stt").cast(dec).alias("stt"),
+            F.max("t_max").cast("long").alias("t_max"),
+            F.max("t0_ms").alias("t0_ms"),
+        )
+    )
+    return _collected_and_cleaned(spark, forecast_tail(totals), work)

@@ -1004,3 +1004,30 @@ def test_streaming_media_dedup_matches_batch(spark, sf_dir):
     n_kept_total = sum(r[1] for r in got)
     n_exact_copies = new.filter(F.col("doc_id") < 2_000_000).count()
     assert n_kept_total <= n_arrived - n_exact_copies
+
+
+def test_streaming_forecast_linear_matches_batch(spark, sf_dir):
+    """O81: merged additive regression partials + the shared forecast_tail
+    must reproduce batch O74 BIT-identically — every column including the
+    float projection (same closed forms over the same merged integers)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        forecast_linear,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_forecast_linear,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_forecast_linear(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in forecast_linear(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got

@@ -250,12 +250,22 @@ HOT_EVERY = 10
 HOT_TEMPLATE = " ".join(f"tmplskw{i}" for i in range(150))
 
 #: The dedup chain re-timed on the hot-template corpus: candidates (D3),
-#: banded exact re-score (D15), sketch verdicts (D18), CC groups (P15).
+#: banded exact re-score (D15), sketch verdicts (D18), CC groups (P15) —
+#: plus (r9) the three r8 blockers, each of which the SAME hot-template
+#: shape stresses in its own failure mode: D29 CDC chunking (the shared
+#: template yields one hot chunk fingerprint repeated across all hot
+#: docs), D30 sorted-neighborhood (every hot doc shares the template's
+#: 40-char sort-key prefix → one dense rank band), and D31 prefix filter
+#: (the template's shingles become corpus-frequent tokens — the AllPairs
+#: failure mode when document-frequency ordering degenerates).
 DEDUP_SKEW_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_containment_banded",
     "dedup_minhash_estimate",
     "dup_groups_star",
+    "dedup_cdc_chunks",
+    "dedup_sorted_neighborhood",
+    "dedup_prefix_filter",
 ]
 
 
@@ -436,16 +446,30 @@ def main() -> None:
             ).save()
     results = {}
     for name in HEAVY:
+        # Two passes per scale: the r8 verdict showed cold first passes
+        # overstate scaling for big codegen expressions (D30: cold 18s vs
+        # warm 7.8s — a one-time JIT constant, not a data-growth term).
+        # warm_ratio (2nd-pass/2nd-pass) is the honest growth signal; the
+        # cold ratio is kept for continuity with SCALE_r6-r8.
         b_sec, _ = timed(spark, name, base)
+        b_warm, _ = timed(spark, name, base)
         x_sec, x_rows = timed(spark, name, dst)
+        x_warm, _ = timed(spark, name, dst)
         ratio = round(x_sec / b_sec, 2) if b_sec > 0 else None
+        warm_ratio = round(x_warm / b_warm, 2) if b_warm > 0 else None
         results[name] = {
             "base_sec": b_sec,
+            "base_warm_sec": b_warm,
             "x10_sec": x_sec,
+            "x10_warm_sec": x_warm,
             "ratio": ratio,
+            "warm_ratio": warm_ratio,
             "x10_rows": x_rows,
         }
-        print(f"  {name}: {b_sec}s -> {x_sec}s (x{ratio})", file=sys.stderr)
+        print(
+            f"  {name}: {b_sec}s -> {x_sec}s (x{ratio}, warm x{warm_ratio})",
+            file=sys.stderr,
+        )
     # --- skewed section: one hot user/executor carrying ~50% of 10× ----
     skew_dst = dst.rstrip("/") + "_skew"
     if not os.path.exists(f"{skew_dst}/events.parquet"):
@@ -506,6 +530,12 @@ def main() -> None:
         "queries": results,
         "sum_base_sec": round(sum(r["base_sec"] for r in results.values()), 3),
         "sum_x10_sec": round(sum(r["x10_sec"] for r in results.values()), 3),
+        "sum_base_warm_sec": round(
+            sum(r["base_warm_sec"] for r in results.values()), 3
+        ),
+        "sum_x10_warm_sec": round(
+            sum(r["x10_warm_sec"] for r in results.values()), 3
+        ),
         "skewed": {
             "hot_user": HOT_USER,
             "hot_share": 0.5,
@@ -523,6 +553,9 @@ def main() -> None:
     }
     payload["sum_ratio"] = round(
         payload["sum_x10_sec"] / payload["sum_base_sec"], 2
+    )
+    payload["sum_warm_ratio"] = round(
+        payload["sum_x10_warm_sec"] / payload["sum_base_warm_sec"], 2
     )
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
