@@ -2968,3 +2968,62 @@ def test_dup_groups_nightly_loop_contracts(spark, sf_dir):
     assert rows[1].n_delta_edges > 0
     assert rows[0].n_labeled <= rows[1].n_labeled <= rows[2].n_labeled
     assert rows[1].docs_version == 2 and rows[2].docs_version == 3
+
+
+def test_bloom_gate_no_false_negatives_and_audit(spark, sf_dir):
+    """D32: the Bloom theorem (no false negatives) must hold per source
+    (all_true_dups_flagged), the audit columns must reconcile, and the
+    planted byte-exact copies must be counted as true dups."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_bloom_gate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = dedup_bloom_gate(docs).collect()
+    assert rows
+    assert all(r.all_true_dups_flagged for r in rows)
+    for r in rows:
+        assert 0 <= r.n_true_dup <= r.n_flagged <= r.n_new
+        assert r.n_false_pos == r.n_flagged - r.n_true_dup or r.n_flagged >= r.n_true_dup
+    # planted exacts (doc_id % 25 == 0 originals copied to +1e6) are dups
+    assert sum(r.n_true_dup for r in rows) > 0
+    # tiny filter (m=64 bits) must saturate into false positives while the
+    # no-false-negative guarantee STILL holds — the capacity alarm shape
+    tiny = dedup_bloom_gate(docs, m_bits=64).collect()
+    assert all(r.all_true_dups_flagged for r in tiny)
+    assert sum(r.n_false_pos for r in tiny) > 0
+
+
+def test_unigram_surprisal_matches_literal(spark, sf_dir):
+    """X18 vs a literal Python unigram model on the real table: bitlen
+    sums, the integer mean, and the cross-multiplied verdict."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        text_unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_surprisal_bits, r.mean_surprisal_x100,
+                   r.above_corpus_avg)
+        for r in text_unigram_surprisal(docs).collect()
+    }
+    import re
+    from collections import Counter
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    freq = Counter()
+    for t in texts.values():
+        freq.update(re.split(r"\s+", t))
+    n_total = sum(freq.values())
+    tb = n_total.bit_length()
+    want = {}
+    for did, t in texts.items():
+        toks = re.split(r"\s+", t)
+        s = sum(tb - freq[w].bit_length() for w in toks)
+        want[did] = (len(toks), s, s * 100 // len(toks))
+    cb = sum(w[1] for w in want.values())
+    ct = sum(w[0] for w in want.values())
+    for did, (nt, s, mean) in want.items():
+        assert got[did] == (nt, s, mean, int(s * ct > cb * nt)), did
