@@ -1005,83 +1005,80 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 #                   favor of hash-checked sql entries).
 # This changes dict ORDER only — names, builders, oracles are untouched.
 #
-# r8 window (50 slots exactly), GENERATED by the codified recipe:
-#   python tools/evidence_ledger.py --priority --changed <r8-changed list>
+# r9 window (50 slots exactly), GENERATED by the codified recipe:
+#   python tools/evidence_ledger.py --priority --changed <r9-changed list>
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-21  — the TWENTY-ONE round-8 additions, never driver-checked:
-    #                 D28 persist report, P20 epoch plan, P19 incremental
-    #                 dup groups, O62 stream CUSUM, O65 stream gap-fill,
-    #                 S12 incremental view, O66 stream trend, T46 backlog
-    #                 sweep line, M9 byte-budget sample, O63 trend
-    #                 regression, O64 metric correlation, T47 windowed
-    #                 funnel, D26 KMV overlap, O67 EWMA, D27 ANN recall
-    #                 eval, O68 error budget, O69 stream EWMA, O70 HLL
-    #                 sketch-partial distinct rollup, O71 multi-window
-    #                 burn-rate alerts, D29 content-defined chunking, O72
-    #                 streaming error budget.
-    "similarity_index_persist_report",
-    "mixture_epoch_plan",
-    "dup_groups_incremental",
-    "stream_cusum_drift",
-    "stream_gap_fill",
-    "source_incremental_view",
-    "stream_trend_regression",
-    "orders_backlog_timeline",
-    "mm_media_sample",
-    "obs_trend_regression",
-    "obs_metric_correlation",
-    "events_funnel_windowed",
-    "docs_kmv_overlap",
-    "obs_ewma_smooth",
-    "similarity_eval_report",
-    "obs_error_budget",
-    "stream_ewma_smooth",
-    "obs_distinct_rollup_hll",
-    "obs_burn_rate_multiwindow",
-    "dedup_cdc_chunks",
-    "stream_error_budget",
-    #   slots 22-36 — entries whose CODE changed in r8 since their last
-    #                 driver row: P18/O43 boundary parameterization +
-    #                 schema-safe sink read, the model-cache file-footprint
-    #                 key (whole trained family), the P17 oracle
-    #                 zero-divisor guard, and the shared _ranked_with_n
-    #                 distributed order-statistic refactor (percentile
-    #                 family).
-    "stream_near_dedup_ingest",
-    "stream_incremental_dedup",
-    "dedup_eval_report",
-    "similarity_ivf_trained",
-    "embedding_kmeans",
-    "similarity_pq",
-    "similarity_ivf_pq",
-    "similarity_ivf_pq_residual",
-    "similarity_ivf_pq_multiprobe",
-    "obs_anomaly_mad",
-    "obs_cusum_drift",
-    "obs_tail_sampling",
-    "orders_ship_latency",
-    "obs_percentile_timeline",
+    #   slots 1-24  — every entry with NO driver row: the NINETEEN
+    #                 post-finalization r8 additions the r8 verdict flagged
+    #                 (O73 stream burn-rate, O74 forecast, X15 length
+    #                 percentiles, O75 histogram rollup + O76 twin, D31
+    #                 prefix filter, O77 alert flap + O78 twin, S13 zone
+    #                 maps, X16 vocab growth, D30 sorted-neighborhood, O79
+    #                 RED panel + O80 twin, X17 dup fraction, P22 near-dup
+    #                 decontamination, P21 export order, T48 multi-touch
+    #                 attribution, M10 frame dedup, S14 snapshot diff)
+    #                 plus the FIVE r9 additions (O81 stream forecast, X18
+    #                 unigram surprisal, D32 Bloom gate, P23 nightly dup
+    #                 groups, M11 stream media dedup).
+    "stream_burn_rate",
+    "obs_forecast_linear",
+    "text_length_percentiles",
+    "obs_histogram_rollup",
+    "dedup_prefix_filter",
+    "obs_alert_flap",
+    "source_zone_map_report",
+    "text_vocab_growth",
+    "dedup_sorted_neighborhood",
+    "stream_histogram_rollup",
+    "obs_red_panel",
+    "text_dup_fraction",
+    "decontaminate_neardup",
+    "export_order_plan",
+    "events_attribution_multitouch",
+    "mm_frame_dedup",
+    "source_snapshot_diff_report",
+    "stream_alert_flap",
+    "stream_red_panel",
+    "stream_forecast_linear",
+    "text_unigram_surprisal",
+    "dedup_bloom_gate",
+    "dup_groups_nightly",
+    "stream_media_dedup_ingest",
+    #   slots 25-35 — entries whose CODE changed in r9 since their last
+    #                 driver row: the integer-DIV bin index (O40), the
+    #                 distributed-rank promotions (T39/T40/P14/O30/O57),
+    #                 the media_fingerprints factor-out (M8), and the
+    #                 multi-value/composite-key _prefix_sum refactor's
+    #                 direct users (O44, P21-adjacent P9/M7/M9).
+    "obs_value_histogram",
+    "customers_abc_pareto",
+    "customers_rfm_segments",
+    "vocab_coverage",
+    "obs_heavy_hitters_cms",
+    "obs_top_movers",
+    "mm_dedup_exact",
     "obs_task_percentiles_distributed",
-    #   slots 37-50 — oldest-evidence backfill (r4-aged O core) in ledger
-    #                 order (T8/O33/O32/O30 yield their slots to the
-    #                 never-checked O70/O71/D29/O72 per the rotation
-    #                 contract).
-    "obs_date_histogram",
-    "obs_top_n_skew",
-    "obs_task_percentiles",
-    "obs_log_enrich",
-    "obs_error_rate",
-    "obs_executor_utilization",
-    "obs_session_windows",
-    "obs_skew_timeline",
-    "stream_metrics_window",
-    "obs_log_search",
-    "obs_counter_rate",
-    "obs_gap_fill",
-    "obs_anomaly_zscore",
-    "obs_log_templates",
+    "mm_shard_manifest",
+    "mm_media_sample",
+    "pack_sequences_distributed",
+    #   slots 36-50 — oldest-evidence backfill (r4-aged) in ledger order.
+    "obs_error_rate_moving_avg",
+    "obs_alert_rules",
+    "asof_join_attribution",
+    "events_funnel",
+    "merge_scd2_customers",
+    "customers_monthly_cohorts",
+    "dedup_containment",
+    "similarity_ivf_multiprobe",
+    "text_top_terms",
+    "mm_resize",
+    "source_compaction_report",
+    "source_retention_report",
+    "skew_salted_sum",
+    "obs_skew_exemplars",
+    "obs_executor_concurrency",
 ]
 
 

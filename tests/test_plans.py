@@ -291,78 +291,82 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r8 rotation: 34 sql + 16 rows-only (21 never-checked r8 additions,
-    # 15 code-changed re-exposures, 14 r4-aged backfill; see the
+    # r9 rotation: 38 sql + 12 rows-only (24 never-checked — the 19
+    # post-finalization r8 additions + the 5 r9 additions — then 11
+    # code-changed re-exposures, then 15 r4-aged backfill; see the
     # _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 34, f"{n_sql} sql-backed entries in the driver window"
-    # the r8 additions with no driver row lead; then every entry whose code
-    # changed in r8 since its last driver row (boundary parameterization,
-    # model-cache footprint key, P17 oracle guard, _ranked_with_n refactor):
+    assert n_sql == 38, f"{n_sql} sql-backed entries in the driver window"
+    # every never-driver-checked entry leads; then every entry whose code
+    # changed in r9 since its last driver row (DIV bin index, the
+    # distributed-rank promotions, media_fingerprints factor-out, the
+    # multi-value/composite _prefix_sum refactor's direct users):
     head = (
-        "similarity_index_persist_report",
-        "mixture_epoch_plan",
-        "dup_groups_incremental",
-        "stream_cusum_drift",
-        "stream_gap_fill",
-        "source_incremental_view",
-        "stream_trend_regression",
-        "orders_backlog_timeline",
-        "mm_media_sample",
-        "obs_trend_regression",
-        "obs_metric_correlation",
-        "events_funnel_windowed",
-        "docs_kmv_overlap",
-        "obs_ewma_smooth",
-        "similarity_eval_report",
-        "obs_error_budget",
-        "stream_ewma_smooth",
-        "obs_distinct_rollup_hll",
-        "obs_burn_rate_multiwindow",
-        "dedup_cdc_chunks",
-        "stream_error_budget",
-        "stream_near_dedup_ingest",
-        "stream_incremental_dedup",
-        "dedup_eval_report",
-        "similarity_ivf_trained",
-        "embedding_kmeans",
-        "similarity_pq",
-        "similarity_ivf_pq",
-        "similarity_ivf_pq_residual",
-        "similarity_ivf_pq_multiprobe",
-        "obs_anomaly_mad",
-        "obs_cusum_drift",
-        "obs_tail_sampling",
-        "orders_ship_latency",
-        "obs_percentile_timeline",
+        "stream_burn_rate",
+        "obs_forecast_linear",
+        "text_length_percentiles",
+        "obs_histogram_rollup",
+        "dedup_prefix_filter",
+        "obs_alert_flap",
+        "source_zone_map_report",
+        "text_vocab_growth",
+        "dedup_sorted_neighborhood",
+        "stream_histogram_rollup",
+        "obs_red_panel",
+        "text_dup_fraction",
+        "decontaminate_neardup",
+        "export_order_plan",
+        "events_attribution_multitouch",
+        "mm_frame_dedup",
+        "source_snapshot_diff_report",
+        "stream_alert_flap",
+        "stream_red_panel",
+        "stream_forecast_linear",
+        "text_unigram_surprisal",
+        "dedup_bloom_gate",
+        "dup_groups_nightly",
+        "stream_media_dedup_ingest",
+        "obs_value_histogram",
+        "customers_abc_pareto",
+        "customers_rfm_segments",
+        "vocab_coverage",
+        "obs_heavy_hitters_cms",
+        "obs_top_movers",
+        "mm_dedup_exact",
         "obs_task_percentiles_distributed",
+        "mm_shard_manifest",
+        "mm_media_sample",
+        "pack_sequences_distributed",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 14 r4-aged oldest-evidence entries must all be inside the window:
+    # the 15 r4-aged oldest-evidence entries must all be inside the window:
     for expected in (
-        "obs_date_histogram",
-        "obs_top_n_skew",
-        "obs_task_percentiles",
-        "obs_log_enrich",
-        "obs_error_rate",
-        "obs_executor_utilization",
-        "obs_session_windows",
-        "obs_skew_timeline",
-        "stream_metrics_window",
-        "obs_log_search",
-        "obs_counter_rate",
-        "obs_gap_fill",
-        "obs_anomaly_zscore",
-        "obs_log_templates",
+        "obs_error_rate_moving_avg",
+        "obs_alert_rules",
+        "asof_join_attribution",
+        "events_funnel",
+        "merge_scd2_customers",
+        "customers_monthly_cohorts",
+        "dedup_containment",
+        "similarity_ivf_multiprobe",
+        "text_top_terms",
+        "mm_resize",
+        "source_compaction_report",
+        "source_retention_report",
+        "skew_salted_sum",
+        "obs_skew_exemplars",
+        "obs_executor_concurrency",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresh already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED):
     for fresh_green in (
-        "orders_market_basket",   # r7-green, unchanged in r8
-        "obs_straggler_detect",   # r6-green, unchanged
-        "dataset_card_report",    # r6-green, unchanged
+        "orders_market_basket",     # r7-green, unchanged in r9
+        "obs_straggler_detect",     # r6-green, unchanged
+        "dataset_card_report",      # r6-green, unchanged
         "tpch_q1_pricing_summary",  # r5-green, unchanged
+        "dup_groups_incremental",   # r8-green, unchanged
+        "obs_trend_regression",     # r8-green, unchanged
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
