@@ -1070,36 +1070,65 @@ def dedup_bloom_gate(
     """
     from ..functions.text import corpus
 
-    w = 32  # word width: 1<<bit stays positive in a signed BIGINT
-    n_words = m_bits // w
     c = corpus(documents).select("doc_id", "source", F.md5("text").alias("key"))
     old_keys = c.filter(F.col("doc_id") < boundary).select("key").distinct()
+    words = bloom_words(old_keys, m_bits=m_bits)
+    new_docs = c.filter(F.col("doc_id") >= boundary)
+    return bloom_audit(new_docs, words, old_keys, m_bits=m_bits)
+
+
+#: Bloom word width: 1<<bit stays positive in a signed BIGINT at 32.
+_BLOOM_W = 32
+
+
+def _bloom_positions(df: DataFrame, m_bits: int) -> DataFrame:
+    """Attach the k=4 bit positions of each row's ``key``: md5 hex chars
+    [1..8],[9..16],[17..24],[25..32] (32 bits each — lossless through
+    BIGINT), each mod m. Shared by build and probe so the hash family has
+    ONE definition."""
     ii = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    return df.select("*", ii).withColumn(
+        "pos",
+        F.expr(
+            f"CAST(conv(substring(key, 1 + 8*i, 8), 16, 10) AS BIGINT) "
+            f"% {int(m_bits)}"
+        ),
+    )
 
-    def positions(df: DataFrame) -> DataFrame:
-        # 4 positions from one md5: hex chars [1..8],[9..16],[17..24],[25..32]
-        # (32 bits each — lossless through BIGINT), each mod m.
-        return df.select(
-            "*", ii
-        ).withColumn(
-            "pos",
-            F.expr(
-                f"CAST(conv(substring(key, 1 + 8*i, 8), 16, 10) AS BIGINT) "
-                f"% {int(m_bits)}"
-            ),
-        )
 
-    words = (
-        positions(old_keys)
-        .groupBy(F.expr(f"pos DIV {w}").alias("word_idx"))
+def bloom_words(keys: DataFrame, m_bits: int = 1 << 20) -> DataFrame:
+    """D32's filter-build stage: (word_idx, bits) 32-bit ``bit_or`` words
+    over a ``key`` frame — split out (the tail convention) so the
+    streaming twin D33 builds per-batch word PARTIALS with the IDENTICAL
+    definition. ``bit_or`` partials are both ASSOCIATIVE and IDEMPOTENT
+    (a key re-setting its own bits is a no-op), so partials over any
+    partition — or any at-least-once re-delivery — of the corpus merge
+    into the exact whole-corpus filter."""
+    return (
+        _bloom_positions(keys, m_bits)
+        .groupBy(F.expr(f"pos DIV {_BLOOM_W}").alias("word_idx"))
         .agg(
-            F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {w} AS INT))"))
-            .alias("bits")
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_W} AS INT))"
+                )
+            ).alias("bits")
         )
     )
-    new_docs = c.filter(F.col("doc_id") >= boundary)
+
+
+def bloom_audit(
+    new_docs: DataFrame,
+    words: DataFrame,
+    old_keys: DataFrame,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """D32's probe + exact-truth audit stage over (doc_id, source, key)
+    arrivals, a (word_idx, bits) filter, and the exact old-key set —
+    shared verbatim by the streaming twin D33."""
+    w = _BLOOM_W
     tested = (
-        positions(new_docs)
+        _bloom_positions(new_docs, m_bits)
         .join(F.broadcast(words), F.expr(f"pos DIV {w}") == F.col("word_idx"), "left")
         .groupBy("doc_id", "source", "key")
         .agg(

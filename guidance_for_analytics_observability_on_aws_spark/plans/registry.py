@@ -1020,8 +1020,9 @@ _PRIORITY = [
     #                 decontamination, P21 export order, T48 multi-touch
     #                 attribution, M10 frame dedup, S14 snapshot diff)
     #                 plus the FIVE r9 additions (O81 stream forecast, X18
-    #                 unigram surprisal, D32 Bloom gate, P23 nightly dup
-    #                 groups, M11 stream media dedup).
+    #                 unigram surprisal, D32 Bloom gate + D33 streaming
+    #                 build, P23 nightly dup groups, M11 stream media
+    #                 dedup) — slots 1-25.
     "stream_burn_rate",
     "obs_forecast_linear",
     "text_length_percentiles",
@@ -1046,7 +1047,8 @@ _PRIORITY = [
     "dedup_bloom_gate",
     "dup_groups_nightly",
     "stream_media_dedup_ingest",
-    #   slots 25-35 — entries whose CODE changed in r9 since their last
+    "stream_bloom_build",
+    #   slots 26-36 — entries whose CODE changed in r9 since their last
     #                 driver row: the integer-DIV bin index (O40), the
     #                 distributed-rank promotions (T39/T40/P14/O30/O57),
     #                 the media_fingerprints factor-out (M8), and the
@@ -1063,7 +1065,9 @@ _PRIORITY = [
     "mm_shard_manifest",
     "mm_media_sample",
     "pack_sequences_distributed",
-    #   slots 36-50 — oldest-evidence backfill (r4-aged) in ledger order.
+    #   slots 37-50 — oldest-evidence backfill (r4-aged) in ledger order
+    #                 (obs_executor_concurrency yields its slot to the
+    #                 never-checked D33 per the rotation contract).
     "obs_error_rate_moving_avg",
     "obs_alert_rules",
     "asof_join_attribution",
@@ -1078,7 +1082,6 @@ _PRIORITY = [
     "source_retention_report",
     "skew_salted_sum",
     "obs_skew_exemplars",
-    "obs_executor_concurrency",
 ]
 
 
@@ -1473,6 +1476,20 @@ def _stream_media_dedup(s, d):
 
 
 _register("stream_media_dedup_ingest", _stream_media_dedup, None)
+
+
+# Rows-only: D33 (r9) — the Bloom filter MAINTAINED on ingest: per-batch
+# bit_or word partials via the shared bloom_words (one definition with
+# D32); merge is associative AND idempotent, so the maintained filter is
+# exact under any batch split and at-least-once re-delivery; the whole
+# D32 audit frame pinned row-identical in tests.
+def _stream_bloom_build(s, d):
+    from ..streaming.collector import run_streaming_bloom_build
+
+    return run_streaming_bloom_build(s, d)
+
+
+_register("stream_bloom_build", _stream_bloom_build, None)
 
 
 # Applied LAST so every registration above (including late additions) is

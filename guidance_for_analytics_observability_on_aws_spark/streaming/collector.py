@@ -1398,3 +1398,68 @@ def run_streaming_forecast_linear(
         )
     )
     return _collected_and_cleaned(spark, forecast_tail(totals), work)
+
+
+def run_streaming_bloom_build(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    corpus_boundary: int = NEW_DOC_BOUNDARY,
+) -> DataFrame:
+    """D33: the Bloom membership filter MAINTAINED ON INGEST — the
+    streaming half of D32, applying the sketch-partial pattern (O70 HLL
+    registers, O75 histogram bins) to MEMBERSHIP: each micro-batch of
+    corpus keys appends its own (word_idx, bits) ``bit_or`` word partials
+    (the shared ``bloom_words`` — one definition with batch D32), and the
+    merged filter is the bit_or of partials. The merge is not just
+    associative but IDEMPOTENT (a key re-setting its bits is a no-op), so
+    the maintained filter is EXACT under any batch split AND under
+    at-least-once re-delivery — strictly stronger than the additive
+    partials, and surfaced here as the pinned invariant: the merged word
+    table is BIT-identical to the batch-built filter, hence the whole
+    D32 audit frame (flags, FP counts, theorem column) is row-identical
+    (pinned in ``tests/test_streaming.py``). Zero keyed state; partial
+    volume bounded by m/32 words per batch.
+    """
+    from ..functions.text import corpus
+    from ..operators.dedup import bloom_audit, bloom_words
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_bloom_")
+    out = out_dir or work
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    old_keys_stream = (
+        corpus(stream)
+        .filter(F.col("doc_id") < corpus_boundary)
+        .select(F.md5("text").alias("key"))
+    )
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_words(batch_df).write.mode("append").parquet(f"{out}/words")
+
+    q = (
+        old_keys_stream.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(f"{out}/words")
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    static = corpus(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "source", F.md5("text").alias("key")
+    )
+    old_keys = (
+        static.filter(F.col("doc_id") < corpus_boundary).select("key").distinct()
+    )
+    new_docs = static.filter(F.col("doc_id") >= corpus_boundary)
+    return _collected_and_cleaned(
+        spark, bloom_audit(new_docs, merged, old_keys), work
+    )

@@ -1031,3 +1031,59 @@ def test_streaming_forecast_linear_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_bloom_build_matches_batch(spark, sf_dir):
+    """D33: the filter maintained from per-batch bit_or word partials must
+    reproduce the batch-built filter exactly, hence the whole D32 audit
+    frame row-identically — and re-delivering the same corpus (idempotent
+    merge) must change nothing."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_bloom_gate,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_bloom_build,
+    )
+
+    got = sorted(
+        (tuple(r) for r in run_streaming_bloom_build(spark, sf_dir).collect()),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in dedup_bloom_gate(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
+
+
+def test_bloom_words_merge_idempotent(spark, sf_dir):
+    """D33's stated stronger-than-additive property: bit_or partials from
+    the corpus UNIONED WITH ITSELF (at-least-once re-delivery) merge to
+    the identical word table."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import (
+        corpus,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        bloom_words,
+    )
+
+    keys = (
+        corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .filter(F.col("doc_id") < 1_000_000)
+        .select(F.md5("text").alias("key"))
+    )
+    once = {(r.word_idx, r.bits) for r in bloom_words(keys).collect()}
+    redelivered = (
+        bloom_words(keys.unionAll(keys))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    twice = {(r.word_idx, r.bits) for r in redelivered.collect()}
+    assert once == twice and once
