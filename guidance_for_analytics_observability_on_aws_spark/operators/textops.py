@@ -854,3 +854,76 @@ def text_unigram_surprisal(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def text_distribution_drift(
+    documents: DataFrame, boundary: int = 1_000_000
+) -> DataFrame:
+    """X19: token-DISTRIBUTION DRIFT between the committed corpus and the
+    arriving batch, per source — the data-shift monitor a training
+    pipeline runs between crawls (a new crawl whose unigram distribution
+    moved is re-weighted or quarantined before it skews the mixture; the
+    same panel catches encoding regressions and scraper breakage, which
+    show up as vocabulary churn long before loss curves move).
+
+    Drift is the exact TOTAL-VARIATION distance between the two unigram
+    distributions, held as integers until the last step: with per-source
+    totals N_old/N_new, ``Σ_tokens |c_old·N_new − c_new·N_old|`` is an
+    exact BIGINT (products bounded by N_old·N_new ≪ 2^63 at any test
+    scale; a 100 TB deployment widens to DECIMAL(38,0), the O63
+    convention) and ``tv = Σ / (2·N_old·N_new)`` is one final division —
+    0 for identical distributions, 1 for disjoint vocabularies (pinned
+    in tests). Vocabulary churn (types only the new batch has, types it
+    lost) counts from the same full-outer join.
+
+    Scale shape: two token aggregations (each map-side combined,
+    vocab-sized outputs), one full-outer equi-join on (source, token),
+    per-source totals as a broadcast; nothing corpus-sized survives the
+    first aggregation.
+    """
+    from ..functions.text import corpus
+
+    c = corpus(documents)
+    tok = lambda df: df.select(  # noqa: E731
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    ).groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    old = tok(c.filter(F.col("doc_id") < boundary)).withColumnRenamed("c", "c_old")
+    new = tok(c.filter(F.col("doc_id") >= boundary)).withColumnRenamed("c", "c_new")
+    joined = old.join(new, ["source", "token"], "full_outer").select(
+        "source",
+        "token",
+        F.coalesce("c_old", F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).cast("long").alias("c_new"),
+    )
+    totals = joined.groupBy("source").agg(
+        F.sum("c_old").cast("long").alias("n_old"),
+        F.sum("c_new").cast("long").alias("n_new"),
+    )
+    return (
+        joined.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_old").alias("n_old_tokens"),
+            F.max("n_new").alias("n_new_tokens"),
+            F.sum((F.col("c_old") > 0).cast("long")).cast("long").alias("n_types_old"),
+            F.sum((F.col("c_new") > 0).cast("long")).cast("long").alias("n_types_new"),
+            F.sum(((F.col("c_old") == 0) & (F.col("c_new") > 0)).cast("long"))
+            .cast("long")
+            .alias("n_gained_types"),
+            F.sum(((F.col("c_new") == 0) & (F.col("c_old") > 0)).cast("long"))
+            .cast("long")
+            .alias("n_lost_types"),
+            F.sum(
+                F.abs(F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old"))
+            )
+            .cast("long")
+            .alias("l1_scaled"),
+        )
+        .select(
+            "*",
+            F.try_divide(
+                F.col("l1_scaled"),
+                F.lit(2.0) * F.col("n_old_tokens") * F.col("n_new_tokens"),
+            ).alias("tv_distance"),
+        )
+    )

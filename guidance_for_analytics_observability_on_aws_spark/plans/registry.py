@@ -1439,6 +1439,16 @@ _register(
 )
 
 
+# X19 (r9): token-distribution drift between committed corpus and arriving
+# batch — exact integer L1 → total-variation distance, vocabulary churn;
+# the crawl-shift monitor.
+_register(
+    "text_distribution_drift",
+    lambda s, d: textops.text_distribution_drift(load_tables(s, d)["documents"]),
+    TEXT_ORACLES["text_distribution_drift"],
+)
+
+
 # D32 (r9): deterministic Bloom-filter ingest gate + its own error audit —
 # mergeable bit_or word partials (the O70/O75 pattern for membership),
 # broadcast-sized filter, no-false-negative theorem surfaced as a column.

@@ -724,3 +724,50 @@ SELECT doc_id, source, n_tokens, sum_surprisal_bits, mean_surprisal_x100,
        CAST(corpus_bits AS DOUBLE) / corpus_tokens AS corpus_mean_bits
 FROM scored CROSS JOIN cm
 """
+
+
+# X19: distribution drift — full-outer unigram join per source, exact
+# integer L1 (|c_old*N_new - c_new*N_old|), TV = L1 / (2*N_old*N_new).
+TEXT_ORACLES["text_distribution_drift"] = f"""
+WITH {CORPUS_CTE},
+tok AS (
+  SELECT source, doc_id,
+         unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM corpus
+),
+old_c AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_old
+  FROM tok WHERE doc_id < 1000000 GROUP BY 1, 2
+),
+new_c AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_new
+  FROM tok WHERE doc_id >= 1000000 GROUP BY 1, 2
+),
+joined AS (
+  SELECT COALESCE(o.source, n.source) AS source,
+         COALESCE(o.token, n.token) AS token,
+         COALESCE(c_old, 0) AS c_old,
+         COALESCE(c_new, 0) AS c_new
+  FROM old_c o FULL OUTER JOIN new_c n
+    ON o.source = n.source AND o.token = n.token
+),
+totals AS (
+  SELECT source, CAST(SUM(c_old) AS BIGINT) AS n_old,
+         CAST(SUM(c_new) AS BIGINT) AS n_new
+  FROM joined GROUP BY 1
+)
+SELECT j.source,
+       CAST(MAX(n_old) AS BIGINT) AS n_old_tokens,
+       CAST(MAX(n_new) AS BIGINT) AS n_new_tokens,
+       CAST(SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_old,
+       CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_new,
+       CAST(SUM(CASE WHEN c_old = 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gained_types,
+       CAST(SUM(CASE WHEN c_new = 0 AND c_old > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lost_types,
+       CAST(SUM(ABS(c_old * n_new - c_new * n_old)) AS BIGINT) AS l1_scaled,
+       CAST(SUM(ABS(c_old * n_new - c_new * n_old)) AS BIGINT)
+         / (2.0 * MAX(n_old) * MAX(n_new)) AS tv_distance
+FROM joined j JOIN totals t USING (source)
+GROUP BY 1
+"""

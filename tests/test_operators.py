@@ -3027,3 +3027,34 @@ def test_unigram_surprisal_matches_literal(spark, sf_dir):
     ct = sum(w[0] for w in want.values())
     for did, (nt, s, mean) in want.items():
         assert got[did] == (nt, s, mean, int(s * ct > cb * nt)), did
+
+
+def test_distribution_drift_bounds(spark):
+    """X19 hand cases: identical old/new distributions → TV = 0; disjoint
+    vocabularies → TV = 1; no-new-batch source → NULL TV, all-lost types."""
+    rows = [
+        # src_same: old and new have identical token distributions
+        (1, "a b a", "en", "src_same", 5),
+        (1_000_001, "a b a", "en", "src_same", 5),
+        # src_disj: disjoint vocabularies
+        (2, "x x y", "en", "src_disj", 5),
+        (1_000_002, "p q q", "en", "src_disj", 5),
+        # src_only_old: nothing arrives
+        (3, "m n", "en", "src_only_old", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        text_distribution_drift,
+    )
+
+    # corpus() plants copies only for doc_id % 25 ∈ {0,5,10}; these ids avoid
+    # that, so the frame is exactly the five rows above.
+    got = {r.source: r for r in text_distribution_drift(docs).collect()}
+    assert got["src_same"].tv_distance == 0.0
+    assert got["src_same"].n_gained_types == 0 and got["src_same"].n_lost_types == 0
+    assert got["src_disj"].tv_distance == 1.0
+    assert got["src_disj"].n_gained_types == 2 and got["src_disj"].n_lost_types == 2
+    assert got["src_only_old"].tv_distance is None
+    assert got["src_only_old"].n_lost_types == 2
