@@ -980,39 +980,8 @@ def dedup_prefix_filter(
     base = pre.select(
         "doc_id", shingles(F.col("toks")).alias("sh")
     ).localCheckpoint(eager=True)
-    # n rides along from the array size — a per-doc COUNT window here would
-    # add a second window pass over the exploded table for a value the
-    # checkpointed array already knows.
-    exploded = base.select(
-        "doc_id",
-        F.size("sh").cast("long").alias("n"),
-        F.explode("sh").alias("shingle"),
-    )
-    df_tbl = exploded.groupBy("shingle").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    sized = exploded.join(df_tbl, "shingle").withColumn(
-        "pos", F.row_number().over(w_doc).cast("long")
-    )
+    cand = prefix_filter_candidates(base, threshold_pct)
     pct = int(threshold_pct)
-    # prefix_len = n − ceil(pct·n/100) + 1, all-integer (Spark's `/` is
-    # double division — DIV keeps the ceil exact).
-    prefix = sized.filter(
-        F.col("pos") <= F.expr(f"n - (({pct} * n + 99) DIV 100) + 1")
-    ).select("doc_id", "shingle")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
     sh = base.hint("shuffle_hash")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     return (
@@ -1033,6 +1002,49 @@ def dedup_prefix_filter(
         )
         .withColumn("jaccard", _jaccard_col())
         .filter(F.col("jaccard") >= pct / 100.0)
+    )
+
+
+def prefix_filter_candidates(
+    base_arrays: DataFrame, threshold_pct: int = 80
+) -> DataFrame:
+    """D31's candidate stage over a checkpointed (doc_id, sh) array frame
+    — split out so ``tools/scale_stress.py`` can measure candidate
+    growth at both scales directly from the ONE definition the operator
+    runs (the stage-level attribution the r8 verdict asked for), instead
+    of re-deriving the subplan in the tool."""
+    # n rides along from the array size — a per-doc COUNT window here would
+    # add a second window pass over the exploded table for a value the
+    # checkpointed array already knows.
+    exploded = base_arrays.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n"),
+        F.explode("sh").alias("shingle"),
+    )
+    df_tbl = exploded.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sized = exploded.join(df_tbl, "shingle").withColumn(
+        "pos", F.row_number().over(w_doc).cast("long")
+    )
+    pct = int(threshold_pct)
+    # prefix_len = n − ceil(pct·n/100) + 1, all-integer (Spark's `/` is
+    # double division — DIV keeps the ceil exact).
+    prefix = sized.filter(
+        F.col("pos") <= F.expr(f"n - (({pct} * n + 99) DIV 100) + 1")
+    ).select("doc_id", "shingle")
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
 
 

@@ -370,6 +370,43 @@ def salting_probe(spark: SparkSession, skew_dir: str, n_splits: int = 8) -> dict
     }
 
 
+def prefix_filter_attribution(
+    spark: SparkSession, base_dir: str, x10_dir: str
+) -> dict:
+    """Stage-level attribution for D31's scale ratio (the r8 verdict's
+    item 4): candidate-pair and verified-output counts at both scales,
+    measured from the operator's OWN candidate stage
+    (``prefix_filter_candidates`` — one definition). The honest reading
+    of D31's warm ratio is work growth: candidates grow sub-linearly on
+    the decorrelated 10× corpus, and verify cost is linear in
+    candidates, so warm_ratio ≈ candidate_ratio, not corpus ratio."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        _shingle_base,
+        dedup_prefix_filter,
+        prefix_filter_candidates,
+        shingles,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    out = {}
+    for tag, d in (("base", base_dir), ("x10", x10_dir)):
+        docs = load_tables(spark, d)["documents"]
+        arrays = (
+            _shingle_base(docs)
+            .select("doc_id", shingles(F.col("toks")).alias("sh"))
+            .localCheckpoint(eager=True)
+        )
+        n_cand = prefix_filter_candidates(arrays).count()
+        n_out = dedup_prefix_filter(docs).count()
+        out[tag] = {"n_candidates": n_cand, "n_verified_pairs": n_out}
+    out["candidate_ratio"] = round(
+        out["x10"]["n_candidates"] / max(out["base"]["n_candidates"], 1), 2
+    )
+    return out
+
+
 def aqe_skew_split_fires(spark: SparkSession, skew_dir: str) -> bool:
     """Join the skewed 10× events against a small per-user dim with
     broadcast disabled and default-ish skew thresholds scaled to the data:
@@ -521,6 +558,8 @@ def main() -> None:
         )
     salt = salting_probe(spark, dedup_skew_dst)
     print(f"  [dedup-skew] salting_probe={salt}", file=sys.stderr)
+    d31 = prefix_filter_attribution(spark, base, dst)
+    print(f"  [d31] prefix_filter_attribution={d31}", file=sys.stderr)
 
     payload = {
         "metric": "scale_stress_10x",
@@ -550,6 +589,7 @@ def main() -> None:
             "queries": dedup_skew_results,
             "salting": salt,
         },
+        "prefix_filter_attribution": d31,
     }
     payload["sum_ratio"] = round(
         payload["sum_x10_sec"] / payload["sum_base_sec"], 2
