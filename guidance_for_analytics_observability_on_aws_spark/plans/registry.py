@@ -1020,9 +1020,9 @@ _PRIORITY = [
     #                 decontamination, P21 export order, T48 multi-touch
     #                 attribution, M10 frame dedup, S14 snapshot diff)
     #                 plus the FIVE r9 additions (O81 stream forecast, X18
-    #                 unigram surprisal, D32 Bloom gate + D33 streaming
-    #                 build, P23 nightly dup groups, M11 stream media
-    #                 dedup) — slots 1-25.
+    #                 unigram surprisal, X19 distribution drift, D32
+    #                 Bloom gate + D33 streaming build, P23 nightly dup
+    #                 groups, M11 stream media dedup) — slots 1-26.
     "stream_burn_rate",
     "obs_forecast_linear",
     "text_length_percentiles",
@@ -1048,7 +1048,8 @@ _PRIORITY = [
     "dup_groups_nightly",
     "stream_media_dedup_ingest",
     "stream_bloom_build",
-    #   slots 26-36 — entries whose CODE changed in r9 since their last
+    "text_distribution_drift",
+    #   slots 27-37 — entries whose CODE changed in r9 since their last
     #                 driver row: the integer-DIV bin index (O40), the
     #                 distributed-rank promotions (T39/T40/P14/O30/O57),
     #                 the media_fingerprints factor-out (M8), and the
@@ -1065,9 +1066,10 @@ _PRIORITY = [
     "mm_shard_manifest",
     "mm_media_sample",
     "pack_sequences_distributed",
-    #   slots 37-50 — oldest-evidence backfill (r4-aged) in ledger order
-    #                 (obs_executor_concurrency yields its slot to the
-    #                 never-checked D33 per the rotation contract).
+    #   slots 38-50 — oldest-evidence backfill (r4-aged) in ledger order
+    #                 (obs_executor_concurrency and obs_skew_exemplars
+    #                 yield their slots to the never-checked D33/X19 per
+    #                 the rotation contract).
     "obs_error_rate_moving_avg",
     "obs_alert_rules",
     "asof_join_attribution",
@@ -1081,7 +1083,6 @@ _PRIORITY = [
     "source_compaction_report",
     "source_retention_report",
     "skew_salted_sum",
-    "obs_skew_exemplars",
 ]
 
 

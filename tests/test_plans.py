@@ -291,9 +291,9 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r9 rotation: 37 sql + 13 rows-only (25 never-checked — the 19
-    # post-finalization r8 additions + the 6 r9 additions — then 11
-    # code-changed re-exposures, then 14 r4-aged backfill; see the
+    # r9 rotation: 37 sql + 13 rows-only (26 never-checked — the 19
+    # post-finalization r8 additions + the 7 r9 additions — then 11
+    # code-changed re-exposures, then 13 r4-aged backfill; see the
     # _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 37, f"{n_sql} sql-backed entries in the driver window"
@@ -327,6 +327,7 @@ def test_driver_window_composition():
         "dup_groups_nightly",
         "stream_media_dedup_ingest",
         "stream_bloom_build",
+        "text_distribution_drift",
         "obs_value_histogram",
         "customers_abc_pareto",
         "customers_rfm_segments",
@@ -340,7 +341,7 @@ def test_driver_window_composition():
         "pack_sequences_distributed",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 14 r4-aged oldest-evidence entries must all be inside the window:
+    # the 13 r4-aged oldest-evidence entries must all be inside the window:
     for expected in (
         "obs_error_rate_moving_avg",
         "obs_alert_rules",
@@ -355,7 +356,6 @@ def test_driver_window_composition():
         "source_compaction_report",
         "source_retention_report",
         "skew_salted_sum",
-        "obs_skew_exemplars",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresh already-green entries must NOT re-occupy scarce slots
