@@ -969,12 +969,16 @@ def dedup_prefix_filter(
     Prefix length is all-integer (``n − (pct·n + 99) DIV 100 + 1``);
     full hash-exact DuckDB oracle mirrors the same algorithm.
 
-    SCALE_r8 attribution: measured candidate growth on the decorrelated
-    10× replica is SUB-linear (143,577 → 1,265,166 pairs, 8.8× on 10×
-    docs), and every stage (checkpoint, df count, rank shuffle, prefix
-    join, array verify) is linear in corpus or candidate volume — the
-    cold-first-pass ratio in the artifact carries the same one-time
-    shingle-codegen JIT constant attributed on D30.
+    SCALE_r9 attribution (stage-level, measured from this operator's own
+    :func:`prefix_filter_candidates` stage in tools/scale_stress.py): on
+    the decorrelated 10× replica candidates grow 8.81× (143,577 →
+    1,265,166) and verified output 9.7× (695 → 6,752), while the WARM
+    runtime ratio is 5.5× — runtime grows slower than the work the
+    threshold semantics create, i.e. per-candidate cost falls with
+    scale; the cold first pass additionally carries the one-time
+    shingle-codegen JIT constant attributed on D30. Every stage
+    (checkpoint, df count, rank shuffle, prefix join, array verify) is
+    linear in corpus or candidate volume.
     """
     pre = base if base is not None else _shingle_base(documents)
     base = pre.select(
