@@ -2192,16 +2192,31 @@ def metric_correlation(tm: DataFrame) -> DataFrame:
     sqrt is IEEE-754 correctly-rounded (unlike ln — the reason X12/X14
     avoid logs but r can keep its sqrt) so the hash compare stays exact.
     """
+    return metric_correlation_tail(metric_hour_buckets(tm))
+
+
+def metric_hour_buckets(tm: DataFrame) -> DataFrame:
+    """O64's finest-grain partial: (hour_ms, event_type, v) BIGINT cent
+    sums — the ONE pass over raw events. Sums are ADDITIVE, so the
+    streaming twin O82 emits these per micro-batch and merges by
+    summation; single definition of the bucketing."""
     hour = F.expr("metric_time_ms DIV 3600000 * 3600000")
-    buckets = (
+    return (
         tm.select(
             hour.alias("hour_ms"),
             "event_type",
             F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
         )
         .groupBy("hour_ms", "event_type")
-        .agg(F.sum("x").alias("v"))
+        .agg(F.sum("x").cast("long").alias("v"))
     )
+
+
+def metric_correlation_tail(buckets: DataFrame) -> DataFrame:
+    """O64's pair join + Pearson extraction over (hour_ms, event_type, v)
+    bucket rows — split out (the O68/O71/O75/O81 tail convention) so the
+    streaming twin O82 applies the IDENTICAL arithmetic to its merged
+    per-batch bucket partials."""
     a = buckets.select(
         "hour_ms", F.col("event_type").alias("type_a"), F.col("v").alias("va")
     )

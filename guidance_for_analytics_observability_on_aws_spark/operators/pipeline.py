@@ -1579,3 +1579,65 @@ def decontaminate_neardup(
             F.col("n_shared") / F.col("n_bench_shingles"),
         )
     )
+
+
+def mixture_soft_dedup(documents: DataFrame) -> DataFrame:
+    """P24: SOFT dedup applied at sampling time — the middle ground
+    between keep-everything and D1's hard drop (the RefinedWeb /
+    data-constrained-scaling recipe: repeated content carries SOME
+    signal, so a duplicate CLUSTER should contribute ~one copy's worth
+    of tokens in expectation, not n and not necessarily the same one
+    every epoch): each doc in an n-copy exact-dup cluster is kept with
+    probability 1/n by the DETERMINISTIC hash rule
+    ``md5(doc_id # text) % n == 0`` — content-independent across
+    re-crawls of the SELECTION (the P1/P2 determinism contract: a rerun
+    keeps exactly the same docs), unbiased across cluster members
+    (unlike keep-min-doc_id, which always favors the earliest crawl),
+    and expectation-exact (Σ 1/n over n members = 1). Unique docs are
+    always kept — ``md5 % 1 == 0`` identically, surfaced as the pinned
+    ``all_unique_kept`` invariant.
+
+    Per-source report: doc/dup counts, kept counts, BIGINT token mass
+    before/after, one try_divide share. Scale shape: one fingerprint
+    aggregation (cluster sizes ≪ corpus), one broadcast-sized join back?
+    no — the join keys on the fingerprint itself (cluster table can be
+    corpus-sized at 100 TB: shuffle equi-join, never broadcast), then
+    one map-side-combined rollup. Full hash-exact oracle.
+    """
+    from ..functions.hashing import md5_int
+    from ..functions.text import corpus, tokens
+
+    c = corpus(documents).select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5("text").alias("fp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    clusters = c.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+    scored = c.join(clusters, "fp").withColumn(
+        "kept",
+        (
+            F.pmod(
+                md5_int(F.concat_ws("#", F.col("doc_id").cast("string"), "text"), 13),
+                F.col("n_copies"),
+            )
+            == 0
+        ).cast("long"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_copies") >= 2).cast("long")).cast("long").alias("n_dup_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("n_copies") >= 2, F.col("kept")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum(F.col("n_tokens") * F.col("kept")).cast("long").alias("tokens_after"),
+        (
+            F.sum(F.when(F.col("n_copies") == 1, 1 - F.col("kept")).otherwise(0)) == 0
+        ).alias("all_unique_kept"),
+        F.try_divide(
+            F.sum(F.col("n_tokens") * F.col("kept")), F.sum("n_tokens")
+        ).alias("token_kept_share"),
+    )

@@ -555,3 +555,43 @@ SELECT *,
 FROM scored
 WHERE n_shared * 100 >= 80 * n_bench_shingles
 """
+
+
+# P24: soft dedup at sampling time — per-doc keep rule
+# md5(doc_id # text) % n_copies == 0 (pmod; md5 hashes are non-negative so
+# % == pmod), per-source token-mass report.
+from ..functions.text import CORPUS_CTE as _CORPUS_CTE  # noqa: E402
+
+PIPELINE_ORACLES["mixture_soft_dedup"] = f"""
+WITH {_CORPUS_CTE},
+keyed AS (
+  SELECT doc_id, source, text, md5(text) AS fp,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+clusters AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies FROM keyed GROUP BY 1
+),
+scored AS (
+  SELECT k.*, c.n_copies,
+         CASE WHEN {md5_int_sql("concat_ws('#', CAST(doc_id AS VARCHAR), text)", 13)}
+                   % c.n_copies = 0
+              THEN 1 ELSE 0 END AS kept
+  FROM keyed k JOIN clusters c USING (fp)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN n_copies >= 2 THEN kept ELSE 0 END) AS BIGINT)
+         AS n_dup_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_tokens * kept) AS BIGINT) AS tokens_after,
+       SUM(CASE WHEN n_copies = 1 THEN 1 - kept ELSE 0 END) = 0
+         AS all_unique_kept,
+       CAST(SUM(n_tokens * kept) AS DOUBLE) / NULLIF(SUM(n_tokens), 0)
+         AS token_kept_share
+FROM scored
+GROUP BY source
+"""

@@ -1022,7 +1022,8 @@ _PRIORITY = [
     #                 plus the FIVE r9 additions (O81 stream forecast, X18
     #                 unigram surprisal, X19 distribution drift, D32
     #                 Bloom gate + D33 streaming build, P23 nightly dup
-    #                 groups, M11 stream media dedup) — slots 1-26.
+    #                 groups, M11 stream media dedup, P24 soft dedup,
+    #                 O82 stream metric correlation) — slots 1-28.
     "stream_burn_rate",
     "obs_forecast_linear",
     "text_length_percentiles",
@@ -1049,7 +1050,9 @@ _PRIORITY = [
     "stream_media_dedup_ingest",
     "stream_bloom_build",
     "text_distribution_drift",
-    #   slots 27-37 — entries whose CODE changed in r9 since their last
+    "mixture_soft_dedup",
+    "stream_metric_correlation",
+    #   slots 29-40 — entries whose CODE changed in r9 since their last
     #                 driver row: the integer-DIV bin index (O40), the
     #                 distributed-rank promotions (T39/T40/P14/O30/O57),
     #                 the media_fingerprints factor-out (M8), and the
@@ -1066,10 +1069,13 @@ _PRIORITY = [
     "mm_shard_manifest",
     "mm_media_sample",
     "pack_sequences_distributed",
-    #   slots 38-50 — oldest-evidence backfill (r4-aged) in ledger order
-    #                 (obs_executor_concurrency and obs_skew_exemplars
-    #                 yield their slots to the never-checked D33/X19 per
-    #                 the rotation contract).
+    "obs_metric_correlation",
+    #   slots 41-50 — oldest-evidence backfill (r4-aged) in ledger order
+    #                 (obs_executor_concurrency, obs_skew_exemplars,
+    #                 skew_salted_sum and the compaction/retention
+    #                 reports yield their slots to the never-checked
+    #                 D33/X19/P24/O82 + the O64 re-exposure per the
+    #                 rotation contract).
     "obs_error_rate_moving_avg",
     "obs_alert_rules",
     "asof_join_attribution",
@@ -1080,9 +1086,6 @@ _PRIORITY = [
     "similarity_ivf_multiprobe",
     "text_top_terms",
     "mm_resize",
-    "source_compaction_report",
-    "source_retention_report",
-    "skew_salted_sum",
 ]
 
 
@@ -1438,6 +1441,29 @@ _register(
     lambda s, d: textops.text_unigram_surprisal(load_tables(s, d)["documents"]),
     TEXT_ORACLES["text_unigram_surprisal"],
 )
+
+
+# P24 (r9): soft dedup at sampling time — each n-copy cluster contributes
+# ~one copy in expectation via a deterministic per-doc hash keep rule;
+# unique docs always kept (pinned invariant); per-source token-mass report.
+_register(
+    "mixture_soft_dedup",
+    lambda s, d: pipeline.mixture_soft_dedup(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["mixture_soft_dedup"],
+)
+
+
+# Rows-only: O82 (r9) — streaming twin of O64 metric correlation: additive
+# (hour, type) cent-sum bucket partials via the shared metric_hour_buckets,
+# merged by summation through the shared metric_correlation_tail;
+# bit-identity with batch O64 pinned (including the IEEE sqrt pearson_r).
+def _stream_metric_correlation(s, d):
+    from ..streaming.collector import run_streaming_metric_correlation
+
+    return run_streaming_metric_correlation(s, d)
+
+
+_register("stream_metric_correlation", _stream_metric_correlation, None)
 
 
 # X19 (r9): token-distribution drift between committed corpus and arriving

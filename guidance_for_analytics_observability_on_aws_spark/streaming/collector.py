@@ -1463,3 +1463,48 @@ def run_streaming_bloom_build(
     return _collected_and_cleaned(
         spark, bloom_audit(new_docs, merged, old_keys), work
     )
+
+
+def run_streaming_metric_correlation(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> DataFrame:
+    """O82: pairwise metric correlation ON INGEST — the streaming twin of
+    O64: the (hour, type) cent sums feeding the Pearson statistics are
+    ADDITIVE, so each micro-batch appends its bucket partials (the shared
+    ``metric_hour_buckets`` — one definition with batch O64), the final
+    pass merges by summation, and the shared ``metric_correlation_tail``
+    turns the merged buckets into the identical pair statistics and
+    correlations. Zero keyed state (the O66/O72/O81 pattern); partial
+    volume bounded by hours × types per batch. Every output column —
+    including the IEEE sqrt-based pearson_r — is BIT-identical to batch
+    O64 (pinned in ``tests/test_streaming.py``).
+    """
+    from ..operators.observability import (
+        metric_correlation_tail,
+        metric_hour_buckets,
+    )
+
+    work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_corr_")
+    out = out_dir or work
+
+    def _partials(batch_df: DataFrame, batch_id: int) -> None:
+        metric_hour_buckets(batch_df).write.mode("append").parquet(
+            f"{out}/buckets"
+        )
+
+    tm = task_metrics(events_stream(spark, sf_dir))
+    q = (
+        tm.writeStream.foreachBatch(_partials)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(f"{out}/buckets")
+        .groupBy("hour_ms", "event_type")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    return _collected_and_cleaned(
+        spark, metric_correlation_tail(merged), work
+    )

@@ -3058,3 +3058,31 @@ def test_distribution_drift_bounds(spark):
     assert got["src_disj"].n_gained_types == 2 and got["src_disj"].n_lost_types == 2
     assert got["src_only_old"].tv_distance is None
     assert got["src_only_old"].n_lost_types == 2
+
+
+def test_soft_dedup_contracts(spark, sf_dir):
+    """P24: unique docs always kept; duplicate-cluster keeps bounded by
+    cluster membership; token masses reconcile; reruns identical; and on
+    the real corpus the dup keep-rate sits near the 1/n expectation
+    (loose band — the rule is deterministic, not random)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        mixture_soft_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r.source: r for r in mixture_soft_dedup(docs).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.all_unique_kept
+        assert 0 <= r.n_dup_kept <= r.n_dup_docs
+        assert r.n_kept == (r.n_docs - r.n_dup_docs) + r.n_dup_kept
+        assert r.tokens_after <= r.tokens_before
+    total_dup = sum(r.n_dup_docs for r in rows.values())
+    total_dup_kept = sum(r.n_dup_kept for r in rows.values())
+    assert total_dup > 0  # planted exact copies form 2-copy clusters
+    # 2-copy clusters dominate → expectation ≈ half of dup docs kept
+    assert 0.2 * total_dup <= total_dup_kept <= 0.8 * total_dup
+    again = {r.source: r for r in mixture_soft_dedup(docs).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

@@ -291,12 +291,12 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r9 rotation: 37 sql + 13 rows-only (26 never-checked — the 19
-    # post-finalization r8 additions + the 7 r9 additions — then 11
-    # code-changed re-exposures, then 13 r4-aged backfill; see the
+    # r9 rotation: 38 sql + 12 rows-only (28 never-checked — the 19
+    # post-finalization r8 additions + the 9 r9 additions — then 12
+    # code-changed re-exposures, then 10 r4-aged backfill; see the
     # _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 37, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 38, f"{n_sql} sql-backed entries in the driver window"
     # every never-driver-checked entry leads; then every entry whose code
     # changed in r9 since its last driver row (DIV bin index, the
     # distributed-rank promotions, media_fingerprints factor-out, the
@@ -328,6 +328,8 @@ def test_driver_window_composition():
         "stream_media_dedup_ingest",
         "stream_bloom_build",
         "text_distribution_drift",
+        "mixture_soft_dedup",
+        "stream_metric_correlation",
         "obs_value_histogram",
         "customers_abc_pareto",
         "customers_rfm_segments",
@@ -339,9 +341,10 @@ def test_driver_window_composition():
         "mm_shard_manifest",
         "mm_media_sample",
         "pack_sequences_distributed",
+        "obs_metric_correlation",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 13 r4-aged oldest-evidence entries must all be inside the window:
+    # the 10 r4-aged oldest-evidence entries must all be inside the window:
     for expected in (
         "obs_error_rate_moving_avg",
         "obs_alert_rules",
@@ -353,9 +356,6 @@ def test_driver_window_composition():
         "similarity_ivf_multiprobe",
         "text_top_terms",
         "mm_resize",
-        "source_compaction_report",
-        "source_retention_report",
-        "skew_salted_sum",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresh already-green entries must NOT re-occupy scarce slots

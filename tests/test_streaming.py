@@ -1087,3 +1087,33 @@ def test_bloom_words_merge_idempotent(spark, sf_dir):
     )
     twice = {(r.word_idx, r.bits) for r in redelivered.collect()}
     assert once == twice and once
+
+
+def test_streaming_metric_correlation_matches_batch(spark, sf_dir):
+    """O82: merged additive (hour, type) bucket partials + the shared
+    correlation tail must reproduce batch O64 BIT-identically, including
+    the IEEE sqrt-based pearson_r."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.observability import (
+        metric_correlation,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_metric_correlation,
+    )
+
+    got = sorted(
+        (
+            tuple(r)
+            for r in run_streaming_metric_correlation(spark, sf_dir).collect()
+        ),
+        key=str,
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in metric_correlation(
+                task_metrics(spark.read.parquet(f"{sf_dir}/events.parquet"))
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want and got
