@@ -251,14 +251,22 @@ def main() -> None:
     # is committed per round and carries its own regression note vs the
     # previous run's minima (minima, not first-pass — first-pass noise is
     # JIT + session churn).
+    # Per-scale file: an off-scale run (e.g. a quick sf0.01 check) must
+    # never overwrite the committed sf0.1 baseline the regression note
+    # compares against — it writes its own suffixed artifact instead.
+    fname = (
+        "BENCH_PERQUERY.json"
+        if totals["sf"] == 0.1
+        else f"BENCH_PERQUERY_sf{totals['sf']}.json"
+    )
     perquery_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_PERQUERY.json"
+        os.path.dirname(os.path.abspath(__file__)), fname
     )
     prev_min: dict[str, float] = {}
     try:
         with open(perquery_path) as fh:
             prev = json.load(fh)
-        if prev.get("sf") == totals["sf"]:  # never compare across scales
+        if prev.get("sf") == totals["sf"]:  # belt-and-braces scale guard
             prev_min = prev.get("sql_sec_min", {})
     except (OSError, ValueError):
         pass
@@ -286,7 +294,7 @@ def main() -> None:
             fh,
             indent=1,
         )
-    totals["perquery_file"] = "BENCH_PERQUERY.json"
+    totals["perquery_file"] = fname
     totals["n_regressed"] = len(regressions)
     totals["top_regressions"] = [
         [n, p, c] for n, p, c in regressions[:3]

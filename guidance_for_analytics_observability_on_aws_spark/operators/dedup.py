@@ -1086,11 +1086,22 @@ def dedup_bloom_gate(
     """
     from ..functions.text import corpus
 
-    c = corpus(documents).select("doc_id", "source", F.md5("text").alias("key"))
+    # checkpoint the keyed corpus: it feeds the filter build, the probe
+    # input AND the exact-truth join — without it the corpus() union
+    # subtree re-scans documents once per use in a single action.
+    c = bloom_keys(corpus(documents)).localCheckpoint(eager=True)
     old_keys = c.filter(F.col("doc_id") < boundary).select("key").distinct()
     words = bloom_words(old_keys, m_bits=m_bits)
     new_docs = c.filter(F.col("doc_id") >= boundary)
     return bloom_audit(new_docs, words, old_keys, m_bits=m_bits)
+
+
+def bloom_keys(corpused: DataFrame) -> DataFrame:
+    """D32's key derivation over an ALREADY-corpus'd frame — (doc_id,
+    source, key=md5(text)); split out so the streaming twin D33 keys
+    arriving batches with the IDENTICAL definition (the
+    media_fingerprints/bloom_words single-definition discipline)."""
+    return corpused.select("doc_id", "source", F.md5("text").alias("key"))
 
 
 #: Bloom word width: 1<<bit stays positive in a signed BIGINT at 32.

@@ -315,6 +315,25 @@ def _ranked_with_n(
     return ranked.join(F.broadcast(counts), parts)
 
 
+def _global_desc_ranked(
+    df: DataFrame, value_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Global rank 1..N by ``value_col`` DESC (``tiebreak_col`` asc)
+    through the distributed two-phase rank — the shared adapter the
+    top-k leaderboard operators (O30/O57) route instead of each
+    repeating the constant-group + negated-key + rn→rank boilerplate
+    (T39/P14 instead use the multi-value :func:`~..pipeline._prefix_sum`
+    directly, which IS their shared path — they also need a running sum
+    in the same pass)."""
+    ranked = _ranked_with_n(
+        df.withColumn("_g", F.lit(1)).withColumn("_negv", -F.col(value_col)),
+        "_g",
+        ["_negv", tiebreak_col],
+        distributed=True,
+    )
+    return ranked.withColumn("rank", F.col("rn").cast("long")).drop("_g", "_negv")
+
+
 def _ntile_from_rank(k: int):
     """Spark's ``ntile(k)`` recomputed from the :func:`_ranked_with_n`
     contract columns ``rn``/``n`` in pure integer arithmetic — so NTILE
@@ -988,12 +1007,7 @@ def cms_topk(
         .agg(F.min("c").alias("est_n"))
     )
     if distributed:
-        ranked = _ranked_with_n(
-            est.withColumn("_g", F.lit(1)).withColumn("_neg_est", -F.col("est_n")),
-            "_g",
-            ["_neg_est", "key"],
-            distributed=True,
-        ).withColumn("rank", F.col("rn").cast("long"))
+        ranked = _global_desc_ranked(est, "est_n", "key")
     else:
         w = Window.orderBy(F.col("est_n").desc(), F.col("key"))
         ranked = est.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1801,16 +1815,11 @@ def top_movers(
         F.count(F.lit(1)).alias("n_tasks"),
     )
     delta = F.col("second_half_ms") - F.col("first_half_ms")
-    with_delta = agg.withColumn("delta_ms", delta)
+    with_delta = agg.withColumn("delta_ms", delta).withColumn(
+        "_abs_delta", F.abs(F.col("delta_ms"))
+    )
     if distributed:
-        ranked = _ranked_with_n(
-            with_delta.withColumn("_g", F.lit(1)).withColumn(
-                "_neg_abs", -F.abs(F.col("delta_ms"))
-            ),
-            "_g",
-            ["_neg_abs", "executor_id"],
-            distributed=True,
-        ).withColumn("rank", F.col("rn").cast("long"))
+        ranked = _global_desc_ranked(with_delta, "_abs_delta", "executor_id")
     else:
         w = Window.orderBy(F.abs(F.col("delta_ms")).desc(), "executor_id")
         ranked = with_delta.withColumn("rank", F.row_number().over(w).cast("long"))

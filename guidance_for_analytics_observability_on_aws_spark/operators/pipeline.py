@@ -1155,7 +1155,14 @@ def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFra
             v = commit_append(batch, docs_tbl)
             added = [f for f in manifest_files(docs_tbl, v) if f not in doc_files]
             doc_files.update(added)
-            delta = spark.read.parquet(*added)  # S14: the commit's rows
+            # S14: the commit's rows = only the added files; an empty
+            # commit (no files) must report an empty night, not crash
+            # spark.read.parquet() with zero paths.
+            delta = (
+                spark.read.parquet(*added)
+                if added
+                else spark.createDataFrame([], batch.schema)
+            )
             batch_bands = band_buckets(
                 minhash_signatures(None, base=shingle_base(delta))
             ).localCheckpoint(eager=True)

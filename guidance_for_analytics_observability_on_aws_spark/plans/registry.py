@@ -1010,7 +1010,7 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-24  — every entry with NO driver row: the NINETEEN
+    #   slots 1-28  — every entry with NO driver row: the NINETEEN
     #                 post-finalization r8 additions the r8 verdict flagged
     #                 (O73 stream burn-rate, O74 forecast, X15 length
     #                 percentiles, O75 histogram rollup + O76 twin, D31
@@ -1019,11 +1019,11 @@ _PRIORITY = [
     #                 RED panel + O80 twin, X17 dup fraction, P22 near-dup
     #                 decontamination, P21 export order, T48 multi-touch
     #                 attribution, M10 frame dedup, S14 snapshot diff)
-    #                 plus the FIVE r9 additions (O81 stream forecast, X18
-    #                 unigram surprisal, X19 distribution drift, D32
-    #                 Bloom gate + D33 streaming build, P23 nightly dup
-    #                 groups, M11 stream media dedup, P24 soft dedup,
-    #                 O82 stream metric correlation) — slots 1-28.
+    #                 plus the NINE r9 additions (O81 stream forecast, O82
+    #                 stream metric correlation, X18 unigram surprisal,
+    #                 X19 distribution drift, D32 Bloom gate + D33
+    #                 streaming build, P23 nightly dup groups, P24 soft
+    #                 dedup, M11 stream media dedup).
     "stream_burn_rate",
     "obs_forecast_linear",
     "text_length_percentiles",

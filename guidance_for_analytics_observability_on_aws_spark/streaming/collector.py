@@ -1221,13 +1221,20 @@ def run_streaming_red_panel(
     percentile can honestly offer. ``bin_width_ms`` is the explicit
     precision knob, and the tradeoff is SURFACED per row: each
     percentile carries ``pXX_err_bound_ms`` = the O75 bin-width
-    guarantee (the true order statistic lies in
-    ``[pXX_lo, pXX_lo + err_bound]``; pinned against batch-exact values
-    in tests). The bound is NULL exactly when the percentile landed in
-    the clamped overflow bin (values ≥ ``(n_bins-1)·width`` share one
-    bin, so no upper bound can honestly be claimed there) — a dashboard
-    consumer sees per row whether the ±width guarantee holds or the
-    panel needs more bins.
+    guarantee — the exact order statistic at the tail's OWN rank
+    convention (the ``ceil(p·n/100)``-th value, the rank
+    ``histogram_percentile_tail``'s bin selection targets) lies in
+    ``[pXX_lo, pXX_lo + err_bound]``, pinned in tests against the
+    batch-exact value at that rank. Note the convention delta vs batch
+    O79, which reports the LOWER order statistic at 0-based rank
+    ``floor((n-1)·p)`` — the two ranks can differ by one, so the bound
+    is a guarantee about this panel's statistic, not a containment
+    claim for O79's column (the panels also report different points:
+    p95 here vs p75 there). The bound is NULL exactly when the
+    percentile landed in the clamped overflow bin (values ≥
+    ``(n_bins-1)·width`` share one bin, so no upper bound can honestly
+    be claimed there) — a dashboard consumer sees per row whether the
+    ±width guarantee holds or the panel needs more bins.
     """
     from ..operators.observability import histogram_percentile_tail
 
@@ -1422,7 +1429,7 @@ def run_streaming_bloom_build(
     volume bounded by m/32 words per batch.
     """
     from ..functions.text import corpus
-    from ..operators.dedup import bloom_audit, bloom_words
+    from ..operators.dedup import bloom_audit, bloom_keys, bloom_words
 
     work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_bloom_")
     out = out_dir or work
@@ -1432,11 +1439,9 @@ def run_streaming_bloom_build(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    old_keys_stream = (
-        corpus(stream)
-        .filter(F.col("doc_id") < corpus_boundary)
-        .select(F.md5("text").alias("key"))
-    )
+    old_keys_stream = bloom_keys(corpus(stream)).filter(
+        F.col("doc_id") < corpus_boundary
+    ).select("key")
 
     def _partials(batch_df: DataFrame, batch_id: int) -> None:
         bloom_words(batch_df).write.mode("append").parquet(f"{out}/words")
@@ -1453,9 +1458,9 @@ def run_streaming_bloom_build(
         .groupBy("word_idx")
         .agg(F.bit_or("bits").alias("bits"))
     )
-    static = corpus(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
-        "doc_id", "source", F.md5("text").alias("key")
-    )
+    static = bloom_keys(
+        corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    ).localCheckpoint(eager=True)
     old_keys = (
         static.filter(F.col("doc_id") < corpus_boundary).select("key").distinct()
     )
