@@ -1195,3 +1195,88 @@ def test_mm_frame_dedup_matches_literal_slicing(spark, texts):
             if inter >= 1:
                 want[(a, b)] = (inter, len(frames[a]), len(frames[b]))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_distribution_drift_matches_literal(spark, token_lists):
+    """X19 vs a literal Python computation on random corpora: the exact
+    integer L1, the churn counts and the TV bound 0 ≤ tv ≤ 1 — documents
+    split old/new by index parity so both sides are non-trivial."""
+    from collections import Counter
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        text_distribution_drift,
+    )
+
+    rows = [
+        # ids ≡ 1 (mod 25) on BOTH sides so corpus() plants nothing
+        # (plants fire on doc_id % 25 ∈ {0, 5, 10})
+        (
+            (1_000_101 + 50 * i) if i % 2 else (101 + 50 * i),
+            " ".join(toks),
+            "en",
+            "srcp",
+            5,
+        )
+        for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in text_distribution_drift(docs).collect()}
+    old_c: Counter = Counter()
+    new_c: Counter = Counter()
+    for i, toks in enumerate(token_lists):
+        (new_c if i % 2 else old_c).update(toks)
+    n_old, n_new = sum(old_c.values()), sum(new_c.values())
+    vocab = set(old_c) | set(new_c)
+    l1 = sum(abs(old_c[t] * n_new - new_c[t] * n_old) for t in vocab)
+    r = got["srcp"]
+    assert (r.n_old_tokens, r.n_new_tokens) == (n_old, n_new)
+    assert r.l1_scaled == l1
+    assert r.n_gained_types == sum(1 for t in vocab if not old_c[t])
+    assert r.n_lost_types == sum(1 for t in vocab if not new_c[t])
+    if n_old and n_new:
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert abs(r.tv_distance - l1 / (2.0 * n_old * n_new)) == 0.0
+    else:
+        assert r.tv_distance is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_soft_dedup_matches_literal(spark, token_lists):
+    """P24 vs a literal Python evaluation of the deterministic keep rule
+    on random corpora (including hash-collision-free cluster sizing and
+    token-mass reconciliation)."""
+    import hashlib as hl
+    from collections import Counter
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        mixture_soft_dedup,
+    )
+
+    rows = [
+        # ids ≡ 1 (mod 25) so corpus() plants nothing
+        (101 + 50 * i, " ".join(toks), "en", "srcp", 5)
+        for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = mixture_soft_dedup(docs).collect()[0]
+    texts = {did: t for did, t, _, _, _ in rows}
+    sizes = Counter(texts.values())
+    kept = {}
+    for did, t in texts.items():
+        n = sizes[t]
+        h = int(hl.md5(f"{did}#{t}".encode()).hexdigest()[:13], 16)
+        kept[did] = 1 if h % n == 0 else 0
+    n_tok = {did: len(t.split(" ")) for did, t in texts.items()}
+    assert got.n_docs == len(rows)
+    assert got.n_dup_docs == sum(1 for t in texts.values() if sizes[t] >= 2)
+    assert got.n_kept == sum(kept.values())
+    assert got.tokens_before == sum(n_tok.values())
+    assert got.tokens_after == sum(n_tok[d] * kept[d] for d in kept)
+    assert got.all_unique_kept
