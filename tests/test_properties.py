@@ -1280,3 +1280,68 @@ def test_soft_dedup_matches_literal(spark, token_lists):
     assert got.tokens_before == sum(n_tok.values())
     assert got.tokens_after == sum(n_tok[d] * kept[d] for d in kept)
     assert got.all_unique_kept
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_bloom_gate_matches_literal_bloom(spark, token_lists):
+    """D32 vs a literal Python Bloom filter on random corpora: the same
+    md5-hex position derivation, word layout and probe rule must yield
+    identical per-source flag counts — an independent implementation of
+    the whole sketch, not just the audit columns."""
+    import hashlib as hl
+    from collections import Counter
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_bloom_gate,
+    )
+
+    m = 1 << 20
+    rows = [
+        # ids ≡ 1 (mod 25) so corpus() plants nothing; even i = corpus,
+        # odd i = arriving batch
+        (
+            (1_000_101 + 50 * i) if i % 2 else (101 + 50 * i),
+            " ".join(toks),
+            "en",
+            "srcp",
+            5,
+        )
+        for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup_bloom_gate(docs).collect()
+    texts = {did: t for did, t, _, _, _ in rows}
+    old_keys = {
+        hl.md5(t.encode()).hexdigest()
+        for did, t in texts.items()
+        if did < 1_000_000
+    }
+    bits: set[int] = set()
+    for k in old_keys:
+        for i in range(4):
+            bits.add(int(k[8 * i : 8 * i + 8], 16) % m)
+    flags = Counter()
+    truth = Counter()
+    n_new = 0
+    for did, t in texts.items():
+        if did < 1_000_000:
+            continue
+        n_new += 1
+        k = hl.md5(t.encode()).hexdigest()
+        if all(int(k[8 * i : 8 * i + 8], 16) % m in bits for i in range(4)):
+            flags["f"] += 1
+        if k in old_keys:
+            truth["t"] += 1
+    if n_new == 0:
+        assert not out
+        return
+    r = out[0]
+    assert (r.n_new, r.n_flagged, r.n_true_dup) == (
+        n_new,
+        flags["f"],
+        truth["t"],
+    )
+    assert r.all_true_dups_flagged
