@@ -128,6 +128,43 @@ BENCH_QUERIES_R6 = [
 ]
 
 
+#: SURVEY §2 group of each timed query, for the per-group bench subtotals
+#: (family-level drift — e.g. r9's dedup-trio regression — must be visible
+#: in ONE diff of BENCH_PERQUERY.json, not per-query archaeology). Prefix
+#: rules cover most names; the P group (pipeline) shares prefixes with D
+#: (dedup_*) and has many bare names, so it is enumerated explicitly.
+_P_GROUP = {
+    "decontaminate", "decontaminate_neardup", "mixture_sample",
+    "mixture_epoch_plan", "mixture_soft_dedup", "incremental_dedup",
+    "train_val_split", "sample_stratified", "pack_sequences",
+    "pack_sequences_distributed", "dup_groups", "dup_groups_star",
+    "dup_groups_incremental", "dup_groups_nightly",
+    "corpus_curation_pipeline", "corpus_curation_pipeline_v2",
+    "split_leak_proof", "dataset_card_report", "filter_ablation",
+    "dedup_eval_report", "cross_source_overlap", "vocab_coverage",
+    "export_order_plan",
+}
+
+
+def query_group(name: str) -> str:
+    """SURVEY §2 group letter for a registry entry (O/S/T/D/P/X/M)."""
+    if name in _P_GROUP:
+        return "P"
+    for prefix, grp in (
+        ("obs_", "O"), ("skew_", "O"), ("stream_metrics_window", "O"),
+        ("source_", "S"),
+        ("dedup_", "D"), ("similarity_", "D"), ("embedding_", "D"),
+        ("docs_kmv", "D"),
+        ("text_", "X"), ("docs_stats", "X"),
+        ("mm_", "M"),
+    ):
+        if name.startswith(prefix):
+            return grp
+    # tpch_*, star/window/rollup/pivot/cube, events_*, orders_*,
+    # customers_*, merge_scd*, set-ops, grouping sets, asof, anti-join
+    return "T"
+
+
 def extended_names() -> list[str]:
     """The full timed list: frozen core + EVERY sql-oracled registry entry.
 
@@ -235,10 +272,24 @@ def main() -> None:
         n for n, spec in REGISTRY.items()
         if spec.oracle is None and n not in all_names
     ]
+    # Bench-only builder overrides: time the PRODUCTION path where an
+    # operator's registry runner also executes its verification oracle.
+    # P23's per-night fold==full-recompute assertion is ~2/3 of its
+    # registry-runner runtime; the driver row and pytest keep verify=True.
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups_nightly_report,
+    )
+
+    bench_builders = {
+        "dup_groups_nightly": lambda s, d: dup_groups_nightly_report(
+            s, d, verify=False
+        ),
+    }
     rows_only: dict[str, float] = {}
     for name in rows_only_names:
+        builder = bench_builders.get(name, REGISTRY[name].builder)
         t0 = time.perf_counter()
-        df = REGISTRY[name].builder(spark, sf_dir)
+        df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         rows_only[name] = round(time.perf_counter() - t0, 3)
     totals["n_rows_only"] = len(rows_only)
@@ -263,6 +314,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), fname
     )
     prev_min: dict[str, float] = {}
+    prev: dict = {}
     try:
         with open(perquery_path) as fh:
             prev = json.load(fh)
@@ -279,6 +331,25 @@ def main() -> None:
         key=lambda t: t[2] - t[1],
         reverse=True,
     )
+    # Per-group subtotals (min-pass for sql, single pass for rows-only) +
+    # a group-level regression note vs the previous run's groups.
+    group_totals: dict[str, float] = {}
+    for n, v in best.items():
+        g = query_group(n)
+        group_totals[g] = round(group_totals.get(g, 0.0) + v, 3)
+    for n, v in rows_only.items():
+        group_totals["rows_only"] = round(
+            group_totals.get("rows_only", 0.0) + v, 3
+        )
+    prev_groups = (
+        prev.get("group_totals", {}) if prev.get("sf") == totals["sf"] else {}
+    )
+    group_regressions = [
+        {"group": g, "prev": prev_groups[g], "now": v}
+        for g, v in sorted(group_totals.items())
+        if g in prev_groups and v > prev_groups[g] * 1.15
+        and v - prev_groups[g] > 1.0
+    ]
     with open(perquery_path, "w") as fh:
         json.dump(
             {
@@ -286,10 +357,12 @@ def main() -> None:
                 "sql_sec": first,
                 "sql_sec_min": best,
                 "rows_only_sec": rows_only,
+                "group_totals": group_totals,
                 "regressions_vs_prev": [
                     {"query": n, "prev_min": p, "now_min": c}
                     for n, p, c in regressions
                 ],
+                "group_regressions_vs_prev": group_regressions,
             },
             fh,
             indent=1,

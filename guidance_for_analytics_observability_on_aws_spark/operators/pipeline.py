@@ -1079,7 +1079,9 @@ def dup_groups_incremental(
     )
 
 
-def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFrame:
+def dup_groups_nightly_report(
+    spark, sf_dir: str, max_iter: int = 30, verify: bool = True
+) -> DataFrame:
     """P23: the P19 fold closed into the PRODUCTION nightly loop over
     REAL commits — P19's demo derives its "prior labels" in-process; here
     every night's state round-trips through the S10 snapshot tables the
@@ -1103,8 +1105,13 @@ def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFra
     Per night the folded labels are checked EQUAL (set equality both
     ways) to a from-scratch D3+star recompute over the night's full
     snapshot — the verification oracle only; production runs just the
-    fold. Rows-only driver check (snapshot paths are environment-local);
-    the equality verdict is also asserted in ``tests/test_pipeline.py``.
+    fold. ``verify=False`` skips that oracle (``fold_equals_full`` is
+    NULL) and is what ``bench.py`` times, so the recorded number is the
+    production fold cost, not the cost of grading it; the driver's
+    rows-only row and the suite keep ``verify=True`` with the hard
+    per-night assertion. Rows-only driver check (snapshot paths are
+    environment-local); the equality verdict is also asserted in
+    ``tests/test_operators.py``.
     """
     import shutil
     import tempfile
@@ -1220,14 +1227,19 @@ def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFra
                 ).localCheckpoint(eager=True)
             commit_append(folded, labels_tbl)
             commit_append(batch_bands, bands_tbl)
-            full = dup_labels_star(
-                None,
-                max_iter=max_iter,
-                pairs=pairs_over(read_snapshot(spark, docs_tbl, v)),
-            )
-            equal = label_sets_equal(folded, full)
-            if not equal:
-                raise AssertionError(f"night {night}: fold != full recompute")
+            if verify:
+                full = dup_labels_star(
+                    None,
+                    max_iter=max_iter,
+                    pairs=pairs_over(read_snapshot(spark, docs_tbl, v)),
+                )
+                equal = label_sets_equal(folded, full)
+                if not equal:
+                    raise AssertionError(
+                        f"night {night}: fold != full recompute"
+                    )
+            else:
+                equal = None
             report.append(
                 Row(
                     night=night,
@@ -1241,7 +1253,14 @@ def dup_groups_nightly_report(spark, sf_dir: str, max_iter: int = 30) -> DataFra
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(report)
+    # Explicit schema: with verify=False every fold_equals_full is None
+    # and inference would have nothing to type the column from.
+    return spark.createDataFrame(
+        report,
+        "night INT, docs_version INT, n_new_docs BIGINT, "
+        "n_delta_edges BIGINT, n_labeled BIGINT, n_groups BIGINT, "
+        "fold_equals_full BOOLEAN",
+    )
 
 
 def cross_source_overlap(documents: DataFrame) -> DataFrame:
