@@ -472,85 +472,115 @@ def dedup_containment_banded(
     )
 
 
-#: D25's SimHash width and banding: 60 bits (15 md5 hex chars — the widest
-#: multiple-of-4 width that stays inside a signed BIGINT in both engines)
-#: split into 4 bands of 15 bits. Pigeonhole: a pair within Hamming
+#: D25's SimHash width and banding: 64 bits (Manku et al.'s web-dedup
+#: width), represented as TWO non-negative 32-bit halves (``simhash_lo``
+#: = bits 0–31, ``simhash_hi`` = bits 32–63) because a single 64-bit
+#: value would need the sign bit of a signed BIGINT — the two-half form
+#: keeps every intermediate positive and portable across Spark (ANSI
+#: overflow checks) and DuckDB. Banding: 4 bands of 16 bits (lo low/high
+#: half-words, hi low/high half-words). Pigeonhole: a pair within Hamming
 #: distance 3 differs in ≤ 3 bits, which can touch at most 3 of the 4
-#: bands — at least one band is IDENTICAL, so the band-bucket equi-join
-#: has recall EXACTLY 1.0 for d ≤ 3 (a proof, not an LSH probability).
-SIMHASH_WIDE_BITS = 60
+#: disjoint bands — at least one band is IDENTICAL, so the band-bucket
+#: equi-join has recall EXACTLY 1.0 for d ≤ 3 (a proof, not an LSH
+#: probability). Growth model at scale: random band collisions ≈
+#: bands·N²/2^band_bits; the r11 widening from 4×15 to 4×16 bits halves
+#: the expected collision count per pair of N at no recall cost.
+SIMHASH_WIDE_BITS = 64
 SIMHASH_BANDS_W = 4
 SIMHASH_BAND_BITS = SIMHASH_WIDE_BITS // SIMHASH_BANDS_W
+_HALF_BITS = 32
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 def simhash_wide(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 60-bit token-set SimHash (D4's sign
-    aggregation widened; one distinct-token explode + one 60-column
-    conditional-sum aggregate, map-side combined)."""
+    """(doc_id, simhash_lo, simhash_hi) — 64-bit token-set SimHash as two
+    32-bit halves (D4's sign aggregation widened; one distinct-token
+    explode + one 64-column conditional-sum aggregate, map-side
+    combined). ``lo`` bits come from md5 hex chars 9–16, ``hi`` bits
+    from chars 1–8 — one md5 per token, two BIGINT extractions."""
     c = corpus(documents)
     tok = c.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
     )
     hashed = tok.select(
-        "doc_id", md5_int(F.col("token"), SIMHASH_WIDE_BITS // 4).alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h_lo"),
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h_hi"),
     )
     bit_aggs = [
         F.sum(
             F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(F.col(src), i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_WIDE_BITS)
+        ).alias(f"{pre}{i}")
+        for src, pre in (("h_lo", "l"), ("h_hi", "u"))
+        for i in range(_HALF_BITS)
     ]
     bits = hashed.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for i in range(SIMHASH_WIDE_BITS):
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.cast("long").alias("simhash"))
+
+    def _half(pre: str):
+        sim = None
+        for i in range(_HALF_BITS):
+            term = F.when(F.col(f"{pre}{i}") >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            sim = term if sim is None else sim + term
+        return sim.cast("long")
+
+    return bits.select(
+        "doc_id", _half("l").alias("simhash_lo"), _half("u").alias("simhash_hi")
+    )
 
 
 def dedup_simhash_hamming(
     documents: DataFrame, max_distance: int = 3
 ) -> DataFrame:
-    """D25: near-dup pairs at Hamming distance ≤ 3 over a 60-bit SimHash
+    """D25: near-dup pairs at Hamming distance ≤ 3 over a 64-bit SimHash
     — the BIT-distance dedup family that D4's exact-bucket grouping
     misses (one flipped bit = a different bucket; Manku et al.'s
     web-dedup formulation). Candidate generation is pigeonhole-COMPLETE
-    banding (see :data:`SIMHASH_WIDE_BITS`): 4 bands of 15 bits, any
-    pair within distance 3 shares at least one band verbatim, so the
-    band-bucket equi-join provably misses nothing; the verdict is the
-    exact popcount ``bit_count(xor(a, b)) ≤ 3`` — portable BIGINT bit
+    banding (see :data:`SIMHASH_WIDE_BITS`): 4 disjoint bands of 16
+    bits, any pair within distance 3 shares at least one band verbatim,
+    so the band-bucket equi-join provably misses nothing; the verdict is
+    the exact popcount ``bit_count(xor(lo_a, lo_b)) + bit_count(xor(
+    hi_a, hi_b)) ≤ 3`` over the two 32-bit halves — portable BIGINT bit
     ops, so the whole operator carries a hash-exact oracle.
 
     Scale shape: signature pass is one aggregate; candidates form only
-    inside (band, 15-bit value) buckets — expected random collisions per
-    band ≈ N²/2³² at the driver widths, plus the true near-dups; for
-    larger corpora widen the hash and band count (Manku's 64-bit/the
-    permuted-table family) — the growth model is collisions ≈
-    bands·N²/2^band_bits, documented here because banding trades bucket
-    cardinality for the pigeonhole guarantee.
+    inside (band, 16-bit value) buckets — expected random collisions
+    ≈ bands·N²/2^band_bits plus the true near-dups (the r11 widening
+    from 15- to 16-bit bands halved that coefficient with the
+    completeness proof untouched); for still-larger corpora split
+    buckets further on a surrogate key — recall survives any refinement
+    of the band key because completeness needs only that equal bands
+    collide.
     """
     sigs = simhash_wide(documents)
+    band_exprs = []
+    for j in range(SIMHASH_BANDS_W):
+        src = "simhash_lo" if j < 2 else "simhash_hi"
+        shift = (j % 2) * SIMHASH_BAND_BITS
+        band_exprs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("band"),
+                F.shiftright(F.col(src), shift)
+                .bitwiseAND(F.lit(_BAND_MASK))
+                .alias("band_val"),
+            )
+        )
     bands = sigs.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("long").alias("band"),
-                        F.shiftright(F.col("simhash"), j * SIMHASH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-                        .alias("band_val"),
-                    )
-                    for j in range(SIMHASH_BANDS_W)
-                ]
-            )
-        ).alias("b"),
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(F.array(*band_exprs)).alias("b"),
     ).select(
         "doc_id",
-        "simhash",
+        "simhash_lo",
+        "simhash_hi",
         F.col("b.band").alias("band"),
         F.col("b.band_val").alias("band_val"),
     )
@@ -568,19 +598,18 @@ def dedup_simhash_hamming(
         )
         .agg(
             F.count(F.lit(1)).alias("n_shared_bands"),
-            F.min(F.col("a.simhash")).alias("sim_a"),
-            F.min(F.col("b.simhash")).alias("sim_b"),
+            F.min(F.col("a.simhash_lo")).alias("lo_a"),
+            F.min(F.col("a.simhash_hi")).alias("hi_a"),
+            F.min(F.col("b.simhash_lo")).alias("lo_b"),
+            F.min(F.col("b.simhash_hi")).alias("hi_b"),
         )
     )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("long")
     return (
-        pairs.select(
-            "doc_a",
-            "doc_b",
-            "n_shared_bands",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-            .cast("long")
-            .alias("hamming"),
-        )
+        pairs.select("doc_a", "doc_b", "n_shared_bands", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_distance)
     )
 

@@ -551,15 +551,21 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, d2q FROM ranked WHERE rank <= 5
 """
 
-# D25: Hamming-distance SimHash pairs — 60-bit signature (15 md5 hex
-# chars), 4×15-bit pigeonhole-complete bands, exact popcount verdict;
-# mirrors operators/dedup.py::dedup_simhash_hamming bit-for-bit.
-_BIT_SUMS_60 = ",\n         ".join(
-    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
-    for i in range(60)
+# D25: Hamming-distance SimHash pairs — 64-bit signature carried as TWO
+# non-negative 32-bit halves (lo = md5 hex chars 9-16, hi = chars 1-8;
+# a single 64-bit value would need a signed BIGINT's sign bit), 4×16-bit
+# pigeonhole-complete bands, exact two-half popcount verdict; mirrors
+# operators/dedup.py::dedup_simhash_hamming bit-for-bit.
+_BIT_SUMS_64 = ",\n         ".join(
+    f"SUM(CASE WHEN (h_{half} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS {pre}{i}"
+    for half, pre in (("lo", "l"), ("hi", "u"))
+    for i in range(32)
 )
-_SIM_EXPR_60 = " + ".join(
-    f"CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(60)
+_SIM_LO_EXPR = " + ".join(
+    f"CASE WHEN l{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32)
+)
+_SIM_HI_EXPR = " + ".join(
+    f"CASE WHEN u{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(32)
 )
 
 DEDUP_ORACLES["dedup_simhash_hamming"] = f"""
@@ -568,33 +574,45 @@ tok AS (
   SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text, '\\s+'))) AS token
   FROM corpus
 ),
-hashed AS (SELECT doc_id, {md5_int_sql("token", 15)} AS h FROM tok),
+hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS h_lo,
+         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h_hi
+  FROM tok
+),
 bits AS (
   SELECT doc_id,
-         {_BIT_SUMS_60}
+         {_BIT_SUMS_64}
   FROM hashed GROUP BY 1
 ),
-sh AS (SELECT doc_id, CAST({_SIM_EXPR_60} AS BIGINT) AS simhash FROM bits),
+sh AS (
+  SELECT doc_id,
+         CAST({_SIM_LO_EXPR} AS BIGINT) AS simhash_lo,
+         CAST({_SIM_HI_EXPR} AS BIGINT) AS simhash_hi
+  FROM bits
+),
 bands AS (
-  SELECT doc_id, simhash,
+  SELECT doc_id, simhash_lo, simhash_hi,
          unnest([0, 1, 2, 3]) AS band,
-         unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
-                 (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS band_val
+         unnest([(simhash_lo >> 0) & 65535, (simhash_lo >> 16) & 65535,
+                 (simhash_hi >> 0) & 65535, (simhash_hi >> 16) & 65535]) AS band_val
   FROM sh
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
-         MIN(a.simhash) AS sim_a, MIN(b.simhash) AS sim_b
+         MIN(a.simhash_lo) AS lo_a, MIN(a.simhash_hi) AS hi_a,
+         MIN(b.simhash_lo) AS lo_b, MIN(b.simhash_hi) AS hi_b
   FROM bands a
   JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared_bands,
-       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming
 FROM pairs
-WHERE bit_count(xor(sim_a, sim_b)) <= 3
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 3
 """
 
 # D26: KMV cross-source overlap — two-phase k-minimum exactly as the

@@ -1678,12 +1678,16 @@ def test_simhash_hamming_finds_plants_and_is_pigeonhole_complete(spark, sf_dir):
     # plants: exact copy (+1M) and reversal (+2M) share the token set
     assert any(b - a == 1000000 for a, b in got)
     assert any(b - a == 2000000 for a, b in got)
-    # completeness: brute-force over collected signatures
+    # completeness: brute-force over collected signatures (64-bit hash as
+    # two 32-bit halves — hamming is the sum of the half popcounts)
     sigs = simhash_wide(docs).collect()
     want = set()
     for i, r1 in enumerate(sigs):
         for r2 in sigs[i + 1:]:
-            if bin(r1.simhash ^ r2.simhash).count("1") <= 3:
+            d = bin(r1.simhash_lo ^ r2.simhash_lo).count("1") + bin(
+                r1.simhash_hi ^ r2.simhash_hi
+            ).count("1")
+            if d <= 3:
                 a, b = sorted((r1.doc_id, r2.doc_id))
                 want.add((a, b))
     assert got == want, (len(got), len(want))
