@@ -1221,3 +1221,95 @@ def bloom_audit(
             F.sum((F.col("is_dup") == 0).cast("long")),
         ).alias("fp_rate"),
     )
+
+
+#: D34 default span width — Lee et al. 2022 ("Deduplicating Training Data
+#: Makes Language Models Better") remove any 50-token span that occurs
+#: more than once in the corpus. The registry runner uses 16 (the driver
+#: corpus averages ~54 tokens/doc, so 50-token spans would only exercise
+#: the longest docs); width is a parameter, the plan shape is identical.
+REPEATED_SPAN_TOKENS = 50
+
+
+def dedup_repeated_spans(
+    documents: DataFrame, span_tokens: int = REPEATED_SPAN_TOKENS
+) -> DataFrame:
+    """D34: exact repeated-substring (span-level) dedup — flag every
+    ``span_tokens``-token span that occurs ≥ 2 times ANYWHERE in the
+    corpus (across documents or repeated inside one), and report, per
+    affected document, how much of it is covered by repeated spans.
+    This is the MassiveText / Lee et al. 2022 rule: unlike every other
+    D/P member (document-granularity fingerprints, shingle sets,
+    chunks), it removes REPEATED PASSAGES inside otherwise-unique
+    documents; ``repeated_fraction`` is the span-level soft-dedup
+    signal P24/X17 consume at document granularity.
+
+    Output: (doc_id, n_tokens, n_repeated_spans, repeated_token_mass,
+    repeated_fraction) for documents containing ≥ 1 repeated span.
+    ``repeated_token_mass`` is the exact size of the UNION of the
+    flagged [start, start+w) intervals, computed per-row from the
+    sorted start positions (for fixed-width intervals the union is
+    w + Σ min(w, gap) over consecutive starts — one zip_with +
+    aggregate, no position explode).
+
+    Scale shape: one span explode (n_tokens - w + 1 rows/doc) → one
+    map-side-combined groupBy on the 16-byte span hash → equi-join of
+    spans to the (small: only duplicated hashes survive the HAVING)
+    dup-hash side → one per-doc aggregate. No pairwise work, no
+    cartesian; the hash group-by is the same 100 TB workhorse shuffle
+    as D1. Hashing is md5 over the joined span (engine-portable); a
+    production run at Lee et al. width would swap in a rolling
+    Rabin-Karp hash to make span hashing O(n) instead of O(n·w) —
+    a per-row CPU constant, not a plan change.
+    """
+    w = span_tokens
+    c = corpus(documents)
+    toks = tokens(F.col("text"))
+    docs = (
+        c.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
+        .filter(F.col("n_tokens") >= w)
+    )
+    span_hashes = F.transform(
+        F.sequence(F.lit(1), (F.col("n_tokens") - (w - 1)).cast("int")),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, w), " ")),
+    )
+    spans = docs.select(
+        "doc_id", "n_tokens", F.posexplode(span_hashes).alias("pos", "span_hash")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos") + 1).cast("long").alias("start"),
+        "span_hash",
+    )
+    dup_hashes = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .select("span_hash")
+    )
+    rep = spans.join(dup_hashes, "span_hash")
+    per_doc = rep.groupBy("doc_id").agg(
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_repeated_spans"),
+        F.array_sort(F.collect_list("start")).alias("starts"),
+    )
+    m = F.size("starts")
+    gaps = F.zip_with(
+        F.slice(F.col("starts"), F.lit(1), m - 1),
+        F.slice(F.col("starts"), F.lit(2), m - 1),
+        lambda a, b: F.least(F.lit(w).cast("long"), b - a),
+    )
+    covered = (
+        F.aggregate(gaps, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        + F.lit(w).cast("long")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_repeated_spans",
+        covered.alias("repeated_token_mass"),
+        (covered.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "repeated_fraction"
+        ),
+    )

@@ -950,3 +950,54 @@ SELECT source,
 FROM truth
 GROUP BY source
 """
+
+# D34: exact repeated-substring (span-level) dedup — Lee et al. 2022's
+# "any w-token span seen twice" rule at the registry width w=16; mirrors
+# operators/dedup.py::dedup_repeated_spans. The coverage arithmetic
+# differs by construction (builder: interval-union via w + Σ min(w, gap)
+# over sorted starts; oracle: COUNT(DISTINCT covered position)) — the
+# two are equal for fixed-width intervals, so agreement cross-checks the
+# builder's union algebra, not just its hashing.
+DEDUP_ORACLES["dedup_repeated_spans"] = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+docs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+  FROM ctoks WHERE len(toks) >= 16
+),
+starts AS (
+  SELECT doc_id, n_tokens, toks,
+         unnest(generate_series(1, CAST(n_tokens AS INTEGER) - 15)) AS start
+  FROM docs
+),
+span_h AS (
+  SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         md5(array_to_string(toks[start:start+15], ' ')) AS span_hash
+  FROM starts
+),
+dup AS (SELECT span_hash FROM span_h GROUP BY 1 HAVING COUNT(*) >= 2),
+rep AS (
+  SELECT s.doc_id, s.n_tokens, s.start
+  FROM span_h s JOIN dup USING (span_hash)
+),
+perdoc AS (
+  SELECT doc_id, MIN(n_tokens) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_repeated_spans
+  FROM rep GROUP BY 1
+),
+cov AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS repeated_token_mass
+  FROM (
+    SELECT doc_id, unnest(generate_series(CAST(start AS INTEGER),
+                                          CAST(start AS INTEGER) + 15)) AS pos
+    FROM rep
+  )
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens, p.n_repeated_spans, c.repeated_token_mass,
+       CAST(c.repeated_token_mass AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+         AS repeated_fraction
+FROM perdoc p JOIN cov c USING (doc_id)
+"""

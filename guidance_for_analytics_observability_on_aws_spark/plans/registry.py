@@ -351,12 +351,23 @@ _register(
     None,
 )
 
-# D25: Hamming-distance SimHash pairs — pigeonhole-complete 4×15-bit
-# banding over a 60-bit signature, exact popcount verdict.
+# D25: Hamming-distance SimHash pairs — pigeonhole-complete 4×16-bit
+# banding over a 64-bit two-half signature, exact popcount verdict.
 _register(
     "dedup_simhash_hamming",
     lambda s, d: dedup.dedup_simhash_hamming(load_tables(s, d)["documents"]),
     DEDUP_ORACLES["dedup_simhash_hamming"],
+)
+
+# D34: exact repeated-substring (span-level) dedup — Lee et al. 2022's
+# "any w-token span seen twice" rule; w=16 here (driver docs average ~54
+# tokens; the function defaults to the paper's 50).
+_register(
+    "dedup_repeated_spans",
+    lambda s, d: dedup.dedup_repeated_spans(
+        load_tables(s, d)["documents"], span_tokens=16
+    ),
+    DEDUP_ORACLES["dedup_repeated_spans"],
 )
 
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking

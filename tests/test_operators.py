@@ -3090,3 +3090,52 @@ def test_soft_dedup_contracts(spark, sf_dir):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_repeated_spans_planted_passages_and_interval_union(spark):
+    """D34: a passage planted in two otherwise-unique docs is recovered at
+    both sites; an INTRA-doc repeat counts (the Lee et al. rule is "seen
+    twice in the corpus", not "in two documents"); overlapping repeated
+    spans contribute their interval UNION to repeated_token_mass (the
+    min(w, gap) algebra), not n_spans*w; and a fully-unique doc is absent."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans,
+    )
+
+    w = 4
+    # doc_ids chosen ∉ {0,5,10} mod 25 so corpus() adds no augmented rows.
+    mk = lambda *t: " ".join(t)  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            # A/B: shared 4-token passage P1..P4 at different offsets
+            (1, mk(*[f"ua{i}" for i in range(6)], "P1", "P2", "P3", "P4",
+                   *[f"va{i}" for i in range(6)]), "en", "web"),
+            (2, mk("xb0", "xb1", "xb2", "P1", "P2", "P3", "P4",
+                   *[f"yb{i}" for i in range(9)]), "en", "web"),
+            # C: intra-doc repeat of Q1..Q4 (starts 1 and 6; disjoint union)
+            (3, mk("Q1", "Q2", "Q3", "Q4", "zc1", "Q1", "Q2", "Q3", "Q4",
+                   "zc2", "zc3", "zc4"), "en", "web"),
+            # D: fully unique — must not appear
+            (4, mk(*[f"ud{i}" for i in range(12)]), "en", "web"),
+            # E/F: shared 5-token run R1..R5 → two OVERLAPPING repeated
+            # spans (starts 1,2); union is 5 tokens, not 8
+            (6, mk("R1", "R2", "R3", "R4", "R5", "ae1", "ae2", "ae3"),
+             "en", "web"),
+            (7, mk("R1", "R2", "R3", "R4", "R5", "bf1", "bf2", "bf3"),
+             "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in dedup_repeated_spans(docs, span_tokens=w).collect()}
+    assert set(out) == {1, 2, 3, 6, 7}
+    assert out[1].n_repeated_spans == 1 and out[1].repeated_token_mass == 4
+    assert out[1].n_tokens == 16 and out[1].repeated_fraction == 4 / 16
+    assert out[2].n_repeated_spans == 1 and out[2].repeated_token_mass == 4
+    # intra-doc: two disjoint occurrences → union 8 of 12 tokens
+    assert out[3].n_repeated_spans == 2 and out[3].repeated_token_mass == 8
+    assert out[3].repeated_fraction == 8 / 12
+    # overlap: 2 repeated spans but union is only 5 tokens
+    for d in (6, 7):
+        assert out[d].n_repeated_spans == 2
+        assert out[d].repeated_token_mass == 5
+        assert out[d].repeated_fraction == 5 / 8

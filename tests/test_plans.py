@@ -665,3 +665,22 @@ def test_r8_operator_column_pruning(spark, sf_dir):
 
     forecast = schemas("obs_forecast_linear")
     assert forecast and all(len(s.split(",")) <= 3 for s in forecast), forecast
+
+
+def test_bench_p_group_covers_every_pipeline_sql_entry():
+    """bench.py::_P_GROUP is a hand-enumerated list (pipeline-family names
+    share prefixes with D's dedup_*); a future pipeline operator left out
+    would silently classify as 'T' and skew both groups' bench subtotals.
+    Pin: every sql-oracled registry entry whose builder references the
+    pipeline module is in _P_GROUP."""
+    import bench
+
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        code = getattr(spec.builder, "__code__", None)
+        if code is not None and "pipeline" in code.co_names:
+            assert name in bench._P_GROUP, (
+                f"{name} builds from operators.pipeline but is missing from "
+                "bench._P_GROUP — it would misclassify as group T"
+            )
