@@ -1021,82 +1021,70 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    #   slots 1-28  — every entry with NO driver row: the NINETEEN
-    #                 post-finalization r8 additions the r8 verdict flagged
-    #                 (O73 stream burn-rate, O74 forecast, X15 length
-    #                 percentiles, O75 histogram rollup + O76 twin, D31
-    #                 prefix filter, O77 alert flap + O78 twin, S13 zone
-    #                 maps, X16 vocab growth, D30 sorted-neighborhood, O79
-    #                 RED panel + O80 twin, X17 dup fraction, P22 near-dup
-    #                 decontamination, P21 export order, T48 multi-touch
-    #                 attribution, M10 frame dedup, S14 snapshot diff)
-    #                 plus the NINE r9 additions (O81 stream forecast, O82
-    #                 stream metric correlation, X18 unigram surprisal,
-    #                 X19 distribution drift, D32 Bloom gate + D33
-    #                 streaming build, P23 nightly dup groups, P24 soft
-    #                 dedup, M11 stream media dedup).
-    "stream_burn_rate",
-    "obs_forecast_linear",
-    "text_length_percentiles",
-    "obs_histogram_rollup",
-    "dedup_prefix_filter",
-    "obs_alert_flap",
-    "source_zone_map_report",
-    "text_vocab_growth",
-    "dedup_sorted_neighborhood",
-    "stream_histogram_rollup",
-    "obs_red_panel",
-    "text_dup_fraction",
-    "decontaminate_neardup",
-    "export_order_plan",
-    "events_attribution_multitouch",
-    "mm_frame_dedup",
-    "source_snapshot_diff_report",
-    "stream_alert_flap",
-    "stream_red_panel",
-    "stream_forecast_linear",
-    "text_unigram_surprisal",
-    "dedup_bloom_gate",
-    "dup_groups_nightly",
-    "stream_media_dedup_ingest",
-    "stream_bloom_build",
-    "text_distribution_drift",
-    "mixture_soft_dedup",
-    "stream_metric_correlation",
-    #   slots 29-40 — entries whose CODE changed in r9 since their last
-    #                 driver row: the integer-DIV bin index (O40), the
-    #                 distributed-rank promotions (T39/T40/P14/O30/O57),
-    #                 the media_fingerprints factor-out (M8), and the
-    #                 multi-value/composite-key _prefix_sum refactor's
-    #                 direct users (O44, P21-adjacent P9/M7/M9).
-    "obs_value_histogram",
-    "customers_abc_pareto",
-    "customers_rfm_segments",
-    "vocab_coverage",
-    "obs_heavy_hitters_cms",
-    "obs_top_movers",
-    "mm_dedup_exact",
-    "obs_task_percentiles_distributed",
-    "mm_shard_manifest",
-    "mm_media_sample",
-    "pack_sequences_distributed",
-    "obs_metric_correlation",
-    #   slots 41-50 — oldest-evidence backfill (r4-aged) in ledger order
-    #                 (obs_executor_concurrency, obs_skew_exemplars,
-    #                 skew_salted_sum and the compaction/retention
-    #                 reports yield their slots to the never-checked
-    #                 D33/X19/P24/O82 + the O64 re-exposure per the
-    #                 rotation contract).
-    "obs_error_rate_moving_avg",
-    "obs_alert_rules",
-    "asof_join_attribution",
-    "events_funnel",
-    "merge_scd2_customers",
-    "customers_monthly_cohorts",
-    "dedup_containment",
-    "similarity_ivf_multiprobe",
-    "text_top_terms",
-    "mm_resize",
+    # r11 window (50 slots exactly), GENERATED by the codified recipe:
+    #   python tools/evidence_ledger.py --priority \
+    #       --changed dedup_simhash_hamming,dedup_repeated_spans
+    #   slot  1     — the one NEW entry with no driver row: D34
+    #                 dedup_repeated_spans (span-level exact dedup).
+    #   slot  2     — the one entry whose CODE changed in r11 since its
+    #                 last row: D25 (64-bit two-half SimHash widening).
+    "dedup_repeated_spans",
+    "dedup_simhash_hamming",
+    #   slots 3-7   — the 5 r4-evidence entries (oldest in the ledger;
+    #                 their slots were yielded to never-checked entries
+    #                 in r9 and the window did not rotate in r10).
+    "source_compaction_report",
+    "source_retention_report",
+    "skew_salted_sum",
+    "obs_skew_exemplars",
+    "obs_executor_concurrency",
+    #   slots 8-50  — the r5-evidence block in ledger order (43 of 45
+    #                 fit; the overflow — obs_live_collector,
+    #                 source_schema_evolution_report — leads the r12
+    #                 window per the rotation contract).
+    "obs_batch_flush",
+    "obs_retry_backoff",
+    "obs_props_variant_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
+    "star_join_broadcast",
+    "window_running_totals",
+    "rollup_priority_status",
+    "promo_revenue_share",
+    "tpch_q4_order_priority",
+    "anti_join_inactive_customers",
+    "tpch_q18_large_orders",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_dormant_balance",
+    "tpch_q12_priority_by_status",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q20_excess_share",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_ivf",
+    "similarity_ann_lsh",
+    "dedup_containment_banded",
+    "dedup_embedding_cosine_blas",
+    "embedding_centroids",
+    "similarity_knn_classify",
+    "decontaminate",
+    "mixture_sample",
+    "text_tfidf_topk",
+    "obs_cardinality_approx",
+    "obs_task_percentiles_approx",
 ]
 
 

@@ -291,82 +291,47 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r9 rotation: 38 sql + 12 rows-only (28 never-checked — the 19
-    # post-finalization r8 additions + the 9 r9 additions — then 12
-    # code-changed re-exposures, then 10 r4-aged backfill; see the
-    # _PRIORITY ledger comment).
+    # r11 rotation: 46 sql + 4 rows-only (1 never-checked — the r11 D34
+    # addition — then 1 code-changed re-exposure (D25's 64-bit widening),
+    # then the 5 r4-aged entries, then the r5-evidence block in ledger
+    # order; see the _PRIORITY ledger comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 38, f"{n_sql} sql-backed entries in the driver window"
-    # every never-driver-checked entry leads; then every entry whose code
-    # changed in r9 since its last driver row (DIV bin index, the
-    # distributed-rank promotions, media_fingerprints factor-out, the
-    # multi-value/composite _prefix_sum refactor's direct users):
+    assert n_sql == 46, f"{n_sql} sql-backed entries in the driver window"
+    # never-checked, then code-changed, then the r4-aged five lead:
     head = (
-        "stream_burn_rate",
-        "obs_forecast_linear",
-        "text_length_percentiles",
-        "obs_histogram_rollup",
-        "dedup_prefix_filter",
-        "obs_alert_flap",
-        "source_zone_map_report",
-        "text_vocab_growth",
-        "dedup_sorted_neighborhood",
-        "stream_histogram_rollup",
-        "obs_red_panel",
-        "text_dup_fraction",
-        "decontaminate_neardup",
-        "export_order_plan",
-        "events_attribution_multitouch",
-        "mm_frame_dedup",
-        "source_snapshot_diff_report",
-        "stream_alert_flap",
-        "stream_red_panel",
-        "stream_forecast_linear",
-        "text_unigram_surprisal",
-        "dedup_bloom_gate",
-        "dup_groups_nightly",
-        "stream_media_dedup_ingest",
-        "stream_bloom_build",
-        "text_distribution_drift",
-        "mixture_soft_dedup",
-        "stream_metric_correlation",
-        "obs_value_histogram",
-        "customers_abc_pareto",
-        "customers_rfm_segments",
-        "vocab_coverage",
-        "obs_heavy_hitters_cms",
-        "obs_top_movers",
-        "mm_dedup_exact",
-        "obs_task_percentiles_distributed",
-        "mm_shard_manifest",
-        "mm_media_sample",
-        "pack_sequences_distributed",
-        "obs_metric_correlation",
+        "dedup_repeated_spans",
+        "dedup_simhash_hamming",
+        "source_compaction_report",
+        "source_retention_report",
+        "skew_salted_sum",
+        "obs_skew_exemplars",
+        "obs_executor_concurrency",
     )
     assert tuple(first50[: len(head)]) == head
-    # the 10 r4-aged oldest-evidence entries must all be inside the window:
+    # spot-check the r5-evidence backfill block is inside the window:
     for expected in (
-        "obs_error_rate_moving_avg",
-        "obs_alert_rules",
-        "asof_join_attribution",
-        "events_funnel",
-        "merge_scd2_customers",
-        "customers_monthly_cohorts",
-        "dedup_containment",
-        "similarity_ivf_multiprobe",
-        "text_top_terms",
-        "mm_resize",
+        "obs_batch_flush",
+        "tpch_q1_pricing_summary",
+        "tpch_q20_excess_share",
+        "dedup_exact",
+        "similarity_knn_classify",
+        "decontaminate",
+        "text_tfidf_topk",
+        "obs_task_percentiles_approx",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # and fresh already-green entries must NOT re-occupy scarce slots
-    # (the rotation contract: never-checked, then code-changed, then AGED):
+    # and fresher already-green entries must NOT re-occupy scarce slots
+    # (the rotation contract: never-checked, then code-changed, then AGED —
+    # the whole r9/r10 window was re-verified in r10 and yields every slot):
     for fresh_green in (
-        "orders_market_basket",     # r7-green, unchanged in r9
+        "stream_burn_rate",         # r10-ran, unchanged
+        "obs_value_histogram",      # r10-green, unchanged
+        "mm_resize",                # r10-ran, unchanged
+        "orders_market_basket",     # r7-green, unchanged
         "obs_straggler_detect",     # r6-green, unchanged
-        "dataset_card_report",      # r6-green, unchanged
-        "tpch_q1_pricing_summary",  # r5-green, unchanged
         "dup_groups_incremental",   # r8-green, unchanged
-        "obs_trend_regression",     # r8-green, unchanged
+        "obs_live_collector",       # r5-ran — the r12 overflow head
+        "source_schema_evolution_report",  # r5-ran — r12 overflow
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
