@@ -536,6 +536,37 @@ def simhash_wide(documents: DataFrame) -> DataFrame:
     )
 
 
+def simhash_band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_lo, simhash_hi, band, band_val) — the 4×16-bit
+    band explosion of a :func:`simhash_wide` signature frame; ONE
+    definition shared by D25's candidate join and the scale-stress
+    collision probe so the bucket semantics can never diverge."""
+    band_exprs = []
+    for j in range(SIMHASH_BANDS_W):
+        src = "simhash_lo" if j < 2 else "simhash_hi"
+        shift = (j % 2) * SIMHASH_BAND_BITS
+        band_exprs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("band"),
+                F.shiftright(F.col(src), shift)
+                .bitwiseAND(F.lit(_BAND_MASK))
+                .alias("band_val"),
+            )
+        )
+    return sigs.select(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(F.array(*band_exprs)).alias("b"),
+    ).select(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        F.col("b.band").alias("band"),
+        F.col("b.band_val").alias("band_val"),
+    )
+
+
 def dedup_simhash_hamming(
     documents: DataFrame, max_distance: int = 3
 ) -> DataFrame:
@@ -559,31 +590,7 @@ def dedup_simhash_hamming(
     of the band key because completeness needs only that equal bands
     collide.
     """
-    sigs = simhash_wide(documents)
-    band_exprs = []
-    for j in range(SIMHASH_BANDS_W):
-        src = "simhash_lo" if j < 2 else "simhash_hi"
-        shift = (j % 2) * SIMHASH_BAND_BITS
-        band_exprs.append(
-            F.struct(
-                F.lit(j).cast("long").alias("band"),
-                F.shiftright(F.col(src), shift)
-                .bitwiseAND(F.lit(_BAND_MASK))
-                .alias("band_val"),
-            )
-        )
-    bands = sigs.select(
-        "doc_id",
-        "simhash_lo",
-        "simhash_hi",
-        F.explode(F.array(*band_exprs)).alias("b"),
-    ).select(
-        "doc_id",
-        "simhash_lo",
-        "simhash_hi",
-        F.col("b.band").alias("band"),
-        F.col("b.band_val").alias("band_val"),
-    )
+    bands = simhash_band_rows(simhash_wide(documents))
     pairs = (
         bands.alias("a")
         .join(

@@ -92,7 +92,18 @@ HEAVY = [
     "dedup_sorted_neighborhood",
     "obs_histogram_rollup",
     "dedup_prefix_filter",
+    # r11 additions: the widened 64-bit SimHash banding (collision growth
+    # probed separately in simhash_collision_probe) and the span-level
+    # repeated-substring dedup (one explode + hash groupBy + join-back).
+    "dedup_simhash_hamming",
+    "dedup_repeated_spans",
 ]
+
+#: Rows-only runners with real scale shapes the HEAVY loop can't cover
+#: (no oracle → not in HEAVY historically): the nightly snapshot fold at
+#: its PRODUCTION cost (verify=False — the fold, not the grading
+#: recompute) and the watermarked stream-stream interval join.
+ROWS_ONLY_SCALE = ["dup_groups_nightly", "stream_metric_log_join"]
 
 
 def generate(spark: SparkSession, base: str, dst: str) -> None:
@@ -407,6 +418,74 @@ def prefix_filter_attribution(
     return out
 
 
+def simhash_collision_probe(
+    spark: SparkSession, base_dir: str, x10_dir: str
+) -> dict:
+    """D25 banding growth audit (the r9/r10 verdicts' open item): count
+    the band-bucket CANDIDATE pairs (the join's fan-out, before the
+    hamming verdict) at base and 10× and check them against the model
+    ``collisions ≈ bands·C(N,2)/2^band_bits + true near-dup pairs``.
+    Random collisions are inherently ~N² for a fixed band width — the
+    honest scale statement is (a) measured ≈ model (no hidden blow-up
+    beyond the birthday term), (b) the candidate set stays a vanishing
+    fraction of the C(N,2) all-pairs disaster, and (c) the 15→16-bit
+    widening halved the model coefficient. The recorded
+    ``next_widening_n`` is the corpus size at which random candidates
+    would reach 10·N (the documented trigger for the next width bump —
+    widen the hash / add a surrogate-key split, recall survives any
+    band-key refinement)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS_W,
+        simhash_band_rows,
+        simhash_wide,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    out = {}
+    for tag, d in (("base", base_dir), ("x10", x10_dir)):
+        docs = load_tables(spark, d)["documents"]
+        bands = simhash_band_rows(simhash_wide(docs)).localCheckpoint(eager=True)
+        n_docs = bands.select("doc_id").distinct().count()
+        n_cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        model = SIMHASH_BANDS_W * n_docs * (n_docs - 1) / 2 / (2 ** SIMHASH_BAND_BITS)
+        out[tag] = {
+            "n_docs": n_docs,
+            "n_candidate_pairs": n_cand,
+            "model_random_pairs": round(model, 1),
+            "allpairs": n_docs * (n_docs - 1) // 2,
+            "candidate_fraction_of_allpairs": round(
+                n_cand / max(n_docs * (n_docs - 1) / 2, 1), 6
+            ),
+        }
+    out["candidate_ratio_x10"] = round(
+        out["x10"]["n_candidate_pairs"] / max(out["base"]["n_candidate_pairs"], 1),
+        2,
+    )
+    # corpus size where random candidates ≈ 10·N (per-doc candidate cost
+    # stays O(1) until then): bands·N²/2^(bits+1) = 10·N
+    out["next_widening_n"] = int(
+        10 * 2 ** (SIMHASH_BAND_BITS + 1) / SIMHASH_BANDS_W
+    )
+    out["x10_candidates_vanishing"] = (
+        out["x10"]["candidate_fraction_of_allpairs"] < 0.01
+    )
+    return out
+
+
 def aqe_skew_split_fires(spark: SparkSession, skew_dir: str) -> bool:
     """Join the skewed 10× events against a small per-user dim with
     broadcast disabled and default-ish skew thresholds scaled to the data:
@@ -560,6 +639,44 @@ def main() -> None:
     print(f"  [dedup-skew] salting_probe={salt}", file=sys.stderr)
     d31 = prefix_filter_attribution(spark, base, dst)
     print(f"  [d31] prefix_filter_attribution={d31}", file=sys.stderr)
+    d25 = simhash_collision_probe(spark, base, dst)
+    print(f"  [d25] simhash_collision_probe={d25}", file=sys.stderr)
+
+    # --- rows-only runners with real scale shapes (r11) ----------------
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dup_groups_nightly_report,
+    )
+
+    ro_builders = {
+        "dup_groups_nightly": lambda s, d: dup_groups_nightly_report(
+            s, d, verify=False
+        ),
+    }
+    rows_only_results = {}
+    for name in ROWS_ONLY_SCALE:
+        builder = ro_builders.get(name, REGISTRY[name].builder)
+
+        def timed_ro(sf: str) -> float:
+            t0 = time.perf_counter()
+            builder(spark, sf).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        b_sec, b_warm = timed_ro(base), timed_ro(base)
+        x_sec, x_warm = timed_ro(dst), timed_ro(dst)
+        rows_only_results[name] = {
+            "base_sec": b_sec,
+            "base_warm_sec": b_warm,
+            "x10_sec": x_sec,
+            "x10_warm_sec": x_warm,
+            "ratio": round(x_sec / b_sec, 2) if b_sec > 0 else None,
+            "warm_ratio": round(x_warm / b_warm, 2) if b_warm > 0 else None,
+        }
+        print(
+            f"  [rows-only] {name}: {b_sec}s -> {x_sec}s "
+            f"(x{rows_only_results[name]['ratio']}, "
+            f"warm x{rows_only_results[name]['warm_ratio']})",
+            file=sys.stderr,
+        )
 
     payload = {
         "metric": "scale_stress_10x",
@@ -590,6 +707,8 @@ def main() -> None:
             "salting": salt,
         },
         "prefix_filter_attribution": d31,
+        "simhash_collision_probe": d25,
+        "rows_only": rows_only_results,
     }
     payload["sum_ratio"] = round(
         payload["sum_x10_sec"] / payload["sum_base_sec"], 2
