@@ -1238,6 +1238,31 @@ def bloom_audit(
 REPEATED_SPAN_TOKENS = 50
 
 
+def _span_rows(corpused: DataFrame, w: int) -> DataFrame:
+    """(doc_id, n_tokens, start, span_hash) — one row per w-token span of
+    every already-corpus()'d document with ≥ w tokens (start is 1-based);
+    ONE definition shared by D34 (detection) and D35 (scrub) so the span
+    hashing can never diverge."""
+    toks = tokens(F.col("text"))
+    docs = (
+        corpused.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
+        .filter(F.col("n_tokens") >= w)
+    )
+    span_hashes = F.transform(
+        F.sequence(F.lit(1), (F.col("n_tokens") - (w - 1)).cast("int")),
+        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, w), " ")),
+    )
+    return docs.select(
+        "doc_id", "n_tokens", F.posexplode(span_hashes).alias("pos", "span_hash")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pos") + 1).cast("long").alias("start"),
+        "span_hash",
+    )
+
+
 def dedup_repeated_spans(
     documents: DataFrame, span_tokens: int = REPEATED_SPAN_TOKENS
 ) -> DataFrame:
@@ -1270,25 +1295,7 @@ def dedup_repeated_spans(
     a per-row CPU constant, not a plan change.
     """
     w = span_tokens
-    c = corpus(documents)
-    toks = tokens(F.col("text"))
-    docs = (
-        c.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
-        .filter(F.col("n_tokens") >= w)
-    )
-    span_hashes = F.transform(
-        F.sequence(F.lit(1), (F.col("n_tokens") - (w - 1)).cast("int")),
-        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, w), " ")),
-    )
-    spans = docs.select(
-        "doc_id", "n_tokens", F.posexplode(span_hashes).alias("pos", "span_hash")
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("pos") + 1).cast("long").alias("start"),
-        "span_hash",
-    )
+    spans = _span_rows(corpus(documents), w)
     dup_hashes = (
         spans.groupBy("span_hash")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
@@ -1319,4 +1326,73 @@ def dedup_repeated_spans(
         (covered.cast("double") / F.col("n_tokens").cast("double")).alias(
             "repeated_fraction"
         ),
+    )
+
+
+def dedup_repeated_spans_scrub(
+    documents: DataFrame, span_tokens: int = REPEATED_SPAN_TOKENS
+) -> DataFrame:
+    """D35: the APPLY path of D34 — emit the cleaned corpus with every
+    repeated ``span_tokens``-token span removed EXCEPT its canonical
+    (globally first by ``(doc_id, start)``) occurrence, Lee et al.
+    2022's ExactSubstr rule ("keep one copy of each repeated passage").
+    A token position is scrubbed iff it is covered by ≥ 1 NON-canonical
+    occurrence of a repeated span; the canonical copy survives unless a
+    different span's non-canonical occurrence overlaps it.
+
+    Output: one row per corpus document — (doc_id, n_tokens,
+    n_scrubbed, text_clean); untouched documents (no repeated spans, or
+    shorter than ``span_tokens``) pass through with n_scrubbed = 0 and
+    text_clean = text.
+
+    Scale shape: D34's span explode + hash groupBy, with the canonical
+    pick as the same shuffle's window (row_number + count over
+    span_hash — one exchange, no extra pass); scrub positions rebuild
+    per-row (flatten + array_distinct of the per-span sequences, cost
+    ≤ spans·w per doc) and token filtering is one JVM ``filter`` lambda
+    (array_contains per position — quadratic in doc length only in the
+    worst case of a fully-scrubbed doc; a production run at corpus
+    lengths would swap the membership test for a sorted two-pointer
+    zip, a per-row constant, not a plan change).
+    """
+    w = span_tokens
+    c = corpus(documents)
+    spans = _span_rows(c, w)
+    win = Window.partitionBy("span_hash")
+    occ = spans.select(
+        "doc_id",
+        "start",
+        F.count(F.lit(1)).over(win).alias("n_occ"),
+        F.row_number()
+        .over(win.orderBy("doc_id", "start"))
+        .alias("occ_rank"),
+    )
+    scrub = occ.filter((F.col("n_occ") >= 2) & (F.col("occ_rank") > 1))
+    per_doc = scrub.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("start")).alias("starts")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("starts"), lambda s: F.sequence(s, s + F.lit(w - 1))
+            )
+        )
+    )
+    positions = per_doc.select("doc_id", covered.alias("covered"))
+    toks = tokens(F.col("text"))
+    base = c.select("doc_id", toks.alias("toks"))
+    joined = base.join(positions, "doc_id", "left")
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.array_contains(F.col("covered"), (i + 1).cast("long")),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(F.col("covered").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size("covered").cast("long"))
+        .alias("n_scrubbed"),
+        F.when(F.col("covered").isNull(), F.array_join(F.col("toks"), " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_clean"),
     )

@@ -1001,3 +1001,66 @@ SELECT p.doc_id, p.n_tokens, p.n_repeated_spans, c.repeated_token_mass,
          AS repeated_fraction
 FROM perdoc p JOIN cov c USING (doc_id)
 """
+
+# D35: the APPLY path of D34 — cleaned corpus with every repeated span
+# removed except its canonical (first by (doc_id, start)) occurrence;
+# mirrors operators/dedup.py::dedup_repeated_spans_scrub. Both engines
+# rebuild text from the token array (single-space joined — the corpus
+# tokenization convention), so the comparison is exact strings.
+DEDUP_ORACLES["dedup_repeated_spans_scrub"] = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+docs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+  FROM ctoks WHERE len(toks) >= 16
+),
+starts AS (
+  SELECT doc_id, n_tokens, toks,
+         unnest(generate_series(1, CAST(n_tokens AS INTEGER) - 15)) AS start
+  FROM docs
+),
+span_h AS (
+  SELECT doc_id, CAST(start AS BIGINT) AS start,
+         md5(array_to_string(toks[start:start+15], ' ')) AS span_hash
+  FROM starts
+),
+occ AS (
+  SELECT doc_id, start,
+         COUNT(*) OVER (PARTITION BY span_hash) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY span_hash
+                            ORDER BY doc_id, start) AS occ_rank
+  FROM span_h
+),
+scrub AS (SELECT doc_id, start FROM occ WHERE n_occ >= 2 AND occ_rank > 1),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(CAST(start AS INTEGER),
+                                          CAST(start AS INTEGER) + 15)) AS pos
+    FROM scrub
+  )
+),
+tokpos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+  FROM ctoks
+),
+keptt AS (
+  SELECT t.doc_id, t.pos, t.toks[t.pos] AS tok
+  FROM tokpos t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.doc_id IS NULL
+),
+cleaned AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM keptt GROUP BY doc_id
+),
+ncov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scrubbed FROM cov GROUP BY doc_id
+)
+SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+       COALESCE(n.n_scrubbed, CAST(0 AS BIGINT)) AS n_scrubbed,
+       COALESCE(cl.text_clean, '') AS text_clean
+FROM ctoks c
+LEFT JOIN ncov n USING (doc_id)
+LEFT JOIN cleaned cl USING (doc_id)
+"""

@@ -370,6 +370,15 @@ _register(
     DEDUP_ORACLES["dedup_repeated_spans"],
 )
 
+# D35: the D34 APPLY path — cleaned corpus, canonical span occurrence kept.
+_register(
+    "dedup_repeated_spans_scrub",
+    lambda s, d: dedup.dedup_repeated_spans_scrub(
+        load_tables(s, d)["documents"], span_tokens=16
+    ),
+    DEDUP_ORACLES["dedup_repeated_spans_scrub"],
+)
+
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking
 # surrogate, the one quantized searcher with a full hash-exact oracle.
 _register(

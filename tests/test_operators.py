@@ -3139,3 +3139,51 @@ def test_repeated_spans_planted_passages_and_interval_union(spark):
         assert out[d].n_repeated_spans == 2
         assert out[d].repeated_token_mass == 5
         assert out[d].repeated_fraction == 5 / 8
+
+
+def test_repeated_spans_scrub_keeps_canonical_occurrence(spark):
+    """D35: the canonical (globally first by (doc_id, start)) occurrence
+    of each repeated span survives; every other occurrence is removed;
+    untouched docs pass through verbatim (token-joined); overlapping
+    scrubbed spans remove their interval UNION."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans_scrub,
+    )
+
+    w = 4
+    mk = lambda *t: " ".join(t)  # noqa: E731
+    rows = [
+        (1, mk(*[f"ua{i}" for i in range(6)], "P1", "P2", "P3", "P4",
+               *[f"va{i}" for i in range(6)]), "en", "web"),
+        (2, mk("xb0", "xb1", "xb2", "P1", "P2", "P3", "P4",
+               *[f"yb{i}" for i in range(9)]), "en", "web"),
+        (3, mk("Q1", "Q2", "Q3", "Q4", "zc1", "Q1", "Q2", "Q3", "Q4",
+               "zc2", "zc3", "zc4"), "en", "web"),
+        (4, mk(*[f"ud{i}" for i in range(12)]), "en", "web"),
+        (6, mk("R1", "R2", "R3", "R4", "R5", "ae1", "ae2", "ae3"), "en", "web"),
+        (7, mk("R1", "R2", "R3", "R4", "R5", "bf1", "bf2", "bf3"), "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_repeated_spans_scrub(docs, span_tokens=w).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 6, 7}  # full corpus, untouched included
+    # doc 1 holds the canonical P passage (doc 1 < doc 2) — untouched
+    assert out[1].n_scrubbed == 0 and out[1].text_clean == rows[0][1]
+    # doc 2's copy is scrubbed: positions 4-7 drop
+    assert out[2].n_scrubbed == 4
+    assert out[2].text_clean == mk("xb0", "xb1", "xb2",
+                                   *[f"yb{i}" for i in range(9)])
+    # intra-doc repeat: first occurrence (start 1) kept, second removed
+    assert out[3].n_scrubbed == 4
+    assert out[3].text_clean == mk("Q1", "Q2", "Q3", "Q4", "zc1",
+                                   "zc2", "zc3", "zc4")
+    # unique doc: verbatim
+    assert out[4].n_scrubbed == 0 and out[4].text_clean == rows[3][1]
+    # doc 6 holds both canonical R spans; doc 7 scrubs their union (1-5)
+    assert out[6].n_scrubbed == 0 and out[6].text_clean == rows[4][1]
+    assert out[7].n_scrubbed == 5
+    assert out[7].text_clean == mk("bf1", "bf2", "bf3")
