@@ -1357,7 +1357,16 @@ def dedup_repeated_spans_scrub(
     """
     w = span_tokens
     c = corpus(documents)
-    spans = _span_rows(c, w)
+    scrub = non_canonical_spans(_span_rows(c, w))
+    return apply_span_scrub(c, scrub, w)
+
+
+def non_canonical_spans(spans: DataFrame) -> DataFrame:
+    """(doc_id, start) occurrences of repeated spans that are NOT their
+    span's canonical (first by (doc_id, start)) occurrence — the scrub
+    set. Rides the span-hash shuffle as a window (row_number + count
+    over span_hash, one exchange); shared by batch D35 and its streaming
+    twin's within-batch half."""
     win = Window.partitionBy("span_hash")
     occ = spans.select(
         "doc_id",
@@ -1367,7 +1376,20 @@ def dedup_repeated_spans_scrub(
         .over(win.orderBy("doc_id", "start"))
         .alias("occ_rank"),
     )
-    scrub = occ.filter((F.col("n_occ") >= 2) & (F.col("occ_rank") > 1))
+    return occ.filter((F.col("n_occ") >= 2) & (F.col("occ_rank") > 1)).select(
+        "doc_id", "start"
+    )
+
+
+def apply_span_scrub(
+    corpused: DataFrame, scrub: DataFrame, w: int
+) -> DataFrame:
+    """Apply a (doc_id, start) scrub set to an already-corpus()'d frame:
+    remove every token position covered by ≥ 1 scrubbed [start, start+w)
+    interval and emit (doc_id, n_tokens, n_scrubbed, text_clean) for
+    EVERY input document (untouched docs pass through verbatim,
+    token-joined). ONE definition shared by D35 and the D36 streaming
+    gate so the scrub algebra can never diverge."""
     per_doc = scrub.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("start")).alias("starts")
     )
@@ -1380,7 +1402,7 @@ def dedup_repeated_spans_scrub(
     )
     positions = per_doc.select("doc_id", covered.alias("covered"))
     toks = tokens(F.col("text"))
-    base = c.select("doc_id", toks.alias("toks"))
+    base = corpused.select("doc_id", toks.alias("toks"))
     joined = base.join(positions, "doc_id", "left")
     kept = F.filter(
         F.col("toks"),

@@ -1032,14 +1032,17 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 _PRIORITY = [
     # r11 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority \
-    #       --changed dedup_simhash_hamming,dedup_repeated_spans
-    #   slot  1     — the one NEW entry with no driver row: D34
-    #                 dedup_repeated_spans (span-level exact dedup).
-    #   slot  2     — the one entry whose CODE changed in r11 since its
-    #                 last row: D25 (64-bit two-half SimHash widening).
+    #       --changed dedup_simhash_hamming
+    #   slots 1-3   — the THREE r11 additions with no driver row: D34
+    #                 dedup_repeated_spans (span-level exact dedup), D35
+    #                 its scrub apply path, D36 the streaming gate.
+    #   slot  4     — the one pre-existing entry whose CODE changed in
+    #                 r11: D25 (64-bit two-half SimHash widening).
     "dedup_repeated_spans",
+    "dedup_repeated_spans_scrub",
+    "stream_repeated_spans_scrub",
     "dedup_simhash_hamming",
-    #   slots 3-7   — the 5 r4-evidence entries (oldest in the ledger;
+    #   slots 5-9   — the 5 r4-evidence entries (oldest in the ledger;
     #                 their slots were yielded to never-checked entries
     #                 in r9 and the window did not rotate in r10).
     "source_compaction_report",
@@ -1047,8 +1050,9 @@ _PRIORITY = [
     "skew_salted_sum",
     "obs_skew_exemplars",
     "obs_executor_concurrency",
-    #   slots 8-50  — the r5-evidence block in ledger order (43 of 45
-    #                 fit; the overflow — obs_live_collector,
+    #   slots 10-50 — the r5-evidence block in ledger order (41 of 45
+    #                 fit; the overflow — obs_cardinality_approx,
+    #                 obs_task_percentiles_approx, obs_live_collector,
     #                 source_schema_evolution_report — leads the r12
     #                 window per the rotation contract).
     "obs_batch_flush",
@@ -1092,8 +1096,6 @@ _PRIORITY = [
     "decontaminate",
     "mixture_sample",
     "text_tfidf_topk",
-    "obs_cardinality_approx",
-    "obs_task_percentiles_approx",
 ]
 
 
@@ -1535,6 +1537,19 @@ def _stream_bloom_build(s, d):
 
 
 _register("stream_bloom_build", _stream_bloom_build, None)
+
+
+# Rows-only: D36 (r11) — span-level scrub ON INGEST: batch spans probed
+# against the append-only span-hash index + the D35 canonical window over
+# index misses; output row-identical to batch D35 restricted to the new
+# docs (pinned in tests/test_streaming.py).
+def _stream_repeated_spans(s, d):
+    from ..streaming.collector import run_streaming_repeated_spans
+
+    return run_streaming_repeated_spans(s, d)
+
+
+_register("stream_repeated_spans_scrub", _stream_repeated_spans, None)
 
 
 # Applied LAST so every registration above (including late additions) is

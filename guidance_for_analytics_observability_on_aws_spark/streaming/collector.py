@@ -1513,3 +1513,93 @@ def run_streaming_metric_correlation(
     return _collected_and_cleaned(
         spark, metric_correlation_tail(merged), work
     )
+
+
+def run_streaming_repeated_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    span_tokens: int = 16,
+    corpus_boundary: int = NEW_DOC_BOUNDARY,
+) -> DataFrame:
+    """D36: span-level scrub ON INGEST — the streaming twin of D35.
+    An arriving span is scrubbed iff its hash was seen BEFORE: in the
+    committed corpus's span-hash index, in an earlier micro-batch (the
+    index is append-only — each batch adds its own hashes after
+    processing, the D33/P23 pattern), or earlier within the same batch
+    (the D35 canonical window over the index-miss spans). Because
+    corpus doc_ids sort below the ingest boundary and batches arrive in
+    doc_id order, "seen before" ≡ "not the canonical (first by
+    (doc_id, start)) occurrence", so the gate's output over the new
+    docs is ROW-IDENTICAL to batch D35 restricted to doc_id ≥ boundary
+    (pinned in ``tests/test_streaming.py``).
+
+    Scale shape: the index is HASHES ONLY (16 bytes/span, ≪ corpus,
+    the persisted-index argument of P18/D33); per-batch work = the
+    batch's span explode + one equi-join against the index + the
+    within-batch window — bounded by the batch, never the corpus. No
+    streaming state: membership lives in the index table, so ingest
+    runs at constant memory, and the hash-append merge is idempotent
+    (re-delivered batches re-add hashes that are already there — the
+    anti-join append keeps the index a set).
+    """
+    from ..functions.text import corpus
+    from ..operators.dedup import _span_rows, apply_span_scrub, non_canonical_spans
+
+    w = span_tokens
+    work = tempfile.mkdtemp(prefix="gfaooa_spanscrub_")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    old_docs = corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).filter(F.col("doc_id") < corpus_boundary)
+    index_path = f"{work}/span_index"
+    _span_rows(old_docs, w).select("span_hash").distinct().write.mode(
+        "overwrite"
+    ).parquet(index_path)
+
+    def _scrub_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = corpus(batch_df).filter(
+            F.col("doc_id") >= corpus_boundary
+        ).localCheckpoint(eager=True)
+        spans = _span_rows(new_docs, w).localCheckpoint(eager=True)
+        # Materialize the index read BEFORE this batch appends to it.
+        index = spark.read.parquet(index_path).localCheckpoint(eager=True)
+        hits = spans.join(index, "span_hash", "left_semi").select(
+            "doc_id", "start"
+        )
+        miss = spans.join(index, "span_hash", "left_anti")
+        scrub = hits.unionByName(non_canonical_spans(miss))
+        apply_span_scrub(new_docs, scrub, w).write.mode("append").parquet(
+            f"{work}/out"
+        )
+        # Append-only index growth: this batch's hashes join the set
+        # (anti-join keeps it a set — idempotent under re-delivery).
+        spans.select("span_hash").distinct().join(
+            index, "span_hash", "left_anti"
+        ).write.mode("append").parquet(index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_scrub_batch)
+        .option("checkpointLocation", f"{work}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_scrubbed", T.LongType()),
+            T.StructField("text_clean", T.StringType()),
+        ]
+    )
+    result = (
+        spark.read.schema(out_schema)
+        .parquet(f"{work}/out")
+        .orderBy("doc_id")
+    )
+    return _collected_and_cleaned(spark, result, work)

@@ -291,15 +291,17 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r11 rotation: 46 sql + 4 rows-only (1 never-checked — the r11 D34
-    # addition — then 1 code-changed re-exposure (D25's 64-bit widening),
-    # then the 5 r4-aged entries, then the r5-evidence block in ledger
-    # order; see the _PRIORITY ledger comment).
+    # r11 rotation: 47 sql + 3 rows-only (3 never-checked — the r11
+    # span-dedup family D34/D35/D36 — then 1 code-changed re-exposure
+    # (D25's 64-bit widening), then the 5 r4-aged entries, then the
+    # r5-evidence block in ledger order; see the _PRIORITY comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 46, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 47, f"{n_sql} sql-backed entries in the driver window"
     # never-checked, then code-changed, then the r4-aged five lead:
     head = (
         "dedup_repeated_spans",
+        "dedup_repeated_spans_scrub",
+        "stream_repeated_spans_scrub",
         "dedup_simhash_hamming",
         "source_compaction_report",
         "source_retention_report",
@@ -317,7 +319,6 @@ def test_driver_window_composition():
         "similarity_knn_classify",
         "decontaminate",
         "text_tfidf_topk",
-        "obs_task_percentiles_approx",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -330,7 +331,9 @@ def test_driver_window_composition():
         "orders_market_basket",     # r7-green, unchanged
         "obs_straggler_detect",     # r6-green, unchanged
         "dup_groups_incremental",   # r8-green, unchanged
-        "obs_live_collector",       # r5-ran — the r12 overflow head
+        "obs_cardinality_approx",   # r5-ran — r12 overflow
+        "obs_task_percentiles_approx",  # r5-ran — r12 overflow
+        "obs_live_collector",       # r5-ran — r12 overflow
         "source_schema_evolution_report",  # r5-ran — r12 overflow
     ):
         assert fresh_green not in first50, (

@@ -1117,3 +1117,32 @@ def test_streaming_metric_correlation_matches_batch(spark, sf_dir):
         key=str,
     )
     assert got == want and got
+
+
+def test_streaming_repeated_spans_matches_batch_scrub(spark, sf_dir):
+    """D36: the ingest span-scrub gate (corpus span-hash index + append-only
+    batch growth + within-batch canonical window) must be ROW-IDENTICAL —
+    including text_clean — to batch D35 restricted to the new docs
+    (doc_id ≥ the ingest boundary), because corpus ids sort below the
+    boundary so "seen before" ≡ "non-canonical"."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans_scrub,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_repeated_spans,
+    )
+
+    got = sorted(
+        tuple(r) for r in run_streaming_repeated_spans(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(
+        tuple(r)
+        for r in dedup_repeated_spans_scrub(docs, span_tokens=16)
+        .filter(F.col("doc_id") >= 1_000_000)
+        .collect()
+    )
+    assert got == want and got
+    # the gate must actually scrub: planted exact copies (+1M) repeat the
+    # corpus doc's spans verbatim, so some new doc loses tokens
+    assert any(r[2] > 0 for r in got)
