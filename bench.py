@@ -376,7 +376,14 @@ def main() -> None:
     def _group_regressions(ref_per_query: dict[str, float], label: str):
         """Group-level note vs a per-query reference map, computed ONLY
         over queries present in BOTH sides — a new operator landing in a
-        group must read as coverage growth, not a perf regression."""
+        group must read as coverage growth, not a perf regression.
+
+        Reading the two notes: vs PREV answers "did this round make the
+        family worse?" (normally empty); vs BEST is distance-to-floor —
+        the reference sums each query's ALL-TIME best (each achieved on
+        its own luckiest run), a lower bound no single run matches, so
+        expect nonzero entries there and read the MAGNITUDE, not the
+        presence."""
         now_g: dict[str, float] = {}
         ref_g: dict[str, float] = {}
         for n, v in best.items():
