@@ -1345,3 +1345,76 @@ def test_bloom_gate_matches_literal_bloom(spark, token_lists):
         truth["t"],
     )
     assert r.all_true_dups_flagged
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_repeated_spans_match_literal(spark, token_lists):
+    """D34/D35 vs a literal Python model on random small-vocab corpora
+    (8-word alphabet, 3-token spans → dense genuine repeats, the
+    adversarial regime for the interval-union and canonical-pick
+    algebra): per-doc span counts, exact union masses, and the scrubbed
+    text itself must all match; D35's per-doc scrub mass never exceeds
+    D34's repeated mass (the canonical copy is exempt)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans,
+        dedup_repeated_spans_scrub,
+    )
+
+    w = 3
+    # ids ≡ 1 (mod 25) so corpus() plants nothing
+    ids = [101 + 25 * i for i in range(len(token_lists))]
+    docs = spark.createDataFrame(
+        [(ids[i], " ".join(toks), "en", "srcp")
+         for i, toks in enumerate(token_lists)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # literal model
+    spans: dict[tuple, list] = {}
+    for i, toks in enumerate(token_lists):
+        for s in range(1, len(toks) - w + 2):
+            spans.setdefault(tuple(toks[s - 1 : s - 1 + w]), []).append(
+                (ids[i], s)
+            )
+    rep_starts: dict[int, list] = {}
+    scrub_pos: dict[int, set] = {}
+    for occs in spans.values():
+        if len(occs) < 2:
+            continue
+        canon = min(occs)
+        for d, s in occs:
+            rep_starts.setdefault(d, []).append(s)
+            if (d, s) != canon:
+                scrub_pos.setdefault(d, set()).update(range(s, s + w))
+    want34 = {}
+    for i, toks in enumerate(token_lists):
+        d = ids[i]
+        if d not in rep_starts:
+            continue
+        cov = set()
+        for s in rep_starts[d]:
+            cov.update(range(s, s + w))
+        want34[d] = (len(toks), len(rep_starts[d]), len(cov),
+                     len(cov) / len(toks))
+    got34 = {
+        r.doc_id: (r.n_tokens, r.n_repeated_spans, r.repeated_token_mass,
+                   r.repeated_fraction)
+        for r in dedup_repeated_spans(docs, span_tokens=w).collect()
+    }
+    assert got34 == want34
+    want35 = {}
+    for i, toks in enumerate(token_lists):
+        d = ids[i]
+        cov = scrub_pos.get(d, set())
+        kept = [t for p, t in enumerate(toks, 1) if p not in cov]
+        want35[d] = (len(toks), len(cov), " ".join(kept))
+    got35 = {
+        r.doc_id: (r.n_tokens, r.n_scrubbed, r.text_clean)
+        for r in dedup_repeated_spans_scrub(docs, span_tokens=w).collect()
+    }
+    assert got35 == want35
+    for d, (_, n_scr, _) in want35.items():
+        if d in want34:
+            assert n_scr <= want34[d][2]  # canonical exemption
+        else:
+            assert n_scr == 0
