@@ -1418,3 +1418,69 @@ def apply_span_scrub(
         .otherwise(F.array_join(kept, " "))
         .alias("text_clean"),
     )
+
+
+def dedup_repeated_spans_eval(
+    documents: DataFrame, span_tokens: int = REPEATED_SPAN_TOKENS
+) -> DataFrame:
+    """D37: the span-dedup family's evaluation report (the P17/D27
+    evaluation-as-operator posture) — grade D35's scrub against the
+    corpus's PLANTED duplicate classes, per class:
+
+    - ``exact_copy`` (+1M ids): every span of an eligible copy also
+      occurs in its lower-id original, so every position is covered by
+      a non-canonical occurrence → scrub_recall must be exactly 1.0.
+    - ``truncation`` (+3M ids, 90% token prefix): same argument over
+      the prefix → recall exactly 1.0.
+    - ``reversal`` (+2M ids): shares NO w≥2-token span with its source
+      (token order differs) → recall exactly 0.0. This is the family's
+      DOCUMENTED blind spot: span dedup is order-sensitive by design;
+      reversed/shuffled near-dups are D4/X4's (order-insensitive
+      fingerprints') job.
+    - ``base``: originals are the canonical occurrences, so they stay
+      (scrubbed mass records genuine cross-base repeated passages, not
+      plant recovery).
+
+    Eligibility: a doc shorter than ``span_tokens`` has no spans and
+    cannot be span-scrubbed — recalls are over ELIGIBLE docs/tokens.
+    One row per class; every number derives from D35's own output
+    (the operator grades itself, and the oracle embeds D35's driver
+    SQL verbatim), so the whole report is hash-exact.
+    """
+    w = span_tokens
+    scrubbed = dedup_repeated_spans_scrub(documents, span_tokens=w)
+    cls = (
+        F.when(F.col("doc_id") >= 3_000_000, F.lit("truncation"))
+        .when(F.col("doc_id") >= 2_000_000, F.lit("reversal"))
+        .when(F.col("doc_id") >= 1_000_000, F.lit("exact_copy"))
+        .otherwise(F.lit("base"))
+    )
+    eligible = (F.col("n_tokens") >= w).cast("long")
+    return (
+        scrubbed.select(
+            cls.alias("doc_class"),
+            "n_tokens",
+            "n_scrubbed",
+            eligible.alias("eligible"),
+        )
+        .groupBy("doc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eligible").alias("n_eligible"),
+            F.sum(
+                ((F.col("n_scrubbed") > 0) & (F.col("eligible") == 1)).cast("long")
+            ).alias("n_scrubbed_docs"),
+            F.sum(
+                (
+                    (F.col("n_scrubbed") == F.col("n_tokens"))
+                    & (F.col("eligible") == 1)
+                ).cast("long")
+            ).alias("n_fully_scrubbed"),
+            F.sum(F.col("n_tokens") * F.col("eligible")).alias("tokens_eligible"),
+            F.sum(F.col("n_scrubbed") * F.col("eligible")).alias("tokens_scrubbed"),
+            F.try_divide(
+                F.sum(F.col("n_scrubbed") * F.col("eligible")),
+                F.sum(F.col("n_tokens") * F.col("eligible")),
+            ).alias("scrub_recall"),
+        )
+    )

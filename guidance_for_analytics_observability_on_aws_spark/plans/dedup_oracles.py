@@ -1064,3 +1064,35 @@ FROM ctoks c
 LEFT JOIN ncov n USING (doc_id)
 LEFT JOIN cleaned cl USING (doc_id)
 """
+
+# D37: the span-dedup family's evaluation report — per planted-duplicate
+# class, grade D35's scrub; the oracle embeds D35's own driver SQL
+# verbatim as a derived table (the P17/D27 convention), so the whole
+# report incl. the recall division is hash-exact.
+DEDUP_ORACLES["dedup_repeated_spans_eval"] = f"""
+WITH scrubbed AS (
+{DEDUP_ORACLES["dedup_repeated_spans_scrub"]}
+),
+classed AS (
+  SELECT CASE WHEN doc_id >= 3000000 THEN 'truncation'
+              WHEN doc_id >= 2000000 THEN 'reversal'
+              WHEN doc_id >= 1000000 THEN 'exact_copy'
+              ELSE 'base' END AS doc_class,
+         n_tokens, n_scrubbed,
+         CASE WHEN n_tokens >= 16 THEN 1 ELSE 0 END AS eligible
+  FROM scrubbed
+)
+SELECT doc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(eligible) AS BIGINT) AS n_eligible,
+       CAST(SUM(CASE WHEN n_scrubbed > 0 AND eligible = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_scrubbed_docs,
+       CAST(SUM(CASE WHEN n_scrubbed = n_tokens AND eligible = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_fully_scrubbed,
+       CAST(SUM(n_tokens * eligible) AS BIGINT) AS tokens_eligible,
+       CAST(SUM(n_scrubbed * eligible) AS BIGINT) AS tokens_scrubbed,
+       CAST(SUM(n_scrubbed * eligible) AS DOUBLE)
+         / NULLIF(CAST(SUM(n_tokens * eligible) AS DOUBLE), 0) AS scrub_recall
+FROM classed
+GROUP BY doc_class
+"""

@@ -379,6 +379,15 @@ _register(
     DEDUP_ORACLES["dedup_repeated_spans_scrub"],
 )
 
+# D37: span-dedup evaluation report — D35 graded per planted-dup class.
+_register(
+    "dedup_repeated_spans_eval",
+    lambda s, d: dedup.dedup_repeated_spans_eval(
+        load_tables(s, d)["documents"], span_tokens=16
+    ),
+    DEDUP_ORACLES["dedup_repeated_spans_eval"],
+)
+
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking
 # surrogate, the one quantized searcher with a full hash-exact oracle.
 _register(
@@ -1033,16 +1042,18 @@ _PRIORITY = [
     # r11 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority \
     #       --changed dedup_simhash_hamming
-    #   slots 1-3   — the THREE r11 additions with no driver row: D34
+    #   slots 1-4   — the FOUR r11 additions with no driver row: D34
     #                 dedup_repeated_spans (span-level exact dedup), D35
-    #                 its scrub apply path, D36 the streaming gate.
-    #   slot  4     — the one pre-existing entry whose CODE changed in
+    #                 its scrub apply path, D36 the streaming gate, D37
+    #                 the planted-class evaluation report.
+    #   slot  5     — the one pre-existing entry whose CODE changed in
     #                 r11: D25 (64-bit two-half SimHash widening).
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
+    "dedup_repeated_spans_eval",
     "dedup_simhash_hamming",
-    #   slots 5-9   — the 5 r4-evidence entries (oldest in the ledger;
+    #   slots 6-10  — the 5 r4-evidence entries (oldest in the ledger;
     #                 their slots were yielded to never-checked entries
     #                 in r9 and the window did not rotate in r10).
     "source_compaction_report",
@@ -1050,11 +1061,11 @@ _PRIORITY = [
     "skew_salted_sum",
     "obs_skew_exemplars",
     "obs_executor_concurrency",
-    #   slots 10-50 — the r5-evidence block in ledger order (41 of 45
-    #                 fit; the overflow — obs_cardinality_approx,
-    #                 obs_task_percentiles_approx, obs_live_collector,
-    #                 source_schema_evolution_report — leads the r12
-    #                 window per the rotation contract).
+    #   slots 11-50 — the r5-evidence block in ledger order (40 of 45
+    #                 fit; the overflow — text_tfidf_topk,
+    #                 obs_cardinality_approx, obs_task_percentiles_approx,
+    #                 obs_live_collector, source_schema_evolution_report —
+    #                 leads the r12 window per the rotation contract).
     "obs_batch_flush",
     "obs_retry_backoff",
     "obs_props_variant_stats",
@@ -1095,7 +1106,6 @@ _PRIORITY = [
     "similarity_knn_classify",
     "decontaminate",
     "mixture_sample",
-    "text_tfidf_topk",
 ]
 
 

@@ -3187,3 +3187,33 @@ def test_repeated_spans_scrub_keeps_canonical_occurrence(spark):
     assert out[6].n_scrubbed == 0 and out[6].text_clean == rows[4][1]
     assert out[7].n_scrubbed == 5
     assert out[7].text_clean == mk("bf1", "bf2", "bf3")
+
+
+def test_repeated_spans_eval_class_verdicts(spark, sf_dir):
+    """D37: the planted-class verdicts are THEOREMS of the span algebra,
+    not tendencies — every eligible exact copy and truncation is fully
+    scrubbed (all their spans recur in the lower-id original, so every
+    position is non-canonically covered → recall exactly 1.0); reversals
+    share no w≥2-token span with their source → recall exactly 0.0 (the
+    family's documented order-sensitivity blind spot); base docs, being
+    the canonical occurrences, are never scrubbed by their own plants."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans_eval,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = {r.doc_class: r for r in dedup_repeated_spans_eval(docs, 16).collect()}
+    assert set(rows) == {"base", "exact_copy", "reversal", "truncation"}
+    for cls in ("exact_copy", "truncation"):
+        r = rows[cls]
+        assert r.n_eligible > 0
+        assert r.n_fully_scrubbed == r.n_eligible, cls
+        assert r.tokens_scrubbed == r.tokens_eligible, cls
+        assert r.scrub_recall == 1.0, cls
+    rv = rows["reversal"]
+    assert rv.n_scrubbed_docs == 0 and rv.tokens_scrubbed == 0
+    assert rv.scrub_recall == 0.0
+    # base scrubbing records genuine cross-base repeats, never plant echo:
+    # it must stay a small minority of base token mass
+    b = rows["base"]
+    assert b.tokens_scrubbed < 0.2 * b.tokens_eligible
