@@ -185,6 +185,14 @@ def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 4) -> DataFram
     ).cast("long")
     gh = F.transform(F.sequence(F.lit(1), n - (k - 1)), gram_hash)
     docs = documents.filter(n >= k + w - 1).select("doc_id", gh.alias("gh"))
+    return _winnow_tail(docs, w)
+
+
+def _winnow_tail(docs: DataFrame, w: int) -> DataFrame:
+    """Window-minimum selection + signature + dup grouping over a
+    (doc_id, gh) gram-hash frame — ONE definition shared by X6 (md5
+    grams) and X20 (polynomial grams) so the winnowing algebra can
+    never diverge between the baseline and the scale path."""
     wmins = F.transform(
         F.sequence(F.lit(1), F.size("gh") - (w - 1)),
         lambda j: F.array_min(F.slice(F.col("gh"), j, w)),
@@ -208,6 +216,61 @@ def winnow_fingerprint(documents: DataFrame, k: int = 8, w: int = 4) -> DataFram
             F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
         ).alias("doc_ids"),
     )
+
+
+#: X20's polynomial gram-hash parameters: base 257 (> any BMP low
+#: codepoint step), modulus 2³¹−1 (the MinHash Mersenne prime). Each
+#: term c·(Bʲ mod M) < 2^21·2^31 = 2^52 and the k-term sum stays below
+#: 2^55 — exact BIGINT arithmetic in both engines.
+WINNOW_B = 257
+WINNOW_M = 2147483647
+
+
+def winnow_fingerprint_rolling(
+    documents: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """X20: X6's winnowing with the gram hash swapped from per-gram md5
+    to a Rabin–Karp-style POLYNOMIAL over character codes — the scale
+    path the X6 docstring promises ("the per-character md5 constant is
+    the cost"): Σⱼ ascii(text[i+j])·B^(k−1−j) mod M is ~8 integer
+    multiply-adds per gram inside WholeStageCodegen instead of an md5
+    round, with the identical window-minimum selection (shared
+    ``_winnow_tail``) — so the MOSS guarantee (any shared run of
+    k + w − 1 characters selects a common hash) holds verbatim, only
+    the hash family changes. Different hash family ⇒ different
+    signatures than X6, but the same documents group together on any
+    corpus where the polynomial hash is collision-free (planted-dup
+    grouping equality with X6 is pinned in tests).
+
+    Scale shape: identical to X6 — per-row array arithmetic, no explode,
+    no shuffle until the tiny signature group-by; the win is the per-row
+    CPU constant, which is exactly what dominates X6's bench time. The
+    text is decoded to a codepoint ARRAY once per row first: repeated
+    ``substr(text, i, 1)`` calls re-scan the string from the start for
+    codepoint boundaries (O(n²·k) per doc — measured 3.5× SLOWER than
+    X6's md5), while ``element_at`` on the decoded array is O(1).
+    """
+    n = F.length("text")
+    pows = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+    codes = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    docs0 = documents.filter(n >= k + w - 1).select(
+        "doc_id", codes.alias("codes")
+    )
+
+    def gram_hash(i):
+        s = None
+        for j, p in enumerate(pows):
+            term = F.element_at(F.col("codes"), i + j) * F.lit(p)
+            s = term if s is None else s + term
+        return s % F.lit(WINNOW_M)
+
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("codes") - (k - 1)), gram_hash
+    )
+    docs = docs0.select("doc_id", gh.alias("gh"))
+    return _winnow_tail(docs, w)
 
 
 def stats_by_source(documents: DataFrame) -> DataFrame:

@@ -544,6 +544,9 @@ _TEXT_BUILDERS = {
     "text_winnow_fingerprint": lambda s, d: textops.winnow_fingerprint(
         load_tables(s, d)["documents"]
     ),
+    "text_winnow_rolling": lambda s, d: textops.winnow_fingerprint_rolling(
+        load_tables(s, d)["documents"]
+    ),
     "text_pii_redact": lambda s, d: textops.pii_redact(load_tables(s, d)["documents"]),
     "text_bigram_stats": lambda s, d: textops.bigram_stats(load_tables(s, d)["documents"]),
     "text_inverted_index": lambda s, d: textops.inverted_index(
@@ -1042,18 +1045,20 @@ _PRIORITY = [
     # r11 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority \
     #       --changed dedup_simhash_hamming
-    #   slots 1-4   — the FOUR r11 additions with no driver row: D34
+    #   slots 1-5   — the FIVE r11 additions with no driver row: D34
     #                 dedup_repeated_spans (span-level exact dedup), D35
     #                 its scrub apply path, D36 the streaming gate, D37
-    #                 the planted-class evaluation report.
-    #   slot  5     — the one pre-existing entry whose CODE changed in
+    #                 the planted-class evaluation report, X20 the
+    #                 polynomial-hash winnow scale path.
+    #   slot  6     — the one pre-existing entry whose CODE changed in
     #                 r11: D25 (64-bit two-half SimHash widening).
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
     "dedup_repeated_spans_eval",
+    "text_winnow_rolling",
     "dedup_simhash_hamming",
-    #   slots 6-10  — the 5 r4-evidence entries (oldest in the ledger;
+    #   slots 7-11  — the 5 r4-evidence entries (oldest in the ledger;
     #                 their slots were yielded to never-checked entries
     #                 in r9 and the window did not rotate in r10).
     "source_compaction_report",
@@ -1061,8 +1066,8 @@ _PRIORITY = [
     "skew_salted_sum",
     "obs_skew_exemplars",
     "obs_executor_concurrency",
-    #   slots 11-50 — the r5-evidence block in ledger order (40 of 45
-    #                 fit; the overflow — text_tfidf_topk,
+    #   slots 12-50 — the r5-evidence block in ledger order (39 of 45
+    #                 fit; the overflow — mixture_sample, text_tfidf_topk,
     #                 obs_cardinality_approx, obs_task_percentiles_approx,
     #                 obs_live_collector, source_schema_evolution_report —
     #                 leads the r12 window per the rotation contract).
@@ -1105,7 +1110,6 @@ _PRIORITY = [
     "embedding_centroids",
     "similarity_knn_classify",
     "decontaminate",
-    "mixture_sample",
 ]
 
 

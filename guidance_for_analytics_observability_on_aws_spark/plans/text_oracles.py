@@ -771,3 +771,46 @@ SELECT j.source,
 FROM joined j JOIN totals t USING (source)
 GROUP BY 1
 """
+
+# X20: winnowing with polynomial (Rabin-Karp-style) gram hashes — the
+# identical selection algebra as X6 over Σ ascii·B^j mod M gram hashes;
+# mirrors operators/textops.py::winnow_fingerprint_rolling (B=257,
+# M=2^31-1, k=8, w=4; exact BIGINT arithmetic in both engines).
+_X20_POLY = " + ".join(
+    f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT)"
+    f" * {pow(257, 8 - 1 - j, 2147483647)}"
+    for j in range(8)
+)
+TEXT_ORACLES["text_winnow_rolling"] = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(text) - 8 + 2),
+           i -> ({_X20_POLY}) % 2147483647) AS gh
+  FROM documents
+  WHERE len(text) >= 11
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(gh) AS BIGINT) AS n_grams,
+         list_sort(list_distinct(list_transform(range(1, len(gh) - 4 + 2),
+           j -> list_min(list_slice(gh, j, j + 3))))) AS fp
+  FROM grams
+),
+sigs AS (
+  SELECT doc_id, n_grams,
+         CAST(len(fp) AS BIGINT) AS n_selected,
+         md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS signature
+  FROM per_doc
+),
+grouped AS (
+  SELECT signature,
+         COUNT(*) AS n_docs,
+         MIN(doc_id) AS keep_doc_id,
+         CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+         CAST(MIN(n_selected) AS BIGINT) AS n_selected,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+  FROM sigs
+  GROUP BY 1
+)
+SELECT * FROM grouped
+"""

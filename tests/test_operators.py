@@ -3217,3 +3217,48 @@ def test_repeated_spans_eval_class_verdicts(spark, sf_dir):
     # it must stay a small minority of base token mass
     b = rows["base"]
     assert b.tokens_scrubbed < 0.2 * b.tokens_eligible
+
+
+def test_winnow_rolling_is_sound_winnowing(spark, sf_dir):
+    """X20: what IS hash-independent about winnowing — exact duplicates
+    always share a signature under any gram hash; every multi-doc group
+    either variant reports consists of genuinely near-identical texts
+    (winnow set-equality for NON-identical docs is hash-dependent: the
+    differing region's window minima may or may not come from shared
+    grams, so X6 and X20 legitimately disagree on borderline near-dups
+    — asserting partition equality would be pinning a non-theorem);
+    and X20 must recover every group X6's md5 winnow finds on exact
+    ties (n_grams == n_selected metadata identical per doc set)."""
+    import difflib
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        winnow_fingerprint,
+        winnow_fingerprint_rolling,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def dup_groups(df):
+        return {r.doc_ids for r in df.filter(F.col("n_docs") >= 2).collect()}
+
+    for g in dup_groups(winnow_fingerprint(docs)) | dup_groups(
+        winnow_fingerprint_rolling(docs)
+    ):
+        ids = [int(x) for x in g.split(",")]
+        base = texts[ids[0]]
+        for other in ids[1:]:
+            ratio = difflib.SequenceMatcher(
+                None, base, texts[other]
+            ).quick_ratio()
+            assert ratio >= 0.9, (g, ratio)
+    # exact-copy grouping is the hash-independent theorem:
+    two = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again", "en", "w"),
+         (2, "the quick brown fox jumps over the lazy dog again", "en", "w"),
+         (3, "an entirely different sentence with other words here", "en", "w")],
+        "doc_id long, text string, lang string, source string",
+    )
+    for fn in (winnow_fingerprint, winnow_fingerprint_rolling):
+        out = {r.doc_ids: r.n_docs for r in fn(two).collect()}
+        assert out.get("1,2") == 2 and "3" in out, fn.__name__

@@ -291,10 +291,11 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r11 rotation: 47 sql + 3 rows-only (4 never-checked — the r11
-    # span-dedup family D34/D35/D36/D37 — then 1 code-changed re-exposure
-    # (D25's 64-bit widening), then the 5 r4-aged entries, then the
-    # r5-evidence block in ledger order; see the _PRIORITY comment).
+    # r11 rotation: 47 sql + 3 rows-only (5 never-checked — the r11
+    # span-dedup family D34/D35/D36/D37 + the X20 winnow scale path —
+    # then 1 code-changed re-exposure (D25's 64-bit widening), then the
+    # 5 r4-aged entries, then the r5-evidence block in ledger order;
+    # see the _PRIORITY comment).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 47, f"{n_sql} sql-backed entries in the driver window"
     # never-checked, then code-changed, then the r4-aged five lead:
@@ -303,6 +304,7 @@ def test_driver_window_composition():
         "dedup_repeated_spans_scrub",
         "stream_repeated_spans_scrub",
         "dedup_repeated_spans_eval",
+        "text_winnow_rolling",
         "dedup_simhash_hamming",
         "source_compaction_report",
         "source_retention_report",
@@ -319,7 +321,6 @@ def test_driver_window_composition():
         "dedup_exact",
         "similarity_knn_classify",
         "decontaminate",
-        "mixture_sample",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -332,6 +333,7 @@ def test_driver_window_composition():
         "orders_market_basket",     # r7-green, unchanged
         "obs_straggler_detect",     # r6-green, unchanged
         "dup_groups_incremental",   # r8-green, unchanged
+        "mixture_sample",           # r5-green — r12 overflow
         "text_tfidf_topk",          # r5-green — r12 overflow
         "obs_cardinality_approx",   # r5-ran — r12 overflow
         "obs_task_percentiles_approx",  # r5-ran — r12 overflow
