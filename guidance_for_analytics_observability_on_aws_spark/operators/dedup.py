@@ -1237,23 +1237,85 @@ def bloom_audit(
 #: the longest docs); width is a parameter, the plan shape is identical.
 REPEATED_SPAN_TOKENS = 50
 
+#: D34 span-hash polynomial parameters (the X20 winnowing family, applied
+#: to TOKEN hashes instead of character codes): two independent
+#: (base, Mersenne-ish prime modulus) pairs so the combined span key is
+#: 62 bits — span collisions need BOTH polynomials to collide
+#: (P ≈ n²/2⁶³, negligible at any driver scale; the single 31-bit hash
+#: would already birthday-collide at ~10⁵ spans and poison D37's exact
+#: class recalls). Per-token hashes are 24-bit md5 prefixes, two
+#: DIFFERENT prefixes per token, so distinct tokens collide on the PAIR
+#: with P ≈ |vocab|²/2⁴⁹. Arithmetic bounds: term = h·Bʲ mod M <
+#: 2²⁴·2³¹ = 2⁵⁵, so a w-term sum stays exact BIGINT for w ≤ 128; the
+#: combined key s1·2³² + s2 < 2⁶³ − 2³³ + 2³¹ < 2⁶³ − 1. Identical
+#: arithmetic in DuckDB (CAST('0x'||substr(md5..)) + BIGINT * / % / +).
+SPAN_B1, SPAN_M1 = 257, 2147483647
+SPAN_B2, SPAN_M2 = 263, 2147483629
+_SPAN_MAX_W = 128
+
 
 def _span_rows(corpused: DataFrame, w: int) -> DataFrame:
     """(doc_id, n_tokens, start, span_hash) — one row per w-token span of
     every already-corpus()'d document with ≥ w tokens (start is 1-based);
     ONE definition shared by D34 (detection) and D35 (scrub) so the span
-    hashing can never diverge."""
+    hashing can never diverge.
+
+    ``span_hash`` is a BIGINT dual polynomial over once-hashed tokens
+    (the X20 pattern ported from character grams to token sequences):
+    each token is md5'd ONCE into two 24-bit halves, then every span
+    hash is Σⱼ hₜ₊ⱼ·B^(w−1−j) mod M for two (B, M) pairs packed as
+    s1·2³² + s2. Per-span cost is 2w integer multiply-adds inside
+    WholeStageCodegen instead of an md5 round over the w-token joined
+    string (which re-allocates ~w·token_len bytes per span — the O(n·w)
+    STRING work the D34 docstring deferred). A true O(n) rolling
+    recurrence (Hᵢ₊₁ from Hᵢ) is not expressible as a Catalyst array op
+    without an O(n²) accumulate-into-array copy, so the direct 2w-madd
+    sum is the optimal JVM-side form; the win is the per-span constant
+    (no string building, no md5), not the asymptotic.
+    """
+    if w > _SPAN_MAX_W:
+        raise ValueError(
+            f"span width {w} > {_SPAN_MAX_W}: the w-term polynomial sum "
+            "would overflow exact BIGINT (term < 2^55, sum < w*2^55)"
+        )
     toks = tokens(F.col("text"))
     docs = (
         corpused.select("doc_id", toks.alias("toks"))
         .select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
         .filter(F.col("n_tokens") >= w)
     )
+    # ONE md5 per token: the first 12 hex chars as a 48-bit BIGINT, split
+    # into its two 24-bit halves with shift/mask inside each polynomial
+    # term — h >> 24 ≡ conv(substr(md5, 1, 6)) and h & (2²⁴−1) ≡
+    # conv(substr(md5, 7, 6)), which is exactly how the DuckDB oracle
+    # derives them, so the packed span hash is bit-identical either way.
+    h48 = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    hashed = docs.select("doc_id", "n_tokens", h48.alias("h48"))
+    p1 = [pow(SPAN_B1, w - 1 - j, SPAN_M1) for j in range(w)]
+    p2 = [pow(SPAN_B2, w - 1 - j, SPAN_M2) for j in range(w)]
+
+    def _poly(hi_half: bool, pows: list, m: int, i):
+        s = None
+        for j, p in enumerate(pows):
+            x = F.element_at(F.col("h48"), i + j)
+            half = (
+                F.shiftright(x, 24)
+                if hi_half
+                else x.bitwiseAND(F.lit((1 << 24) - 1))
+            )
+            term = half * F.lit(p)
+            s = term if s is None else s + term
+        return s % F.lit(m)
+
     span_hashes = F.transform(
         F.sequence(F.lit(1), (F.col("n_tokens") - (w - 1)).cast("int")),
-        lambda i: F.md5(F.array_join(F.slice(F.col("toks"), i, w), " ")),
+        lambda i: _poly(True, p1, SPAN_M1, i) * F.lit(1 << 32)
+        + _poly(False, p2, SPAN_M2, i),
     )
-    return docs.select(
+    return hashed.select(
         "doc_id", "n_tokens", F.posexplode(span_hashes).alias("pos", "span_hash")
     ).select(
         "doc_id",
@@ -1284,25 +1346,27 @@ def dedup_repeated_spans(
     w + Σ min(w, gap) over consecutive starts — one zip_with +
     aggregate, no position explode).
 
-    Scale shape: one span explode (n_tokens - w + 1 rows/doc) → one
-    map-side-combined groupBy on the 16-byte span hash → equi-join of
-    spans to the (small: only duplicated hashes survive the HAVING)
-    dup-hash side → one per-doc aggregate. No pairwise work, no
-    cartesian; the hash group-by is the same 100 TB workhorse shuffle
-    as D1. Hashing is md5 over the joined span (engine-portable); a
-    production run at Lee et al. width would swap in a rolling
-    Rabin-Karp hash to make span hashing O(n) instead of O(n·w) —
-    a per-row CPU constant, not a plan change.
+    Scale shape: ONE span explode (n_tokens - w + 1 rows/doc) → ONE
+    shuffle on the span hash carrying a count-over-partition window
+    (n_occ), filter n_occ ≥ 2 → one per-doc aggregate. The r11 form
+    (groupBy span_hash HAVING ≥ 2, equi-join back to spans) computed
+    the span explode TWICE and shuffled it twice — the window rides the
+    same exchange the groupBy needed and halves both scans and
+    shuffles, measured 2.35 s vs 3.46 s warm at sf0.1. No pairwise
+    work, no cartesian. Hashing is the dual-polynomial Rabin–Karp over
+    once-hashed tokens (see ``_span_rows``): 2w integer multiply-adds
+    per span instead of the r11 md5-over-joined-string, the X20 trade
+    applied to token sequences.
     """
     w = span_tokens
     spans = _span_rows(corpus(documents), w)
-    dup_hashes = (
-        spans.groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .filter(F.col("n_occurrences") >= 2)
-        .select("span_hash")
-    )
-    rep = spans.join(dup_hashes, "span_hash")
+    win = Window.partitionBy("span_hash")
+    rep = spans.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.count(F.lit(1)).over(win).alias("n_occ"),
+    ).filter(F.col("n_occ") >= 2)
     per_doc = rep.groupBy("doc_id").agg(
         F.min("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_repeated_spans"),
@@ -1347,13 +1411,11 @@ def dedup_repeated_spans_scrub(
 
     Scale shape: D34's span explode + hash groupBy, with the canonical
     pick as the same shuffle's window (row_number + count over
-    span_hash — one exchange, no extra pass); scrub positions rebuild
-    per-row (flatten + array_distinct of the per-span sequences, cost
-    ≤ spans·w per doc) and token filtering is one JVM ``filter`` lambda
-    (array_contains per position — quadratic in doc length only in the
-    worst case of a fully-scrubbed doc; a production run at corpus
-    lengths would swap the membership test for a sorted two-pointer
-    zip, a per-row constant, not a plan change).
+    span_hash — one exchange, no extra pass); the scrub apply is the
+    sorted-interval two-pointer walk in ``apply_span_scrub`` — O(n + m)
+    per doc (m = scrubbed starts), linear even for a fully-scrubbed
+    book-length document (the r11 ``array_contains``-per-position form
+    was O(n·|covered|) worst case).
     """
     w = span_tokens
     c = corpus(documents)
@@ -1389,32 +1451,59 @@ def apply_span_scrub(
     interval and emit (doc_id, n_tokens, n_scrubbed, text_clean) for
     EVERY input document (untouched docs pass through verbatim,
     token-joined). ONE definition shared by D35 and the D36 streaming
-    gate so the scrub algebra can never diverge."""
+    gate so the scrub algebra can never diverge.
+
+    The kept text is rebuilt by a sorted-interval two-pointer walk, not
+    a per-position membership test: the sorted scrub starts define the
+    UNCOVERED gaps directly — [1, s₁−1] before the first interval,
+    [sₖ+w, sₖ₊₁−1] between consecutive starts (empty when the intervals
+    overlap or touch), and [sₘ+w, n] after the last — and the kept
+    tokens are one ``slice`` per non-empty gap, flattened. Cost is
+    O(n + m) per document (m = scrub starts): linear even for a
+    fully-scrubbed book-length doc, where the r11
+    ``array_contains(covered, i)``-per-position form was
+    O(n·|covered|) ≈ quadratic. ``n_scrubbed`` = n − |kept| — identical
+    to the covered-position count by the interval-union algebra D34's
+    oracle cross-checks.
+    """
     per_doc = scrub.groupBy("doc_id").agg(
         F.array_sort(F.collect_list("start")).alias("starts")
     )
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.col("starts"), lambda s: F.sequence(s, s + F.lit(w - 1))
-            )
-        )
-    )
-    positions = per_doc.select("doc_id", covered.alias("covered"))
     toks = tokens(F.col("text"))
     base = corpused.select("doc_id", toks.alias("toks"))
-    joined = base.join(positions, "doc_id", "left")
-    kept = F.filter(
-        F.col("toks"),
-        lambda t, i: ~F.array_contains(F.col("covered"), (i + 1).cast("long")),
+    joined = base.join(per_doc, "doc_id", "left")
+    n = F.size("toks").cast("long")
+    m = F.size("starts")
+    gap = lambda lo, hi: F.struct(  # noqa: E731 — [lo, hi] kept-token run
+        lo.cast("long").alias("lo"), hi.cast("long").alias("hi")
     )
+    gaps = F.concat(
+        F.array(gap(F.lit(1), F.element_at(F.col("starts"), 1) - 1)),
+        F.zip_with(
+            F.slice(F.col("starts"), F.lit(1), m - 1),
+            F.slice(F.col("starts"), F.lit(2), m - 1),
+            lambda a, b: gap(a + w, b - 1),
+        ),
+        F.array(gap(F.element_at(F.col("starts"), -1) + w, n)),
+    )
+    kept = F.flatten(
+        F.transform(
+            F.filter(gaps, lambda g: g["hi"] >= g["lo"]),
+            lambda g: F.slice(
+                F.col("toks"),
+                g["lo"].cast("int"),
+                (g["hi"] - g["lo"] + 1).cast("int"),
+            ),
+        )
+    )
+    untouched = F.col("starts").isNull()
     return joined.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        F.when(F.col("covered").isNull(), F.lit(0).cast("long"))
-        .otherwise(F.size("covered").cast("long"))
+        n.alias("n_tokens"),
+        F.when(untouched, F.lit(0).cast("long"))
+        .otherwise(n - F.size(kept).cast("long"))
         .alias("n_scrubbed"),
-        F.when(F.col("covered").isNull(), F.array_join(F.col("toks"), " "))
+        F.when(untouched, F.array_join(F.col("toks"), " "))
         .otherwise(F.array_join(kept, " "))
         .alias("text_clean"),
     )
@@ -1436,7 +1525,13 @@ def dedup_repeated_spans_eval(
       (token order differs) → recall exactly 0.0. This is the family's
       DOCUMENTED blind spot: span dedup is order-sensitive by design;
       reversed/shuffled near-dups are D4/X4's (order-insensitive
-      fingerprints') job.
+      fingerprints') job. The 0.0 pin is corpus-conditional: it only
+      rules out spans shared with each reversal's OWN source, so it
+      additionally requires that no two reversal-source docs
+      (doc_id ≡ 5 mod 25) carry identical text — two identical sources
+      would make their reversals mutual repeats. The driver corpus
+      satisfies this and the precondition is asserted (with a clear
+      message) in ``tests/test_operators.py``'s eval test.
     - ``base``: originals are the canonical occurrences, so they stay
       (scrubbed mass records genuine cross-base repeated passages, not
       plant recovery).

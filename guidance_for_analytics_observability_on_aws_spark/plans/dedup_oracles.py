@@ -13,7 +13,14 @@ from ..functions.hashing import (
     md5_int_sql,
 )
 from ..functions.text import CORPUS_CTE, SHINGLES_SQL
-from ..operators.dedup import CDC_DIVISOR, CDC_W
+from ..operators.dedup import (
+    CDC_DIVISOR,
+    CDC_W,
+    SPAN_B1,
+    SPAN_B2,
+    SPAN_M1,
+    SPAN_M2,
+)
 from ..functions.vectors import QUANTIZE_SQL, SQ_NORM_SQL, dot_sql
 
 DEDUP_ORACLES: dict[str, str] = {}
@@ -951,32 +958,61 @@ FROM truth
 GROUP BY source
 """
 
+def _span_hash_sql(w: int) -> str:
+    """The BIGINT dual-polynomial span hash over per-token 24-bit md5
+    halves — the EXACT arithmetic of ``operators/dedup.py::_span_rows``
+    (same (B, M) pairs, same 2³² packing; term < 2⁵⁵ so the w-term sum
+    is exact BIGINT in both engines for w ≤ 128). Expects ``h1``/``h2``
+    token-hash list columns and a 1-based INTEGER ``start``."""
+    p1 = [pow(SPAN_B1, w - 1 - j, SPAN_M1) for j in range(w)]
+    p2 = [pow(SPAN_B2, w - 1 - j, SPAN_M2) for j in range(w)]
+    s1 = " + ".join(f"h1[start+{j}]*{p1[j]}" for j in range(w))
+    s2 = " + ".join(f"h2[start+{j}]*{p2[j]}" for j in range(w))
+    return (
+        f"(({s1}) % {SPAN_M1}) * 4294967296 + (({s2}) % {SPAN_M2})"
+    )
+
+
+def _span_ctes(w: int) -> str:
+    """The shared D34/D35 span-explode CTE chain (corpus tokens → once-
+    per-token 24-bit md5 half hashes → 1-based starts → dual-polynomial
+    span_hash) — ONE definition so the two oracles' hashing can never
+    diverge, mirroring the builders' shared ``_span_rows``."""
+    return f"""ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+docs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         list_transform(toks,
+           t -> CAST('0x' || substr(md5(t), 1, 6) AS BIGINT)) AS h1,
+         list_transform(toks,
+           t -> CAST('0x' || substr(md5(t), 7, 6) AS BIGINT)) AS h2
+  FROM ctoks WHERE len(toks) >= {w}
+),
+starts AS (
+  SELECT doc_id, n_tokens, h1, h2,
+         unnest(generate_series(1, CAST(n_tokens AS INTEGER) - {w - 1}))
+           AS start
+  FROM docs
+),
+span_h AS (
+  SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+         {_span_hash_sql(w)} AS span_hash
+  FROM starts
+)"""
+
+
 # D34: exact repeated-substring (span-level) dedup — Lee et al. 2022's
 # "any w-token span seen twice" rule at the registry width w=16; mirrors
 # operators/dedup.py::dedup_repeated_spans. The coverage arithmetic
 # differs by construction (builder: interval-union via w + Σ min(w, gap)
 # over sorted starts; oracle: COUNT(DISTINCT covered position)) — the
 # two are equal for fixed-width intervals, so agreement cross-checks the
-# builder's union algebra, not just its hashing.
+# builder's union algebra, not just its hashing. The span hash is the
+# builder's dual polynomial recomputed term-for-term in DuckDB BIGINTs.
 DEDUP_ORACLES["dedup_repeated_spans"] = f"""
 WITH {CORPUS_CTE},
-ctoks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
-),
-docs AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
-  FROM ctoks WHERE len(toks) >= 16
-),
-starts AS (
-  SELECT doc_id, n_tokens, toks,
-         unnest(generate_series(1, CAST(n_tokens AS INTEGER) - 15)) AS start
-  FROM docs
-),
-span_h AS (
-  SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
-         md5(array_to_string(toks[start:start+15], ' ')) AS span_hash
-  FROM starts
-),
+{_span_ctes(16)},
 dup AS (SELECT span_hash FROM span_h GROUP BY 1 HAVING COUNT(*) >= 2),
 rep AS (
   SELECT s.doc_id, s.n_tokens, s.start
@@ -1009,23 +1045,7 @@ FROM perdoc p JOIN cov c USING (doc_id)
 # tokenization convention), so the comparison is exact strings.
 DEDUP_ORACLES["dedup_repeated_spans_scrub"] = f"""
 WITH {CORPUS_CTE},
-ctoks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
-),
-docs AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
-  FROM ctoks WHERE len(toks) >= 16
-),
-starts AS (
-  SELECT doc_id, n_tokens, toks,
-         unnest(generate_series(1, CAST(n_tokens AS INTEGER) - 15)) AS start
-  FROM docs
-),
-span_h AS (
-  SELECT doc_id, CAST(start AS BIGINT) AS start,
-         md5(array_to_string(toks[start:start+15], ' ')) AS span_hash
-  FROM starts
-),
+{_span_ctes(16)},
 occ AS (
   SELECT doc_id, start,
          COUNT(*) OVER (PARTITION BY span_hash) AS n_occ,

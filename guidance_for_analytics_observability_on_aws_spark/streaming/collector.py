@@ -1533,7 +1533,8 @@ def run_streaming_repeated_spans(
     docs is ROW-IDENTICAL to batch D35 restricted to doc_id ≥ boundary
     (pinned in ``tests/test_streaming.py``).
 
-    Scale shape: the index is HASHES ONLY (16 bytes/span, ≪ corpus,
+    Scale shape: the index is HASHES ONLY (one BIGINT dual-polynomial
+    hash = 8 bytes/span, ≪ corpus,
     the persisted-index argument of P18/D33); per-batch work = the
     batch's span explode + one equi-join against the index + the
     within-batch window — bounded by the batch, never the corpus. No

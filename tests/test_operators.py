@@ -3189,6 +3189,53 @@ def test_repeated_spans_scrub_keeps_canonical_occurrence(spark):
     assert out[7].text_clean == mk("bf1", "bf2", "bf3")
 
 
+def test_repeated_spans_scrub_long_doc_at_paper_width(spark):
+    """D35 at Lee et al.'s w=50 on 5k-token documents — the fully-scrubbed
+    worst case the two-pointer walk must stay linear on: an exact
+    5000-token copy is scrubbed to the EMPTY string (every position
+    covered by non-canonical occurrences; the r11 array_contains form
+    was O(n·|covered|) ≈ 25M membership probes on this one row), and a
+    200-token planted passage scrubs exactly its 200-token union from
+    the copy while the canonical doc survives verbatim."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans_scrub,
+    )
+
+    w = 50
+    base_toks = [f"t{i}" for i in range(5000)]
+    passage = base_toks[1000:1200]  # 200-token run shared with doc 3
+    other = [f"c{i}" for i in range(1000)]
+    rows = [
+        (1, " ".join(base_toks), "en", "web"),
+        (2, " ".join(base_toks), "en", "web"),  # exact copy → fully scrubbed
+        (3, " ".join(other[:500] + passage + other[500:]), "en", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_repeated_spans_scrub(docs, span_tokens=w).collect()
+    }
+    assert out[1].n_scrubbed == 0 and out[1].text_clean == rows[0][1]
+    assert out[2].n_scrubbed == 5000 and out[2].text_clean == ""
+    assert out[3].n_scrubbed == 200
+    assert out[3].text_clean == " ".join(other)
+
+
+def test_span_width_guard_rejects_overflow_widths():
+    """_span_rows must refuse widths whose w-term polynomial sum could
+    leave exact BIGINT range (w > 128: sum bound w·2⁵⁵ ≥ 2⁶²·2)."""
+    import pytest as _pytest
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        _span_rows,
+    )
+
+    with _pytest.raises(ValueError, match="overflow"):
+        _span_rows(None, 129)
+
+
 def test_repeated_spans_eval_class_verdicts(spark, sf_dir):
     """D37: the planted-class verdicts are THEOREMS of the span algebra,
     not tendencies — every eligible exact copy and truncation is fully
@@ -3202,6 +3249,17 @@ def test_repeated_spans_eval_class_verdicts(spark, sf_dir):
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # Precondition of the reversal-recall-0.0 theorem: it only rules out
+    # spans shared with each reversal's OWN source. If two reversal
+    # sources (doc_id % 25 == 5) carried identical text, their reversals
+    # would be mutual repeats and one would be scrubbed — assert the
+    # corpus can't do that, so a future testdata change fails HERE with
+    # a clear message instead of a mysterious recall > 0.
+    rev_src = docs.filter(F.col("doc_id") % 25 == 5).select("text")
+    assert rev_src.count() == rev_src.distinct().count(), (
+        "duplicate reversal-source texts: the reversal recall-0.0 "
+        "theorem's no-duplicate-source precondition is violated"
+    )
     rows = {r.doc_class: r for r in dedup_repeated_spans_eval(docs, 16).collect()}
     assert set(rows) == {"base", "exact_copy", "reversal", "truncation"}
     for cls in ("exact_copy", "truncation"):
