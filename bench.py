@@ -280,20 +280,27 @@ def main() -> None:
         dup_groups_nightly_report,
     )
 
+    # Each override is (builder, note): the note feeds the artifact's
+    # bench_overrides entry DERIVED from this dict, so adding an override
+    # here can never silently reintroduce an unexplained speedup — the
+    # artifact self-describes what rows_only_sec[name] MEANS (e.g.
+    # dup_groups_nightly is ~3× faster by construction with verify=False
+    # vs the verify=True registry runner; driver row and pytest keep
+    # verify=True).
     bench_builders = {
-        "dup_groups_nightly": lambda s, d: dup_groups_nightly_report(
-            s, d, verify=False
+        "dup_groups_nightly": (
+            lambda s, d: dup_groups_nightly_report(s, d, verify=False),
+            "verify=False",
         ),
     }
-    # Self-describing artifact: the override changes what
-    # rows_only_sec['dup_groups_nightly'] MEANS (~3× faster by
-    # construction vs the verify=True registry runner), so the artifact
-    # itself must say so — a cross-round diff must never see an
-    # unexplained speedup documented only in a code comment.
-    bench_overrides = {"dup_groups_nightly": "verify=False"}
+    bench_overrides = {k: note for k, (_, note) in bench_builders.items()}
     rows_only: dict[str, float] = {}
     for name in rows_only_names:
-        builder = bench_builders.get(name, REGISTRY[name].builder)
+        builder = (
+            bench_builders[name][0]
+            if name in bench_builders
+            else REGISTRY[name].builder
+        )
         t0 = time.perf_counter()
         df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -373,7 +380,11 @@ def main() -> None:
         group_best[g] = round(group_best.get(g, 0.0) + v, 3)
     group_best["rows_only"] = round(sum(rows_best_ever.values()), 3)
 
-    def _group_regressions(ref_per_query: dict[str, float], label: str):
+    def _group_regressions(
+        ref_per_query: dict[str, float],
+        rows_ref: dict[str, float],
+        label: str,
+    ):
         """Group-level note vs a per-query reference map, computed ONLY
         over queries present in BOTH sides — a new operator landing in a
         group must read as coverage growth, not a perf regression.
@@ -383,7 +394,11 @@ def main() -> None:
         the reference sums each query's ALL-TIME best (each achieved on
         its own luckiest run), a lower bound no single run matches, so
         expect nonzero entries there and read the MAGNITUDE, not the
-        presence."""
+        presence. ``rows_ref`` is the rows-only reference for the SAME
+        comparison (the previous run's rows_only_sec for vs-prev, the
+        ratchet for vs-best) — using the ratchet for both would make the
+        vs-prev rows_only entry measure distance-to-floor and falsely
+        flag a round no slower than the previous one."""
         now_g: dict[str, float] = {}
         ref_g: dict[str, float] = {}
         for n, v in best.items():
@@ -391,8 +406,8 @@ def main() -> None:
                 g = query_group(n)
                 now_g[g] = now_g.get(g, 0.0) + v
                 ref_g[g] = ref_g.get(g, 0.0) + ref_per_query[n]
-        ro_now = sum(v for n, v in rows_only.items() if n in prev_rows_best)
-        ro_ref = sum(v for n, v in prev_rows_best.items() if n in rows_only)
+        ro_now = sum(v for n, v in rows_only.items() if n in rows_ref)
+        ro_ref = sum(v for n, v in rows_ref.items() if n in rows_only)
         if ro_ref:
             now_g["rows_only"], ref_g["rows_only"] = ro_now, ro_ref
         return [
@@ -401,8 +416,11 @@ def main() -> None:
             if v > ref_g[g] * 1.15 and v - ref_g[g] > 1.0
         ]
 
-    group_regressions = _group_regressions(prev_min, "prev")
-    group_regressions_vs_best = _group_regressions(prev_best, "best")
+    prev_rows = prev.get("rows_only_sec", {}) if prev.get("sf") == totals["sf"] else {}
+    group_regressions = _group_regressions(prev_min, prev_rows, "prev")
+    group_regressions_vs_best = _group_regressions(
+        prev_best, prev_rows_best, "best"
+    )
     with open(perquery_path, "w") as fh:
         json.dump(
             {

@@ -659,18 +659,23 @@ def test_bench_p_group_covers_every_pipeline_sql_entry():
 
 
 def test_repeated_spans_plans_stay_hash_partitioned(spark, sf_dir):
-    """D34/D35: the span-hash groupBy must partial-aggregate map-side and
-    the join back from the HAVING>=2 survivor side must be a hash
-    equi-join — never a nested-loop/cartesian plan (the span explode is
+    """D34/D35: never a nested-loop/cartesian plan (the span explode is
     the biggest fan-out in the dedup family; an all-pairs fallback here
-    would be quadratic in corpus size)."""
+    would be quadratic in corpus size), and the span explode must run
+    ONCE — the r12 window form (count over span_hash) rides a single
+    hash exchange; a regression to the r11 groupBy+join-back shape
+    would generate the explode twice (two Generate nodes) and shuffle
+    it twice."""
     for name in ("dedup_repeated_spans", "dedup_repeated_spans_scrub"):
         plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-    # D34's dup-hash join side is an aggregate: partial aggregation must
-    # appear before the exchange (map-side combine on the 16-byte key).
     plan34 = _executed_plan(
         REGISTRY["dedup_repeated_spans"].builder(spark, sf_dir)
     )
-    assert "partial_count" in plan34 or "partial" in plan34.lower(), plan34[:500]
+    assert plan34.count("Generate") == 1, (
+        "D34 must explode spans exactly once (single window shuffle), "
+        f"got {plan34.count('Generate')} Generate nodes"
+    )
+    # the per-doc aggregate still partial-aggregates map-side
+    assert "partial" in plan34.lower(), plan34[:500]

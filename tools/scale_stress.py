@@ -541,6 +541,101 @@ def aqe_skew_split_fires(spark: SparkSession, skew_dir: str) -> bool:
             spark.conf.set(k, v)
 
 
+def span_paper_width_probe(spark: SparkSession) -> dict:
+    """Drive D34/D35 at Lee et al. 2022's REAL width (w=50) on a long-doc
+    corpus — the registry runs w=16 because driver docs average ~54
+    tokens (MIGRATION.md); this probe proves the plan at paper width
+    BEFORE a real corpus does. Synthesizes 2,000 docs of 2–5k tokens
+    (background tokens unique per (doc, position) → zero accidental
+    repeats) with a single 300-token passage planted in every 10th doc,
+    then asserts the w=50 THEOREMS: every planted doc reports exactly
+    251 repeated spans whose interval union is exactly 300 tokens (the
+    union algebra at width 50), unplanted docs are absent, the
+    lowest-id planted doc survives the scrub verbatim (canonical
+    survival) and every other planted doc scrubs exactly the 300-token
+    passage. Records the explode volume (Σ n_tokens − 49 per doc ≈ 7M
+    span rows) and D34/D35 wall seconds at both w=16 and w=50 so the
+    width cost is a measured curve, not a claim."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_repeated_spans,
+        dedup_repeated_spans_scrub,
+    )
+
+    n_docs, plant_lo, plant_hi = 2000, 501, 800
+    # doc_id ≡ 1 (mod 25) so corpus() inside the operators plants nothing.
+    base = spark.range(n_docs).select(
+        (F.lit(1) + F.col("id") * 25).alias("doc_id"), F.col("id").alias("i")
+    )
+    n_tok = (F.lit(2000) + (F.col("i") * 37) % 3001).cast("int")
+    planted = F.col("i") % 10 == 0
+    toks = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda p: F.when(
+            planted & (p >= plant_lo) & (p <= plant_hi),
+            F.concat(F.lit("p"), (p - plant_lo).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("u"),
+                F.col("i").cast("string"),
+                F.lit("x"),
+                p.cast("string"),
+            )
+        ),
+    )
+    docs = base.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("longdoc").alias("source"),
+    ).localCheckpoint(eager=True)
+    n_planted = n_docs // 10
+    total_tokens, total_spans_w50 = (
+        base.select(
+            F.sum(n_tok.cast("long")),
+            F.sum((n_tok - 49).cast("long")),
+        ).collect()[0]
+    )
+    out = {
+        "n_docs": n_docs,
+        "n_planted_docs": n_planted,
+        "passage_tokens": plant_hi - plant_lo + 1,
+        "total_tokens": total_tokens,
+        "span_rows_w50": total_spans_w50,
+    }
+    for w in (16, 50):
+        t0 = time.perf_counter()
+        d34 = dedup_repeated_spans(docs, span_tokens=w)
+        agg34 = d34.agg(
+            F.count(F.lit(1)).alias("docs_flagged"),
+            F.sum(
+                (
+                    (F.col("repeated_token_mass") == plant_hi - plant_lo + 1)
+                    & (F.col("n_repeated_spans") == plant_hi - plant_lo + 2 - w)
+                ).cast("long")
+            ).alias("exact_union_docs"),
+        ).collect()[0]
+        d34_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        d35 = dedup_repeated_spans_scrub(docs, span_tokens=w)
+        agg35 = d35.agg(
+            F.sum((F.col("n_scrubbed") == 0).cast("long")).alias("untouched"),
+            F.sum(
+                (F.col("n_scrubbed") == plant_hi - plant_lo + 1).cast("long")
+            ).alias("passage_scrubbed"),
+        ).collect()[0]
+        d35_sec = round(time.perf_counter() - t0, 3)
+        # w=50 theorems (hold identically at w=16 on this corpus: every
+        # planted span is inside the same 300-token passage)
+        assert agg34.docs_flagged == n_planted, (w, agg34)
+        assert agg34.exact_union_docs == n_planted, (w, agg34)
+        # canonical doc + all unplanted docs survive verbatim
+        assert agg35.untouched == n_docs - n_planted + 1, (w, agg35)
+        assert agg35.passage_scrubbed == n_planted - 1, (w, agg35)
+        out[f"d34_sec_w{w}"] = d34_sec
+        out[f"d35_sec_w{w}"] = d35_sec
+    return out
+
+
 def timed(spark: SparkSession, name: str, sf: str) -> tuple[float, int]:
     t0 = time.perf_counter()
     df = REGISTRY[name].builder(spark, sf)
@@ -649,6 +744,8 @@ def main() -> None:
     print(f"  [d31] prefix_filter_attribution={d31}", file=sys.stderr)
     d25 = simhash_collision_probe(spark, base, dst)
     print(f"  [d25] simhash_collision_probe={d25}", file=sys.stderr)
+    span50 = span_paper_width_probe(spark)
+    print(f"  [d34/d35] span_paper_width_probe={span50}", file=sys.stderr)
 
     # --- rows-only runners with real scale shapes (r11) ----------------
     from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
@@ -716,6 +813,7 @@ def main() -> None:
         },
         "prefix_filter_attribution": d31,
         "simhash_collision_probe": d25,
+        "span_paper_width": span50,
         "rows_only": rows_only_results,
     }
     payload["sum_ratio"] = round(
