@@ -1088,6 +1088,37 @@ def prefix_filter_candidates(
     )
 
 
+def lex_prefix_rows(arrays: DataFrame, threshold_pct: int) -> DataFrame:
+    """(doc_id, shingle) prefix postings of a (doc_id, sh) frame whose
+    ``sh`` column is an ``array_sort``-ed shingle array — the prefix-
+    filter candidate key under the LEXICOGRAPHIC global order. D31's
+    completeness theorem holds for ANY fixed total order (the df-
+    ascending order D31 itself uses is a performance choice, not a
+    correctness one); lex order needs NO document-frequency pass, so an
+    ingest gate can prefix an arriving micro-batch without recomputing
+    corpus statistics, and an index side prefixed under the same order
+    stays valid as the index grows (P22's bipartite trick, bilateral).
+    Prefix length is the same all-integer ``n − ceil(t·n) + 1``."""
+    pct = int(threshold_pct)
+    return arrays.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("sh"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (
+                        F.size("sh")
+                        - F.expr(f"(({pct} * size(sh) + 99) DIV 100)")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("shingle"),
+    )
+
+
 def dedup_bloom_gate(
     documents: DataFrame,
     m_bits: int = 1 << 20,

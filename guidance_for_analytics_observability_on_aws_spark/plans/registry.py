@@ -1566,6 +1566,21 @@ def _stream_repeated_spans(s, d):
 _register("stream_repeated_spans_scrub", _stream_repeated_spans, None)
 
 
+# Rows-only: D38 (r12) — LOSSLESS near-dup dedup on ingest: the D31
+# prefix-filter gate under the lexicographic global order (recall 1.0 by
+# the prefix theorem, exact-Jaccard verified), probing append-only
+# prefix-posting + shingle-array index tables; single-batch output
+# row-identical per source to batch D31's cross-boundary verdicts
+# (pinned in tests/test_streaming.py).
+def _stream_prefix_dedup(s, d):
+    from ..streaming.collector import run_streaming_prefix_dedup
+
+    return run_streaming_prefix_dedup(s, d)
+
+
+_register("stream_prefix_dedup_ingest", _stream_prefix_dedup, None)
+
+
 # Applied LAST so every registration above (including late additions) is
 # eligible for the driver window.
 _apply_priority_order()

@@ -1604,3 +1604,177 @@ def run_streaming_repeated_spans(
         .orderBy("doc_id")
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_prefix_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_pct: int = 80,
+    corpus_boundary: int = NEW_DOC_BOUNDARY,
+    stream_dir: str | None = None,
+    docs_glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """D38: LOSSLESS near-dup dedup ON INGEST — the prefix-filter (D31)
+    streaming twin, completing the ingest-gate family: P18 gates with a
+    probabilistic sketch (LSH bands + MinHash confirm), this gate is
+    exact — candidate recall 1.0 by D31's prefix theorem under the
+    LEXICOGRAPHIC global order (any fixed total order works; lex needs
+    no document-frequency pass, so neither the batch side nor the
+    growing index ever recomputes corpus statistics — the property that
+    makes the theorem survive ingest) and every candidate is verified
+    with D2's exact float-Jaccard before a doc is dropped.
+
+    Index = the committed corpus's sorted shingle ARRAYS (verification
+    side) plus their lex-order prefix POSTINGS (candidate side), both
+    persisted; each batch appends its KEPT docs' rows to both — the
+    D36/D33 append-only growth, idempotent under re-delivery (anti-join
+    on doc_id keeps both tables sets). An arriving doc is kept iff no
+    already-indexed doc (committed corpus or earlier-kept ingest)
+    reaches ``threshold_pct`` Jaccard — with a single availableNow
+    batch this is ROW-IDENTICAL per source to batch D31's cross-
+    boundary verdicts (pinned in ``tests/test_streaming.py``).
+
+    Scale shape: per-batch work = batch shingle arrays (bounded by the
+    batch) + one equi-join of the batch's prefix postings against the
+    index postings (both prefix-shrunk; the index side is scalar
+    (shingle, doc_id) pairs, NOT arrays, so it shuffles cheaply — the
+    D30/D31 array-broadcast pin) + exact verification joins on the two
+    array tables (batch side tiny, index side shuffle-hash). No
+    streaming state: membership lives in the two index tables, constant
+    executor memory at any corpus size.
+    """
+    from ..functions.text import corpus, tokens
+    from ..operators.dedup import _jaccard_col, lex_prefix_rows
+    from ..functions.text import shingles
+
+    pct = int(threshold_pct)
+    work = tempfile.mkdtemp(prefix="gfaooa_prefixdedup_")
+    src = stream_dir if stream_dir is not None else sf_dir
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(docs_schema).option(
+        "pathGlobFilter", docs_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+    toks = tokens(F.col("text"))
+
+    def sorted_arrays(corpused: DataFrame) -> DataFrame:
+        return (
+            corpused.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 3)
+            .select(
+                "doc_id", F.array_sort(shingles(F.col("toks"))).alias("sh")
+            )
+        )
+
+    old_docs = corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).filter(F.col("doc_id") < corpus_boundary)
+    arr_path, pre_path = f"{work}/index_arrays", f"{work}/index_prefix"
+    old_arrays = sorted_arrays(old_docs)
+    old_arrays.write.mode("overwrite").parquet(arr_path)
+    lex_prefix_rows(old_arrays, pct).write.mode("overwrite").parquet(pre_path)
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = corpus(batch_df).filter(
+            F.col("doc_id") >= corpus_boundary
+        ).localCheckpoint(eager=True)
+        new_arrays = sorted_arrays(new_docs).localCheckpoint(eager=True)
+        # Materialize both index reads BEFORE this batch appends to them.
+        index_arr = spark.read.parquet(arr_path).localCheckpoint(eager=True)
+        index_pre = spark.read.parquet(pre_path).localCheckpoint(eager=True)
+        cand = (
+            lex_prefix_rows(new_arrays, pct)
+            .join(
+                index_pre.select(
+                    F.col("doc_id").alias("old_id"), "shingle"
+                ),
+                "shingle",
+            )
+            .select("doc_id", "old_id")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        dropped = (
+            cand.join(
+                new_arrays.select("doc_id", F.col("sh").alias("sh_a")),
+                "doc_id",
+            )
+            .join(
+                index_arr.hint("shuffle_hash").select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("sh").alias("sh_b"),
+                ),
+                "old_id",
+            )
+            .select(
+                "doc_id",
+                inter.alias("intersection_size"),
+                F.size("sh_a").cast("long").alias("size_a"),
+                F.size("sh_b").cast("long").alias("size_b"),
+            )
+            .withColumn("jaccard", _jaccard_col())
+            .filter(F.col("jaccard") >= pct / 100.0)
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kept_docs = new_docs.join(dropped, "doc_id", "left_anti")
+        kept_docs.select("doc_id", "source").write.mode("append").parquet(
+            f"{work}/kept"
+        )
+        new_docs.join(dropped, "doc_id", "left_semi").select(
+            "doc_id", "source"
+        ).write.mode("append").parquet(f"{work}/dropped")
+        # Append-only index growth: kept docs join the gate's view of the
+        # corpus (anti-join keeps both tables sets under re-delivery).
+        kept_arrays = new_arrays.join(
+            kept_docs.select("doc_id"), "doc_id", "left_semi"
+        ).join(index_arr.select("doc_id"), "doc_id", "left_anti")
+        kept_arrays.write.mode("append").parquet(arr_path)
+        lex_prefix_rows(kept_arrays, pct).write.mode("append").parquet(
+            pre_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", f"{work}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    route_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+
+    def routed(path: str, verdict: str) -> DataFrame:
+        return (
+            spark.read.schema(route_schema)
+            .parquet(path)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("verdict", F.lit(verdict))
+        )
+
+    result = (
+        routed(f"{work}/kept", "kept")
+        .unionByName(routed(f"{work}/dropped", "dropped"))
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("verdict") == "kept", F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("verdict") == "dropped", F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+    return _collected_and_cleaned(spark, result, work)

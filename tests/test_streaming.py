@@ -1146,3 +1146,138 @@ def test_streaming_repeated_spans_matches_batch_scrub(spark, sf_dir):
     # the gate must actually scrub: planted exact copies (+1M) repeat the
     # corpus doc's spans verbatim, so some new doc loses tokens
     assert any(r[2] > 0 for r in got)
+
+def test_streaming_prefix_dedup_matches_batch_d31(spark, sf_dir):
+    """D38: the lossless prefix-filter ingest gate must route every new
+    doc exactly as batch D31 verdicts the cross-boundary pairs: a new
+    doc (doc_id ≥ 1M) is dropped iff some committed-corpus doc reaches
+    the Jaccard threshold — with the single availableNow batch, the
+    per-source (n_kept, n_dropped) report is derivable from
+    dedup_prefix_filter's exact output (old ids always sort below the
+    boundary, so cross pairs are exactly doc_a < 1M ≤ doc_b). Planted
+    exact copies (+1M) are guaranteed drops at Jaccard 1.0; reversals
+    (+2M) reverse every 3-token shingle and must be KEPT — the gate
+    inherits D31's exactness, not a sketch's false-positive rate."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import (
+        corpus,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_prefix_filter,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_prefix_dedup,
+    )
+
+    got = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in run_streaming_prefix_dedup(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dropped_ids = (
+        dedup_prefix_filter(docs)
+        .filter((F.col("doc_a") < 1_000_000) & (F.col("doc_b") >= 1_000_000))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    new_docs = corpus(docs).filter(F.col("doc_id") >= 1_000_000)
+    want = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in new_docs.join(
+            dropped_ids.withColumn("is_dropped", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("is_dropped").isNull().cast("long")).alias("n_kept"),
+            F.sum(
+                F.coalesce(F.col("is_dropped"), F.lit(0)).cast("long")
+            ).alias("n_dropped"),
+        )
+        .collect()
+    }
+    assert got == want and got
+    # the gate must both keep and drop: exact copies drop, reversals stay
+    assert sum(k for k, _ in got.values()) > 0
+    assert sum(d for _, d in got.values()) > 0
+
+def test_streaming_prefix_dedup_appends_index_across_batches(spark, tmp_path):
+    """D38 cross-batch: the kept docs of batch 1 must JOIN the index, so
+    a batch-2 arrival duplicating a batch-1 KEPT doc is dropped even
+    though it matches nothing in the committed corpus. Hand-crafted
+    corpus + two-file mtime-ordered drop dir (maxFilesPerTrigger=1),
+    one distinct source label per doc so every route is individually
+    visible:
+
+    - batch 1, src ``s_copy_of_corpus``: its +1M copy plant equals
+      corpus doc A → dropped (the corpus-match path);
+    - batch 1, src ``s_reversal``: its +2M reversal plant matches
+      nothing → KEPT and appended to the index;
+    - batch 2, src ``s_dup_of_kept``: its +1M copy plant equals the
+      batch-1 kept reversal's text → dropped (the CROSS-BATCH path —
+      impossible unless the appended index is probed);
+    - batch 2, src ``s_unique``: kept."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_prefix_dedup,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta"
+    t1 = "one two three four five six seven"
+    rev_t1 = " ".join(reversed(t1.split()))
+    uniq = "red orange yellow green blue indigo"
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    cols = "doc_id long, text string, lang string, source string"
+    # corpus ids ∉ {0,5,10} mod 25 → corpus() plants nothing on the
+    # index side; drop-row ids CHOSEN to plant (30 → +2M reversal,
+    # 50/75/100 → +1M exact copies).
+    spark.createDataFrame(
+        [(1, text_a, "en", "c1"), (2, "totally different words here", "en", "c2")],
+        cols,
+    ).toPandas().pipe(
+        lambda pdf: pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{corpus_dir}/documents.parquet",
+        )
+    )
+    drop_dir = str(tmp_path / "drop")
+    os.makedirs(drop_dir)
+    chunks = [
+        [(50, text_a, "en", "s_copy_of_corpus"),
+         (30, t1, "en", "s_reversal")],
+        [(75, rev_t1, "en", "s_dup_of_kept"),
+         (100, uniq, "en", "s_unique")],
+    ]
+    t0 = 1_700_000_000
+    for i, rows in enumerate(chunks):
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                spark.createDataFrame(rows, cols).toPandas(),
+                preserve_index=False,
+            ),
+            path,
+        )
+        os.utime(path, (t0 + i, t0 + i))  # ascending mtime = batch order
+
+    got = {
+        r.source: (r.n_kept, r.n_dropped)
+        for r in run_streaming_prefix_dedup(
+            spark,
+            corpus_dir,
+            stream_dir=drop_dir,
+            docs_glob="*.parquet",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert got == {
+        "s_copy_of_corpus": (0, 1),
+        "s_reversal": (1, 0),
+        "s_dup_of_kept": (0, 1),
+        "s_unique": (1, 0),
+    }
