@@ -1042,74 +1042,75 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    # r11 window (50 slots exactly), GENERATED by the codified recipe:
-    #   python tools/evidence_ledger.py --priority \
-    #       --changed dedup_simhash_hamming
-    #   slots 1-5   — the FIVE r11 additions with no driver row: D34
-    #                 dedup_repeated_spans (span-level exact dedup), D35
-    #                 its scrub apply path, D36 the streaming gate, D37
-    #                 the planted-class evaluation report, X20 the
-    #                 polynomial-hash winnow scale path.
-    #   slot  6     — the one pre-existing entry whose CODE changed in
-    #                 r11: D25 (64-bit two-half SimHash widening).
+    # r12 window (50 slots exactly), GENERATED by the codified recipe:
+    #   python tools/evidence_ledger.py --priority --changed \
+    #     dedup_repeated_spans,dedup_repeated_spans_scrub,\
+    #     stream_repeated_spans_scrub,dedup_repeated_spans_eval
+    #   slot  1     — the ONE r12 addition with no driver row: D38
+    #                 stream_prefix_dedup_ingest (lossless prefix-filter
+    #                 near-dup gate on ingest).
+    #   slots 2-5   — the span family, whose CODE changed in r12 (dual-
+    #                 polynomial span hash, windowed D34, two-pointer
+    #                 scrub — D34/D35/D37 keep hash-exact oracles over
+    #                 the new arithmetic, D36 shares _span_rows/
+    #                 apply_span_scrub).
+    #   slots 6-12  — the 7 r5-evidence entries (the r11 window's
+    #                 documented overflow, plus obs_alert_debounce).
+    #   slots 13-50 — the r6-evidence block in ledger order (38 of 39
+    #                 fit; the overflow — obs_seasonal_baseline — plus
+    #                 the r7 block leads the r13 window per the
+    #                 rotation contract; see SURVEY §2's ledger table
+    #                 for the committed r13 plan).
+    "stream_prefix_dedup_ingest",
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
     "dedup_repeated_spans_eval",
-    "text_winnow_rolling",
-    "dedup_simhash_hamming",
-    #   slots 7-11  — the 5 r4-evidence entries (oldest in the ledger;
-    #                 their slots were yielded to never-checked entries
-    #                 in r9 and the window did not rotate in r10).
-    "source_compaction_report",
-    "source_retention_report",
-    "skew_salted_sum",
-    "obs_skew_exemplars",
-    "obs_executor_concurrency",
-    #   slots 12-50 — the r5-evidence block in ledger order (39 of 45
-    #                 fit; the overflow — mixture_sample, text_tfidf_topk,
-    #                 obs_cardinality_approx, obs_task_percentiles_approx,
-    #                 obs_live_collector, source_schema_evolution_report —
-    #                 leads the r12 window per the rotation contract).
-    "obs_batch_flush",
-    "obs_retry_backoff",
-    "obs_props_variant_stats",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned_items",
-    "star_join_broadcast",
-    "window_running_totals",
-    "rollup_priority_status",
-    "promo_revenue_share",
-    "tpch_q4_order_priority",
-    "anti_join_inactive_customers",
-    "tpch_q18_large_orders",
-    "tpch_q13_customer_distribution",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_dormant_balance",
-    "tpch_q12_priority_by_status",
-    "tpch_q6_forecast_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q20_excess_share",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "similarity_ivf",
-    "similarity_ann_lsh",
-    "dedup_containment_banded",
-    "dedup_embedding_cosine_blas",
-    "embedding_centroids",
-    "similarity_knn_classify",
-    "decontaminate",
+    "mixture_sample",
+    "text_tfidf_topk",
+    "obs_cardinality_approx",
+    "obs_task_percentiles_approx",
+    "obs_live_collector",
+    "source_schema_evolution_report",
+    "obs_alert_debounce",
+    "tpch_q9_profit",
+    "tpch_q11_important_parts",
+    "events_rolling_wau",
+    "tpch_q2_min_cost_supplier",
+    "dedup_minhash_estimate",
+    "similarity_range_search",
+    "embedding_dup_groups",
+    "incremental_dedup",
+    "train_val_split",
+    "sample_stratified",
+    "pack_sequences",
+    "dup_groups",
+    "corpus_curation_pipeline",
+    "corpus_curation_pipeline_v2",
+    "split_leak_proof",
+    "dataset_card_report",
+    "filter_ablation",
+    "dup_groups_star",
+    "cross_source_overlap",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "docs_stats_by_source",
+    "text_winnow_fingerprint",
+    "text_pii_redact",
+    "text_bigram_stats",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "text_repetition_stats",
+    "text_bigram_lift",
+    "mm_binary_meta",
+    "source_clustering_report",
+    "obs_straggler_detect",
+    "obs_log_sample",
+    "obs_latency_heatmap",
+    "obs_job_critical_stage",
+    "obs_apdex",
 ]
 
 

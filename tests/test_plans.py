@@ -291,54 +291,53 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r11 rotation: 47 sql + 3 rows-only (5 never-checked — the r11
-    # span-dedup family D34/D35/D36/D37 + the X20 winnow scale path —
-    # then 1 code-changed re-exposure (D25's 64-bit widening), then the
-    # 5 r4-aged entries, then the r5-evidence block in ledger order;
-    # see the _PRIORITY comment).
+    # r12 rotation: 1 never-checked (D38 stream_prefix_dedup_ingest) +
+    # the 4 code-changed span-family entries (dual-polynomial hash /
+    # windowed D34 / two-pointer scrub), then the 7 r5-evidence entries,
+    # then the r6-evidence block in ledger order (38 of 39 fit; see the
+    # _PRIORITY comment and SURVEY §2's ledger table for the r13 plan).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 47, f"{n_sql} sql-backed entries in the driver window"
-    # never-checked, then code-changed, then the r4-aged five lead:
+    assert n_sql == 43, f"{n_sql} sql-backed entries in the driver window"
     head = (
+        "stream_prefix_dedup_ingest",
         "dedup_repeated_spans",
         "dedup_repeated_spans_scrub",
         "stream_repeated_spans_scrub",
         "dedup_repeated_spans_eval",
-        "text_winnow_rolling",
-        "dedup_simhash_hamming",
-        "source_compaction_report",
-        "source_retention_report",
-        "skew_salted_sum",
-        "obs_skew_exemplars",
-        "obs_executor_concurrency",
+        "mixture_sample",
+        "text_tfidf_topk",
+        "obs_cardinality_approx",
+        "obs_task_percentiles_approx",
+        "obs_live_collector",
+        "source_schema_evolution_report",
+        "obs_alert_debounce",
     )
     assert tuple(first50[: len(head)]) == head
-    # spot-check the r5-evidence backfill block is inside the window:
+    # spot-check the r6-evidence backfill block is inside the window:
     for expected in (
-        "obs_batch_flush",
-        "tpch_q1_pricing_summary",
-        "tpch_q20_excess_share",
-        "dedup_exact",
-        "similarity_knn_classify",
-        "decontaminate",
+        "tpch_q9_profit",
+        "events_rolling_wau",
+        "train_val_split",
+        "cross_source_overlap",
+        "text_lang_id",
+        "mm_binary_meta",
+        "obs_apdex",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED —
-    # the whole r9/r10 window was re-verified in r10 and yields every slot):
+    # everything r7-or-fresher yields its slot; obs_seasonal_baseline is
+    # the one r6 entry that overflows to lead r13):
     for fresh_green in (
         "stream_burn_rate",         # r10-ran, unchanged
         "obs_value_histogram",      # r10-green, unchanged
         "mm_resize",                # r10-ran, unchanged
         "orders_market_basket",     # r7-green, unchanged
-        "obs_straggler_detect",     # r6-green, unchanged
         "dup_groups_incremental",   # r8-green, unchanged
-        "mixture_sample",           # r5-green — r12 overflow
-        "text_tfidf_topk",          # r5-green — r12 overflow
-        "obs_cardinality_approx",   # r5-ran — r12 overflow
-        "obs_task_percentiles_approx",  # r5-ran — r12 overflow
-        "obs_live_collector",       # r5-ran — r12 overflow
-        "source_schema_evolution_report",  # r5-ran — r12 overflow
+        "text_winnow_rolling",      # r11-green, code unchanged in r12
+        "dedup_simhash_hamming",    # r11-green, code unchanged in r12
+        "obs_seasonal_baseline",    # r6-green — the one r12 overflow
+        "obs_task_metrics",         # r7-green — leads r13 after overflow
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
