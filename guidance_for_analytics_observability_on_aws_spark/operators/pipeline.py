@@ -1667,3 +1667,128 @@ def mixture_soft_dedup(documents: DataFrame) -> DataFrame:
             F.sum(F.col("n_tokens") * F.col("kept")), F.sum("n_tokens")
         ).alias("token_kept_share"),
     )
+
+
+#: DSIR hashed-feature dimensionality and the target-distribution slice.
+DSIR_BUCKETS = 128
+DSIR_TARGET_LANG = "en"
+DSIR_TOPK = 120
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """P25: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection for LMs via Importance Resampling). Both the target
+    distribution (here the ``lang = target_lang`` slice — in production a
+    curated high-quality corpus) and the raw pool are modeled as bag-of-
+    hashed-ngrams multinomials over ``n_buckets`` md5 buckets; a doc's
+    importance weight is its log-likelihood ratio under the two models,
+
+        w(doc) = Σ_tokens [ log p_target(bucket) − log p_raw(bucket) ],
+
+    with add-one smoothing. For hash-exactness the per-bucket log ratio is
+    the FIRST-ORDER integer form: with ``num = (t_b+1)·(R+B)`` and ``den =
+    (r_b+1)·(T+B)`` (one fraction, so smoothing and normalization stay
+    inside exact BIGINT products),
+
+        llr_milli(b) = (num − den) · 1000 DIV den   — ⌊1000·(p/q − 1)⌋,
+
+    ln(p/q) to first order around p≈q (the regime importance weighting
+    lives in: target ⊂ pool ⇒ per-bucket ratios near 1), exact-integer in
+    both engines (DuckDB ``//`` and Spark ``DIV`` both truncate toward
+    zero) and strictly MONOTONE in the true ratio per bucket, which is
+    what thresholding and top-k sampling consume. X18's bit-length log2
+    was tried first and is too coarse here — with near-identical
+    distributions every bucket rounds to 0 bits. Products are bounded by
+    corpus_tokens²·1000 ≪ 2^63 at any test scale; a 100 TB corpus widens
+    to DECIMAL(38,0), the O63/X19 convention.
+
+    Scale shape: one token explode → groupBy (doc, bucket) with map-side
+    combine (the only corpus-sized shuffle); the 128-row bucket model and
+    its grand totals aggregate from that shrunk frame and come back as a
+    BROADCAST join; the per-doc weight is a second agg of the same
+    (doc, bucket) frame. No Python, no all-pairs, no global sort.
+    """
+    tok = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    per_doc_bucket = (
+        tok.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.pmod(md5_int(F.col("token"), 4), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucket_stats = per_doc_bucket.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("c")).otherwise(F.lit(0))
+        ).alias("t_b"),
+        F.sum("c").alias("r_b"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
+    )
+    num = (F.col("t_b") + 1) * (F.col("r_total") + n_buckets)
+    den = (F.col("r_b") + 1) * (F.col("t_total") + n_buckets)
+    llr = bucket_stats.join(F.broadcast(totals)).select(
+        "bucket",
+        ((num - den) * 1000).alias("_diff_x1000"),
+        den.alias("_den"),
+    ).select(
+        "bucket", F.expr("_diff_x1000 DIV _den").alias("llr_milli")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("llr_milli")).cast("long").alias("dsir_milli"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "dsir_milli",
+            (F.col("dsir_milli") > 0).cast("int").alias("target_like"),
+            F.expr("dsir_milli DIV n_tokens").alias("mean_milli"),
+        )
+    )
+
+
+def dsir_topk_sample(
+    documents: DataFrame,
+    k: int = DSIR_TOPK,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """P26: the DSIR RESAMPLING step — select the ``k`` docs whose
+    importance weight (P25) is highest, deterministic tie-break doc_id
+    (the paper samples Gumbel-top-k ∝ weight; the exact-top-k variant is
+    the reproducible-oracle baseline, and a hashed Gumbel key drops into
+    the same rank). Output = the selected manifest with its global rank,
+    the thing the mixture builder (P7/P20) consumes.
+
+    Rank is the O44 distributed two-phase prefix-sum rank
+    (``_global_desc_ranked``), NOT a single global window — no one-task
+    sort at 100 TB; the rank input is the P25 output (one row per doc,
+    already corpus-shrunk).
+    """
+    from .observability import _global_desc_ranked
+
+    w = dsir_importance_weights(
+        documents, n_buckets=n_buckets, target_lang=target_lang
+    )
+    ranked = _global_desc_ranked(w, "dsir_milli", "doc_id")
+    return ranked.filter(F.col("rank") <= k).select(
+        "doc_id", "source", "lang", "n_tokens", "dsir_milli", "rank"
+    )

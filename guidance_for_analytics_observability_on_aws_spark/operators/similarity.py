@@ -1739,3 +1739,135 @@ def similarity_eval_report(embeddings: DataFrame) -> DataFrame:
         F.try_divide(F.col("n_hits"), F.col("n_truth")).alias("recall"),
         F.try_divide(F.col("n_hits"), F.col("n_pred")).alias("precision"),
     )
+
+
+#: D39 semantic-dedup defaults: cosine threshold (the D5 near-dup bar) and
+#: cluster count (the D7 IVF cell count — one knob family across D).
+SEMANTIC_TAU = 0.98
+SEMANTIC_CENTROIDS = 8
+PLANT_OFFSET = 100000
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_TAU,
+    n_centroids: int = SEMANTIC_CENTROIDS,
+    n_splits: int = N_SPLITS,
+) -> DataFrame:
+    """D39: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-dup removal with NO labels and NO all-pairs join: cluster the
+    corpus (here the D7 fixed-centroid assignment — swap in D12's trained
+    Lloyd centroids for production quality; the dedup algebra is
+    identical), then search for cosine ≥ ``threshold`` pairs ONLY within
+    a cluster. This is the paper's core observation: semantic duplicates
+    land in the same cluster, so the candidate set shrinks from O(n²) to
+    Σ_cells |cell|² — and D5's deterministic hash sub-block split bounds
+    the per-task work within a cell the same way it bounds a label block
+    (probe side replicated ``n_splits`` ways, join key (cell, t)=(cell,
+    sub) — LOSSLESS, every qualifying pair meets in exactly one task).
+
+    Keep rule: the LOWEST vec_id in each duplicate relation survives — a
+    vector is removed iff some lower-id same-cell vector reaches the
+    threshold (the greedy keep-first convention of D1/D30; the paper
+    keeps the vector farthest from the centroid — a one-line ORDER BY
+    swap on the same plan). Output = the REMOVED vectors with their
+    cell, their lowest-id qualifying keeper, and the duplicate-edge
+    evidence (neighbor count, max cosine).
+
+    100 TB: assignment is a broadcast join (centroids are k·d floats);
+    the pair join shuffles on (cell_id, sub) — cells bound candidates,
+    sub-blocks bound task memory; raise ``n_centroids`` with corpus size
+    (paper uses ~√n cells) and the per-cell cost falls quadratically.
+    """
+    q = _quantized(augmented_embeddings(embeddings), barrier_key="vec_id")
+    centroids = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cent_qv"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    scored = q.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "qv",
+        "nrm",
+        "cent_id",
+        cosine6(
+            dot(F.col("qv"), F.col("cent_qv")), F.col("nrm"), F.col("cent_nrm")
+        ).alias("c_cos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_id"), "qv", "nrm")
+    )
+    b = cells.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
+    a = cells.withColumn(
+        "t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)]))
+    ).alias("a")
+    pairs = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.t") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.cell_id").alias("cell_id"),
+        F.col("a.vec_id").alias("a_id"),
+        cosine6(
+            dot(F.col("a.qv"), F.col("b.qv")), F.col("a.nrm"), F.col("b.nrm")
+        ).alias("cosine"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.min("a_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+def semantic_dedup_eval(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_TAU,
+    n_centroids: int = SEMANTIC_CENTROIDS,
+) -> DataFrame:
+    """D40: grade D39 against the corpus's PLANTED duplicate class (the
+    D37/P17 evaluation-as-operator posture). Classes:
+
+    - ``plant`` (vec_id ≥ +100000, exact copies): a plant's embedding is
+      bit-identical to its lower-id source, so both get the SAME centroid
+      scores → the SAME deterministic assignment (tie-break cent_id), and
+      their in-cell cosine is exactly 1.0 ≥ any threshold → every plant is
+      removed. Recall must be exactly 1.0 (theorem, pinned in tests — it
+      needs no corpus precondition because the source is the plant's own
+      lower-id neighbor).
+    - ``base``: removals are genuine semantic near-dups in the raw corpus
+      (recorded, not pinned — corpus-dependent signal, the number a data
+      curator actually reads off this report).
+    """
+    removed = semantic_dedup(
+        embeddings, threshold=threshold, n_centroids=n_centroids
+    ).select("vec_id", F.lit(1).alias("rm"))
+    all_vecs = augmented_embeddings(embeddings).select("vec_id")
+    cls = (
+        F.when(F.col("vec_id") >= PLANT_OFFSET, F.lit("plant"))
+        .otherwise(F.lit("base"))
+        .alias("vec_class")
+    )
+    return (
+        all_vecs.join(removed, "vec_id", "left")
+        .select(cls, F.coalesce("rm", F.lit(0)).alias("rm"))
+        .groupBy("vec_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("rm").cast("long").alias("n_removed"),
+        )
+        .select(
+            "vec_class",
+            "n_vecs",
+            "n_removed",
+            F.try_divide(F.col("n_removed"), F.col("n_vecs")).alias("removed_frac"),
+        )
+    )

@@ -1116,3 +1116,62 @@ SELECT doc_class,
 FROM classed
 GROUP BY doc_class
 """
+
+
+# D39/D40: SemDeDup — fixed-centroid cell assignment (the D7 CTEs over the
+# PLANTED corpus) + within-cell cosine pairs (the D5 pair algebra) + the
+# greedy keep-lowest-id removal rule. Constants imported from the operator.
+from ..operators.similarity import PLANT_OFFSET, SEMANTIC_CENTROIDS, SEMANTIC_TAU
+
+_SEMANTIC_CTES = f"""
+{_QUANT_CTES},
+centroids AS (
+  SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm
+  FROM norms WHERE vec_id < {SEMANTIC_CENTROIDS}
+),
+cent_scored AS (
+  SELECT n.vec_id, c.cent_id,
+         ROUND({dot_sql("n.qv", "c.cent_qv")} /
+               sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cent_nrm AS DOUBLE)), 6) AS c_cos
+  FROM norms n CROSS JOIN centroids c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn
+    FROM cent_scored
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT n.vec_id, n.qv, n.nrm, a.cell_id FROM norms n JOIN assign a USING (vec_id)
+),
+sem_pairs AS (
+  SELECT b.vec_id AS vec_id, b.cell_id AS cell_id, a.vec_id AS a_id,
+         ROUND({dot_sql("a.qv", "b.qv")} /
+               sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS cosine
+  FROM cells a
+  JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)"""
+
+DEDUP_ORACLES["dedup_semantic"] = f"""
+{_SEMANTIC_CTES}
+SELECT vec_id, cell_id,
+       MIN(a_id) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+       MAX(cosine) AS max_cosine
+FROM sem_pairs WHERE cosine >= {SEMANTIC_TAU}
+GROUP BY 1, 2
+"""
+
+DEDUP_ORACLES["dedup_semantic_eval"] = f"""
+{_SEMANTIC_CTES},
+removed AS (
+  SELECT DISTINCT vec_id FROM sem_pairs WHERE cosine >= {SEMANTIC_TAU}
+)
+SELECT CASE WHEN n.vec_id >= {PLANT_OFFSET} THEN 'plant' ELSE 'base' END AS vec_class,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS removed_frac
+FROM norms n LEFT JOIN removed r USING (vec_id)
+GROUP BY 1
+"""

@@ -595,3 +595,66 @@ SELECT source,
 FROM scored
 GROUP BY source
 """
+
+
+# P25/P26: DSIR hashed-ngram importance weights + exact top-k resample.
+# Constants imported from the operator so the bucket count / target slice /
+# k can never diverge between engines.
+from ..operators.pipeline import DSIR_BUCKETS, DSIR_TARGET_LANG, DSIR_TOPK
+
+_DSIR_WEIGHT_CTES = f"""
+WITH tok AS (
+  SELECT doc_id, source, lang,
+         unnest(regexp_split_to_array(text, '\\s+')) AS token
+  FROM documents
+),
+per_doc_bucket AS (
+  SELECT doc_id, source, lang,
+         {md5_int_sql("token", 4)} % {DSIR_BUCKETS} AS bucket,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2, 3, 4
+),
+bucket_stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END) AS t_b,
+         SUM(c) AS r_b
+  FROM per_doc_bucket GROUP BY 1
+),
+totals AS (
+  SELECT SUM(t_b) AS t_total, SUM(r_b) AS r_total FROM bucket_stats
+),
+llr AS (
+  SELECT bucket,
+         (CAST((t_b + 1) * (r_total + {DSIR_BUCKETS}) AS BIGINT)
+          - CAST((r_b + 1) * (t_total + {DSIR_BUCKETS}) AS BIGINT)) * 1000
+         // CAST((r_b + 1) * (t_total + {DSIR_BUCKETS}) AS BIGINT)
+           AS llr_milli
+  FROM bucket_stats CROSS JOIN totals
+),
+weights AS (
+  SELECT doc_id, source, lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * llr_milli) AS BIGINT) AS dsir_milli
+  FROM per_doc_bucket JOIN llr USING (bucket)
+  GROUP BY 1, 2, 3
+)"""
+
+PIPELINE_ORACLES["dsir_importance_weights"] = f"""
+{_DSIR_WEIGHT_CTES}
+SELECT doc_id, source, lang, n_tokens, dsir_milli,
+       CAST(CASE WHEN dsir_milli > 0 THEN 1 ELSE 0 END AS INT) AS target_like,
+       dsir_milli // n_tokens AS mean_milli
+FROM weights
+"""
+
+PIPELINE_ORACLES["dsir_topk_sample"] = f"""
+{_DSIR_WEIGHT_CTES},
+ranked AS (
+  SELECT doc_id, source, lang, n_tokens, dsir_milli,
+         CAST(ROW_NUMBER() OVER (ORDER BY dsir_milli DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM weights
+)
+SELECT doc_id, source, lang, n_tokens, dsir_milli, rank
+FROM ranked WHERE rank <= {DSIR_TOPK}
+"""

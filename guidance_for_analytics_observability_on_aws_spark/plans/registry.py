@@ -388,6 +388,23 @@ _register(
     DEDUP_ORACLES["dedup_repeated_spans_eval"],
 )
 
+# D39: SemDeDup (Abbas et al. 2023) — cluster-blocked semantic near-dup
+# removal: fixed-centroid cells (the D7 assignment) bound the candidate
+# pairs, D5's cosine bar decides, lowest vec_id survives.
+_register(
+    "dedup_semantic",
+    lambda s, d: similarity.semantic_dedup(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["dedup_semantic"],
+)
+
+# D40: SemDeDup evaluation report — D39 graded against the planted exact
+# copies (recall-1.0 theorem pinned in tests) vs the base corpus.
+_register(
+    "dedup_semantic_eval",
+    lambda s, d: similarity.semantic_dedup_eval(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["dedup_semantic_eval"],
+)
+
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking
 # surrogate, the one quantized searcher with a full hash-exact oracle.
 _register(
@@ -1046,22 +1063,30 @@ _PRIORITY = [
     #   python tools/evidence_ledger.py --priority --changed \
     #     dedup_repeated_spans,dedup_repeated_spans_scrub,\
     #     stream_repeated_spans_scrub,dedup_repeated_spans_eval
-    #   slot  1     — the ONE r12 addition with no driver row: D38
+    #   slots 1-5   — the FIVE r12 additions with no driver row: D38
     #                 stream_prefix_dedup_ingest (lossless prefix-filter
-    #                 near-dup gate on ingest).
-    #   slots 2-5   — the span family, whose CODE changed in r12 (dual-
+    #                 near-dup gate on ingest), D39/D40 SemDeDup +
+    #                 its planted-recall eval, P25/P26 DSIR importance
+    #                 weights + exact top-k resample.
+    #   slots 6-9   — the span family, whose CODE changed in r12 (dual-
     #                 polynomial span hash, windowed D34, two-pointer
     #                 scrub — D34/D35/D37 keep hash-exact oracles over
     #                 the new arithmetic, D36 shares _span_rows/
     #                 apply_span_scrub).
-    #   slots 6-12  — the 7 r5-evidence entries (the r11 window's
+    #   slots 10-16 — the 7 r5-evidence entries (the r11 window's
     #                 documented overflow, plus obs_alert_debounce).
-    #   slots 13-50 — the r6-evidence block in ledger order (38 of 39
-    #                 fit; the overflow — obs_seasonal_baseline — plus
-    #                 the r7 block leads the r13 window per the
-    #                 rotation contract; see SURVEY §2's ledger table
-    #                 for the committed r13 plan).
+    #   slots 17-50 — the r6-evidence block in ledger order (34 of 39
+    #                 fit; the overflow — obs_log_sample,
+    #                 obs_latency_heatmap, obs_job_critical_stage,
+    #                 obs_apdex, obs_seasonal_baseline — plus the r7
+    #                 block leads the r13 window per the rotation
+    #                 contract; see SURVEY §2's ledger table for the
+    #                 committed r13 plan).
     "stream_prefix_dedup_ingest",
+    "dedup_semantic",
+    "dedup_semantic_eval",
+    "dsir_importance_weights",
+    "dsir_topk_sample",
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
@@ -1107,10 +1132,6 @@ _PRIORITY = [
     "mm_binary_meta",
     "source_clustering_report",
     "obs_straggler_detect",
-    "obs_log_sample",
-    "obs_latency_heatmap",
-    "obs_job_critical_stage",
-    "obs_apdex",
 ]
 
 
@@ -1475,6 +1496,25 @@ _register(
     "mixture_soft_dedup",
     lambda s, d: pipeline.mixture_soft_dedup(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["mixture_soft_dedup"],
+)
+
+
+# P25 (r12): DSIR importance weights (Xie et al. 2023) — hashed-ngram
+# bag models of target (lang slice) vs raw pool, integer-exact bit-length
+# log-likelihood ratio per doc (the X18 log2 discipline).
+_register(
+    "dsir_importance_weights",
+    lambda s, d: pipeline.dsir_importance_weights(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dsir_importance_weights"],
+)
+
+
+# P26 (r12): the DSIR resampling step — exact top-k manifest by weight
+# through the O44 distributed two-phase rank (no single global sort task).
+_register(
+    "dsir_topk_sample",
+    lambda s, d: pipeline.dsir_topk_sample(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["dsir_topk_sample"],
 )
 
 

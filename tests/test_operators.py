@@ -3320,3 +3320,142 @@ def test_winnow_rolling_is_sound_winnowing(spark, sf_dir):
     for fn in (winnow_fingerprint, winnow_fingerprint_rolling):
         out = {r.doc_ids: r.n_docs for r in fn(two).collect()}
         assert out.get("1,2") == 2 and "3" in out, fn.__name__
+
+
+def _sql_div(a: int, b: int) -> int:
+    """SQL DIV / DuckDB ``//`` semantics: integer division truncating
+    toward zero (Python ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def test_semantic_dedup_plant_recall_theorem(spark, sf_dir):
+    """D39/D40: every planted exact copy (+100000) is removed — identical
+    embeddings get identical centroid scores → the same deterministic cell,
+    and their in-cell cosine is exactly 1.0 ≥ τ with the source at the
+    lower id. Also: every removal's keeper sits at a lower id, and the
+    removal's max_cosine is a valid rounded cosine in [-1, 1]."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    removed = similarity.semantic_dedup(emb)
+    rows = removed.collect()
+    assert all(r.keeper_id < r.vec_id for r in rows)
+    assert all(-1.0 <= r.max_cosine <= 1.0 for r in rows)
+    plant_ids = {
+        r.vec_id + similarity.PLANT_OFFSET
+        for r in emb.filter(F.col("vec_id") % 25 == 0).select("vec_id").collect()
+    }
+    removed_ids = {r.vec_id for r in rows}
+    assert plant_ids <= removed_ids, plant_ids - removed_ids
+    # plants pair with their bit-identical source: cosine exactly 1.0
+    by_id = {r.vec_id: r for r in rows}
+    assert all(by_id[p].max_cosine == 1.0 for p in plant_ids)
+
+    ev = {r.vec_class: r for r in similarity.semantic_dedup_eval(emb).collect()}
+    assert set(ev) == {"base", "plant"}
+    assert ev["plant"].n_removed == ev["plant"].n_vecs  # recall 1.0 theorem
+    assert ev["plant"].removed_frac == 1.0
+    # base removals are genuine semantic near-dups — a small minority
+    assert ev["base"].n_removed < 0.2 * ev["base"].n_vecs
+
+
+def test_semantic_dedup_matches_unblocked_pairs(spark, sf_dir):
+    """D39's hash sub-block split is LOSSLESS: the removal set equals the
+    literal within-cell pair rule computed with n_splits=1 (no split)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = {
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, n_splits=4).collect()
+    }
+    b = {
+        tuple(r)
+        for r in similarity.semantic_dedup(emb, n_splits=1).collect()
+    }
+    assert a == b
+
+
+def test_dsir_weights_literal_model(spark, sf_dir):
+    """P25: the Spark weights equal a literal Python reimplementation of
+    the DSIR hashed-bag LLR on the same corpus (bucket hashing, add-one
+    smoothing, first-order milli LLR — checked doc-for-doc)."""
+    import hashlib
+    from collections import Counter
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = docs.select("doc_id", "text", "lang").collect()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+
+    t_cnt, r_cnt = Counter(), Counter()
+    per_doc: dict[int, Counter] = {}
+    for r in rows:
+        c = Counter(bucket(t) for t in r.text.split())
+        per_doc[r.doc_id] = c
+        r_cnt.update(c)
+        if r.lang == DSIR_TARGET_LANG:
+            t_cnt.update(c)
+    T, R = sum(t_cnt.values()), sum(r_cnt.values())
+
+    def tdiv(a: int, b: int) -> int:  # truncate-toward-zero, like SQL DIV
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    def llr_milli(b: int) -> int:
+        num = (t_cnt[b] + 1) * (R + DSIR_BUCKETS)
+        den = (r_cnt[b] + 1) * (T + DSIR_BUCKETS)
+        return tdiv((num - den) * 1000, den)
+
+    llr = {b: llr_milli(b) for b in range(DSIR_BUCKETS)}
+    want = {
+        d: sum(n * llr[b] for b, n in c.items()) for d, c in per_doc.items()
+    }
+    got = {
+        r.doc_id: r.dsir_milli
+        for r in dsir_importance_weights(docs).collect()
+    }
+    assert got == want
+
+
+def test_dsir_weights_separate_target_slice(spark, sf_dir):
+    """P25's signal check: the target-language slice must score higher on
+    its own model — mean weight over 'en' docs > mean over the rest, and
+    the target_like flag is exactly the dsir_bits>0 verdict."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        dsir_importance_weights,
+    )
+
+    w = dsir_importance_weights(load_tables(spark, sf_dir)["documents"])
+    rows = w.collect()
+    assert all(r.target_like == int(r.dsir_milli > 0) for r in rows)
+    assert all(r.mean_milli == _sql_div(r.dsir_milli, r.n_tokens) for r in rows)
+    en = [r.dsir_milli / r.n_tokens for r in rows if r.lang == "en"]
+    rest = [r.dsir_milli / r.n_tokens for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_dsir_topk_sample_rank_contract(spark, sf_dir):
+    """P26: exactly k rows, ranks 1..k, ordered by (dsir_bits desc, doc_id),
+    and the selected set is the true top-k of the P25 weights."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        DSIR_TOPK,
+        dsir_importance_weights,
+        dsir_topk_sample,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = sorted(dsir_topk_sample(docs).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in got] == list(range(1, DSIR_TOPK + 1))
+    keys = [(-r.dsir_milli, r.doc_id) for r in got]
+    assert keys == sorted(keys)
+    all_w = dsir_importance_weights(docs).collect()
+    want_ids = [
+        r.doc_id
+        for r in sorted(all_w, key=lambda r: (-r.dsir_milli, r.doc_id))[:DSIR_TOPK]
+    ]
+    assert [r.doc_id for r in got] == want_ids

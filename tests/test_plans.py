@@ -291,15 +291,20 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r12 rotation: 1 never-checked (D38 stream_prefix_dedup_ingest) +
+    # r12 rotation: 5 never-checked (D38 stream_prefix_dedup_ingest,
+    # D39/D40 SemDeDup + eval, P25/P26 DSIR weights + top-k resample) +
     # the 4 code-changed span-family entries (dual-polynomial hash /
     # windowed D34 / two-pointer scrub), then the 7 r5-evidence entries,
-    # then the r6-evidence block in ledger order (38 of 39 fit; see the
+    # then the r6-evidence block in ledger order (34 of 39 fit; see the
     # _PRIORITY comment and SURVEY §2's ledger table for the r13 plan).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 43, f"{n_sql} sql-backed entries in the driver window"
     head = (
         "stream_prefix_dedup_ingest",
+        "dedup_semantic",
+        "dedup_semantic_eval",
+        "dsir_importance_weights",
+        "dsir_topk_sample",
         "dedup_repeated_spans",
         "dedup_repeated_spans_scrub",
         "stream_repeated_spans_scrub",
@@ -321,13 +326,13 @@ def test_driver_window_composition():
         "cross_source_overlap",
         "text_lang_id",
         "mm_binary_meta",
-        "obs_apdex",
+        "obs_straggler_detect",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED —
-    # everything r7-or-fresher yields its slot; obs_seasonal_baseline is
-    # the one r6 entry that overflows to lead r13):
+    # everything r7-or-fresher yields its slot; the four r12 additions
+    # push four more r6 entries out to lead r13 with obs_seasonal_baseline):
     for fresh_green in (
         "stream_burn_rate",         # r10-ran, unchanged
         "obs_value_histogram",      # r10-green, unchanged
@@ -336,8 +341,10 @@ def test_driver_window_composition():
         "dup_groups_incremental",   # r8-green, unchanged
         "text_winnow_rolling",      # r11-green, code unchanged in r12
         "dedup_simhash_hamming",    # r11-green, code unchanged in r12
-        "obs_seasonal_baseline",    # r6-green — the one r12 overflow
-        "obs_task_metrics",         # r7-green — leads r13 after overflow
+        "obs_seasonal_baseline",    # r6-green — r12 overflow, leads r13
+        "obs_log_sample",           # r6-green — r12 overflow (new-entry push)
+        "obs_apdex",                # r6-green — r12 overflow (new-entry push)
+        "obs_task_metrics",         # r7-green — queued after the overflow
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
