@@ -1780,11 +1780,26 @@ def semantic_dedup(
     (paper uses ~√n cells) and the per-cell cost falls quadratically.
     """
     q = _quantized(augmented_embeddings(embeddings), barrier_key="vec_id")
-    centroids = q.filter(F.col("vec_id") < n_centroids).select(
+    cells = assign_cells(q, semantic_centroids(q, n_centroids))
+    return semantic_removals(cells, cells, threshold, n_splits)
+
+
+def semantic_centroids(q: DataFrame, n_centroids: int = SEMANTIC_CENTROIDS) -> DataFrame:
+    """The D39/D41 shared centroid frame: the first ``n_centroids``
+    vectors of a quantized frame (deterministic; D7's fixed-centroid
+    convention — production swaps in D12's trained Lloyd centroids)."""
+    return q.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"),
         F.col("qv").alias("cent_qv"),
         F.col("nrm").alias("cent_nrm"),
     )
+
+
+def assign_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment (cosine, deterministic tie-break
+    cent_id) — ONE definition shared by batch D39 and the D41 ingest gate
+    so an arriving vector can never land in a different cell than the
+    batch run would put it. Centroids are broadcast (k·d floats)."""
     scored = q.join(F.broadcast(centroids)).select(
         "vec_id",
         "qv",
@@ -1795,13 +1810,30 @@ def semantic_dedup(
         ).alias("c_cos"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id"))
-    cells = (
+    return (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cent_id").alias("cell_id"), "qv", "nrm")
     )
-    b = cells.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
-    a = cells.withColumn(
+
+
+def semantic_removals(
+    cand: DataFrame,
+    arriving: DataFrame,
+    threshold: float = SEMANTIC_TAU,
+    n_splits: int = N_SPLITS,
+) -> DataFrame:
+    """The D39/D41 shared removal join: for every ``arriving`` vector,
+    find its LOWER-id same-cell candidates at cosine ≥ threshold (both
+    frames in assign_cells' (vec_id, cell_id, qv, nrm) shape) and report
+    the removal evidence. Batch D39 passes the same frame on both sides;
+    the ingest gate passes (index ∪ batch, batch) — identical algebra, so
+    the gate's verdicts are row-identical to batch restricted to the
+    arriving ids. The ``a.vec_id < b.vec_id`` predicate makes the
+    candidate union safe: a candidate row at a HIGHER id than the
+    arriving vector can never create a pair."""
+    b = arriving.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
+    a = cand.withColumn(
         "t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)]))
     ).alias("a")
     pairs = a.join(

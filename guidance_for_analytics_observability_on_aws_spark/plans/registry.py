@@ -1063,30 +1063,33 @@ _PRIORITY = [
     #   python tools/evidence_ledger.py --priority --changed \
     #     dedup_repeated_spans,dedup_repeated_spans_scrub,\
     #     stream_repeated_spans_scrub,dedup_repeated_spans_eval
-    #   slots 1-5   — the FIVE r12 additions with no driver row: D38
+    #   slots 1-6   — the SIX r12 additions with no driver row: D38
     #                 stream_prefix_dedup_ingest (lossless prefix-filter
-    #                 near-dup gate on ingest), D39/D40 SemDeDup +
-    #                 its planted-recall eval, P25/P26 DSIR importance
-    #                 weights + exact top-k resample.
-    #   slots 6-9   — the span family, whose CODE changed in r12 (dual-
+    #                 near-dup gate on ingest), D39/D40 SemDeDup + its
+    #                 planted-recall eval, P25/P26 DSIR importance
+    #                 weights + exact top-k resample, D41
+    #                 stream_semantic_dedup_ingest (the D39 gate).
+    #   slots 7-10  — the span family, whose CODE changed in r12 (dual-
     #                 polynomial span hash, windowed D34, two-pointer
     #                 scrub — D34/D35/D37 keep hash-exact oracles over
     #                 the new arithmetic, D36 shares _span_rows/
     #                 apply_span_scrub).
-    #   slots 10-16 — the 7 r5-evidence entries (the r11 window's
+    #   slots 11-17 — the 7 r5-evidence entries (the r11 window's
     #                 documented overflow, plus obs_alert_debounce).
-    #   slots 17-50 — the r6-evidence block in ledger order (34 of 39
-    #                 fit; the overflow — obs_log_sample,
-    #                 obs_latency_heatmap, obs_job_critical_stage,
-    #                 obs_apdex, obs_seasonal_baseline — plus the r7
-    #                 block leads the r13 window per the rotation
-    #                 contract; see SURVEY §2's ledger table for the
-    #                 committed r13 plan).
+    #   slots 18-50 — the r6-evidence block in ledger order (33 of 39
+    #                 fit; the overflow — obs_straggler_detect,
+    #                 obs_log_sample, obs_latency_heatmap,
+    #                 obs_job_critical_stage, obs_apdex,
+    #                 obs_seasonal_baseline — plus the r7 block leads
+    #                 the r13 window per the rotation contract; see
+    #                 SURVEY §2's ledger table for the committed r13
+    #                 plan).
     "stream_prefix_dedup_ingest",
     "dedup_semantic",
     "dedup_semantic_eval",
     "dsir_importance_weights",
     "dsir_topk_sample",
+    "stream_semantic_dedup_ingest",
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
@@ -1131,7 +1134,6 @@ _PRIORITY = [
     "text_bigram_lift",
     "mm_binary_meta",
     "source_clustering_report",
-    "obs_straggler_detect",
 ]
 
 
@@ -1620,6 +1622,21 @@ def _stream_prefix_dedup(s, d):
 
 
 _register("stream_prefix_dedup_ingest", _stream_prefix_dedup, None)
+
+
+# Rows-only: D41 (r12) — SemDeDup on ingest: arriving vectors are
+# cell-assigned with the committed corpus's centroids (shared
+# assign_cells definition) and gated by the shared semantic_removals
+# join against the append-only cell index ∪ the batch; verdicts
+# row-identical to batch D39 restricted to the arriving ids (pinned
+# single-batch and two-batch in tests/test_streaming.py).
+def _stream_semantic_dedup(s, d):
+    from ..streaming.collector import run_streaming_semantic_dedup
+
+    return run_streaming_semantic_dedup(s, d)
+
+
+_register("stream_semantic_dedup_ingest", _stream_semantic_dedup, None)
 
 
 # Applied LAST so every registration above (including late additions) is

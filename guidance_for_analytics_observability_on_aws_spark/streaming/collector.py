@@ -1778,3 +1778,113 @@ def run_streaming_prefix_dedup(
         .orderBy("source")
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str | None = None,
+    emb_glob: str = "embeddings.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """D41: SemDeDup ON INGEST — the D39 gate as a stream, giving the
+    ingest-gate family its semantic member (P18 gates on LSH sketches,
+    D33 on Bloom bits, D36 on exact span hashes, D38 on exact Jaccard —
+    all CONTENT-hash gates; an arriving paraphrase or re-encode passes
+    every one of them and only the embedding gate catches it).
+
+    Index = the committed corpus's ASSIGNED frame (vec_id, cell_id,
+    quantized codes + norm — at 100 TB the codes-only posture is D24/D20's
+    SQ8/PQ bytes, not raw floats), persisted; centroids derive from the
+    committed corpus (the shared ``semantic_centroids``/``assign_cells``
+    definitions, so an arriving vector can never land in a different cell
+    than batch D39 would put it). Per batch: assign the batch, run the
+    shared ``semantic_removals`` with candidates = index ∪ batch (the
+    ``a.vec_id < b.vec_id`` predicate makes the union safe — earlier
+    ingests and the committed corpus both gate, later ones can't), append
+    the WHOLE batch to the index (batch D39's chain semantics: a removed
+    vector still keeps its higher-id duplicates out; the paper's
+    keep-one-representative variant appends kept rows only — one join
+    away). Anti-join on vec_id keeps the index a set — idempotent under
+    at-least-once re-delivery. Because corpus ids sort below the planted
+    ingest ids and batches arrive in vec_id order, the gate's verdicts
+    are ROW-IDENTICAL to batch D39 restricted to the arriving ids
+    (pinned single-batch AND two-batch in ``tests/test_streaming.py``).
+
+    Zero streaming state: membership lives in the index table; per-batch
+    work = one broadcast centroid assign + one (cell, sub)-keyed join of
+    the batch against its cells' index rows — bounded by the batch and
+    the touched cells, never the corpus.
+    """
+    from ..operators.similarity import (
+        PLANT_OFFSET,
+        _quantized,
+        assign_cells,
+        augmented_embeddings,
+        semantic_centroids,
+        semantic_removals,
+    )
+
+    work = tempfile.mkdtemp(prefix="gfaooa_semdedup_")
+    src = stream_dir if stream_dir is not None else sf_dir
+    emb_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    reader = spark.readStream.schema(emb_schema).option(
+        "pathGlobFilter", emb_glob
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src)
+
+    committed = _quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), barrier_key="vec_id"
+    )
+    centroids = semantic_centroids(committed).localCheckpoint(eager=True)
+    index_path = f"{work}/cell_index"
+    assign_cells(committed, centroids).write.mode("overwrite").parquet(
+        index_path
+    )
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        arriving = assign_cells(
+            _quantized(
+                augmented_embeddings(batch_df).filter(
+                    F.col("vec_id") >= PLANT_OFFSET
+                ),
+                barrier_key="vec_id",
+            ),
+            centroids,
+        ).localCheckpoint(eager=True)
+        # Materialize the index read BEFORE this batch appends to it.
+        index = spark.read.parquet(index_path).localCheckpoint(eager=True)
+        removals = semantic_removals(
+            index.unionByName(arriving), arriving
+        )
+        removals.write.mode("append").parquet(f"{work}/out")
+        # Append-only index growth (anti-join keeps it a set — idempotent
+        # under re-delivery).
+        arriving.join(
+            index.select("vec_id"), "vec_id", "left_anti"
+        ).write.mode("append").parquet(index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", f"{work}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("keeper_id", T.LongType()),
+            T.StructField("n_dup_neighbors", T.LongType()),
+            T.StructField("max_cosine", T.DoubleType()),
+        ]
+    )
+    result = (
+        spark.read.schema(out_schema)
+        .parquet(f"{work}/out")
+        .orderBy("vec_id")
+    )
+    return _collected_and_cleaned(spark, result, work)

@@ -1281,3 +1281,120 @@ def test_streaming_prefix_dedup_appends_index_across_batches(spark, tmp_path):
         "s_dup_of_kept": (0, 1),
         "s_unique": (1, 0),
     }
+
+
+def test_streaming_semantic_dedup_matches_batch_d39(spark, sf_dir):
+    """D41 single-batch: the ingest gate's removal verdicts (vec_id,
+    cell, keeper, neighbor count, max cosine) are ROW-IDENTICAL to batch
+    D39 restricted to the arriving ids — the committed corpus plays the
+    index, the planted +100000 copies play the ingest."""
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        PLANT_OFFSET,
+        semantic_dedup,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_semantic_dedup,
+    )
+
+    got = {
+        tuple(r) for r in run_streaming_semantic_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in semantic_dedup(load_tables(spark, sf_dir)["embeddings"])
+        .filter(F.col("vec_id") >= PLANT_OFFSET)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_semantic_dedup_appends_index_across_batches(spark, tmp_path):
+    """D41 cross-batch: batch 1's arrivals must JOIN the cell index, so a
+    batch-2 arrival duplicating a batch-1 KEPT vector is removed even
+    though it matches nothing in the committed corpus. Hand-crafted
+    4-dim corpus + two-file mtime-ordered drop dir (maxFilesPerTrigger=1):
+
+    - committed: vecs 0–7 (the centroid set, one axis-ish direction
+      each) + vec 9 carrying direction E;
+    - batch 1: vec 50 carries E → plant 100050 matches committed vec 9
+      at cosine 1.0 → removed, keeper 9 (the corpus-match path); vec 25
+      carries the novel G → plant 100025 kept, appended to the index;
+    - batch 2: vec 75 carries G → plant 100075 removed with keeper
+      100025 (the CROSS-BATCH path — impossible unless the appended
+      index is probed); vec 100 carries the novel H → kept (no row)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_semantic_dedup,
+    )
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in rows], pa.int32()),
+                }
+            ),
+            path,
+        )
+
+    # 8 centroid directions (distinct), then E on vec 9.
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0, 1.0],
+    ]
+    # E/G/H sit INSIDE a cell but below τ=0.98 cosine to every committed
+    # vector (including the centroid vectors themselves, which are index
+    # members too) — only the planted duplications cross the bar.
+    E = [0.6, 0.45, 0.25, 0.0]
+    G = [0.1, 0.3, 0.85, 0.0]
+    H = [0.3, 0.1, 0.2, 0.85]
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    write(
+        f"{corpus_dir}/embeddings.parquet",
+        [(i, v, 0) for i, v in enumerate(cents)] + [(9, E, 0)],
+    )
+    drop_dir = str(tmp_path / "drop")
+    os.makedirs(drop_dir)
+    chunks = [
+        [(50, E, 0), (25, G, 0)],
+        [(75, G, 0), (100, H, 0)],
+    ]
+    t0 = 1_700_000_000
+    for i, rows in enumerate(chunks):
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        write(path, rows)
+        os.utime(path, (t0 + i, t0 + i))  # ascending mtime = batch order
+
+    got = {
+        r.vec_id: (r.keeper_id, r.max_cosine)
+        for r in run_streaming_semantic_dedup(
+            spark,
+            corpus_dir,
+            stream_dir=drop_dir,
+            emb_glob="*.parquet",
+            max_files_per_trigger=1,
+        ).collect()
+    }
+    assert set(got) == {100050, 100075}
+    assert got[100050] == (9, 1.0)  # corpus-match path
+    assert got[100075] == (100025, 1.0)  # cross-batch path
