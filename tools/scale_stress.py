@@ -97,6 +97,11 @@ HEAVY = [
     # repeated-substring dedup (one explode + hash groupBy + join-back).
     "dedup_simhash_hamming",
     "dedup_repeated_spans",
+    # r12 additions: cluster-blocked semantic dedup (cell growth probed
+    # separately in semantic_cells_probe) and the DSIR hashed-bag LLR
+    # (one corpus shuffle + broadcast model joins).
+    "dedup_semantic",
+    "dsir_importance_weights",
 ]
 
 #: Rows-only runners with real scale shapes the HEAVY loop can't cover
@@ -644,6 +649,92 @@ def timed(spark: SparkSession, name: str, sf: str) -> tuple[float, int]:
     return round(sec, 3), df.count()
 
 
+def semantic_cells_probe(spark: SparkSession, base: str, dst: str) -> dict:
+    """D39's 100 TB question made a measured number: with FIXED centroids
+    the in-cell candidate count Σ n_c·(n_c−1)/2 grows QUADRATICALLY in the
+    corpus (10× data → ~100× pairs — the documented hazard), and the
+    documented mitigation — scale n_centroids ~√n — pulls the growth back
+    to ~linear. Candidate volume is computed from the assignment COUNTS
+    alone (no pair join materialized), so the probe is cheap at any scale;
+    cells come from the SHARED assign_cells, so the counts are exactly
+    what the D39 join would see."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _quantized,
+        assign_cells,
+        augmented_embeddings,
+        semantic_centroids,
+    )
+
+    def pair_count(sf_dir: str, k: int) -> int:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = _quantized(augmented_embeddings(emb), barrier_key="vec_id")
+        cells = assign_cells(q, semantic_centroids(q, n_centroids=k))
+        row = (
+            cells.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
+            .collect()[0]
+        )
+        return int(row.pairs)
+
+    base_k8 = pair_count(base, 8)
+    x10_k8 = pair_count(dst, 8)
+    # E[pairs] ≈ n²/2k: fixed k → quadratic (≈100× at 10×), k ∝ √n (8·√10
+    # ≈ 25) → n^1.5 (≈32× — the SemDeDup paper's regime: per-cell sizes
+    # grow √n, per-TASK memory stays bounded via the sub-block split),
+    # k ∝ n (80) → linear (≈10×).
+    x10_k25 = pair_count(dst, 25)
+    x10_k80 = pair_count(dst, 80)
+    out = {
+        "base_pairs_k8": base_k8,
+        "x10_pairs_k8": x10_k8,
+        "x10_pairs_k25": x10_k25,
+        "x10_pairs_k80": x10_k80,
+        "fixed_k_growth": round(x10_k8 / base_k8, 1) if base_k8 else None,
+        "sqrt_k_growth": round(x10_k25 / base_k8, 1) if base_k8 else None,
+        "linear_k_growth": round(x10_k80 / base_k8, 1) if base_k8 else None,
+    }
+    # The hazard must be VISIBLE (quadratic-ish at fixed K) and the knob
+    # must WORK (each scaling regime strictly tames the previous one;
+    # k ∝ n lands near true linear).
+    assert out["fixed_k_growth"] > 50, out
+    assert out["sqrt_k_growth"] < out["fixed_k_growth"] / 1.8, out
+    assert out["linear_k_growth"] < out["sqrt_k_growth"], out
+    assert out["linear_k_growth"] < 20, out
+    # ... and the knob must work in WALL CLOCK, not just pair counts:
+    # time the FULL D39 at 10× under the registry's oracle-pinned k=8
+    # (the quadratic regime the HEAVY table records) and under the
+    # documented k ∝ n setting — the mitigated run must claw back most
+    # of the quadratic growth.
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def timed_d39(sf_dir: str, k: int) -> float:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.perf_counter()
+        semantic_dedup(emb, n_centroids=k).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    out["base_d39_sec_k8"] = timed_d39(base, 8)
+    out["x10_d39_sec_k8"] = timed_d39(dst, 8)
+    out["x10_d39_sec_k80"] = timed_d39(dst, 80)
+    out["x10_time_growth_k8"] = (
+        round(out["x10_d39_sec_k8"] / out["base_d39_sec_k8"], 1)
+        if out["base_d39_sec_k8"]
+        else None
+    )
+    out["x10_time_growth_k80"] = (
+        round(out["x10_d39_sec_k80"] / out["base_d39_sec_k8"], 1)
+        if out["base_d39_sec_k8"]
+        else None
+    )
+    assert out["x10_d39_sec_k80"] < out["x10_d39_sec_k8"] / 2, out
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE.json"
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -746,6 +837,8 @@ def main() -> None:
     print(f"  [d25] simhash_collision_probe={d25}", file=sys.stderr)
     span50 = span_paper_width_probe(spark)
     print(f"  [d34/d35] span_paper_width_probe={span50}", file=sys.stderr)
+    semcells = semantic_cells_probe(spark, base, dst)
+    print(f"  [d39] semantic_cells_probe={semcells}", file=sys.stderr)
 
     # --- rows-only runners with real scale shapes (r11) ----------------
     from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
@@ -814,6 +907,7 @@ def main() -> None:
         "prefix_filter_attribution": d31,
         "simhash_collision_probe": d25,
         "span_paper_width": span50,
+        "semantic_cells": semcells,
         "rows_only": rows_only_results,
     }
     payload["sum_ratio"] = round(
