@@ -1792,3 +1792,82 @@ def dsir_topk_sample(
     return ranked.filter(F.col("rank") <= k).select(
         "doc_id", "source", "lang", "n_tokens", "dsir_milli", "rank"
     )
+
+
+def curation_pipeline_v3(documents: DataFrame) -> DataFrame:
+    """P27: the curation funnel COMPOSED with the r11/r12 families — what
+    a production corpus build actually runs end-to-end, each stage's
+    doc/token survival in one report:
+
+    - stages 0–3: the P11 funnel verbatim (exact dedup → verified banded
+      near-dup removal → quality gate), same signals, same algebra;
+    - stage 4 (``4_span_scrub``): D35's repeated-span scrub applied as
+      MASS accounting — each surviving doc's token count shrinks by its
+      corpus-level scrubbed span mass (scrub decisions are corpus-wide,
+      so reusing the full-corpus scrub on the survivor subset is the
+      conservative reading: a passage that repeats anywhere is
+      boilerplate everywhere); docs scrubbed to zero drop out;
+    - stage 5 (``5_dsir_target``): P25's DSIR gate over the SAME
+      augmented corpus — survivors whose hashed-bag LLR says
+      "more target-like than pool" (dsir_milli > 0) carry their
+      scrubbed token mass into the final budget.
+
+    One row per stage, (stage, n_docs, n_tokens) — the shape P5/P11
+    report, two stages longer. Every stage reuses its family's exact
+    operator (D15 pairs, D35 scrub, P25 weights), and the oracle embeds
+    those operators' driver SQL via shared CTE builders, so the whole
+    composition is hash-exact.
+
+    Scale shape: the union of its parts — nothing new shuffles; the two
+    added stages are one doc_id equi-join each against frames the member
+    operators already bound (scrub: corpus-sized but map-side joinable;
+    weights: one row per doc).
+    """
+    from ..functions.text import corpus
+    from .dedup import dedup_containment_banded, dedup_repeated_spans_scrub
+
+    pairs = dedup_containment_banded(documents).select("doc_a", "doc_b")
+    labels = dup_labels(None, pairs=pairs)
+    per_doc = _per_doc_signals(documents).select(
+        "doc_id", "fingerprint", "n_tokens", "quality"
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
+        F.col("doc_id") == F.col("keep_id")
+    )
+    non_canonical = labels.filter(
+        F.col("group_id") != F.col("src")
+    ).select(F.col("src").alias("doc_id"))
+    s2 = s1.join(non_canonical, "doc_id", "left_anti")
+    s3 = s2.filter(F.col("quality") >= 0.5)
+    scrub = dedup_repeated_spans_scrub(documents, span_tokens=16).select(
+        "doc_id", "n_scrubbed"
+    )
+    s4 = (
+        s3.join(scrub, "doc_id", "left")
+        .withColumn(
+            "n_tokens_clean",
+            F.col("n_tokens") - F.coalesce(F.col("n_scrubbed"), F.lit(0)),
+        )
+        .filter(F.col("n_tokens_clean") > 0)
+    )
+    weights = dsir_importance_weights(corpus(documents)).select(
+        "doc_id", "target_like"
+    )
+    s5 = s4.join(weights, "doc_id").filter(F.col("target_like") == 1)
+
+    def stage(df: DataFrame, name: str, tok_col: str = "n_tokens") -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).alias("n_tokens"),
+        )
+
+    return (
+        stage(per_doc, "0_raw")
+        .unionByName(stage(s1, "1_exact_dedup"))
+        .unionByName(stage(s2, "2_near_dedup"))
+        .unionByName(stage(s3, "3_quality"))
+        .unionByName(stage(s4, "4_span_scrub", "n_tokens_clean"))
+        .unionByName(stage(s5, "5_dsir_target", "n_tokens_clean"))
+    )

@@ -124,7 +124,7 @@ _PER_DOC_SIGNALS = f"""per_doc AS (
 # membership) and the corpus CTE to be in scope; the two funnels differ
 # ONLY in which pair graph feeds `labels` (LSH candidates vs D15's
 # verified banded pairs) — mirrored by operators/pipeline.py::_curation_funnel.
-_FUNNEL_TAIL = f""",
+_FUNNEL_STAGES = f""",
 {_PER_DOC_SIGNALS},
 s1 AS (
   SELECT * FROM (
@@ -140,7 +140,9 @@ s2 AS (
 ),
 s3 AS (
   SELECT * FROM s2 WHERE quality >= 0.5
-)
+)"""
+
+_FUNNEL_SELECT = """
 SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM per_doc
 UNION ALL
@@ -150,6 +152,10 @@ SELECT '2_near_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s2
 UNION ALL
 SELECT '3_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3
 """
+
+#: The P5/P11 funnel tail — stages + summary, ONE definition (v3 extends
+#: the same stage CTEs with span-scrub and DSIR stages).
+_FUNNEL_TAIL = _FUNNEL_STAGES + _FUNNEL_SELECT
 
 PIPELINE_ORACLES["corpus_curation_pipeline"] = CC_LABEL_CTES + _FUNNEL_TAIL
 
@@ -602,11 +608,15 @@ GROUP BY source
 # k can never diverge between engines.
 from ..operators.pipeline import DSIR_BUCKETS, DSIR_TARGET_LANG, DSIR_TOPK
 
-_DSIR_WEIGHT_CTES = f"""
-WITH tok AS (
+def dsir_weight_ctes(src_table: str) -> str:
+    """The P25 hashed-bag LLR chain (tok → per_doc_bucket → bucket_stats
+    → totals → llr → weights) over an arbitrary source relation — ONE
+    arithmetic definition for P25/P26 (over ``documents``) and the P27
+    funnel stage (over the augmented ``corpus``)."""
+    return f"""tok AS (
   SELECT doc_id, source, lang,
          unnest(regexp_split_to_array(text, '\\s+')) AS token
-  FROM documents
+  FROM {src_table}
 ),
 per_doc_bucket AS (
   SELECT doc_id, source, lang,
@@ -639,6 +649,9 @@ weights AS (
   GROUP BY 1, 2, 3
 )"""
 
+
+_DSIR_WEIGHT_CTES = "WITH " + dsir_weight_ctes("documents")
+
 PIPELINE_ORACLES["dsir_importance_weights"] = f"""
 {_DSIR_WEIGHT_CTES}
 SELECT doc_id, source, lang, n_tokens, dsir_milli,
@@ -658,3 +671,35 @@ ranked AS (
 SELECT doc_id, source, lang, n_tokens, dsir_milli, rank
 FROM ranked WHERE rank <= {DSIR_TOPK}
 """
+
+
+# P27: the funnel composed with the span-scrub mass stage (D35's driver
+# SQL embedded verbatim as a nested WITH — the D37 pattern) and the DSIR
+# target gate (the shared weight-CTE builder over the augmented corpus).
+from .dedup_oracles import DEDUP_ORACLES as _DEDUP_ORACLES
+
+PIPELINE_ORACLES["corpus_curation_pipeline_v3"] = (
+    _BANDED_CC_CTES
+    + _FUNNEL_STAGES
+    + f""",
+scrub AS (
+{_DEDUP_ORACLES["dedup_repeated_spans_scrub"]}
+),
+s4 AS (
+  SELECT s3.doc_id,
+         s3.n_tokens - COALESCE(sc.n_scrubbed, 0) AS n_tokens_clean
+  FROM s3 LEFT JOIN scrub sc ON s3.doc_id = sc.doc_id
+  WHERE s3.n_tokens - COALESCE(sc.n_scrubbed, 0) > 0
+),
+{dsir_weight_ctes("corpus")},
+s5 AS (
+  SELECT s4.* FROM s4 JOIN weights w ON s4.doc_id = w.doc_id
+  WHERE w.dsir_milli > 0
+)"""
+    + _FUNNEL_SELECT
+    + """UNION ALL
+SELECT '4_span_scrub', COUNT(*), CAST(SUM(n_tokens_clean) AS BIGINT) FROM s4
+UNION ALL
+SELECT '5_dsir_target', COUNT(*), CAST(SUM(n_tokens_clean) AS BIGINT) FROM s5
+"""
+)

@@ -3459,3 +3459,49 @@ def test_dsir_topk_sample_rank_contract(spark, sf_dir):
         for r in sorted(all_w, key=lambda r: (-r.dsir_milli, r.doc_id))[:DSIR_TOPK]
     ]
     assert [r.doc_id for r in got] == want_ids
+
+
+def test_curation_v3_span_scrub_stage_semantics(spark):
+    """P27 stage 4 on a planted corpus: a doc holding the CANONICAL copy
+    of a repeated 16-token passage keeps its mass, a later doc loses
+    exactly the passage, and a doc consisting ONLY of repeated passages
+    (each span's canonical lives elsewhere) is scrubbed to zero and
+    drops out — the driver corpus exercises stages 0-3 and 5 (the sf0.01
+    oracle pins all six rows hash-exact) but happens to have no
+    repeated-span mass among its quality survivors, so stage 4's
+    subtraction semantics are pinned here."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        curation_pipeline_v3,
+    )
+
+    # Two 16-token passages, stopword-rich so every doc passes the
+    # quality gate (stop_ratio ≥ 0.25 → quality ≥ 0.7); ids avoid the
+    # corpus() plant residues (0/5/10 mod 25).
+    P = "the quick brown fox of the old forest and it ran to the deep cold river"
+    R = "a tall ship on the wide sea and the wind is cold for every old sailor"
+    fillerA = "zeta kappa the omega sigma of delta gamma and rho tau the psi phi chi nu"
+    fillerB = "apple pear the plum fig of grape melon and kiwi date the lime peach mango cherry"
+    assert len(P.split()) == len(R.split()) == 16
+    assert len(fillerA.split()) == len(fillerB.split()) == 16
+    docs = spark.createDataFrame(
+        [
+            (1, f"{P} {fillerA}", "en", "s1"),
+            (2, f"{R} {fillerB}", "de", "s2"),
+            (3, f"{fillerB} {P}".replace("the lime", "the limes"), "en", "s3"),
+            (4, f"{P} {R}", "de", "s4"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.stage: r for r in curation_pipeline_v3(docs).collect()}
+    assert rows["0_raw"].n_docs == 4 and rows["0_raw"].n_tokens == 128
+    assert rows["3_quality"].n_docs == 4  # all pass the quality bar
+    # stage 4: doc 1 keeps its canonical P (32), doc 3 loses its P copy
+    # (16 left), doc 4 (= P + R, both spans canonical elsewhere) is
+    # fully scrubbed and DROPS; doc 2 keeps its canonical R (32).
+    s4 = rows["4_span_scrub"]
+    assert s4.n_docs == 3 and s4.n_tokens == 32 + 32 + 16
+    # stage 5 is a subset of stage 4's docs and mass (an empty gate
+    # aggregates to n_tokens NULL — identical in both engines)
+    s5 = rows["5_dsir_target"]
+    assert s5.n_docs <= s4.n_docs
+    assert s5.n_tokens is None or 0 <= s5.n_tokens <= s4.n_tokens

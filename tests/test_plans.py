@@ -291,15 +291,15 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r12 rotation: 6 never-checked (D38 stream_prefix_dedup_ingest,
+    # r12 rotation: 7 never-checked (D38 stream_prefix_dedup_ingest,
     # D39/D40 SemDeDup + eval, P25/P26 DSIR weights + top-k resample,
-    # D41 stream_semantic_dedup_ingest) + the 4 code-changed span-family
-    # entries (dual-polynomial hash / windowed D34 / two-pointer scrub),
-    # then the 7 r5-evidence entries, then the r6-evidence block in
-    # ledger order (33 of 39 fit; see the _PRIORITY comment and SURVEY
-    # §2's ledger table for the r13 plan).
+    # D41 stream_semantic_dedup_ingest, P27 corpus_curation_pipeline_v3)
+    # + the 4 code-changed span-family entries (dual-polynomial hash /
+    # windowed D34 / two-pointer scrub), then the 7 r5-evidence entries,
+    # then the r6-evidence block in ledger order (32 of 39 fit; see the
+    # _PRIORITY comment and SURVEY §2's ledger table for the r13 plan).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 42, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 43, f"{n_sql} sql-backed entries in the driver window"
     head = (
         "stream_prefix_dedup_ingest",
         "dedup_semantic",
@@ -307,6 +307,7 @@ def test_driver_window_composition():
         "dsir_importance_weights",
         "dsir_topk_sample",
         "stream_semantic_dedup_ingest",
+        "corpus_curation_pipeline_v3",
         "dedup_repeated_spans",
         "dedup_repeated_spans_scrub",
         "stream_repeated_spans_scrub",
@@ -327,8 +328,8 @@ def test_driver_window_composition():
         "train_val_split",
         "cross_source_overlap",
         "text_lang_id",
+        "text_bigram_lift",
         "mm_binary_meta",
-        "source_clustering_report",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -344,6 +345,7 @@ def test_driver_window_composition():
         "text_winnow_rolling",      # r11-green, code unchanged in r12
         "dedup_simhash_hamming",    # r11-green, code unchanged in r12
         "obs_seasonal_baseline",    # r6-green — r12 overflow, leads r13
+        "source_clustering_report", # r6-green — r12 overflow (new-entry push)
         "obs_straggler_detect",     # r6-green — r12 overflow (new-entry push)
         "obs_log_sample",           # r6-green — r12 overflow (new-entry push)
         "obs_apdex",                # r6-green — r12 overflow (new-entry push)
