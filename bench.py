@@ -143,9 +143,9 @@ _P_GROUP = {
     "split_leak_proof", "dataset_card_report", "filter_ablation",
     "dedup_eval_report", "cross_source_overlap", "vocab_coverage",
     "export_order_plan",
-    # r12: the DSIR pair and the composed funnel
+    # r12: the DSIR pair, the composed funnel, semantic decontamination
     "dsir_importance_weights", "dsir_topk_sample",
-    "corpus_curation_pipeline_v3",
+    "corpus_curation_pipeline_v3", "decontaminate_semantic",
 }
 
 

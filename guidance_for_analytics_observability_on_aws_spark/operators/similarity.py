@@ -1903,3 +1903,60 @@ def semantic_dedup_eval(
             F.try_divide(F.col("n_removed"), F.col("n_vecs")).alias("removed_frac"),
         )
     )
+
+
+#: P28 benchmark slice: the first BENCH_HI vectors play the eval set.
+DECON_BENCH_HI = 32
+DECON_TAU = 0.98
+
+
+def decontaminate_semantic(
+    embeddings: DataFrame,
+    bench_hi: int = DECON_BENCH_HI,
+    threshold: float = DECON_TAU,
+) -> DataFrame:
+    """P28: SEMANTIC decontamination — flag training vectors whose
+    embedding cosine to ANY benchmark vector reaches ``threshold``. P6/
+    P22 decontaminate on token n-grams, which a paraphrased or
+    re-encoded eval item walks straight through (the rephrased-samples
+    contamination problem); the embedding gate is the member that
+    catches it — same relationship D39 bears to the content-hash dedup
+    family, here applied to the train-vs-eval boundary.
+
+    The benchmark side (vec_id < ``bench_hi`` — in production the
+    embedded eval suites) is SMALL by construction, so the join is a
+    broadcast of the bench vectors against one scan of the training
+    side: exact and LOSSLESS with no cells, no LSH, no candidate loss —
+    at 100 TB the train side streams through map-side, the per-vector
+    aggregate combines partially, and nothing corpus-sized shuffles
+    (P22's broadcast argument, one family over). Corpus is the planted
+    augmentation, so copies of benchmark sources (vec_id ≡ 0 mod 25
+    below ``bench_hi``) are guaranteed cosine-1.0 catches.
+
+    Output: one row per CONTAMINATED training vector — hit count,
+    lowest qualifying benchmark id, max cosine (deterministic; the
+    row set is the removal manifest P7/P20 subtract before mixing).
+    """
+    q = _quantized(augmented_embeddings(embeddings), barrier_key="vec_id")
+    bench = q.filter(F.col("vec_id") < bench_hi).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("qv").alias("b_qv"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    train = q.filter(F.col("vec_id") >= bench_hi)
+    scored = train.join(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        cosine6(
+            dot(F.col("qv"), F.col("b_qv")), F.col("nrm"), F.col("b_nrm")
+        ).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.min("bench_id").alias("min_bench_id"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )

@@ -1175,3 +1175,32 @@ SELECT CASE WHEN n.vec_id >= {PLANT_OFFSET} THEN 'plant' ELSE 'base' END AS vec_
 FROM norms n LEFT JOIN removed r USING (vec_id)
 GROUP BY 1
 """
+
+
+# P28: semantic decontamination — bench slice vs training side, exact
+# broadcast cosine (the D5/_QUANT_CTES arithmetic; constants from the
+# operator).
+from ..operators.similarity import DECON_BENCH_HI, DECON_TAU
+
+DEDUP_ORACLES["decontaminate_semantic"] = f"""
+{_QUANT_CTES},
+bench AS (
+  SELECT vec_id AS bench_id, qv AS b_qv, nrm AS b_nrm
+  FROM norms WHERE vec_id < {DECON_BENCH_HI}
+),
+train AS (
+  SELECT vec_id, qv, nrm FROM norms WHERE vec_id >= {DECON_BENCH_HI}
+),
+scored AS (
+  SELECT t.vec_id, b.bench_id,
+         ROUND({dot_sql("t.qv", "b.b_qv")} /
+               sqrt(CAST(t.nrm AS DOUBLE) * CAST(b.b_nrm AS DOUBLE)), 6) AS cosine
+  FROM train t CROSS JOIN bench b
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MIN(bench_id) AS min_bench_id,
+       MAX(cosine) AS max_cosine
+FROM scored WHERE cosine >= {DECON_TAU}
+GROUP BY 1
+"""

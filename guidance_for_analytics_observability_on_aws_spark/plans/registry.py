@@ -1063,29 +1063,32 @@ _PRIORITY = [
     #   python tools/evidence_ledger.py --priority --changed \
     #     dedup_repeated_spans,dedup_repeated_spans_scrub,\
     #     stream_repeated_spans_scrub,dedup_repeated_spans_eval
-    #   slots 1-7   — the SEVEN r12 additions with no driver row: D38
+    #   slots 1-8   — the EIGHT r12 additions with no driver row: D38
     #                 stream_prefix_dedup_ingest (lossless prefix-filter
     #                 near-dup gate on ingest), D39/D40 SemDeDup + its
     #                 planted-recall eval, P25/P26 DSIR importance
     #                 weights + exact top-k resample, D41
     #                 stream_semantic_dedup_ingest (the D39 gate), P27
     #                 corpus_curation_pipeline_v3 (funnel + span-scrub
-    #                 mass + DSIR gate composition).
-    #   slots 8-11  — the span family, whose CODE changed in r12 (dual-
+    #                 mass + DSIR gate composition), P28
+    #                 decontaminate_semantic (broadcast-bench embedding
+    #                 decontamination).
+    #   slots 9-12  — the span family, whose CODE changed in r12 (dual-
     #                 polynomial span hash, windowed D34, two-pointer
     #                 scrub — D34/D35/D37 keep hash-exact oracles over
     #                 the new arithmetic, D36 shares _span_rows/
     #                 apply_span_scrub).
-    #   slots 12-18 — the 7 r5-evidence entries (the r11 window's
+    #   slots 13-19 — the 7 r5-evidence entries (the r11 window's
     #                 documented overflow, plus obs_alert_debounce).
-    #   slots 19-50 — the r6-evidence block in ledger order (32 of 39
-    #                 fit; the overflow — source_clustering_report,
-    #                 obs_straggler_detect, obs_log_sample,
-    #                 obs_latency_heatmap, obs_job_critical_stage,
-    #                 obs_apdex, obs_seasonal_baseline — plus the r7
-    #                 block leads the r13 window per the rotation
-    #                 contract; see SURVEY §2's ledger table for the
-    #                 committed r13 plan).
+    #   slots 20-50 — the r6-evidence block in ledger order (31 of 39
+    #                 fit; the overflow — mm_binary_meta,
+    #                 source_clustering_report, obs_straggler_detect,
+    #                 obs_log_sample, obs_latency_heatmap,
+    #                 obs_job_critical_stage, obs_apdex,
+    #                 obs_seasonal_baseline — plus the r7 block leads
+    #                 the r13 window per the rotation contract; see
+    #                 SURVEY §2's ledger table for the committed r13
+    #                 plan).
     "stream_prefix_dedup_ingest",
     "dedup_semantic",
     "dedup_semantic_eval",
@@ -1093,6 +1096,7 @@ _PRIORITY = [
     "dsir_topk_sample",
     "stream_semantic_dedup_ingest",
     "corpus_curation_pipeline_v3",
+    "decontaminate_semantic",
     "dedup_repeated_spans",
     "dedup_repeated_spans_scrub",
     "stream_repeated_spans_scrub",
@@ -1135,7 +1139,6 @@ _PRIORITY = [
     "text_lang_confusion",
     "text_repetition_stats",
     "text_bigram_lift",
-    "mm_binary_meta",
 ]
 
 
@@ -1500,6 +1503,17 @@ _register(
     "mixture_soft_dedup",
     lambda s, d: pipeline.mixture_soft_dedup(load_tables(s, d)["documents"]),
     PIPELINE_ORACLES["mixture_soft_dedup"],
+)
+
+
+# P28 (r12): SEMANTIC decontamination — the embedding member of the P6/
+# P22 decontamination family: bench slice broadcast, exact lossless
+# cosine gate over the training side, paraphrase-robust where n-gram
+# overlap is not.
+_register(
+    "decontaminate_semantic",
+    lambda s, d: similarity.decontaminate_semantic(load_tables(s, d)["embeddings"]),
+    DEDUP_ORACLES["decontaminate_semantic"],
 )
 
 

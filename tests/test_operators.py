@@ -3505,3 +3505,30 @@ def test_curation_v3_span_scrub_stage_semantics(spark):
     s5 = rows["5_dsir_target"]
     assert s5.n_docs <= s4.n_docs
     assert s5.n_tokens is None or 0 <= s5.n_tokens <= s4.n_tokens
+
+
+def test_decontaminate_semantic_guaranteed_catches(spark, sf_dir):
+    """P28: every planted copy of a BENCHMARK-slice vector (source ≡ 0
+    mod 25 below the bench boundary) is flagged at cosine exactly 1.0
+    with its own source as the lowest qualifying bench id; flagged rows
+    all clear the threshold; plants of NON-bench sources are judged by
+    the same bar, not swept in by construction."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = {r.vec_id: r for r in similarity.decontaminate_semantic(emb).collect()}
+    bench_srcs = {
+        r.vec_id
+        for r in emb.filter(
+            (F.col("vec_id") % 25 == 0)
+            & (F.col("vec_id") < similarity.DECON_BENCH_HI)
+        ).select("vec_id").collect()
+    }
+    assert bench_srcs  # the corpus must exercise the guaranteed path
+    for src in bench_srcs:
+        plant = src + similarity.PLANT_OFFSET
+        assert plant in rows, f"plant of bench vec {src} not flagged"
+        assert rows[plant].max_cosine == 1.0
+        assert rows[plant].min_bench_id == src
+    for r in rows.values():
+        assert r.max_cosine >= similarity.DECON_TAU
+        assert 0 <= r.min_bench_id < similarity.DECON_BENCH_HI
+        assert r.vec_id >= similarity.DECON_BENCH_HI

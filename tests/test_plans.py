@@ -291,13 +291,14 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r12 rotation: 7 never-checked (D38 stream_prefix_dedup_ingest,
+    # r12 rotation: 8 never-checked (D38 stream_prefix_dedup_ingest,
     # D39/D40 SemDeDup + eval, P25/P26 DSIR weights + top-k resample,
-    # D41 stream_semantic_dedup_ingest, P27 corpus_curation_pipeline_v3)
-    # + the 4 code-changed span-family entries (dual-polynomial hash /
-    # windowed D34 / two-pointer scrub), then the 7 r5-evidence entries,
-    # then the r6-evidence block in ledger order (32 of 39 fit; see the
-    # _PRIORITY comment and SURVEY §2's ledger table for the r13 plan).
+    # D41 stream_semantic_dedup_ingest, P27 corpus_curation_pipeline_v3,
+    # P28 decontaminate_semantic) + the 4 code-changed span-family
+    # entries (dual-polynomial hash / windowed D34 / two-pointer scrub),
+    # then the 7 r5-evidence entries, then the r6-evidence block in
+    # ledger order (31 of 39 fit; see the _PRIORITY comment and SURVEY
+    # §2's ledger table for the r13 plan).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 43, f"{n_sql} sql-backed entries in the driver window"
     head = (
@@ -308,6 +309,7 @@ def test_driver_window_composition():
         "dsir_topk_sample",
         "stream_semantic_dedup_ingest",
         "corpus_curation_pipeline_v3",
+        "decontaminate_semantic",
         "dedup_repeated_spans",
         "dedup_repeated_spans_scrub",
         "stream_repeated_spans_scrub",
@@ -328,8 +330,8 @@ def test_driver_window_composition():
         "train_val_split",
         "cross_source_overlap",
         "text_lang_id",
+        "text_repetition_stats",
         "text_bigram_lift",
-        "mm_binary_meta",
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -345,6 +347,7 @@ def test_driver_window_composition():
         "text_winnow_rolling",      # r11-green, code unchanged in r12
         "dedup_simhash_hamming",    # r11-green, code unchanged in r12
         "obs_seasonal_baseline",    # r6-green — r12 overflow, leads r13
+        "mm_binary_meta",           # r6-green — r12 overflow (new-entry push)
         "source_clustering_report", # r6-green — r12 overflow (new-entry push)
         "obs_straggler_detect",     # r6-green — r12 overflow (new-entry push)
         "obs_log_sample",           # r6-green — r12 overflow (new-entry push)
