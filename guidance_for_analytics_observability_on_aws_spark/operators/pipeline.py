@@ -1774,9 +1774,20 @@ def dsir_topk_sample(
     """P26: the DSIR RESAMPLING step — select the ``k`` docs whose
     importance weight (P25) is highest, deterministic tie-break doc_id
     (the paper samples Gumbel-top-k ∝ weight; the exact-top-k variant is
-    the reproducible-oracle baseline, and a hashed Gumbel key drops into
-    the same rank). Output = the selected manifest with its global rank,
-    the thing the mixture builder (P7/P20) consumes.
+    the reproducible-oracle baseline — :func:`dsir_gumbel_sample` is the
+    paper's stochastic member, riding this same rank plan). Output = the
+    selected manifest with its global rank, the thing the mixture
+    builder (P7/P20) consumes.
+
+    Ranking caveat (documented tradeoff): P25's per-doc score sums
+    FIRST-ORDER terms ⌊1000·(p/q − 1)⌋, and since (p/q − 1) ≥ ln(p/q)
+    everywhere, buckets with large positive deviations are over-weighted
+    relative to negative ones — the per-bucket surrogate is monotone in
+    that bucket's true ratio, but the per-doc SUM is an APPROXIMATION of
+    the true Σ log(p/q) ordering, not a monotone transform of it. Top-k
+    membership can diverge from float-LLR DSIR when bucket ratios stray
+    far from 1; the target⊂pool regime keeps them near 1, which is what
+    buys the hash-exact oracle.
 
     Rank is the O44 distributed two-phase prefix-sum rank
     (``_global_desc_ranked``), NOT a single global window — no one-task

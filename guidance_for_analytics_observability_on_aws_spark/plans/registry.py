@@ -1529,8 +1529,10 @@ _register(
 
 
 # P25 (r12): DSIR importance weights (Xie et al. 2023) — hashed-ngram
-# bag models of target (lang slice) vs raw pool, integer-exact bit-length
-# log-likelihood ratio per doc (the X18 log2 discipline).
+# bag models of target (lang slice) vs raw pool; per-bucket log ratio is
+# the FIRST-ORDER truncated-integer milli LLR ⌊1000·(p/q − 1)⌋ (exact in
+# both engines; X18's bit-length log2 was tried and rejected as too
+# coarse — see the operator docstring).
 _register(
     "dsir_importance_weights",
     lambda s, d: pipeline.dsir_importance_weights(load_tables(s, d)["documents"]),

@@ -3425,7 +3425,7 @@ def test_dsir_weights_literal_model(spark, sf_dir):
 def test_dsir_weights_separate_target_slice(spark, sf_dir):
     """P25's signal check: the target-language slice must score higher on
     its own model — mean weight over 'en' docs > mean over the rest, and
-    the target_like flag is exactly the dsir_bits>0 verdict."""
+    the target_like flag is exactly the dsir_milli>0 verdict."""
     from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
         dsir_importance_weights,
     )
@@ -3440,7 +3440,7 @@ def test_dsir_weights_separate_target_slice(spark, sf_dir):
 
 
 def test_dsir_topk_sample_rank_contract(spark, sf_dir):
-    """P26: exactly k rows, ranks 1..k, ordered by (dsir_bits desc, doc_id),
+    """P26: exactly k rows, ranks 1..k, ordered by (dsir_milli desc, doc_id),
     and the selected set is the true top-k of the P25 weights."""
     from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
         DSIR_TOPK,
