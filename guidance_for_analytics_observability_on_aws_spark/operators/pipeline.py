@@ -1805,6 +1805,94 @@ def dsir_topk_sample(
     )
 
 
+#: Gumbel-key uniform resolution: u = (h + 0.5) / 2^20, h ∈ [0, 2^20).
+GUMBEL_RES = 1 << 20
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+    weight_col: str = "dsir_milli",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted Gumbel-top-k over a MILLI-LOG-weight column — the exact
+    order statistic behind sampling-without-replacement ∝ weight (Vieira
+    2014; Kool et al. 2019): with log-weight ℓ_i and independent Gumbel
+    noise G_i, the k largest (ℓ_i + G_i) are distributed as k weighted
+    draws without replacement from softmax(ℓ). Here ℓ arrives ×1000
+    (P25's milli LLR), so the key is ``weight_milli + round(1000·G)``.
+
+    G derives from a HASHED uniform — ``u = (md5(id ‖ seed) mod 2^20 +
+    0.5) / 2^20``, ``G = −ln(−ln u)`` — so a rerun at the same seed is
+    deterministic row-for-row (reproducible sampling manifests, the P1/P2
+    salted-hash discipline), while distinct seeds give independent draws.
+    The half-offset keeps u strictly inside (0,1): both logs are finite.
+    ln is engine-specific at the last ulp, hence rows-only (the
+    deterministic hash-exact member is :func:`dsir_topk_sample`).
+
+    Selection rides the same O44 two-phase rank as P26 — one row per doc
+    in, no single-task global sort at 100 TB.
+    """
+    u = (
+        F.pmod(
+            md5_int(
+                F.concat_ws(
+                    "#", F.col(id_col).cast("string"), F.lit(str(int(seed)))
+                ),
+                7,
+            ),
+            F.lit(GUMBEL_RES),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(GUMBEL_RES))
+    from .observability import _global_desc_ranked
+
+    keyed = weights.withColumn(
+        "gumbel_milli",
+        F.round(-F.log(-F.log(u)) * 1000).cast("long"),
+    ).withColumn("key_milli", F.col(weight_col) + F.col("gumbel_milli"))
+    ranked = _global_desc_ranked(keyed, "key_milli", id_col)
+    return ranked.filter(F.col("rank") <= k)
+
+
+def dsir_gumbel_sample(
+    documents: DataFrame,
+    k: int = DSIR_TOPK,
+    seed: int = 0,
+    n_buckets: int = DSIR_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """P29: DSIR's ACTUAL resampling step (Xie et al. 2023 §2 — sample
+    ∝ importance weight, without replacement) as Gumbel-top-k over P25's
+    milli-LLR weights: :func:`gumbel_topk` perturbs each doc's weight
+    with hashed-Gumbel noise and takes the k largest keys, which is
+    exactly k weighted draws without replacement from
+    softmax(LLR). P26's exact top-k is the deterministic (biased —
+    always the argmax set) oracle baseline; this member restores the
+    paper's stochasticity while staying rerun-deterministic per seed.
+
+    Pinned properties (tests): same-seed rerun is row-identical;
+    expected inclusion is monotone in weight on a planted two-class
+    weight frame (heavy class dominates the manifest across seeds).
+    Scale shape = P25's (the weights plan) + one row-per-doc rank —
+    nothing new shuffles.
+    """
+    w = dsir_importance_weights(
+        documents, n_buckets=n_buckets, target_lang=target_lang
+    )
+    return gumbel_topk(w, k, seed=seed).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "dsir_milli",
+        "gumbel_milli",
+        "key_milli",
+        "rank",
+    )
+
+
 def curation_pipeline_v3(documents: DataFrame) -> DataFrame:
     """P27: the curation funnel COMPOSED with the r11/r12 families — what
     a production corpus build actually runs end-to-end, each stage's

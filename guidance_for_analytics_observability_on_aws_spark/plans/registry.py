@@ -1549,6 +1549,18 @@ _register(
 )
 
 
+# P29 (r13): the paper's ACTUAL resampling — Gumbel-top-k ∝ weight over
+# P25's milli LLR, hashed-uniform noise (seed-deterministic rerun) through
+# the shared O44 two-phase rank. Rows-only: −ln(−ln u) is engine-specific
+# at the last ulp; inclusion∝weight and same-seed determinism pinned in
+# tests/test_operators.py.
+_register(
+    "dsir_gumbel_sample",
+    lambda s, d: pipeline.dsir_gumbel_sample(load_tables(s, d)["documents"]),
+    None,
+)
+
+
 # Rows-only: O82 (r9) — streaming twin of O64 metric correlation: additive
 # (hour, type) cent-sum bucket partials via the shared metric_hour_buckets,
 # merged by summation through the shared metric_correlation_tail;

@@ -3461,6 +3461,52 @@ def test_dsir_topk_sample_rank_contract(spark, sf_dir):
     assert [r.doc_id for r in got] == want_ids
 
 
+def test_dsir_gumbel_sample_deterministic_per_seed(spark, sf_dir):
+    """P29: same-seed rerun is row-identical (hashed-uniform Gumbel keys,
+    no RNG state); a different seed redraws the noise; the key column is
+    exactly weight + noise and ranks obey the (key desc, doc_id) order."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        DSIR_TOPK,
+        dsir_gumbel_sample,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a1 = sorted(tuple(r) for r in dsir_gumbel_sample(docs, seed=1).collect())
+    a2 = sorted(tuple(r) for r in dsir_gumbel_sample(docs, seed=1).collect())
+    assert a1 == a2 and len(a1) == DSIR_TOPK
+    rows = sorted(dsir_gumbel_sample(docs, seed=1).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, DSIR_TOPK + 1))
+    assert all(r.key_milli == r.dsir_milli + r.gumbel_milli for r in rows)
+    keys = [(-r.key_milli, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    b = {r.doc_id: r.gumbel_milli for r in dsir_gumbel_sample(docs, seed=2).collect()}
+    a_noise = {r.doc_id: r.gumbel_milli for r in rows}
+    shared = set(a_noise) & set(b)
+    assert shared and any(a_noise[i] != b[i] for i in shared)
+
+
+def test_gumbel_topk_inclusion_tracks_weight(spark):
+    """P29's sampling property on a planted two-class weight frame: with
+    log-weight gap ln(9) (milli 2197), heavy-class docs must dominate the
+    selected manifests across seeds — expected per-draw inclusion odds are
+    9:1 before without-replacement saturation, so a 3× total-count margin
+    over 12 seeds is far outside noise. Also pins that the manifest is
+    exactly k rows regardless of seed."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        gumbel_topk,
+    )
+
+    rows = [(i, 2197) for i in range(40)] + [(i, 0) for i in range(40, 80)]
+    w = spark.createDataFrame(rows, "doc_id long, dsir_milli long")
+    heavy = light = 0
+    for seed in range(12):
+        got = gumbel_topk(w, 20, seed=seed).collect()
+        assert len(got) == 20
+        heavy += sum(1 for r in got if r.doc_id < 40)
+        light += sum(1 for r in got if r.doc_id >= 40)
+    assert heavy > 3 * max(light, 1), (heavy, light)
+
+
 def test_curation_v3_span_scrub_stage_semantics(spark):
     """P27 stage 4 on a planted corpus: a doc holding the CANONICAL copy
     of a repeated 16-token passage keeps its mass, a later doc loses
