@@ -159,8 +159,36 @@ def trained_cache_clear(loaded_too: bool = True) -> None:
     """Drop every cached trained model (tests / file-mutation escape
     hatch); ``loaded_too=False`` keeps the persisted-snapshot store."""
     _TRAINED_CACHE.clear()
+    _SHARED_FRAMES.clear()
     if loaded_too:
         _LOADED_MODELS.clear()
+
+
+#: Session-shared MATERIALIZED frames (localCheckpoint handles), keyed like
+#: trained models (plan hash + file footprint + hyperparams) PLUS the owning
+#: SparkSession — a checkpoint is session-local state, so a cached handle
+#: from a stopped session must never be served to a new one. Motivating
+#: case: D39 and D40 both need the full SemDeDup removal frame; without
+#: sharing, D40 re-runs the whole assignment + pair join D39 just computed
+#: (the r12 bench's one flagged regression).
+_SHARED_FRAMES: dict[tuple, tuple[object, DataFrame]] = {}
+
+
+def _shared_frame_get(key: tuple | None, spark) -> DataFrame | None:
+    if key is None:
+        return None
+    hit = _SHARED_FRAMES.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    return None
+
+
+def _shared_frame_put(key: tuple | None, spark, df: DataFrame) -> None:
+    if key is None:
+        return
+    if len(_SHARED_FRAMES) >= _TRAINED_CACHE_MAX:
+        _SHARED_FRAMES.pop(next(iter(_SHARED_FRAMES)))
+    _SHARED_FRAMES[key] = (spark, df)
 
 
 def _key_json(key: tuple) -> str:
@@ -1778,10 +1806,28 @@ def semantic_dedup(
     the pair join shuffles on (cell_id, sub) — cells bound candidates,
     sub-blocks bound task memory; raise ``n_centroids`` with corpus size
     (paper uses ~√n cells) and the per-cell cost falls quadratically.
+
+    The removal frame is MATERIALIZED once per (corpus, settings) per
+    session (localCheckpoint + the shared-frame registry): D40 grades
+    exactly this frame, so when both run in one session the second call
+    replays the checkpoint instead of re-running the assignment + pair
+    join (the r12 bench's one flagged regression). Values are unchanged
+    — the checkpoint is a materialization barrier, not a plan change.
     """
+    key = _model_key(
+        "semantic-removals", embeddings, float(threshold), n_centroids, n_splits
+    )
+    spark = embeddings.sparkSession
+    cached = _shared_frame_get(key, spark)
+    if cached is not None:
+        return cached
     q = _quantized(augmented_embeddings(embeddings), barrier_key="vec_id")
     cells = assign_cells(q, semantic_centroids(q, n_centroids))
-    return semantic_removals(cells, cells, threshold, n_splits)
+    out = semantic_removals(cells, cells, threshold, n_splits).localCheckpoint(
+        eager=True
+    )
+    _shared_frame_put(key, spark, out)
+    return out
 
 
 def semantic_centroids(q: DataFrame, n_centroids: int = SEMANTIC_CENTROIDS) -> DataFrame:
@@ -1858,6 +1904,56 @@ def semantic_removals(
             F.max("cosine").alias("max_cosine"),
         )
     )
+
+
+def semantic_dedup_trained(
+    embeddings: DataFrame,
+    threshold: float = SEMANTIC_TAU,
+    n_centroids: int = SEMANTIC_CENTROIDS,
+    max_iter: int = 5,
+    n_splits: int = N_SPLITS,
+) -> DataFrame:
+    """D42: SemDeDup with TRAINED cells — D12's Lloyd k-means centroids
+    replace D39's fixed first-``n_centroids`` assignment as the cluster
+    step, closing the gap D39's docstring promised: at real scale the
+    paper's dedup QUALITY lives in the clustering (semantic duplicates
+    must land in one cell for the in-cell search to see them), and a
+    trained quantizer keeps cells balanced where an arbitrary one can
+    leave a straggler cell holding most of the corpus (the D17 argument,
+    applied to dedup instead of search).
+
+    The removal algebra is byte-for-byte D39's — the SAME
+    :func:`semantic_removals` (lowest-id keeper, (cell, sub) lossless
+    sub-block join, cosine ≥ threshold) runs over the trained
+    assignment, so verdicts differ from D39 ONLY by which vectors share
+    a cell. Plant recall stays a theorem under ANY assignment: a planted
+    +100000 copy is bit-identical to its source, gets identical
+    centroid distances → the identical deterministic argmin cell, and
+    its in-cell cosine is exactly 1.0 (pinned in tests, with D17's
+    balanced-cell bound). The quantizer rides the session trained-model
+    registry under the D12/D17 tag (one Lloyd run per corpus + settings;
+    repeated D42 calls — and any consumer training on the same AUGMENTED
+    frame — replay the cached centroids bit-identically) and the
+    converged assignment is materialized once (localCheckpoint) because
+    it feeds both sides of the pair join.
+
+    Rows-only (iterative float training, like D12/D17); the hash-exact
+    oracle member stays D39, whose fixed assignment both engines can
+    replay.
+    """
+    aug = augmented_embeddings(embeddings)
+    q = _quantized(aug, barrier_key="vec_id").select("vec_id", "qv", "nrm")
+    assigned = _kmeans_assignments(
+        None,
+        k=n_centroids,
+        max_iter=max_iter,
+        q=q,
+        cache_key=_model_key("kmeans-raw", aug, n_centroids, max_iter),
+    ).localCheckpoint(eager=True)
+    cells = assigned.select(
+        "vec_id", F.col("cluster_id").alias("cell_id"), "qv", "nrm"
+    )
+    return semantic_removals(cells, cells, threshold, n_splits)
 
 
 def semantic_dedup_eval(

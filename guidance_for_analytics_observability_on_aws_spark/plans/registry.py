@@ -405,6 +405,17 @@ _register(
     DEDUP_ORACLES["dedup_semantic_eval"],
 )
 
+# D42 (r13): SemDeDup with TRAINED cells — D12's Lloyd centroids through
+# the trained-model registry drive the SAME semantic_removals algebra, so
+# verdicts differ from D39 only by assignment. Rows-only (iterative float
+# training); plant recall 1.0 and D17's balanced-cell bound pinned in
+# tests/test_operators.py.
+_register(
+    "dedup_semantic_trained",
+    lambda s, d: similarity.semantic_dedup_trained(load_tables(s, d)["embeddings"]),
+    None,
+)
+
 # D24: scalar-quantized SQ8 search — min/max codec + integer ranking
 # surrogate, the one quantized searcher with a full hash-exact oracle.
 _register(

@@ -3373,6 +3373,69 @@ def test_semantic_dedup_matches_unblocked_pairs(spark, sf_dir):
     assert a == b
 
 
+def test_semantic_dedup_trained_plant_recall_and_balance(spark, sf_dir):
+    """D42: plant recall stays 1.0 under the TRAINED assignment (identical
+    embeddings → identical centroid distances → the same deterministic
+    argmin cell, in-cell cosine exactly 1.0), the removal-algebra
+    invariants hold (lower-id keeper, max_cosine ≥ τ — the shared
+    semantic_removals), and the Lloyd cells satisfy D17's balance bound
+    (max ≤ 2× mean) where D39's fixed first-8 assignment offers no such
+    guarantee."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        SEMANTIC_TAU,
+        _kmeans_assignments,
+        _model_key,
+        _quantized,
+        augmented_embeddings,
+        semantic_dedup_trained,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rows = semantic_dedup_trained(emb).collect()
+    assert all(r.keeper_id < r.vec_id for r in rows)
+    assert all(r.max_cosine >= SEMANTIC_TAU for r in rows)
+    assert all(r.n_dup_neighbors >= 1 for r in rows)
+    plant_ids = {
+        r.vec_id + similarity.PLANT_OFFSET
+        for r in emb.filter(F.col("vec_id") % 25 == 0).select("vec_id").collect()
+    }
+    by_id = {r.vec_id: r for r in rows}
+    assert plant_ids <= set(by_id), plant_ids - set(by_id)
+    assert all(by_id[p].max_cosine == 1.0 for p in plant_ids)
+    # D17's balance bound on the very assignment D42 consumed (the cache
+    # key replays the identical converged centroids).
+    aug = augmented_embeddings(emb)
+    q = _quantized(aug, barrier_key="vec_id").select("vec_id", "qv", "nrm")
+    assigned = _kmeans_assignments(
+        None, k=8, max_iter=5, q=q, cache_key=_model_key("kmeans-raw", aug, 8, 5)
+    )
+    sizes = [
+        r.n for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes)), f"unbalanced: {sizes}"
+
+
+def test_semantic_dedup_shared_frame_replay(spark, sf_dir):
+    """D39/D40 session sharing: two semantic_dedup calls at the same
+    (corpus, settings) return the SAME materialized frame (the second is
+    a checkpoint replay, not a recompute), a different setting misses,
+    and the eval report grades the shared frame's exact removal set."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        trained_cache_clear,
+    )
+
+    trained_cache_clear(loaded_too=False)
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    d1 = similarity.semantic_dedup(emb)
+    d2 = similarity.semantic_dedup(emb)
+    assert d2 is d1  # cache hit returns the checkpointed handle itself
+    d3 = similarity.semantic_dedup(emb, n_centroids=4)
+    assert d3 is not d1
+    got = {tuple(r) for r in d1.collect()}
+    ev = {r.vec_class: r for r in similarity.semantic_dedup_eval(emb).collect()}
+    assert ev["plant"].n_removed + ev["base"].n_removed == len(got)
+
+
 def test_dsir_weights_literal_model(spark, sf_dir):
     """P25: the Spark weights equal a literal Python reimplementation of
     the DSIR hashed-bag LLR on the same corpus (bucket hashing, add-one
