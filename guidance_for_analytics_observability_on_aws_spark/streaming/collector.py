@@ -1793,37 +1793,58 @@ def run_streaming_semantic_dedup(
     all CONTENT-hash gates; an arriving paraphrase or re-encode passes
     every one of them and only the embedding gate catches it).
 
-    Index = the committed corpus's ASSIGNED frame (vec_id, cell_id,
-    quantized codes + norm — at 100 TB the codes-only posture is D24/D20's
-    SQ8/PQ bytes, not raw floats), persisted; centroids derive from the
-    committed corpus (the shared ``semantic_centroids``/``assign_cells``
-    definitions, so an arriving vector can never land in a different cell
-    than batch D39 would put it). Per batch: assign the batch, run the
-    shared ``semantic_removals`` with candidates = index ∪ batch (the
-    ``a.vec_id < b.vec_id`` predicate makes the union safe — earlier
-    ingests and the committed corpus both gate, later ones can't), append
-    the WHOLE batch to the index (batch D39's chain semantics: a removed
-    vector still keeps its higher-id duplicates out; the paper's
-    keep-one-representative variant appends kept rows only — one join
-    away). Anti-join on vec_id keeps the index a set — idempotent under
-    at-least-once re-delivery. Because corpus ids sort below the planted
-    ingest ids and batches arrive in vec_id order, the gate's verdicts
-    are ROW-IDENTICAL to batch D39 restricted to the arriving ids
-    (pinned single-batch AND two-batch in ``tests/test_streaming.py``).
+    Index = the committed corpus's assigned frame in the CODE-BYTES
+    posture (vec_id, cell_id, SQ8 codes, norm — D24's per-dimension
+    min/max codec, one byte per dim on disk vs eight for the raw
+    quantized vector); a separate cold FULL-VECTOR store is touched only
+    for shortlisted candidates. Centroids derive from the committed
+    corpus (the shared ``semantic_centroids``/``assign_cells``
+    definitions, so an arriving vector can never land in a different
+    cell than batch D39 would put it). Per batch:
 
-    Zero streaming state: membership lives in the index table; per-batch
-    work = one broadcast centroid assign + one (cell, sub)-keyed join of
-    the batch against its cells' index rows — bounded by the batch and
-    the touched cells, never the corpus.
+    1. assign the batch; NEW rows = arriving anti-joined against the
+       index (so a re-delivered batch sees each candidate ONCE — the
+       failed attempt's index append cannot double-count neighbors);
+    2. the (cell, sub)-keyed join runs against the CODES index with an
+       integer UPPER BOUND on the cosine (true-floor decode interval:
+       255·val ∈ [E, E+rng) with E = 255·mn + code·rng, so
+       255·dot ≤ Σ q_d·E_d + Σ max(q_d,0)·rng_d — all BIGINT, LOSSLESS:
+       no pair whose exact cosine reaches τ can fail the bound);
+    3. survivors fetch full vectors from the cold store and the EXACT
+       ``cosine6`` decides at τ — verdicts are therefore byte-identical
+       to running ``semantic_removals`` on raw vectors (candidates =
+       index ∪ new arrivals; the ``a.vec_id < b.vec_id`` predicate makes
+       the union safe), and the WHOLE batch still joins the index (batch
+       D39's chain semantics);
+    4. verdicts land at a PER-BATCH path (overwrite) and index growth is
+       anti-joined — both idempotent under at-least-once re-delivery.
+
+    Ordering guard: row-identity to batch D39 needs batches in ascending
+    vec_id order (a later-arriving LOWER id cannot retroactively remove
+    an already-kept higher id — the gate never re-opens past verdicts).
+    The gate FAILS LOUDLY (ValueError) when a batch carries new ids at
+    or below the index watermark instead of silently under-removing;
+    pure re-delivery (no new ids) passes.
+
+    Zero streaming state: membership lives in the index tables; per-batch
+    work = one broadcast centroid assign + one codes-only join bounded by
+    the batch and its touched cells + an exact re-rank bounded by the
+    shortlist. Arriving values outside the committed per-dim range simply
+    take codes outside [0, 255] — the true-floor interval bound stays
+    valid (production would refresh stats on drift; the codec needs no
+    training state either way).
     """
+    from ..functions.vectors import cosine6, dot
     from ..operators.similarity import (
+        N_SPLITS,
         PLANT_OFFSET,
         _quantized,
+        _sub_block,
         assign_cells,
         augmented_embeddings,
         semantic_centroids,
-        semantic_removals,
     )
+    from ..operators.similarity import SEMANTIC_TAU as _TAU
 
     work = tempfile.mkdtemp(prefix="gfaooa_semdedup_")
     src = stream_dir if stream_dir is not None else sf_dir
@@ -1839,10 +1860,40 @@ def run_streaming_semantic_dedup(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), barrier_key="vec_id"
     )
     centroids = semantic_centroids(committed).localCheckpoint(eager=True)
-    index_path = f"{work}/cell_index"
-    assign_cells(committed, centroids).write.mode("overwrite").parquet(
-        index_path
+    cells = assign_cells(committed, centroids).localCheckpoint(eager=True)
+
+    # SQ8 stats over the COMMITTED corpus — driver-held (2·d BIGINTs),
+    # embedded as literals like k-means centroids. rng floors at 1 so the
+    # decode interval is never empty.
+    stat_rows = (
+        cells.select(F.posexplode("qv").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
     )
+    mns = [0] * len(stat_rows)
+    rngs = [1] * len(stat_rows)
+    for r in stat_rows:
+        mns[r.dim] = int(r.mn)
+        rngs[r.dim] = max(1, int(r.mx) - int(r.mn))
+    mns_arr = F.array(*[F.lit(m).cast("long") for m in mns])
+    rngs_arr = F.array(*[F.lit(g).cast("long") for g in rngs])
+
+    def encoded(assigned: DataFrame) -> DataFrame:
+        """(vec_id, cell_id, codes, nrm) — true-floor SQ8 encode. floor of
+        a double division is exact here: |(val−mn)·255| < 2^25 and the
+        quotient can only sit within 1 ulp of an integer when it IS one."""
+        code = F.zip_with(
+            F.zip_with(F.col("qv"), mns_arr, lambda v, m: (v - m) * 255),
+            rngs_arr,
+            lambda a, g: F.floor(a / g).cast("long"),
+        )
+        return assigned.select("vec_id", "cell_id", code.alias("codes"), "nrm")
+
+    codes_path, vecs_path = f"{work}/index_codes", f"{work}/index_vecs"
+    encoded(cells).write.mode("overwrite").parquet(codes_path)
+    cells.select("vec_id", "qv").write.mode("overwrite").parquet(vecs_path)
+    tau = float(_TAU)
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         arriving = assign_cells(
@@ -1854,17 +1905,109 @@ def run_streaming_semantic_dedup(
             ),
             centroids,
         ).localCheckpoint(eager=True)
-        # Materialize the index read BEFORE this batch appends to it.
-        index = spark.read.parquet(index_path).localCheckpoint(eager=True)
-        removals = semantic_removals(
-            index.unionByName(arriving), arriving
+        # Materialize the index reads BEFORE this batch appends to them.
+        index_codes = spark.read.parquet(codes_path).localCheckpoint(eager=True)
+        new_rows = arriving.join(
+            index_codes.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        watermark = index_codes.agg(F.max("vec_id")).first()[0]
+        bounds = new_rows.agg(
+            F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("lo")
+        ).first()
+        if bounds.n > 0 and watermark is not None and bounds.lo <= watermark:
+            raise ValueError(
+                f"out-of-order ingest: batch {batch_id} carries new vec_id "
+                f"{bounds.lo} at/below the index watermark {watermark}; "
+                "the gate's verdicts would silently diverge from batch D39"
+            )
+        # Candidates = codes index ∪ this batch's NEW rows (encoded with
+        # the committed stats) — the a.vec_id < b.vec_id predicate keeps
+        # the union safe, and re-delivered rows are already in the index.
+        a = (
+            index_codes.unionByName(encoded(new_rows))
+            .withColumn(
+                "t", F.explode(F.array(*[F.lit(i) for i in range(N_SPLITS)]))
+            )
+            .alias("a")
         )
-        removals.write.mode("append").parquet(f"{work}/out")
-        # Append-only index growth (anti-join keeps it a set — idempotent
-        # under re-delivery).
-        arriving.join(
-            index.select("vec_id"), "vec_id", "left_anti"
-        ).write.mode("append").parquet(index_path)
+        b = (
+            arriving.withColumn("sub", _sub_block())
+            .withColumn(
+                "qbr", F.zip_with(F.col("qv"), rngs_arr, lambda v, g: v * g)
+            )
+            .withColumn(
+                "b_const",
+                F.lit(255) * dot(F.col("qv"), mns_arr)
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), rngs_arr, lambda v, g: F.greatest(v, F.lit(0)) * g
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .alias("b")
+        )
+        shortlist = (
+            a.join(
+                b,
+                (F.col("a.cell_id") == F.col("b.cell_id"))
+                & (F.col("a.t") == F.col("b.sub"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("b.vec_id").alias("vec_id"),
+                F.col("b.cell_id").alias("cell_id"),
+                F.col("a.vec_id").alias("a_id"),
+                F.col("a.nrm").alias("a_nrm"),
+                F.col("b.qv").alias("b_qv"),
+                F.col("b.nrm").alias("b_nrm"),
+                (
+                    (dot(F.col("b.qbr"), F.col("a.codes")) + F.col("b.b_const"))
+                    / F.lit(255.0)
+                    / F.sqrt(
+                        F.col("a.nrm").cast("double")
+                        * F.col("b.nrm").cast("double")
+                    )
+                ).alias("ub_cos"),
+            )
+            .filter(F.col("ub_cos") >= tau - 1e-6)
+        )
+        vecs = spark.read.parquet(vecs_path).unionByName(
+            new_rows.select("vec_id", "qv")
+        )
+        removals = (
+            shortlist.join(
+                vecs.select(
+                    F.col("vec_id").alias("a_id"), F.col("qv").alias("a_qv")
+                ),
+                "a_id",
+            )
+            .select(
+                "vec_id",
+                "cell_id",
+                "a_id",
+                cosine6(
+                    dot(F.col("a_qv"), F.col("b_qv")),
+                    F.col("a_nrm"),
+                    F.col("b_nrm"),
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= tau)
+            .groupBy("vec_id", "cell_id")
+            .agg(
+                F.min("a_id").alias("keeper_id"),
+                F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+                F.max("cosine").alias("max_cosine"),
+            )
+        )
+        # Per-batch verdict path + overwrite = idempotent re-delivery.
+        removals.write.mode("overwrite").parquet(
+            f"{work}/out/batch-{int(batch_id):05d}"
+        )
+        # Append-only index growth: NEW rows only (already anti-joined).
+        encoded(new_rows).write.mode("append").parquet(codes_path)
+        new_rows.select("vec_id", "qv").write.mode("append").parquet(vecs_path)
 
     q = (
         stream.writeStream.foreachBatch(_gate_batch)
@@ -1884,6 +2027,7 @@ def run_streaming_semantic_dedup(
     )
     result = (
         spark.read.schema(out_schema)
+        .option("recursiveFileLookup", "true")
         .parquet(f"{work}/out")
         .orderBy("vec_id")
     )

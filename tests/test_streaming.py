@@ -1398,3 +1398,73 @@ def test_streaming_semantic_dedup_appends_index_across_batches(spark, tmp_path):
     assert set(got) == {100050, 100075}
     assert got[100050] == (9, 1.0)  # corpus-match path
     assert got[100075] == (100025, 1.0)  # cross-batch path
+
+
+def test_streaming_semantic_dedup_rejects_out_of_order_ingest(spark, tmp_path):
+    """D41 ordering guard: row-identity to batch D39 requires ascending
+    vec_id batches (the gate never re-opens past verdicts, so a
+    later-arriving LOWER id would silently under-remove). A batch
+    carrying a NEW id at/below the index watermark must fail loudly,
+    not diverge silently. Same 4-dim corpus shape as the cross-batch
+    test, with the two drop files' ids REVERSED relative to mtime order."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_semantic_dedup,
+    )
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([r[2] for r in rows], pa.int32()),
+                }
+            ),
+            path,
+        )
+
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.0, 1.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0, 1.0],
+        [1.0, 0.0, 0.0, 1.0],
+    ]
+    G = [0.1, 0.3, 0.85, 0.0]
+    H = [0.3, 0.1, 0.2, 0.85]
+    corpus_dir = str(tmp_path / "corpus")
+    os.makedirs(corpus_dir)
+    write(
+        f"{corpus_dir}/embeddings.parquet",
+        [(i, v, 0) for i, v in enumerate(cents)],
+    )
+    drop_dir = str(tmp_path / "drop")
+    os.makedirs(drop_dir)
+    # batch 1 carries the HIGHER ids, batch 2 the lower — out of order.
+    chunks = [[(75, G, 0)], [(25, H, 0)]]
+    t0 = 1_700_000_000
+    for i, rows in enumerate(chunks):
+        path = os.path.join(drop_dir, f"chunk{i:02d}.parquet")
+        write(path, rows)
+        os.utime(path, (t0 + i, t0 + i))
+    with pytest.raises((StreamingQueryException, ValueError)) as exc:
+        run_streaming_semantic_dedup(
+            spark,
+            corpus_dir,
+            stream_dir=drop_dir,
+            emb_glob="*.parquet",
+            max_files_per_trigger=1,
+        )
+    assert "out-of-order ingest" in str(exc.value)
