@@ -472,6 +472,124 @@ def dedup_containment_banded(
     )
 
 
+#: D43 paragraph proxy: fixed token windows standing in for double-newline
+#: blocks on single-line corpora, and the paragraph-id packing width
+#: (pid = doc_id·PARA_KEY + window index → bounded at PARA_KEY·PARA_TOKENS
+#: = 320k tokens per document).
+PARA_TOKENS = 32
+PARA_KEY = 10000
+
+
+def _paragraph_base(documents: DataFrame) -> DataFrame:
+    """(doc_id = pid, toks = paragraph tokens) — the corpus re-keyed at
+    PARAGRAPH granularity so the whole-document MinHash machinery
+    (signatures, banding, candidate join, exact re-score) applies
+    verbatim one level down. A paragraph is a fixed ``PARA_TOKENS``-token
+    window (production text splits on blank lines FIRST and windows only
+    the oversized blocks; the driver corpus is single-line, so windows
+    ARE the blocks); windows under 3 tokens can't form a shingle and drop
+    exactly like short docs do in :func:`_shingle_base`."""
+    toks = tokens(F.col("text"))
+    c = corpus(documents).select("doc_id", toks.alias("toks"))
+    n = F.greatest(
+        F.ceil(F.size("toks") / F.lit(float(PARA_TOKENS))).cast("int"), F.lit(1)
+    )
+    return (
+        c.select(
+            "doc_id", "toks", F.explode(F.sequence(F.lit(1), n)).alias("i")
+        )
+        .select(
+            (F.col("doc_id") * PARA_KEY + F.col("i")).alias("doc_id"),
+            F.slice(
+                "toks", (F.col("i") - 1) * PARA_TOKENS + 1, F.lit(PARA_TOKENS)
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= 3)
+    )
+
+
+def dedup_paragraph_minhash(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """D43: fuzzy dedup at PARAGRAPH granularity — the RefinedWeb/FineWeb
+    recipe's middle layer (Penedo et al. 2023, arXiv:2306.01116 dedups at
+    document AND line/paragraph level) between D34's exact repeated spans
+    and D3's whole-document signatures: a doc that shares boilerplate
+    paragraphs with OTHER docs without being a near-dup of any of them is
+    invisible to both neighbors, and this operator measures exactly that
+    mass.
+
+    Plan = the D15 production shape, one granularity down, reusing the
+    SAME single definitions: :func:`_paragraph_base` re-keys the corpus
+    as (pid, tokens), :func:`minhash_signatures` + banding generate
+    CROSS-DOCUMENT candidate paragraph pairs (same-doc repetition is
+    D34's territory), the exact D2 shingle arithmetic re-scores
+    candidates at Jaccard ≥ ``threshold``, and a per-document rollup
+    reports the duplicated-paragraph mass (the X17 shape at paragraph
+    level): paragraphs and tokens total vs in some verified cross-doc
+    duplicate pair. Only docs carrying dup mass emit a row — the
+    manifest a curator subtracts before mixing.
+
+    100 TB: everything rides the already-bounded D3/D15 machinery —
+    per-shingle signature compute, (band, hash)-bucketed candidate
+    generation (never all-pairs), candidate-restricted exact scoring;
+    the rollup is one groupBy over paragraph rows. Fully hash-exact
+    (md5 minhash + exact Jaccard in both engines).
+    """
+    para = _paragraph_base(documents).localCheckpoint(eager=True)
+    cross = F.expr(f"doc_a DIV {PARA_KEY} != doc_b DIV {PARA_KEY}")
+    cand = (
+        _lsh_candidate_pairs(minhash_signatures(None, base=para))
+        .filter(cross)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand_pids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    para_cand = para.join(cand_pids, "doc_id").localCheckpoint(eager=True)
+    verified = (
+        _shingle_pair_intersections(None, base=para_cand)
+        .join(cand, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", _jaccard_col())
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dup_pids = (
+        verified.select(F.col("doc_a").alias("pid"))
+        .unionByName(verified.select(F.col("doc_b").alias("pid")))
+        .distinct()
+        .withColumn("dup", F.lit(1).cast("long"))
+    )
+    pstats = para.select(
+        F.expr(f"doc_id DIV {PARA_KEY}").alias("doc"),
+        F.col("doc_id").alias("pid"),
+        F.size("toks").cast("long").alias("p_tokens"),
+    )
+    return (
+        pstats.join(dup_pids, "pid", "left")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.coalesce("dup", F.lit(0))).cast("long").alias("n_dup_paras"),
+            F.sum("p_tokens").cast("long").alias("para_tokens"),
+            F.sum(F.coalesce("dup", F.lit(0)) * F.col("p_tokens"))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .filter(F.col("n_dup_paras") >= 1)
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            "para_tokens",
+            "dup_tokens",
+            (F.col("dup_tokens") / F.col("para_tokens")).alias("dup_frac"),
+        )
+    )
+
+
 #: D25's SimHash width and banding: 64 bits (Manku et al.'s web-dedup
 #: width), represented as TWO non-negative 32-bit halves (``simhash_lo``
 #: = bits 0–31, ``simhash_hi`` = bits 32–63) because a single 64-bit

@@ -16,6 +16,8 @@ from ..functions.text import CORPUS_CTE, SHINGLES_SQL
 from ..operators.dedup import (
     CDC_DIVISOR,
     CDC_W,
+    PARA_KEY,
+    PARA_TOKENS,
     SPAN_B1,
     SPAN_B2,
     SPAN_M1,
@@ -470,6 +472,98 @@ SELECT doc_a, doc_b, n_shared_bands, n_matching,
        n_matching / {len(MINHASH_AB)} AS est_jaccard
 FROM scored
 WHERE n_matching >= 13
+"""
+
+
+# D43: the whole MinHash chain re-keyed at paragraph granularity — same
+# _MINHASH_MINS/_BAND_SELECTS building blocks over ptoks windows, then the
+# exact D2 pair/size arithmetic restricted to cross-document candidates and
+# a per-document dup-mass rollup (mirrors operators/dedup.py::
+# dedup_paragraph_minhash).
+_PARA_MINHASH_CTES = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+),
+para AS (
+  SELECT doc_id * {PARA_KEY} + i AS doc_id,
+         toks[(i-1)*{PARA_TOKENS}+1 : i*{PARA_TOKENS}] AS toks
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1,
+             GREATEST(CAST(CEIL(len(toks) / {PARA_TOKENS}.0) AS INTEGER), 1)
+           )) AS i
+    FROM ctoks
+  )
+  WHERE len(toks[(i-1)*{PARA_TOKENS}+1 : i*{PARA_TOKENS}]) >= 3
+),
+shingled AS (
+  SELECT doc_id, {SHINGLES_SQL} AS sh FROM para
+),
+hashed AS (
+  SELECT doc_id, {md5_int_sql("shingle", 7)} AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingled)
+),
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM hashed GROUP BY 1
+),
+buckets AS (
+{_BAND_SELECTS}
+)"""
+
+DEDUP_ORACLES["dedup_paragraph_minhash"] = f"""
+{_PARA_MINHASH_CTES},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+  WHERE a.doc_id // {PARA_KEY} != b.doc_id // {PARA_KEY}
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM shingled),
+exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+cpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isz
+  FROM exploded a
+  JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b
+  FROM cpairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE isz / (sa.sz + sb.sz - isz) >= 0.8
+),
+dup_pids AS (
+  SELECT DISTINCT pid FROM (
+    SELECT doc_a AS pid FROM verified
+    UNION ALL
+    SELECT doc_b AS pid FROM verified
+  )
+),
+pstats AS (
+  SELECT doc_id // {PARA_KEY} AS doc, doc_id AS pid,
+         CAST(len(toks) AS BIGINT) AS p_tokens
+  FROM para
+)
+SELECT p.doc AS doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paras,
+       CAST(SUM(p_tokens) AS BIGINT) AS para_tokens,
+       CAST(SUM(CASE WHEN d.pid IS NOT NULL THEN p_tokens ELSE 0 END)
+         AS BIGINT) AS dup_tokens,
+       SUM(CASE WHEN d.pid IS NOT NULL THEN p_tokens ELSE 0 END)
+         / SUM(p_tokens) AS dup_frac
+FROM pstats p
+LEFT JOIN dup_pids d ON d.pid = p.pid
+GROUP BY 1
+HAVING SUM(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) >= 1
 """
 
 

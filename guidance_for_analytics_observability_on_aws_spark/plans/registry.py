@@ -268,6 +268,16 @@ _register(
     DEDUP_ORACLES["dedup_minhash_estimate"],
 )
 
+# D43 (r13): fuzzy dedup at PARAGRAPH granularity (the RefinedWeb line/
+# paragraph layer between D34's exact spans and D3's whole-doc signatures)
+# — the D15 candidate→exact-verify shape over _paragraph_base's re-keyed
+# corpus, rolled up to per-doc dup mass. Fully hash-exact.
+_register(
+    "dedup_paragraph_minhash",
+    lambda s, d: dedup.dedup_paragraph_minhash(load_tables(s, d)["documents"]),
+    DEDUP_ORACLES["dedup_paragraph_minhash"],
+)
+
 _register(
     "similarity_range_search",
     lambda s, d: similarity.range_search(load_tables(s, d)["embeddings"]),

@@ -629,6 +629,61 @@ def test_banded_containment_precision_and_recall(spark, sf_dir):
         assert r.containment_a <= 1.0 and r.containment_b <= 1.0
 
 
+def test_paragraph_minhash_planted_recovery(spark, sf_dir):
+    """D43: every corpus exact-copy pair (source ≡ 0 mod 25 and its +1M
+    plant) must surface with dup_frac EXACTLY 1.0 on both sides —
+    identical token streams chunk to identical paragraphs, identical
+    paragraphs get identical MinHash signatures (candidate recall 1.0,
+    all bands collide) and Jaccard exactly 1.0 ≥ 0.8. Also pins the
+    rollup algebra (dup ⊆ total, frac = dup_tokens/para_tokens) and that
+    a boilerplate paragraph shared by otherwise-unrelated hand docs is
+    recovered while the unique docs stay clean."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.dedup import (
+        dedup_paragraph_minhash,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = dedup_paragraph_minhash(docs).collect()
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 1 <= r.n_dup_paras <= r.n_paras
+        assert 0 < r.dup_tokens <= r.para_tokens
+        assert r.dup_frac == r.dup_tokens / r.para_tokens
+    src_ids = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 25 == 0).select("doc_id").collect()
+    ]
+    assert src_ids
+    for d in src_ids:
+        for side in (d, d + 1000000):
+            assert side in by_id, f"copy pair member {side} missing"
+            assert by_id[side].dup_frac == 1.0, (side, by_id[side])
+
+    # hand corpus: shared 32-token boilerplate inside two otherwise
+    # disjoint docs; a third doc has no repeated mass. ids avoid the
+    # corpus() plant residues (mod 25 ∉ {0, 5, 10}).
+    boiler = " ".join(f"b{i}" for i in range(32))
+    uniq1 = " ".join(f"u{i}" for i in range(32))
+    uniq2 = " ".join(f"v{i}" for i in range(32))
+    uniq3 = " ".join(f"w{i}" for i in range(32))
+    hand = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1, "en", "s1"),
+            (2, boiler + " " + uniq2, "en", "s2"),
+            (3, uniq3, "en", "s3"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in dedup_paragraph_minhash(hand).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_dup_paras == 1 and got[2].n_dup_paras == 1
+    assert got[1].dup_tokens == 32 and got[1].para_tokens == 64
+    assert got[1].dup_frac == 0.5
+
+
 def test_executor_concurrency_sweep_line(spark):
     """Hand example: [0,10),[5,15),[20,30) peaks at 2 (t=5); touching
     intervals [0,10),[10,20) never count as overlapping."""
