@@ -146,6 +146,8 @@ _P_GROUP = {
     # r12: the DSIR pair, the composed funnel, semantic decontamination
     "dsir_importance_weights", "dsir_topk_sample",
     "corpus_curation_pipeline_v3", "decontaminate_semantic",
+    # r13: the Gumbel-top-k resampler
+    "dsir_gumbel_sample",
 }
 
 

@@ -1956,6 +1956,46 @@ def semantic_dedup_trained(
     return semantic_removals(cells, cells, threshold, n_splits)
 
 
+def sq8_stats(q: DataFrame) -> tuple[list[int], list[int]]:
+    """Driver-held per-dimension (min, range) of a quantized frame — the
+    D24 SQ8 codec's training-free stats (2·d BIGINTs, embedded as
+    literals like k-means centroids). Range floors at 1 so the decode
+    interval is never empty on a constant dimension."""
+    rows = (
+        q.select(F.posexplode("qv").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    mns = [0] * len(rows)
+    rngs = [1] * len(rows)
+    for r in rows:
+        mns[r.dim] = int(r.mn)
+        rngs[r.dim] = max(1, int(r.mx) - int(r.mn))
+    return mns, rngs
+
+
+def sq8_encode(
+    assigned: DataFrame, mns: list[int], rngs: list[int]
+) -> DataFrame:
+    """(vec_id, cell_id, codes, nrm) — TRUE-FLOOR SQ8 encode of an
+    assign_cells-shaped frame with driver-held stats: ``code =
+    ⌊(val − mn)·255 / rng⌋``, so 255·val ∈ [E, E+rng) with E = 255·mn +
+    code·rng holds for ANY value, including out-of-range arrivals (codes
+    then leave [0, 255] but the interval bound — what D41's lossless
+    cosine pruning rests on — stays valid). floor of the double division
+    is exact here: |(val−mn)·255| < 2^25 and the quotient can only sit
+    within 1 ulp of an integer when it IS one."""
+    mns_arr = F.array(*[F.lit(m).cast("long") for m in mns])
+    rngs_arr = F.array(*[F.lit(g).cast("long") for g in rngs])
+    code = F.zip_with(
+        F.zip_with(F.col("qv"), mns_arr, lambda v, m: (v - m) * 255),
+        rngs_arr,
+        lambda a, g: F.floor(a / g).cast("long"),
+    )
+    return assigned.select("vec_id", "cell_id", code.alias("codes"), "nrm")
+
+
 def semantic_dedup_eval(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_TAU,

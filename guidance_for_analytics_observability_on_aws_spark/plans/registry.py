@@ -1080,87 +1080,77 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    # r12 window (50 slots exactly), GENERATED by the codified recipe:
+    # r13 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority --changed \
-    #     dedup_repeated_spans,dedup_repeated_spans_scrub,\
-    #     stream_repeated_spans_scrub,dedup_repeated_spans_eval
-    #   slots 1-8   — the EIGHT r12 additions with no driver row: D38
-    #                 stream_prefix_dedup_ingest (lossless prefix-filter
-    #                 near-dup gate on ingest), D39/D40 SemDeDup + its
-    #                 planted-recall eval, P25/P26 DSIR importance
-    #                 weights + exact top-k resample, D41
-    #                 stream_semantic_dedup_ingest (the D39 gate), P27
-    #                 corpus_curation_pipeline_v3 (funnel + span-scrub
-    #                 mass + DSIR gate composition), P28
-    #                 decontaminate_semantic (broadcast-bench embedding
-    #                 decontamination).
-    #   slots 9-12  — the span family, whose CODE changed in r12 (dual-
-    #                 polynomial span hash, windowed D34, two-pointer
-    #                 scrub — D34/D35/D37 keep hash-exact oracles over
-    #                 the new arithmetic, D36 shares _span_rows/
-    #                 apply_span_scrub).
-    #   slots 13-19 — the 7 r5-evidence entries (the r11 window's
-    #                 documented overflow, plus obs_alert_debounce).
-    #   slots 20-50 — the r6-evidence block in ledger order (31 of 39
-    #                 fit; the overflow — mm_binary_meta,
-    #                 source_clustering_report, obs_straggler_detect,
-    #                 obs_log_sample, obs_latency_heatmap,
-    #                 obs_job_critical_stage, obs_apdex,
-    #                 obs_seasonal_baseline — plus the r7 block leads
-    #                 the r13 window per the rotation contract; see
-    #                 SURVEY §2's ledger table for the committed r13
-    #                 plan).
-    "stream_prefix_dedup_ingest",
+    #     dedup_semantic,dedup_semantic_eval,stream_semantic_dedup_ingest
+    #   slots 1-3   — the THREE r13 additions with no driver row: D43
+    #                 dedup_paragraph_minhash (RefinedWeb paragraph-level
+    #                 fuzzy dedup, hash-exact), D42 dedup_semantic_trained
+    #                 (SemDeDup over D12's Lloyd centroids via the
+    #                 trained-model registry), P29 dsir_gumbel_sample
+    #                 (Gumbel-top-k importance resampling).
+    #   slots 4-6   — entries whose CODE/plan changed in r13: D39/D40
+    #                 (session-shared checkpointed removal frame) and D41
+    #                 (SQ8 code-bytes index + lossless cosine bound +
+    #                 idempotent per-batch verdicts + ordering guard).
+    #   slots 7-14  — the 8 r6-evidence entries (the r12 window's
+    #                 documented overflow).
+    #   slots 15-49 — the 35-entry r7-evidence block in ledger order.
+    #   slots 50    — the first r8-evidence entry (obs_date_histogram);
+    #                 the rest of the r8 block leads the r14 window per
+    #                 the rotation contract (see SURVEY §2's ledger table).
+    "dedup_paragraph_minhash",
+    "dedup_semantic_trained",
+    "dsir_gumbel_sample",
     "dedup_semantic",
     "dedup_semantic_eval",
-    "dsir_importance_weights",
-    "dsir_topk_sample",
     "stream_semantic_dedup_ingest",
-    "corpus_curation_pipeline_v3",
-    "decontaminate_semantic",
-    "dedup_repeated_spans",
-    "dedup_repeated_spans_scrub",
-    "stream_repeated_spans_scrub",
-    "dedup_repeated_spans_eval",
-    "mixture_sample",
-    "text_tfidf_topk",
-    "obs_cardinality_approx",
-    "obs_task_percentiles_approx",
-    "obs_live_collector",
-    "source_schema_evolution_report",
-    "obs_alert_debounce",
-    "tpch_q9_profit",
-    "tpch_q11_important_parts",
-    "events_rolling_wau",
-    "tpch_q2_min_cost_supplier",
-    "dedup_minhash_estimate",
-    "similarity_range_search",
-    "embedding_dup_groups",
-    "incremental_dedup",
-    "train_val_split",
-    "sample_stratified",
-    "pack_sequences",
-    "dup_groups",
-    "corpus_curation_pipeline",
-    "corpus_curation_pipeline_v2",
-    "split_leak_proof",
-    "dataset_card_report",
-    "filter_ablation",
-    "dup_groups_star",
-    "cross_source_overlap",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "docs_stats_by_source",
-    "text_winnow_fingerprint",
-    "text_pii_redact",
-    "text_bigram_stats",
-    "text_inverted_index",
-    "text_lang_confusion",
-    "text_repetition_stats",
-    "text_bigram_lift",
+    "mm_binary_meta",
+    "source_clustering_report",
+    "obs_straggler_detect",
+    "obs_log_sample",
+    "obs_latency_heatmap",
+    "obs_job_critical_stage",
+    "obs_apdex",
+    "obs_seasonal_baseline",
+    "obs_task_metrics",
+    "obs_stage_agg_skewness",
+    "obs_skew_distribution",
+    "obs_app_summary",
+    "obs_cardinality",
+    "pivot_status_by_priority",
+    "events_retention",
+    "window_lead_lag_ntile",
+    "set_ops_customers",
+    "merge_scd1_customers",
+    "grouping_sets_mixed",
+    "events_transition_matrix",
+    "orders_seasonality",
+    "similarity_sq8",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "mm_audio_chunks",
+    "cube_priority_segment",
+    "mm_decode_frames",
+    "stream_collector_pipeline",
+    "stream_stage_agg",
+    "stream_session_windows",
+    "stream_dedup_ingest",
+    "stream_alert_rules",
+    "stream_heavy_hitters",
+    "stream_rolling_wau",
+    "stream_tail_sampling",
+    "source_snapshot_report",
+    "stream_metric_log_join",
+    "orders_market_basket",
+    "source_table_stats",
+    "obs_downsample_rollup",
+    "obs_slo_burn_rate",
+    "obs_metric_log_correlate",
+    "obs_input_bytes_percentiles",
+    "obs_date_histogram",
 ]
+
 
 
 def _apply_priority_order() -> None:

@@ -1843,6 +1843,8 @@ def run_streaming_semantic_dedup(
         assign_cells,
         augmented_embeddings,
         semantic_centroids,
+        sq8_encode,
+        sq8_stats,
     )
     from ..operators.similarity import SEMANTIC_TAU as _TAU
 
@@ -1862,33 +1864,15 @@ def run_streaming_semantic_dedup(
     centroids = semantic_centroids(committed).localCheckpoint(eager=True)
     cells = assign_cells(committed, centroids).localCheckpoint(eager=True)
 
-    # SQ8 stats over the COMMITTED corpus — driver-held (2·d BIGINTs),
-    # embedded as literals like k-means centroids. rng floors at 1 so the
-    # decode interval is never empty.
-    stat_rows = (
-        cells.select(F.posexplode("qv").alias("dim", "val"))
-        .groupBy("dim")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()
-    )
-    mns = [0] * len(stat_rows)
-    rngs = [1] * len(stat_rows)
-    for r in stat_rows:
-        mns[r.dim] = int(r.mn)
-        rngs[r.dim] = max(1, int(r.mx) - int(r.mn))
+    # SQ8 stats over the COMMITTED corpus (shared codec helpers —
+    # similarity.py::sq8_stats/sq8_encode, so the SCALE probe measures
+    # exactly the bytes this gate persists).
+    mns, rngs = sq8_stats(cells)
     mns_arr = F.array(*[F.lit(m).cast("long") for m in mns])
     rngs_arr = F.array(*[F.lit(g).cast("long") for g in rngs])
 
     def encoded(assigned: DataFrame) -> DataFrame:
-        """(vec_id, cell_id, codes, nrm) — true-floor SQ8 encode. floor of
-        a double division is exact here: |(val−mn)·255| < 2^25 and the
-        quotient can only sit within 1 ulp of an integer when it IS one."""
-        code = F.zip_with(
-            F.zip_with(F.col("qv"), mns_arr, lambda v, m: (v - m) * 255),
-            rngs_arr,
-            lambda a, g: F.floor(a / g).cast("long"),
-        )
-        return assigned.select("vec_id", "cell_id", code.alias("codes"), "nrm")
+        return sq8_encode(assigned, mns, rngs)
 
     codes_path, vecs_path = f"{work}/index_codes", f"{work}/index_vecs"
     encoded(cells).write.mode("overwrite").parquet(codes_path)

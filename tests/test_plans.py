@@ -291,68 +291,63 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r12 rotation: 8 never-checked (D38 stream_prefix_dedup_ingest,
-    # D39/D40 SemDeDup + eval, P25/P26 DSIR weights + top-k resample,
-    # D41 stream_semantic_dedup_ingest, P27 corpus_curation_pipeline_v3,
-    # P28 decontaminate_semantic) + the 4 code-changed span-family
-    # entries (dual-polynomial hash / windowed D34 / two-pointer scrub),
-    # then the 7 r5-evidence entries, then the r6-evidence block in
-    # ledger order (31 of 39 fit; see the _PRIORITY comment and SURVEY
-    # §2's ledger table for the r13 plan).
+    # r13 rotation (the committed r12 plan + this round's additions at
+    # the head per the contract): 3 never-checked (D43
+    # dedup_paragraph_minhash, D42 dedup_semantic_trained, P29
+    # dsir_gumbel_sample) + 3 code-changed (D39/D40 shared checkpointed
+    # removal frame, D41 SQ8 code-bytes index), then the 8 r6-evidence
+    # overflow entries, the full 35-entry r7-evidence block in ledger
+    # order, and the first r8-evidence entry (obs_date_histogram; the
+    # rest of the r8 block leads r14 — see the _PRIORITY comment and
+    # SURVEY §2's ledger table).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 43, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 35, f"{n_sql} sql-backed entries in the driver window"
     head = (
-        "stream_prefix_dedup_ingest",
+        "dedup_paragraph_minhash",
+        "dedup_semantic_trained",
+        "dsir_gumbel_sample",
         "dedup_semantic",
         "dedup_semantic_eval",
-        "dsir_importance_weights",
-        "dsir_topk_sample",
         "stream_semantic_dedup_ingest",
-        "corpus_curation_pipeline_v3",
-        "decontaminate_semantic",
-        "dedup_repeated_spans",
-        "dedup_repeated_spans_scrub",
-        "stream_repeated_spans_scrub",
-        "dedup_repeated_spans_eval",
-        "mixture_sample",
-        "text_tfidf_topk",
-        "obs_cardinality_approx",
-        "obs_task_percentiles_approx",
-        "obs_live_collector",
-        "source_schema_evolution_report",
-        "obs_alert_debounce",
+        "mm_binary_meta",
+        "source_clustering_report",
+        "obs_straggler_detect",
+        "obs_log_sample",
+        "obs_latency_heatmap",
+        "obs_job_critical_stage",
+        "obs_apdex",
+        "obs_seasonal_baseline",
     )
     assert tuple(first50[: len(head)]) == head
-    # spot-check the r6-evidence backfill block is inside the window:
+    # spot-check the r7-evidence block is inside the window:
     for expected in (
-        "tpch_q9_profit",
-        "events_rolling_wau",
-        "train_val_split",
-        "cross_source_overlap",
-        "text_lang_id",
-        "text_repetition_stats",
-        "text_bigram_lift",
+        "obs_task_metrics",
+        "obs_stage_agg_skewness",
+        "similarity_sq8",
+        "cube_priority_segment",
+        "stream_collector_pipeline",
+        "orders_market_basket",
+        "obs_input_bytes_percentiles",
+        "obs_date_histogram",  # slot 50, the first r8 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
-    # (the rotation contract: never-checked, then code-changed, then AGED —
-    # everything r7-or-fresher yields its slot; the four r12 additions
-    # push four more r6 entries out to lead r13 with obs_seasonal_baseline):
+    # (the rotation contract: never-checked, then code-changed, then AGED
+    # — everything r8-or-fresher past slot 50 yields its slot; the r12
+    # window's entries are all freshly green and rotate out entirely):
     for fresh_green in (
-        "stream_burn_rate",         # r10-ran, unchanged
-        "obs_value_histogram",      # r10-green, unchanged
-        "mm_resize",                # r10-ran, unchanged
-        "orders_market_basket",     # r7-green, unchanged
-        "dup_groups_incremental",   # r8-green, unchanged
-        "text_winnow_rolling",      # r11-green, code unchanged in r12
-        "dedup_simhash_hamming",    # r11-green, code unchanged in r12
-        "obs_seasonal_baseline",    # r6-green — r12 overflow, leads r13
-        "mm_binary_meta",           # r6-green — r12 overflow (new-entry push)
-        "source_clustering_report", # r6-green — r12 overflow (new-entry push)
-        "obs_straggler_detect",     # r6-green — r12 overflow (new-entry push)
-        "obs_log_sample",           # r6-green — r12 overflow (new-entry push)
-        "obs_apdex",                # r6-green — r12 overflow (new-entry push)
-        "obs_task_metrics",         # r7-green — queued after the overflow
+        "stream_prefix_dedup_ingest",   # r12-ran, unchanged
+        "dsir_importance_weights",      # r12-green, unchanged
+        "dsir_topk_sample",             # r12-green, docstring-only in r13
+        "corpus_curation_pipeline_v3",  # r12-green, unchanged
+        "decontaminate_semantic",       # r12-green, unchanged
+        "dedup_repeated_spans",         # r12-green, unchanged
+        "mixture_sample",               # r12-green, unchanged
+        "obs_alert_debounce",           # r12-green, unchanged
+        "stream_burn_rate",             # r10-ran, unchanged
+        "obs_value_histogram",          # r10-green, unchanged
+        "obs_top_n_skew",               # r8-green — second r8 entry, leads r14
+        "obs_task_percentiles",         # r8-green — queued behind it
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"

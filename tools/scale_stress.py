@@ -102,13 +102,24 @@ HEAVY = [
     # (one corpus shuffle + broadcast model joins).
     "dedup_semantic",
     "dsir_importance_weights",
+    # r13 addition: paragraph-granularity MinHash dedup (the D3/D15
+    # machinery one level down — paragraphs grow linearly with tokens).
+    "dedup_paragraph_minhash",
 ]
 
 #: Rows-only runners with real scale shapes the HEAVY loop can't cover
 #: (no oracle → not in HEAVY historically): the nightly snapshot fold at
 #: its PRODUCTION cost (verify=False — the fold, not the grading
 #: recompute) and the watermarked stream-stream interval join.
-ROWS_ONLY_SCALE = ["dup_groups_nightly", "stream_metric_log_join"]
+ROWS_ONLY_SCALE = [
+    "dup_groups_nightly",
+    "stream_metric_log_join",
+    # r13 additions: trained-centroid SemDeDup (first pass = Lloyd
+    # training, warm pass = cached-centroid assignment + pair join) and
+    # the Gumbel-top-k resampler (P25's shape + one ranked pass).
+    "dedup_semantic_trained",
+    "dsir_gumbel_sample",
+]
 
 
 def generate(spark: SparkSession, base: str, dst: str) -> None:
@@ -735,6 +746,51 @@ def semantic_cells_probe(spark: SparkSession, base: str, dst: str) -> dict:
     return out
 
 
+def semantic_index_bytes_probe(spark: SparkSession, base: str) -> dict:
+    """D41 code-bytes posture MEASURED: on-disk parquet bytes per vector
+    of the SQ8 codes index (vec_id, cell_id, codes, nrm — what the r13
+    gate persists and shuffles per batch) vs the r12 raw-vector layout
+    (vec_id, cell_id, qv, nrm), built by the SAME shared codec helpers
+    the gate uses (similarity.py::sq8_stats/sq8_encode)."""
+    import shutil
+    import tempfile
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _quantized,
+        assign_cells,
+        semantic_centroids,
+        sq8_encode,
+        sq8_stats,
+    )
+
+    q = _quantized(
+        spark.read.parquet(f"{base}/embeddings.parquet"), barrier_key="vec_id"
+    )
+    cells = assign_cells(q, semantic_centroids(q)).localCheckpoint(eager=True)
+    n = cells.count()
+    work = tempfile.mkdtemp(prefix="gfaooa_idxbytes_")
+
+    def written_bytes(df, sub: str) -> int:
+        path = os.path.join(work, sub)
+        df.write.mode("overwrite").parquet(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    raw_b = written_bytes(cells, "raw")
+    codes_b = written_bytes(sq8_encode(cells, *sq8_stats(cells)), "codes")
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "n_vectors": n,
+        "raw_bytes_per_vec": round(raw_b / n, 1),
+        "codes_bytes_per_vec": round(codes_b / n, 1),
+        "bytes_ratio": round(raw_b / codes_b, 2),
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE.json"
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -839,6 +895,8 @@ def main() -> None:
     print(f"  [d34/d35] span_paper_width_probe={span50}", file=sys.stderr)
     semcells = semantic_cells_probe(spark, base, dst)
     print(f"  [d39] semantic_cells_probe={semcells}", file=sys.stderr)
+    idxbytes = semantic_index_bytes_probe(spark, dst)
+    print(f"  [d41] semantic_index_bytes_probe={idxbytes}", file=sys.stderr)
 
     # --- rows-only runners with real scale shapes (r11) ----------------
     from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
@@ -908,6 +966,7 @@ def main() -> None:
         "simhash_collision_probe": d25,
         "span_paper_width": span50,
         "semantic_cells": semcells,
+        "semantic_index_bytes": idxbytes,
         "rows_only": rows_only_results,
     }
     payload["sum_ratio"] = round(
