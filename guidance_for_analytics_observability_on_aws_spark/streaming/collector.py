@@ -1960,6 +1960,11 @@ def run_streaming_semantic_dedup(
         vecs = spark.read.parquet(vecs_path).unionByName(
             new_rows.select("vec_id", "qv")
         )
+        # dropDuplicates on the SHORTLIST-sized frame guards the one
+        # non-atomic seam (a crash between the codes and vecs appends
+        # replays into a vector-store duplicate, which would double-count
+        # n_dup_neighbors); duplicate a_id rows carry identical vectors,
+        # so the dedupe is exact and bounded by the shortlist.
         removals = (
             shortlist.join(
                 vecs.select(
@@ -1967,6 +1972,7 @@ def run_streaming_semantic_dedup(
                 ),
                 "a_id",
             )
+            .dropDuplicates(["vec_id", "a_id"])
             .select(
                 "vec_id",
                 "cell_id",
