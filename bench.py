@@ -299,6 +299,16 @@ def main() -> None:
         ),
     }
     bench_overrides = {k: note for k, (_, note) in bench_builders.items()}
+    # Rows-only stream timings carry IN-SESSION accumulation on top of
+    # runner cost: the r13 interleaved fresh-process A/B (SURVEY §6)
+    # showed a session that has executed the 190-query sql passes times
+    # stream runners at 2-4× their fresh-process cost (memory-sink
+    # tables, state stores, Python workers), with runner code
+    # byte-identical since r8 — and an in-JVM session swap mid-bench
+    # measured WORSE than either posture (r13 run3: 15-18 s/runner).
+    # So this section keeps the single shared session and the best-ever
+    # ratchet below carries the honest floor; read rows_only_sec against
+    # rows_only_sec_best, not against zero.
     rows_only: dict[str, float] = {}
     for name in rows_only_names:
         builder = (
