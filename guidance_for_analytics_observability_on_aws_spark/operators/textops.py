@@ -113,6 +113,97 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+#: X21 Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1.1):
+#: word-count band, mean-word-length band, max symbol-to-word ratio, min
+#: fraction of words carrying an alphabetic character, min DISTINCT
+#: stopwords present.
+GOPHER_WORDS_LO, GOPHER_WORDS_HI = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """X21: the Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1.1 — the published recipe FineWeb/
+    RefinedWeb-class pipelines start from) as RULES-AS-COLUMNS: one row
+    per document carrying each rule's signal AND its pass flag, plus the
+    conjunction, so a curator can read WHICH rule rejected a document —
+    the report X2's composite score can't express (X2 ranks; X21
+    gates). Signals, each computed identically in both engines:
+
+    - ``n_words`` ∈ [50, 100k] (whitespace tokens, the corpus-wide
+      convention);
+    - ``mean_word_len`` ∈ [3, 10], from the EXACT per-token length sum
+      (not the single-space approximation X2 documents);
+    - ``symbol_ratio`` ≤ 0.1 — '#' or '…'/'...' occurrences per word;
+    - ``alpha_frac`` ≥ 0.8 — fraction of words with ≥1 alphabetic char;
+    - ``n_stop_types`` ≥ 2 — DISTINCT stopwords present (the paper's
+      "at least two of a small stop list" rule over ``STOPWORDS``).
+
+    The paper's line-shape rules (bullet-start / ellipsis-end fractions)
+    need multi-line text; the driver corpus is single-line, so they are
+    documented out of scope rather than emitted as constant-true columns.
+    Scale: one narrow projection, no shuffle at all — the cheapest gate
+    in the funnel, which is why production runs it FIRST.
+    """
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_len"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.|…"))
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+        .cast("long")
+        .alias("n_stop_types"),
+    )
+    mwl = F.col("sum_word_len") / F.col("n_words")
+    sym = F.col("n_symbols") / F.col("n_words")
+    alpha = F.col("n_alpha_words") / F.col("n_words")
+    flags = {
+        "words_ok": (F.col("n_words") >= GOPHER_WORDS_LO)
+        & (F.col("n_words") <= GOPHER_WORDS_HI),
+        "mwl_ok": (F.col("mean_word_len") >= GOPHER_MWL_LO)
+        & (F.col("mean_word_len") <= GOPHER_MWL_HI),
+        "symbol_ok": F.col("symbol_ratio") <= GOPHER_SYMBOL_MAX,
+        "alpha_ok": F.col("alpha_frac") >= GOPHER_ALPHA_MIN,
+        "stop_ok": F.col("n_stop_types") >= GOPHER_STOP_MIN,
+    }
+    scored = base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("alpha_frac"),
+        "n_stop_types",
+    )
+    for name, expr in flags.items():
+        scored = scored.withColumn(name, expr)
+    return scored.withColumn(
+        "gopher_pass",
+        F.col("words_ok")
+        & F.col("mwl_ok")
+        & F.col("symbol_ok")
+        & F.col("alpha_ok")
+        & F.col("stop_ok"),
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """X3: whitespace + BPE-ish token counts, aggregated per source."""
     toks = tokens(F.col("text"))

@@ -575,6 +575,11 @@ _TEXT_BUILDERS = {
         load_tables(s, d)["documents"]
     ),
     "text_token_count": lambda s, d: textops.token_count(load_tables(s, d)["documents"]),
+    # X21 (r13): the Gopher rule set (Rae et al. 2021) as rules-as-columns
+    # — per-rule signal + pass flag + conjunction; fully hash-exact.
+    "text_gopher_quality": lambda s, d: textops.gopher_quality(
+        load_tables(s, d)["documents"]
+    ),
     "text_fingerprint": lambda s, d: textops.fingerprint(load_tables(s, d)["documents"]),
     "docs_stats_by_source": lambda s, d: textops.stats_by_source(
         load_tables(s, d)["documents"]
@@ -1083,25 +1088,27 @@ _PRIORITY = [
     # r13 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority --changed \
     #     dedup_semantic,dedup_semantic_eval,stream_semantic_dedup_ingest
-    #   slots 1-3   — the THREE r13 additions with no driver row: D43
+    #   slots 1-4   — the FOUR r13 additions with no driver row: D43
     #                 dedup_paragraph_minhash (RefinedWeb paragraph-level
     #                 fuzzy dedup, hash-exact), D42 dedup_semantic_trained
     #                 (SemDeDup over D12's Lloyd centroids via the
     #                 trained-model registry), P29 dsir_gumbel_sample
-    #                 (Gumbel-top-k importance resampling).
-    #   slots 4-6   — entries whose CODE/plan changed in r13: D39/D40
+    #                 (Gumbel-top-k importance resampling), X21
+    #                 text_gopher_quality (the Gopher rule set as
+    #                 rules-as-columns, hash-exact).
+    #   slots 5-7   — entries whose CODE/plan changed in r13: D39/D40
     #                 (session-shared checkpointed removal frame) and D41
     #                 (SQ8 code-bytes index + lossless cosine bound +
     #                 idempotent per-batch verdicts + ordering guard).
-    #   slots 7-14  — the 8 r6-evidence entries (the r12 window's
+    #   slots 8-15  — the 8 r6-evidence entries (the r12 window's
     #                 documented overflow).
-    #   slots 15-49 — the 35-entry r7-evidence block in ledger order.
-    #   slots 50    — the first r8-evidence entry (obs_date_histogram);
-    #                 the rest of the r8 block leads the r14 window per
-    #                 the rotation contract (see SURVEY §2's ledger table).
+    #   slots 16-50 — the full 35-entry r7-evidence block in ledger order
+    #                 (an exact fit; the r8 block leads the r14 window per
+    #                 the rotation contract — see SURVEY §2's ledger table).
     "dedup_paragraph_minhash",
     "dedup_semantic_trained",
     "dsir_gumbel_sample",
+    "text_gopher_quality",
     "dedup_semantic",
     "dedup_semantic_eval",
     "stream_semantic_dedup_ingest",
@@ -1148,8 +1155,8 @@ _PRIORITY = [
     "obs_slo_burn_rate",
     "obs_metric_log_correlate",
     "obs_input_bytes_percentiles",
-    "obs_date_histogram",
 ]
+
 
 
 

@@ -1,7 +1,17 @@
 """DuckDB oracle SQL for text analysis (X) and multimodal (M) groups."""
 
 from ..functions.text import CORPUS_CTE, SHINGLES_SQL
-from ..operators.textops import BPE_PATTERN, STOPWORDS
+from ..operators.textops import (
+    BPE_PATTERN,
+    GOPHER_ALPHA_MIN,
+    GOPHER_MWL_HI,
+    GOPHER_MWL_LO,
+    GOPHER_STOP_MIN,
+    GOPHER_SYMBOL_MAX,
+    GOPHER_WORDS_HI,
+    GOPHER_WORDS_LO,
+    STOPWORDS,
+)
 
 TEXT_ORACLES: dict[str, str] = {}
 
@@ -63,6 +73,48 @@ SELECT *,
        CASE WHEN quality >= 0.8 THEN 'high'
             WHEN quality >= 0.5 THEN 'medium'
             ELSE 'low' END AS quality_band
+FROM scored
+"""
+
+TEXT_ORACLES["text_gopher_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(text, '\\s+') AS toks,
+         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS BIGINT)
+           AS n_symbols
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+           AS sum_word_len,
+         n_symbols,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+           AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks), {_STOP_LIST}))
+           AS BIGINT) AS n_stop_types
+  FROM base
+),
+scored AS (
+  SELECT doc_id, lang, source, n_words,
+         sum_word_len / n_words AS mean_word_len,
+         n_symbols / n_words AS symbol_ratio,
+         n_alpha_words / n_words AS alpha_frac,
+         n_stop_types
+  FROM sig
+)
+SELECT *,
+       n_words >= {GOPHER_WORDS_LO} AND n_words <= {GOPHER_WORDS_HI} AS words_ok,
+       mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI} AS mwl_ok,
+       symbol_ratio <= {GOPHER_SYMBOL_MAX} AS symbol_ok,
+       alpha_frac >= {GOPHER_ALPHA_MIN} AS alpha_ok,
+       n_stop_types >= {GOPHER_STOP_MIN} AS stop_ok,
+       (n_words >= {GOPHER_WORDS_LO} AND n_words <= {GOPHER_WORDS_HI})
+         AND (mean_word_len >= {GOPHER_MWL_LO} AND mean_word_len <= {GOPHER_MWL_HI})
+         AND symbol_ratio <= {GOPHER_SYMBOL_MAX}
+         AND alpha_frac >= {GOPHER_ALPHA_MIN}
+         AND n_stop_types >= {GOPHER_STOP_MIN} AS gopher_pass
 FROM scored
 """
 

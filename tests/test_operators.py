@@ -3625,6 +3625,40 @@ def test_gumbel_topk_inclusion_tracks_weight(spark):
     assert heavy > 3 * max(light, 1), (heavy, light)
 
 
+def test_gopher_quality_rules_flip_independently(spark):
+    """X21: a hand corpus where each Gopher rule rejects exactly one doc —
+    the rules-as-columns report must localize WHICH rule fired, and the
+    conjunction must equal the AND of the flags. Docs: (1) passes all;
+    (2) too short (words_ok); (3) symbol-heavy (symbol_ok); (4) numeric
+    words only (alpha_ok + stop_ok); (5) long-word run (mwl_ok)."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        gopher_quality,
+    )
+
+    good = ("the quick fox of it and " + " ".join(f"word{i}" for i in range(50)))
+    short = "the small tokens of them here"
+    symbols = ("the start of it and " + "### ... ### ... " * 4
+               + " ".join(f"word{i}" for i in range(48)))
+    numeric = " ".join(str(1000 + i) for i in range(60))
+    longwords = "the of " + " ".join("x" * 30 for _ in range(58))
+    hand = spark.createDataFrame(
+        [(1, good, "en", "s"), (2, short, "en", "s"), (3, symbols, "en", "s"),
+         (4, numeric, "en", "s"), (5, longwords, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in gopher_quality(hand).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].words_ok and got[2].mwl_ok and got[2].stop_ok
+    assert not got[3].symbol_ok and got[3].words_ok
+    assert not got[4].alpha_ok and not got[4].stop_ok
+    assert not got[5].mwl_ok and got[5].words_ok
+    for r in got.values():
+        assert r.gopher_pass == (
+            r.words_ok and r.mwl_ok and r.symbol_ok and r.alpha_ok and r.stop_ok
+        )
+        assert r.n_words > 0 and 0.0 <= r.alpha_frac <= 1.0
+
+
 def test_curation_v3_span_scrub_stage_semantics(spark):
     """P27 stage 4 on a planted corpus: a doc holding the CANONICAL copy
     of a repeated 16-token passage keeps its mass, a later doc loses

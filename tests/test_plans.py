@@ -292,13 +292,13 @@ def test_driver_window_composition():
     names = list(REGISTRY)
     first50 = names[:50]
     # r13 rotation (the committed r12 plan + this round's additions at
-    # the head per the contract): 3 never-checked (D43
+    # the head per the contract): 4 never-checked (D43
     # dedup_paragraph_minhash, D42 dedup_semantic_trained, P29
-    # dsir_gumbel_sample) + 3 code-changed (D39/D40 shared checkpointed
-    # removal frame, D41 SQ8 code-bytes index), then the 8 r6-evidence
-    # overflow entries, the full 35-entry r7-evidence block in ledger
-    # order, and the first r8-evidence entry (obs_date_histogram; the
-    # rest of the r8 block leads r14 — see the _PRIORITY comment and
+    # dsir_gumbel_sample, X21 text_gopher_quality) + 3 code-changed
+    # (D39/D40 shared checkpointed removal frame, D41 SQ8 code-bytes
+    # index), then the 8 r6-evidence overflow entries and the full
+    # 35-entry r7-evidence block in ledger order — an exact 50-slot fit;
+    # the whole r8 block leads r14 (see the _PRIORITY comment and
     # SURVEY §2's ledger table).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 35, f"{n_sql} sql-backed entries in the driver window"
@@ -306,6 +306,7 @@ def test_driver_window_composition():
         "dedup_paragraph_minhash",
         "dedup_semantic_trained",
         "dsir_gumbel_sample",
+        "text_gopher_quality",
         "dedup_semantic",
         "dedup_semantic_eval",
         "stream_semantic_dedup_ingest",
@@ -327,8 +328,7 @@ def test_driver_window_composition():
         "cube_priority_segment",
         "stream_collector_pipeline",
         "orders_market_basket",
-        "obs_input_bytes_percentiles",
-        "obs_date_histogram",  # slot 50, the first r8 entry
+        "obs_input_bytes_percentiles",  # slot 50, the last r7 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -346,8 +346,8 @@ def test_driver_window_composition():
         "obs_alert_debounce",           # r12-green, unchanged
         "stream_burn_rate",             # r10-ran, unchanged
         "obs_value_histogram",          # r10-green, unchanged
-        "obs_top_n_skew",               # r8-green — second r8 entry, leads r14
-        "obs_task_percentiles",         # r8-green — queued behind it
+        "obs_date_histogram",           # r8-green — first r8 entry, leads r14
+        "obs_top_n_skew",               # r8-green — queued behind it
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
