@@ -499,7 +499,27 @@ def _paragraph_base(documents: DataFrame) -> DataFrame:
             "doc_id", "toks", F.explode(F.sequence(F.lit(1), n)).alias("i")
         )
         .select(
-            (F.col("doc_id") * PARA_KEY + F.col("i")).alias("doc_id"),
+            # ENFORCED packing bound (was documented-only): a window index
+            # reaching PARA_KEY would spill the pid into doc_id+1's range
+            # and silently misattribute its dup mass across documents (the
+            # DuckDB oracle shares the overflow, so parity would not catch
+            # it) — fail loudly instead; production raises PARA_KEY.
+            F.when(
+                F.col("i") < F.lit(PARA_KEY),
+                F.col("doc_id") * PARA_KEY + F.col("i"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "paragraph pid packing overflow: doc_id %s has >= "
+                        f"{PARA_KEY * PARA_TOKENS} tokens (window %s >= "
+                        f"PARA_KEY={PARA_KEY}); raise PARA_KEY",
+                        F.col("doc_id"),
+                        F.col("i"),
+                    )
+                )
+            )
+            .alias("doc_id"),
             F.slice(
                 "toks", (F.col("i") - 1) * PARA_TOKENS + 1, F.lit(PARA_TOKENS)
             ).alias("toks"),

@@ -157,9 +157,11 @@ def _cache_put(key: tuple | None, value) -> None:
 
 def trained_cache_clear(loaded_too: bool = True) -> None:
     """Drop every cached trained model (tests / file-mutation escape
-    hatch); ``loaded_too=False`` keeps the persisted-snapshot store."""
+    hatch); ``loaded_too=False`` keeps the persisted-snapshot store.
+    Shared checkpointed frames release their executor blocks on clear."""
     _TRAINED_CACHE.clear()
-    _SHARED_FRAMES.clear()
+    for key in list(_SHARED_FRAMES):
+        _shared_frame_release(_SHARED_FRAMES.pop(key))
     if loaded_too:
         _LOADED_MODELS.clear()
 
@@ -170,25 +172,69 @@ def trained_cache_clear(loaded_too: bool = True) -> None:
 #: from a stopped session must never be served to a new one. Motivating
 #: case: D39 and D40 both need the full SemDeDup removal frame; without
 #: sharing, D40 re-runs the whole assignment + pair join D39 just computed
-#: (the r12 bench's one flagged regression).
-_SHARED_FRAMES: dict[tuple, tuple[object, DataFrame]] = {}
+#: (the r12 bench's one flagged regression). Each entry carries the
+#: checkpoint's persistent-RDD ids so eviction/clear can UNPERSIST the
+#: executor blocks instead of leaking them for the session lifetime.
+_SHARED_FRAMES: dict[tuple, tuple[object, DataFrame, list[int]]] = {}
+
+
+def _checkpointed_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """``localCheckpoint(eager=True)`` plus the ids of the persistent RDDs
+    the checkpoint created (diff of the JVM's persistent-RDD registry
+    around the call — single-threaded registry use, which is how the
+    shared-frame cache is driven). The ids let eviction release the
+    checkpoint blocks; misattribution would only force a recompute of an
+    unrelated cached frame, never a wrong answer."""
+    sc = df.sparkSession.sparkContext
+    try:
+        before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    except Exception:
+        before = None
+    out = df.localCheckpoint(eager=True)
+    if before is None:
+        return out, []
+    try:
+        after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+        return out, sorted(after - before)
+    except Exception:
+        return out, []
+
+
+def _shared_frame_release(entry: tuple[object, DataFrame, list[int]]) -> None:
+    """Unpersist an evicted/cleared entry's checkpoint RDD blocks (best
+    effort — a stopped session simply has nothing left to release)."""
+    spark, _, rdd_ids = entry
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
 
 
 def _shared_frame_get(key: tuple | None, spark) -> DataFrame | None:
+    """Serve a cache hit as a defensive ALIAS of the stored handle: the
+    checkpoint blocks are shared session state, and an alias makes a
+    caller's ``unpersist()`` a plan-local no-op instead of poisoning
+    every later hit."""
     if key is None:
         return None
     hit = _SHARED_FRAMES.get(key)
     if hit is not None and hit[0] is spark:
-        return hit[1]
+        return hit[1].alias("shared")
     return None
 
 
-def _shared_frame_put(key: tuple | None, spark, df: DataFrame) -> None:
+def _shared_frame_put(key: tuple | None, spark, df: DataFrame) -> tuple[DataFrame, list[int]] | None:
     if key is None:
-        return
+        return None
+    out, rdd_ids = _checkpointed_tracked(df)
     if len(_SHARED_FRAMES) >= _TRAINED_CACHE_MAX:
-        _SHARED_FRAMES.pop(next(iter(_SHARED_FRAMES)))
-    _SHARED_FRAMES[key] = (spark, df)
+        _shared_frame_release(_SHARED_FRAMES.pop(next(iter(_SHARED_FRAMES))))
+    _SHARED_FRAMES[key] = (spark, out, rdd_ids)
+    return out, rdd_ids
 
 
 def _key_json(key: tuple) -> str:
@@ -1770,16 +1816,60 @@ def similarity_eval_report(embeddings: DataFrame) -> DataFrame:
 
 
 #: D39 semantic-dedup defaults: cosine threshold (the D5 near-dup bar) and
-#: cluster count (the D7 IVF cell count — one knob family across D).
+#: the FLOOR on the derived cluster count (the D7 IVF cell count — one knob
+#: family across D). Since r14 the DEFAULT cell count is DERIVED from the
+#: corpus as k = max(8, ⌊√n⌋): SCALE_r13's `semantic_cells` probe measured
+#: fixed k=8 at ~100× in-cell pairs on 10× data (the quadratic regime —
+#: a scale-killer at 100 TB) vs ~10× at k ∝ n; √n is the SemDeDup paper's
+#: own posture and keeps E[pairs] ≈ n²/2k growing as n^1.5 with per-task
+#: memory bounded by the sub-block split. Pass ``n_centroids`` explicitly
+#: to pin a fixed k (tests, probes).
 SEMANTIC_TAU = 0.98
 SEMANTIC_CENTROIDS = 8
 PLANT_OFFSET = 100000
+#: Margin for the lossless spherical prune in :func:`semantic_removals`
+#: (see there): covers the 6-decimal rounding of the per-vector centroid
+#: cosines worst-cased through sqrt(1−c²) near |c|=1 (≤ ~2.3e-3).
+SEMANTIC_PRUNE_EPS = 3e-3
+
+#: Memoized corpus sizes for the derived-k policy (one cheap count per
+#: (plan, files) — the same key discipline as the trained-model registry).
+_CORPUS_COUNTS: dict[tuple, int] = {}
+
+
+def derive_semantic_centroids(n_vectors: int) -> int:
+    """The scale-safe default cell count: ``max(8, ⌊√n⌋)``. floor of the
+    DOUBLE sqrt, matching the DuckDB oracle's FLOOR(SQRT(COUNT(*)))
+    term-for-term (identical for every n below 2^52 — doubles represent
+    these counts and their correctly-rounded square roots exactly enough
+    that the floor can only disagree past that)."""
+    import math
+
+    return max(SEMANTIC_CENTROIDS, int(math.floor(math.sqrt(float(n_vectors)))))
+
+
+def _resolve_centroids(embeddings: DataFrame, n_centroids: int | None) -> int:
+    """``n_centroids`` if pinned, else the derived-k policy over the
+    PLANTED corpus (what every semantic-family operator actually
+    clusters). The count is memoized per (plan, files) so repeated
+    calls in a session pay it once."""
+    if n_centroids is not None:
+        return n_centroids
+    key = _model_key("aug-count", embeddings)
+    n = _CORPUS_COUNTS.get(key) if key is not None else None
+    if n is None:
+        n = augmented_embeddings(embeddings).count()
+        if key is not None:
+            if len(_CORPUS_COUNTS) >= _TRAINED_CACHE_MAX:
+                _CORPUS_COUNTS.pop(next(iter(_CORPUS_COUNTS)))
+            _CORPUS_COUNTS[key] = n
+    return derive_semantic_centroids(n)
 
 
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_TAU,
-    n_centroids: int = SEMANTIC_CENTROIDS,
+    n_centroids: int | None = None,
     n_splits: int = N_SPLITS,
 ) -> DataFrame:
     """D39: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
@@ -1804,8 +1894,10 @@ def semantic_dedup(
 
     100 TB: assignment is a broadcast join (centroids are k·d floats);
     the pair join shuffles on (cell_id, sub) — cells bound candidates,
-    sub-blocks bound task memory; raise ``n_centroids`` with corpus size
-    (paper uses ~√n cells) and the per-cell cost falls quadratically.
+    sub-blocks bound task memory; the DEFAULT cell count is DERIVED as
+    k = max(8, ⌊√n⌋) (the paper's ~√n posture — SCALE_r13 measured fixed
+    k=8 at ~100× in-cell pairs on 10× data vs ~10× with k scaled), so
+    per-cell cost falls as the corpus grows instead of exploding.
 
     The removal frame is MATERIALIZED once per (corpus, settings) per
     session (localCheckpoint + the shared-frame registry): D40 grades
@@ -1814,6 +1906,7 @@ def semantic_dedup(
     join (the r12 bench's one flagged regression). Values are unchanged
     — the checkpoint is a materialization barrier, not a plan change.
     """
+    n_centroids = _resolve_centroids(embeddings, n_centroids)
     key = _model_key(
         "semantic-removals", embeddings, float(threshold), n_centroids, n_splits
     )
@@ -1823,11 +1916,9 @@ def semantic_dedup(
         return cached
     q = _quantized(augmented_embeddings(embeddings), barrier_key="vec_id")
     cells = assign_cells(q, semantic_centroids(q, n_centroids))
-    out = semantic_removals(cells, cells, threshold, n_splits).localCheckpoint(
-        eager=True
-    )
-    _shared_frame_put(key, spark, out)
-    return out
+    out = semantic_removals(cells, cells, threshold, n_splits)
+    put = _shared_frame_put(key, spark, out)
+    return out if put is None else put[0].alias("shared")
 
 
 def semantic_centroids(q: DataFrame, n_centroids: int = SEMANTIC_CENTROIDS) -> DataFrame:
@@ -1845,7 +1936,11 @@ def assign_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid cell assignment (cosine, deterministic tie-break
     cent_id) — ONE definition shared by batch D39 and the D41 ingest gate
     so an arriving vector can never land in a different cell than the
-    batch run would put it. Centroids are broadcast (k·d floats)."""
+    batch run would put it. Centroids are broadcast (k·d floats).
+
+    The winning centroid cosine rides along as ``c_cos``: it is the
+    precomputed scalar :func:`semantic_removals`' spherical prune tests
+    pairs against before paying the d-length dot."""
     scored = q.join(F.broadcast(centroids)).select(
         "vec_id",
         "qv",
@@ -1859,7 +1954,7 @@ def assign_cells(q: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell_id"), "qv", "nrm")
+        .select("vec_id", F.col("cent_id").alias("cell_id"), "qv", "nrm", "c_cos")
     )
 
 
@@ -1877,16 +1972,42 @@ def semantic_removals(
     the gate's verdicts are row-identical to batch restricted to the
     arriving ids. The ``a.vec_id < b.vec_id`` predicate makes the
     candidate union safe: a candidate row at a HIGHER id than the
-    arriving vector can never create a pair."""
+    arriving vector can never create a pair.
+
+    Spherical prune (LOSSLESS, Elkan-style): when both sides carry the
+    assignment's ``c_cos`` (cosine to the SHARED cell centroid), the
+    spherical triangle inequality θ(a,b) ≥ |θ(a,c) − θ(b,c)| gives the
+    O(1) upper bound cos(a,b) ≤ ca·cb + √(1−ca²)·√(1−cb²); a pair whose
+    bound misses τ − :data:`SEMANTIC_PRUNE_EPS` can never pass the exact
+    filter, so the d-length dot is skipped for it. The margin worst-cases
+    the 6-decimal rounding of ca/cb through √(1−c²) near |c| = 1
+    (≤ ~2.3e-3 — every qualifying pair keeps B6 ≥ τ − 2.3e-3 > τ − 3e-3),
+    so the OUTPUT is bit-identical with or without the prune; in the
+    quadratic in-cell regime most pairs are far apart and the per-pair
+    cost drops from O(d) to O(1)."""
     b = arriving.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
     a = cand.withColumn(
         "t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)]))
     ).alias("a")
-    pairs = a.join(
-        b,
+    cond = (
         (F.col("a.cell_id") == F.col("b.cell_id"))
         & (F.col("a.t") == F.col("b.sub"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    if "c_cos" in cand.columns and "c_cos" in arriving.columns:
+        sin = lambda c: F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - c * c))  # noqa: E731
+        ub = F.col("a.c_cos") * F.col("b.c_cos") + sin(F.col("a.c_cos")) * sin(
+            F.col("b.c_cos")
+        )
+        # NULL c_cos (a zero vector/centroid has no angle) must KEEP the
+        # pair — the exact filter decides; coalesce makes the prune
+        # fail-open instead of silently dropping it.
+        cond = cond & F.coalesce(
+            ub >= F.lit(float(threshold) - SEMANTIC_PRUNE_EPS), F.lit(True)
+        )
+    pairs = a.join(
+        b,
+        cond,
     ).select(
         F.col("b.vec_id").alias("vec_id"),
         F.col("b.cell_id").alias("cell_id"),
@@ -1909,7 +2030,7 @@ def semantic_removals(
 def semantic_dedup_trained(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_TAU,
-    n_centroids: int = SEMANTIC_CENTROIDS,
+    n_centroids: int | None = None,
     max_iter: int = 5,
     n_splits: int = N_SPLITS,
 ) -> DataFrame:
@@ -1941,17 +2062,40 @@ def semantic_dedup_trained(
     oracle member stays D39, whose fixed assignment both engines can
     replay.
     """
+    n_centroids = _resolve_centroids(embeddings, n_centroids)
     aug = augmented_embeddings(embeddings)
     q = _quantized(aug, barrier_key="vec_id").select("vec_id", "qv", "nrm")
-    assigned = _kmeans_assignments(
+    assigned, cents = _kmeans_assignments(
         None,
         k=n_centroids,
         max_iter=max_iter,
         q=q,
         cache_key=_model_key("kmeans-raw", aug, n_centroids, max_iter),
-    ).localCheckpoint(eager=True)
+        return_centroids=True,
+    )
+    # c_cos for the spherical prune, recovered from the Lloyd pass's own
+    # d2 (|q−c|² = nrm + |c|² − 2·dot ⇒ cos = (nrm + |c|² − d2) /
+    # 2√(nrm·|c|²)) with per-cluster |c|² broadcast as a k-row frame —
+    # no second d-length pass. Double rounding here is far inside the
+    # prune margin; a zero norm yields NULL, which the prune fails open on.
+    spark = embeddings.sparkSession
+    c2 = F.broadcast(
+        spark.createDataFrame(
+            [(int(cid), float(sum(x * x for x in vec))) for cid, vec in cents.items()],
+            "cluster_id long, c2 double",
+        )
+    )
+    assigned = (
+        assigned.join(c2, "cluster_id")
+        .withColumn(
+            "c_cos",
+            (F.col("nrm") + F.col("c2") - F.col("d2"))
+            / (F.lit(2.0) * F.sqrt(F.col("nrm") * F.col("c2"))),
+        )
+        .localCheckpoint(eager=True)
+    )
     cells = assigned.select(
-        "vec_id", F.col("cluster_id").alias("cell_id"), "qv", "nrm"
+        "vec_id", F.col("cluster_id").alias("cell_id"), "qv", "nrm", "c_cos"
     )
     return semantic_removals(cells, cells, threshold, n_splits)
 
@@ -1999,7 +2143,7 @@ def sq8_encode(
 def semantic_dedup_eval(
     embeddings: DataFrame,
     threshold: float = SEMANTIC_TAU,
-    n_centroids: int = SEMANTIC_CENTROIDS,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """D40: grade D39 against the corpus's PLANTED duplicate class (the
     D37/P17 evaluation-as-operator posture). Classes:

@@ -1215,13 +1215,22 @@ GROUP BY doc_class
 # D39/D40: SemDeDup — fixed-centroid cell assignment (the D7 CTEs over the
 # PLANTED corpus) + within-cell cosine pairs (the D5 pair algebra) + the
 # greedy keep-lowest-id removal rule. Constants imported from the operator.
+# The cell count is DERIVED exactly as the operator derives it (r14 scale-
+# safe default): k = GREATEST(floor, FLOOR(SQRT(n))) over the SAME planted
+# corpus — both engines compute the identical double sqrt of the identical
+# BIGINT count, so hash-exactness survives any corpus size.
 from ..operators.similarity import PLANT_OFFSET, SEMANTIC_CENTROIDS, SEMANTIC_TAU
 
 _SEMANTIC_CTES = f"""
 {_QUANT_CTES},
+derived_k AS (
+  SELECT GREATEST({SEMANTIC_CENTROIDS},
+                  CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS k
+  FROM norms
+),
 centroids AS (
   SELECT vec_id AS cent_id, qv AS cent_qv, nrm AS cent_nrm
-  FROM norms WHERE vec_id < {SEMANTIC_CENTROIDS}
+  FROM norms WHERE vec_id < (SELECT k FROM derived_k)
 ),
 cent_scored AS (
   SELECT n.vec_id, c.cent_id,

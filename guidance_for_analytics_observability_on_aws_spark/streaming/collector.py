@@ -1839,6 +1839,7 @@ def run_streaming_semantic_dedup(
         N_SPLITS,
         PLANT_OFFSET,
         _quantized,
+        _resolve_centroids,
         _sub_block,
         assign_cells,
         augmented_embeddings,
@@ -1858,10 +1859,17 @@ def run_streaming_semantic_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(src)
 
-    committed = _quantized(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), barrier_key="vec_id"
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    committed = _quantized(raw, barrier_key="vec_id")
+    # Derived k over the FINAL corpus (committed + the planted arrival
+    # set — what batch D39 clusters), so the gate's cells are the cells
+    # batch D39 would assign. k << PLANT_OFFSET, so the first-k centroid
+    # vectors all live on the committed side. Production pins k in the
+    # index metadata at build time for the same reason.
+    n_centroids = _resolve_centroids(raw, None)
+    centroids = semantic_centroids(committed, n_centroids).localCheckpoint(
+        eager=True
     )
-    centroids = semantic_centroids(committed).localCheckpoint(eager=True)
     cells = assign_cells(committed, centroids).localCheckpoint(eager=True)
 
     # SQ8 stats over the COMMITTED corpus (shared codec helpers —
@@ -1996,8 +2004,16 @@ def run_streaming_semantic_dedup(
             f"{work}/out/batch-{int(batch_id):05d}"
         )
         # Append-only index growth: NEW rows only (already anti-joined).
-        encoded(new_rows).write.mode("append").parquet(codes_path)
+        # VECTORS BEFORE CODES — new-row detection anti-joins the CODES
+        # index, so the crash seam must leave the index in one of two
+        # replay-safe states: (codes ∧ vecs) = fully applied, or (vecs
+        # only) = replay re-appends BOTH and the shortlist-sized
+        # dropDuplicates absorbs the vector-store duplicate. The reverse
+        # order would strand codes-only rows whose vectors never backfill
+        # (the inner vecs join would then silently drop every pair
+        # against them — permanent under-removal).
         new_rows.select("vec_id", "qv").write.mode("append").parquet(vecs_path)
+        encoded(new_rows).write.mode("append").parquet(codes_path)
 
     q = (
         stream.writeStream.foreachBatch(_gate_batch)

@@ -3458,11 +3458,18 @@ def test_semantic_dedup_trained_plant_recall_and_balance(spark, sf_dir):
     assert plant_ids <= set(by_id), plant_ids - set(by_id)
     assert all(by_id[p].max_cosine == 1.0 for p in plant_ids)
     # D17's balance bound on the very assignment D42 consumed (the cache
-    # key replays the identical converged centroids).
+    # key replays the identical converged centroids, at the r14 DERIVED
+    # cell count — k = max(8, ⌊√n⌋)).
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _resolve_centroids,
+    )
+
+    k = _resolve_centroids(emb, None)
     aug = augmented_embeddings(emb)
+    assert k == max(8, int(aug.count() ** 0.5))
     q = _quantized(aug, barrier_key="vec_id").select("vec_id", "qv", "nrm")
     assigned = _kmeans_assignments(
-        None, k=8, max_iter=5, q=q, cache_key=_model_key("kmeans-raw", aug, 8, 5)
+        None, k=k, max_iter=5, q=q, cache_key=_model_key("kmeans-raw", aug, k, 5)
     )
     sizes = [
         r.n for r in assigned.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
@@ -3472,23 +3479,43 @@ def test_semantic_dedup_trained_plant_recall_and_balance(spark, sf_dir):
 
 def test_semantic_dedup_shared_frame_replay(spark, sf_dir):
     """D39/D40 session sharing: two semantic_dedup calls at the same
-    (corpus, settings) return the SAME materialized frame (the second is
-    a checkpoint replay, not a recompute), a different setting misses,
-    and the eval report grades the shared frame's exact removal set."""
+    (corpus, settings) serve the SAME materialized checkpoint (the second
+    is a replay, not a recompute — its plan scans the checkpoint RDD), a
+    different setting misses, the served handle is a DEFENSIVE ALIAS (a
+    caller's unpersist cannot poison later hits), and eviction/clear
+    releases the checkpoint blocks instead of leaking them."""
     from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _SHARED_FRAMES,
         trained_cache_clear,
     )
 
     trained_cache_clear(loaded_too=False)
     emb = load_tables(spark, sf_dir)["embeddings"]
     d1 = similarity.semantic_dedup(emb)
+    n_keys = len(_SHARED_FRAMES)
     d2 = similarity.semantic_dedup(emb)
-    assert d2 is d1  # cache hit returns the checkpointed handle itself
+    assert len(_SHARED_FRAMES) == n_keys  # hit, not a second materialization
+    assert d2 is not d1  # defensive alias, not the shared handle itself
+    # the replay's plan is a scan of the checkpoint RDD, not a recompute
+    assert "LogicalRDD" in d2._jdf.queryExecution().optimizedPlan().toString()
     d3 = similarity.semantic_dedup(emb, n_centroids=4)
     assert d3 is not d1
     got = {tuple(r) for r in d1.collect()}
+    # an aggressive caller unpersisting ITS handle must not break later hits
+    d2.unpersist()
+    d4 = similarity.semantic_dedup(emb)
+    assert {tuple(r) for r in d4.collect()} == got
     ev = {r.vec_class: r for r in similarity.semantic_dedup_eval(emb).collect()}
     assert ev["plant"].n_removed + ev["base"].n_removed == len(got)
+    # clear releases every tracked checkpoint block (no session-lifetime leak)
+    tracked = [rid for _, _, ids in _SHARED_FRAMES.values() for rid in ids]
+    assert tracked, "checkpoint RDD ids were not tracked"
+    trained_cache_clear(loaded_too=False)
+    live = {
+        int(i)
+        for i in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert not (set(tracked) & live), f"leaked checkpoint RDDs: {set(tracked) & live}"
 
 
 def test_dsir_weights_literal_model(spark, sf_dir):
