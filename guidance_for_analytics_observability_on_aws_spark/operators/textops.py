@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import corpus, tokens
+from ..functions.text import TOKEN_SPLIT, corpus, tokens
 
 #: Stopword list used by the quality score (tiny, broadcast as a literal).
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
@@ -201,6 +201,88 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
         & F.col("symbol_ok")
         & F.col("alpha_ok")
         & F.col("stop_ok"),
+    )
+
+
+#: X22 Gopher line-shape thresholds (Rae et al. 2021, arXiv:2112.11446
+#: §A1.1.1): "remove documents where more than 90% of lines start with a
+#: bullet point, or more than 30% end with an ellipsis" — plus the line
+#: construction convention: REAL newlines first, oversized blocks wrapped
+#: at a fixed token width (the D43 paragraph convention one level down).
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+LINE_WRAP_TOKENS = 32
+BULLET_RE = r"^[-*•‣·]"
+ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def gopher_line_shape(
+    documents: DataFrame, wrap_tokens: int = LINE_WRAP_TOKENS
+) -> DataFrame:
+    """X22: the Gopher LINE-SHAPE rules (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1.1.1) X21 documents as out of scope on a flat corpus —
+    bullet-start and ellipsis-end line fractions — made real columns by a
+    line convention BOTH engines express identically: split on REAL
+    newlines first (documents with structure keep it — the tests' hand
+    corpus), then wrap each block's tokens at ``wrap_tokens`` so a
+    single-line corpus still yields a multi-line view (the driver corpus;
+    RefinedWeb/FineWeb apply these rules to web text where the newline is
+    the signal). Same rules-as-columns posture as X21: per-document
+    signals AND per-rule pass flags plus the conjunction.
+
+    - ``bullet_frac`` ≤ 0.9 — fraction of lines whose first glyph is a
+      bullet (-, *, •, ‣, ·);
+    - ``ellipsis_frac`` ≤ 0.3 — fraction of lines ending in '...' or '…'.
+
+    Scale: pure per-row array algebra (split → transform → flatten →
+    filter) — ZERO shuffle, no explode (line count never materializes as
+    rows), the same cheapest-gate posture as X21."""
+    wrap = float(wrap_tokens)
+
+    def block_lines(b):
+        toks = F.split(b, TOKEN_SPLIT)
+        n_win = F.greatest(
+            F.lit(1), F.ceil(F.size(toks) / F.lit(wrap)).cast("int")
+        )
+        return F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * wrap_tokens + F.lit(1), F.lit(wrap_tokens)),
+                " ",
+            ),
+        )
+
+    lines = F.flatten(
+        F.transform(F.split(F.col("text"), "\n"), block_lines)
+    )
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(BULLET_RE)))
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(ELLIPSIS_RE)))
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+    )
+    bullet = F.col("n_bullet_lines") / F.col("n_lines")
+    ellipsis = F.col("n_ellipsis_lines") / F.col("n_lines")
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+        bullet.alias("bullet_frac"),
+        ellipsis.alias("ellipsis_frac"),
+        (bullet <= GOPHER_BULLET_MAX).alias("bullet_ok"),
+        (ellipsis <= GOPHER_ELLIPSIS_MAX).alias("ellipsis_ok"),
+        (
+            (bullet <= GOPHER_BULLET_MAX) & (ellipsis <= GOPHER_ELLIPSIS_MAX)
+        ).alias("line_shape_pass"),
     )
 
 

@@ -580,6 +580,12 @@ _TEXT_BUILDERS = {
     "text_gopher_quality": lambda s, d: textops.gopher_quality(
         load_tables(s, d)["documents"]
     ),
+    # X22 (r14): the Gopher LINE-SHAPE rules (bullet-start / ellipsis-end
+    # fractions) over a deterministic multi-line view — real newlines
+    # first, blocks wrapped at 32 tokens; fully hash-exact.
+    "text_gopher_line_shape": lambda s, d: textops.gopher_line_shape(
+        load_tables(s, d)["documents"]
+    ),
     "text_fingerprint": lambda s, d: textops.fingerprint(load_tables(s, d)["documents"]),
     "docs_stats_by_source": lambda s, d: textops.stats_by_source(
         load_tables(s, d)["documents"]

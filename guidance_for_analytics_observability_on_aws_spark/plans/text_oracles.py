@@ -118,6 +118,59 @@ SELECT *,
 FROM scored
 """
 
+# X22: the Gopher line-shape rules — the SAME line convention as the
+# operator (real newlines first, blocks wrapped at LINE_WRAP_TOKENS
+# tokens), rebuilt in DuckDB list algebra; list slicing clamps at the
+# list end exactly like Spark's slice.
+from ..operators.textops import (  # noqa: E402
+    GOPHER_BULLET_MAX,
+    GOPHER_ELLIPSIS_MAX,
+    LINE_WRAP_TOKENS,
+)
+
+TEXT_ORACLES["text_gopher_line_shape"] = f"""
+WITH blocks AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, chr(10))) AS block
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(block, '\\s+') AS btoks
+  FROM blocks
+),
+winidx AS (
+  SELECT doc_id, lang, source, btoks,
+         unnest(generate_series(1, GREATEST(1,
+           CAST(CEIL(len(btoks) / {float(LINE_WRAP_TOKENS)}) AS INTEGER)))) AS i
+  FROM blk
+),
+lines AS (
+  SELECT doc_id, lang, source,
+         array_to_string(
+           btoks[((i - 1) * {LINE_WRAP_TOKENS} + 1):(i * {LINE_WRAP_TOKENS})],
+           ' ') AS line
+  FROM winidx
+),
+sig AS (
+  SELECT doc_id, lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '^[-*•‣·]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_lines,
+         CAST(SUM(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_lines
+  FROM lines GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, source, n_lines, n_bullet_lines, n_ellipsis_lines,
+       n_bullet_lines / n_lines AS bullet_frac,
+       n_ellipsis_lines / n_lines AS ellipsis_frac,
+       n_bullet_lines / n_lines <= {GOPHER_BULLET_MAX} AS bullet_ok,
+       n_ellipsis_lines / n_lines <= {GOPHER_ELLIPSIS_MAX} AS ellipsis_ok,
+       n_bullet_lines / n_lines <= {GOPHER_BULLET_MAX}
+         AND n_ellipsis_lines / n_lines <= {GOPHER_ELLIPSIS_MAX}
+         AS line_shape_pass
+FROM sig
+"""
+
 TEXT_ORACLES["text_token_count"] = f"""
 WITH per_doc AS (
   SELECT source,

@@ -3686,6 +3686,43 @@ def test_gopher_quality_rules_flip_independently(spark):
         assert r.n_words > 0 and 0.0 <= r.alpha_frac <= 1.0
 
 
+def test_gopher_line_shape_rules_flip_independently(spark):
+    """X22: a hand corpus with REAL newlines where each line-shape rule
+    rejects exactly one doc. Docs: (1) prose, passes both; (2) all lines
+    bullet-started (bullet_ok fires); (3) half the lines ellipsis-ended
+    (ellipsis_ok fires); (4) a single LONG line that only becomes
+    multi-line through the 32-token wrap (the driver-corpus posture);
+    (5) 10 bullets among 12 lines — ≤90%, must PASS (threshold is
+    strictly 'more than 90%')."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        gopher_line_shape,
+    )
+
+    prose = "the quick fox\nran over it\nand then stopped"
+    bullets = "- first item\n- second item\n- third item\n• fourth"
+    dots = "this trails off...\na normal line\nagain it trails…\nanother line"
+    longline = " ".join(f"w{i}" for i in range(80))  # 80 tokens, no newline
+    mixed = "\n".join(["- b"] * 10 + ["plain one", "plain two"])
+    hand = spark.createDataFrame(
+        [(1, prose, "en", "s"), (2, bullets, "en", "s"), (3, dots, "en", "s"),
+         (4, longline, "en", "s"), (5, mixed, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.doc_id: r for r in gopher_line_shape(hand).collect()}
+    assert got[1].line_shape_pass and got[1].n_lines == 3
+    assert not got[2].bullet_ok and got[2].ellipsis_ok
+    assert got[2].bullet_frac == 1.0
+    assert not got[3].ellipsis_ok and got[3].bullet_ok
+    assert got[3].ellipsis_frac == 0.5
+    # the 32-token wrap: 80 tokens -> 3 lines from ONE physical line
+    assert got[4].n_lines == 3 and got[4].line_shape_pass
+    # boundary: 10/12 bullets ≈ 0.833 ≤ 0.9 -> passes
+    assert got[5].bullet_ok and got[5].line_shape_pass
+    for r in got.values():
+        assert r.line_shape_pass == (r.bullet_ok and r.ellipsis_ok)
+        assert r.n_lines >= 1
+
+
 def test_curation_v3_span_scrub_stage_semantics(spark):
     """P27 stage 4 on a planted corpus: a doc holding the CANONICAL copy
     of a repeated 16-token passage keeps its mass, a later doc loses

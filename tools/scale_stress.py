@@ -697,15 +697,34 @@ def semantic_cells_probe(spark: SparkSession, base: str, dst: str) -> dict:
     # k ∝ n (80) → linear (≈10×).
     x10_k25 = pair_count(dst, 25)
     x10_k80 = pair_count(dst, 80)
+    # r14: the REGISTRY DEFAULT is now the derived k = max(8, ⌊√n⌋) —
+    # measure the default's growth directly (this is what D39/D41/D42
+    # actually run, so the probe grades the shipped policy, not a knob).
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _resolve_centroids,
+    )
+
+    kd_base = _resolve_centroids(spark.read.parquet(f"{base}/embeddings.parquet"), None)
+    kd_x10 = _resolve_centroids(spark.read.parquet(f"{dst}/embeddings.parquet"), None)
+    base_kd = pair_count(base, kd_base)
+    x10_kd = pair_count(dst, kd_x10)
     out = {
         "base_pairs_k8": base_k8,
         "x10_pairs_k8": x10_k8,
         "x10_pairs_k25": x10_k25,
         "x10_pairs_k80": x10_k80,
+        "derived_k_base": kd_base,
+        "derived_k_x10": kd_x10,
+        "base_pairs_k_derived": base_kd,
+        "x10_pairs_k_derived": x10_kd,
         "fixed_k_growth": round(x10_k8 / base_k8, 1) if base_k8 else None,
         "sqrt_k_growth": round(x10_k25 / base_k8, 1) if base_k8 else None,
         "linear_k_growth": round(x10_k80 / base_k8, 1) if base_k8 else None,
+        "derived_k_growth": round(x10_kd / base_kd, 1) if base_kd else None,
     }
+    # The shipped default must live in the n^1.5 regime, not the quadratic
+    # one: strictly tamer than fixed k at 10× data.
+    assert out["derived_k_growth"] < out["fixed_k_growth"] / 1.8, out
     # The hazard must be VISIBLE (quadratic-ish at fixed K) and the knob
     # must WORK (each scaling regime strictly tames the previous one;
     # k ∝ n lands near true linear).
@@ -739,6 +758,14 @@ def semantic_cells_probe(spark: SparkSession, base: str, dst: str) -> dict:
     out["base_d39_sec_k8"] = timed_d39(base, 8)
     out["x10_d39_sec_k8"] = timed_d39(dst, 8)
     out["x10_d39_sec_k80"] = timed_d39(dst, 80)
+    # the shipped derived-k default, timed at both scales
+    out["base_d39_sec_k_derived"] = timed_d39(base, kd_base)
+    out["x10_d39_sec_k_derived"] = timed_d39(dst, kd_x10)
+    out["x10_time_growth_k_derived"] = (
+        round(out["x10_d39_sec_k_derived"] / out["base_d39_sec_k_derived"], 1)
+        if out["base_d39_sec_k_derived"]
+        else None
+    )
     out["x10_time_growth_k8"] = (
         round(out["x10_d39_sec_k8"] / out["base_d39_sec_k8"], 1)
         if out["base_d39_sec_k8"]
