@@ -46,6 +46,17 @@ PACK_CONTEXT = 512
 #: would be wrong at 100 TB, where the LSH candidate list is itself large.
 CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 
+#: Edge-count gate for the driver union-find fast path in
+#: :func:`dup_labels_star` — the broadcast-join analogy: below it the
+#: DISTINCT edge list is a few MB (2 BIGINTs/row ≈ 3 MB at the gate), and
+#: one collect + linear union-find replaces ~10 shuffle stages PER STAR
+#: ROUND whose fixed overhead dominates at small sizes (measured: the
+#: 718-edge sf0.1 graph spent 5.1 s in 2 distributed rounds vs ~0.1 s
+#: collected). Above the gate the O(log d) star loop engages unchanged —
+#: that is the 100 TB path; this is the same size-dispatched physical
+#: strategy Spark itself applies to joins.
+DRIVER_CC_EDGE_MAX = 200_000
+
 
 def _edge_coalesce(edges: DataFrame, floor: int = 8) -> DataFrame:
     """Materialize the CC edge list and coalesce it to a partition count
@@ -869,10 +880,44 @@ def vocab_coverage(documents: DataFrame, distributed: bool = False) -> DataFrame
     )
 
 
+def _dup_labels_driver(spark, rows, utype: str) -> DataFrame:
+    """Union-find over a COLLECTED (u, v) edge list — the sub-gate fast
+    path of :func:`dup_labels_star`. Union-by-MIN-root with path
+    compression, so every find lands on the component MINIMUM: the label
+    algebra is identical to the star fixpoint (src → component min;
+    roots label themselves). Output row set is deterministic (set
+    semantics — collect order cannot matter)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    labels = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(
+        labels, f"src {utype}, group_id {utype}"
+    )
+
+
 def dup_labels_star(
     documents: DataFrame | None,
     max_iter: int = 30,
     pairs: DataFrame | None = None,
+    driver_max_edges: int | None = DRIVER_CC_EDGE_MAX,
 ) -> DataFrame:
     """(src, group_id) labels via LARGE-STAR / SMALL-STAR connected
     components (Kiveris et al., "Connected Components in MapReduce and
@@ -889,22 +934,47 @@ def dup_labels_star(
 
     Each round is one groupBy-min + one join over the EDGE LIST only
     (never the corpus), lineage truncated per round; convergence is the
-    exact fixpoint (edge multiset stable via two anti-join counts — no
-    checksum shortcuts). At the fixpoint every non-root points directly
-    at its component minimum, which IS the label table.
+    exact fixpoint (edge set stable — no checksum shortcuts; checked in
+    ONE action: the two-sided exceptAll union short-circuits at the first
+    differing row via isEmpty's take-1). At the fixpoint every non-root
+    points directly at its component minimum, which IS the label table.
+
+    Physical dispatch (r14): when the DISTINCT canonical edge list is at
+    or under ``driver_max_edges`` (the size is already measured for the
+    partition derivation), the labels come from a driver union-find over
+    the collected list instead — identical output, microseconds instead
+    of ~10 shuffle stages per round whose fixed overhead dominates at
+    small sizes. The distributed loop is the 100 TB path and engages
+    unchanged above the gate (pass ``driver_max_edges=0`` to force it —
+    the equality of the two paths is pinned in tests).
     """
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
-    # Size-derived partitioning (see _edge_coalesce): measured once on the
-    # input edge list, reused for every star round — rounds only shrink the
-    # edge multiset, so the initial count is a safe upper bound.
-    edges = _edge_coalesce(
+    canon = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if driver_max_edges:
+        # take(gate+1) doubles as the size probe AND the collect: when it
+        # comes back short, those rows ARE the whole edge list (one job
+        # instead of count + collect); an overflow costs one truncated
+        # scan of the checkpoint before the distributed loop takes over.
+        head = canon.take(driver_max_edges + 1)
+        if len(head) <= driver_max_edges:
+            return _dup_labels_driver(
+                canon.sparkSession, head, canon.schema[0].dataType.simpleString()
+            )
+    n_edges = canon.count()
+    # Size-derived partitioning (the _edge_coalesce rule): reused for
+    # every star round — rounds only shrink the edge set, so the initial
+    # count is a safe upper bound.
+    edges = canon.coalesce(
+        max(8, -(-n_edges // CC_EDGE_ROWS_PER_PARTITION))
     )
     n_parts = edges.rdd.getNumPartitions()
 
@@ -933,9 +1003,13 @@ def dup_labels_star(
         new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(
             eager=True
         )
+        # exact set equality in ONE action: isEmpty is a take(1), so a
+        # non-converged round stops at the first differing row instead of
+        # fully counting both exceptAll sides.
         stable = (
-            new_edges.exceptAll(edges).count() == 0
-            and edges.exceptAll(new_edges).count() == 0
+            new_edges.exceptAll(edges)
+            .unionAll(edges.exceptAll(new_edges))
+            .isEmpty()
         )
         edges = new_edges
         if stable:
@@ -1174,7 +1248,25 @@ def dup_groups_nightly_report(
                 minhash_signatures(None, base=shingle_base(delta))
             ).localCheckpoint(eager=True)
             if night == 0:
-                delta_edges = pairs_over(delta)
+                # Night-0 edges = the batch bands' self-collisions — the
+                # SAME pair set dedup_minhash_lsh yields over this base
+                # (banding join + pair dedup), without recomputing the
+                # MinHash signatures the bands table already carries.
+                delta_edges = (
+                    batch_bands.alias("a")
+                    .join(
+                        batch_bands.alias("b"),
+                        (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.band_hash") == F.col("b.band_hash"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
                 folded = dup_labels_star(
                     None, max_iter=max_iter, pairs=delta_edges
                 ).localCheckpoint(eager=True)
@@ -1225,8 +1317,21 @@ def dup_groups_nightly_report(
                 folded = dup_labels_incremental_fold(
                     prior, delta_edges, max_iter=max_iter
                 ).localCheckpoint(eager=True)
-            commit_append(folded, labels_tbl)
-            commit_append(batch_bands, bands_tbl)
+            # one aggregation job carries both label stats; counts first so
+            # the commits below can size their FILE fan-out from real rows
+            # (a 32-partition checkpoint of a few hundred labels would
+            # otherwise write 32 near-empty files per night and pay the
+            # manifest/read-back cost forever after).
+            lab = folded.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("group_id").alias("g"),
+            ).first()
+            n_edges = delta_edges.count()
+            n_new = delta.count()
+            files = lambda n: max(1, -(-n // 5_000_000))  # noqa: E731
+            commit_append(folded.coalesce(files(lab.n)), labels_tbl)
+            # bands ≈ 16 rows per admitted doc — sized without an extra job
+            commit_append(batch_bands.coalesce(files(n_new * 16)), bands_tbl)
             if verify:
                 full = dup_labels_star(
                     None,
@@ -1244,10 +1349,10 @@ def dup_groups_nightly_report(
                 Row(
                     night=night,
                     docs_version=v,
-                    n_new_docs=delta.count(),
-                    n_delta_edges=delta_edges.count(),
-                    n_labeled=folded.count(),
-                    n_groups=folded.select("group_id").distinct().count(),
+                    n_new_docs=n_new,
+                    n_delta_edges=n_edges,
+                    n_labeled=lab.n,
+                    n_groups=lab.g,
                     fold_equals_full=equal,
                 )
             )

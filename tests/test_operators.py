@@ -1208,15 +1208,27 @@ def test_star_cc_matches_min_label_and_handles_long_paths(spark, sf_dir):
     a = {r.group_id: r.doc_ids for r in dup_groups(docs).collect()}
     b = {r.group_id: r.doc_ids for r in dup_groups_star(docs).collect()}
     assert a == b
-    # planted path 0-1-2-...-63: star must resolve it in <= 10 rounds
+    # planted path 0-1-2-...-63: the DISTRIBUTED star loop (forced past
+    # the r14 driver union-find gate) must resolve it in <= 10 rounds
     # (log2(64)=6 plus slack), where min-label would need ~63.
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
-    labels = {r.src: r.group_id
-              for r in dup_labels_star(None, max_iter=10, pairs=path).collect()}
+    dist = {
+        tuple(r)
+        for r in dup_labels_star(
+            None, max_iter=10, pairs=path, driver_max_edges=0
+        ).collect()
+    }
+    labels = dict(dist)
     assert set(labels) == set(range(64))
     assert set(labels.values()) == {0}
+    # the driver union-find fast path is label-identical to the loop
+    drv = {
+        tuple(r)
+        for r in dup_labels_star(None, max_iter=10, pairs=path).collect()
+    }
+    assert drv == dist
 
 
 def test_pq_planted_copy_and_ranking_signal(spark, sf_dir):
