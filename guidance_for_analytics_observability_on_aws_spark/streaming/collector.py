@@ -1780,6 +1780,170 @@ def run_streaming_prefix_dedup(
     return _collected_and_cleaned(spark, result, work)
 
 
+def semantic_gate_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    centroids: DataFrame,
+    mns: list[int],
+    rngs: list[int],
+    codes_path: str,
+    vecs_path: str,
+    out_dir: str,
+    tau: float,
+    crash_between_appends: bool = False,
+) -> None:
+    """One D41 gate batch (the ``foreachBatch`` body of
+    :func:`run_streaming_semantic_dedup`, module-level so the crash-seam
+    replay semantics are directly testable): assign the batch, anti-join
+    the CODES index for the new rows, shortlist on the lossless SQ8
+    integer cosine bound, exact re-rank on full vectors, write per-batch
+    verdicts (overwrite = idempotent), then grow the index — VECTORS
+    BEFORE CODES. New-row detection anti-joins the CODES index, so the
+    crash seam must leave the index in one of two replay-safe states:
+    (codes ∧ vecs) = fully applied, or (vecs only) = replay re-appends
+    BOTH and the shortlist-sized dropDuplicates absorbs the vector-store
+    duplicate. The reverse order would strand codes-only rows whose
+    vectors never backfill — the inner vecs join would then silently
+    drop every pair against them (permanent under-removal).
+    ``crash_between_appends`` is the test hook that aborts exactly on
+    that seam."""
+    from ..functions.vectors import cosine6, dot
+    from ..operators.similarity import (
+        N_SPLITS,
+        PLANT_OFFSET,
+        _quantized,
+        _sub_block,
+        assign_cells,
+        augmented_embeddings,
+        sq8_encode,
+    )
+
+    mns_arr = F.array(*[F.lit(m).cast("long") for m in mns])
+    rngs_arr = F.array(*[F.lit(g).cast("long") for g in rngs])
+    encoded = lambda assigned: sq8_encode(assigned, mns, rngs)  # noqa: E731
+
+    arriving = assign_cells(
+        _quantized(
+            augmented_embeddings(batch_df).filter(F.col("vec_id") >= PLANT_OFFSET),
+            barrier_key="vec_id",
+        ),
+        centroids,
+    ).localCheckpoint(eager=True)
+    # Materialize the index reads BEFORE this batch appends to them.
+    index_codes = spark.read.parquet(codes_path).localCheckpoint(eager=True)
+    new_rows = arriving.join(
+        index_codes.select("vec_id"), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    watermark = index_codes.agg(F.max("vec_id")).first()[0]
+    bounds = new_rows.agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("lo")
+    ).first()
+    if bounds.n > 0 and watermark is not None and bounds.lo <= watermark:
+        raise ValueError(
+            f"out-of-order ingest: batch {batch_id} carries new vec_id "
+            f"{bounds.lo} at/below the index watermark {watermark}; "
+            "the gate's verdicts would silently diverge from batch D39"
+        )
+    # Candidates = codes index ∪ this batch's NEW rows (encoded with
+    # the committed stats) — the a.vec_id < b.vec_id predicate keeps
+    # the union safe, and re-delivered rows are already in the index.
+    a = (
+        index_codes.unionByName(encoded(new_rows))
+        .withColumn(
+            "t", F.explode(F.array(*[F.lit(i) for i in range(N_SPLITS)]))
+        )
+        .alias("a")
+    )
+    b = (
+        arriving.withColumn("sub", _sub_block())
+        .withColumn(
+            "qbr", F.zip_with(F.col("qv"), rngs_arr, lambda v, g: v * g)
+        )
+        .withColumn(
+            "b_const",
+            F.lit(255) * dot(F.col("qv"), mns_arr)
+            + F.aggregate(
+                F.zip_with(
+                    F.col("qv"), rngs_arr, lambda v, g: F.greatest(v, F.lit(0)) * g
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .alias("b")
+    )
+    shortlist = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.t") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.col("a.vec_id").alias("a_id"),
+            F.col("a.nrm").alias("a_nrm"),
+            F.col("b.qv").alias("b_qv"),
+            F.col("b.nrm").alias("b_nrm"),
+            (
+                (dot(F.col("b.qbr"), F.col("a.codes")) + F.col("b.b_const"))
+                / F.lit(255.0)
+                / F.sqrt(
+                    F.col("a.nrm").cast("double")
+                    * F.col("b.nrm").cast("double")
+                )
+            ).alias("ub_cos"),
+        )
+        .filter(F.col("ub_cos") >= tau - 1e-6)
+    )
+    vecs = spark.read.parquet(vecs_path).unionByName(
+        new_rows.select("vec_id", "qv")
+    )
+    # dropDuplicates on the SHORTLIST-sized frame absorbs the one
+    # reachable half-applied state (vecs appended, codes not — see the
+    # append order below): duplicate a_id rows carry identical vectors,
+    # so the dedupe is exact and bounded by the shortlist.
+    removals = (
+        shortlist.join(
+            vecs.select(
+                F.col("vec_id").alias("a_id"), F.col("qv").alias("a_qv")
+            ),
+            "a_id",
+        )
+        .dropDuplicates(["vec_id", "a_id"])
+        .select(
+            "vec_id",
+            "cell_id",
+            "a_id",
+            cosine6(
+                dot(F.col("a_qv"), F.col("b_qv")),
+                F.col("a_nrm"),
+                F.col("b_nrm"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.min("a_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+    # Per-batch verdict path + overwrite = idempotent re-delivery.
+    removals.write.mode("overwrite").parquet(
+        f"{out_dir}/batch-{int(batch_id):05d}"
+    )
+    # Append-only index growth: NEW rows only (already anti-joined),
+    # VECTORS BEFORE CODES (see docstring).
+    new_rows.select("vec_id", "qv").write.mode("append").parquet(vecs_path)
+    if crash_between_appends:
+        raise RuntimeError("injected crash between vecs and codes appends")
+    encoded(new_rows).write.mode("append").parquet(codes_path)
+
+
 def run_streaming_semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -1834,15 +1998,10 @@ def run_streaming_semantic_dedup(
     valid (production would refresh stats on drift; the codec needs no
     training state either way).
     """
-    from ..functions.vectors import cosine6, dot
     from ..operators.similarity import (
-        N_SPLITS,
-        PLANT_OFFSET,
         _quantized,
         _resolve_centroids,
-        _sub_block,
         assign_cells,
-        augmented_embeddings,
         semantic_centroids,
         sq8_encode,
         sq8_stats,
@@ -1876,144 +2035,25 @@ def run_streaming_semantic_dedup(
     # similarity.py::sq8_stats/sq8_encode, so the SCALE probe measures
     # exactly the bytes this gate persists).
     mns, rngs = sq8_stats(cells)
-    mns_arr = F.array(*[F.lit(m).cast("long") for m in mns])
-    rngs_arr = F.array(*[F.lit(g).cast("long") for g in rngs])
-
-    def encoded(assigned: DataFrame) -> DataFrame:
-        return sq8_encode(assigned, mns, rngs)
 
     codes_path, vecs_path = f"{work}/index_codes", f"{work}/index_vecs"
-    encoded(cells).write.mode("overwrite").parquet(codes_path)
+    sq8_encode(cells, mns, rngs).write.mode("overwrite").parquet(codes_path)
     cells.select("vec_id", "qv").write.mode("overwrite").parquet(vecs_path)
     tau = float(_TAU)
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        arriving = assign_cells(
-            _quantized(
-                augmented_embeddings(batch_df).filter(
-                    F.col("vec_id") >= PLANT_OFFSET
-                ),
-                barrier_key="vec_id",
-            ),
-            centroids,
-        ).localCheckpoint(eager=True)
-        # Materialize the index reads BEFORE this batch appends to them.
-        index_codes = spark.read.parquet(codes_path).localCheckpoint(eager=True)
-        new_rows = arriving.join(
-            index_codes.select("vec_id"), "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        watermark = index_codes.agg(F.max("vec_id")).first()[0]
-        bounds = new_rows.agg(
-            F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("lo")
-        ).first()
-        if bounds.n > 0 and watermark is not None and bounds.lo <= watermark:
-            raise ValueError(
-                f"out-of-order ingest: batch {batch_id} carries new vec_id "
-                f"{bounds.lo} at/below the index watermark {watermark}; "
-                "the gate's verdicts would silently diverge from batch D39"
-            )
-        # Candidates = codes index ∪ this batch's NEW rows (encoded with
-        # the committed stats) — the a.vec_id < b.vec_id predicate keeps
-        # the union safe, and re-delivered rows are already in the index.
-        a = (
-            index_codes.unionByName(encoded(new_rows))
-            .withColumn(
-                "t", F.explode(F.array(*[F.lit(i) for i in range(N_SPLITS)]))
-            )
-            .alias("a")
+        semantic_gate_batch(
+            spark,
+            batch_df,
+            batch_id,
+            centroids=centroids,
+            mns=mns,
+            rngs=rngs,
+            codes_path=codes_path,
+            vecs_path=vecs_path,
+            out_dir=f"{work}/out",
+            tau=tau,
         )
-        b = (
-            arriving.withColumn("sub", _sub_block())
-            .withColumn(
-                "qbr", F.zip_with(F.col("qv"), rngs_arr, lambda v, g: v * g)
-            )
-            .withColumn(
-                "b_const",
-                F.lit(255) * dot(F.col("qv"), mns_arr)
-                + F.aggregate(
-                    F.zip_with(
-                        F.col("qv"), rngs_arr, lambda v, g: F.greatest(v, F.lit(0)) * g
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ),
-            )
-            .alias("b")
-        )
-        shortlist = (
-            a.join(
-                b,
-                (F.col("a.cell_id") == F.col("b.cell_id"))
-                & (F.col("a.t") == F.col("b.sub"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("b.vec_id").alias("vec_id"),
-                F.col("b.cell_id").alias("cell_id"),
-                F.col("a.vec_id").alias("a_id"),
-                F.col("a.nrm").alias("a_nrm"),
-                F.col("b.qv").alias("b_qv"),
-                F.col("b.nrm").alias("b_nrm"),
-                (
-                    (dot(F.col("b.qbr"), F.col("a.codes")) + F.col("b.b_const"))
-                    / F.lit(255.0)
-                    / F.sqrt(
-                        F.col("a.nrm").cast("double")
-                        * F.col("b.nrm").cast("double")
-                    )
-                ).alias("ub_cos"),
-            )
-            .filter(F.col("ub_cos") >= tau - 1e-6)
-        )
-        vecs = spark.read.parquet(vecs_path).unionByName(
-            new_rows.select("vec_id", "qv")
-        )
-        # dropDuplicates on the SHORTLIST-sized frame guards the one
-        # non-atomic seam (a crash between the codes and vecs appends
-        # replays into a vector-store duplicate, which would double-count
-        # n_dup_neighbors); duplicate a_id rows carry identical vectors,
-        # so the dedupe is exact and bounded by the shortlist.
-        removals = (
-            shortlist.join(
-                vecs.select(
-                    F.col("vec_id").alias("a_id"), F.col("qv").alias("a_qv")
-                ),
-                "a_id",
-            )
-            .dropDuplicates(["vec_id", "a_id"])
-            .select(
-                "vec_id",
-                "cell_id",
-                "a_id",
-                cosine6(
-                    dot(F.col("a_qv"), F.col("b_qv")),
-                    F.col("a_nrm"),
-                    F.col("b_nrm"),
-                ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= tau)
-            .groupBy("vec_id", "cell_id")
-            .agg(
-                F.min("a_id").alias("keeper_id"),
-                F.count(F.lit(1)).cast("long").alias("n_dup_neighbors"),
-                F.max("cosine").alias("max_cosine"),
-            )
-        )
-        # Per-batch verdict path + overwrite = idempotent re-delivery.
-        removals.write.mode("overwrite").parquet(
-            f"{work}/out/batch-{int(batch_id):05d}"
-        )
-        # Append-only index growth: NEW rows only (already anti-joined).
-        # VECTORS BEFORE CODES — new-row detection anti-joins the CODES
-        # index, so the crash seam must leave the index in one of two
-        # replay-safe states: (codes ∧ vecs) = fully applied, or (vecs
-        # only) = replay re-appends BOTH and the shortlist-sized
-        # dropDuplicates absorbs the vector-store duplicate. The reverse
-        # order would strand codes-only rows whose vectors never backfill
-        # (the inner vecs join would then silently drop every pair
-        # against them — permanent under-removal).
-        new_rows.select("vec_id", "qv").write.mode("append").parquet(vecs_path)
-        encoded(new_rows).write.mode("append").parquet(codes_path)
 
     q = (
         stream.writeStream.foreachBatch(_gate_batch)

@@ -1313,6 +1313,92 @@ def test_streaming_semantic_dedup_matches_batch_d39(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_semantic_dedup_crash_seam_replay(spark, sf_dir, tmp_path):
+    """D41 crash-seam: a batch that dies BETWEEN the vecs and codes
+    appends (the only half-applied state the vecs-before-codes order can
+    leave) must, on at-least-once re-delivery, produce verdicts and a
+    final index byte-identical to a never-crashed run. This pins the r14
+    append-order fix — with the old codes-first order the replay saw no
+    new rows, the vectors never backfilled, and every future pair
+    against those ids silently vanished (permanent under-removal)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        SEMANTIC_TAU,
+        _quantized,
+        _resolve_centroids,
+        assign_cells,
+        semantic_centroids,
+        sq8_encode,
+        sq8_stats,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        semantic_gate_batch,
+    )
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    committed = _quantized(raw, barrier_key="vec_id")
+    k = _resolve_centroids(raw, None)
+    centroids = semantic_centroids(committed, k).localCheckpoint(eager=True)
+    cells = assign_cells(committed, centroids).localCheckpoint(eager=True)
+    mns, rngs = sq8_stats(cells)
+
+    def fresh_index(tag):
+        codes, vecs = str(tmp_path / f"codes_{tag}"), str(tmp_path / f"vecs_{tag}")
+        sq8_encode(cells, mns, rngs).write.mode("overwrite").parquet(codes)
+        cells.select("vec_id", "qv").write.mode("overwrite").parquet(vecs)
+        return codes, vecs
+
+    def gate(batch, tag, codes, vecs, crash=False):
+        semantic_gate_batch(
+            spark, batch, 0, centroids=centroids, mns=mns, rngs=rngs,
+            codes_path=codes, vecs_path=vecs,
+            out_dir=str(tmp_path / f"out_{tag}"), tau=float(SEMANTIC_TAU),
+            crash_between_appends=crash,
+        )
+
+    batch = raw  # the gate filters to the planted +100000 arrivals itself
+    # clean run
+    c1, v1 = fresh_index("clean")
+    gate(batch, "clean", c1, v1)
+    # crashed-then-replayed run
+    c2, v2 = fresh_index("crash")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        gate(batch, "crash", c2, v2, crash=True)
+    # half-applied state: vecs grew, codes did not
+    n_codes = spark.read.parquet(c2).count()
+    n_vecs = spark.read.parquet(v2).count()
+    assert n_vecs > n_codes, "crash must leave the vecs-superset state"
+    gate(batch, "crash", c2, v2)  # at-least-once re-delivery
+
+    def verdicts(tag):
+        return {
+            tuple(r)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"out_{tag}"))
+            .collect()
+        }
+
+    assert verdicts("crash") == verdicts("clean") and len(verdicts("clean")) > 0
+    # final index state: codes identical; vecs identical AS A SET of
+    # (vec_id, qv) — the replayed append duplicates rows, which the
+    # shortlist dropDuplicates absorbs by design
+    codes_set = lambda p: {  # noqa: E731
+        (r.vec_id, tuple(r.codes)) for r in spark.read.parquet(p).collect()
+    }
+    assert codes_set(c2) == codes_set(c1)
+    vec_set = lambda p: {  # noqa: E731
+        (r.vec_id, tuple(r.qv)) for r in spark.read.parquet(p).collect()
+    }
+    assert vec_set(v2) == vec_set(v1)
+    # and distinct vec_ids match the codes index exactly (no stranded ids)
+    ids = lambda p: {r.vec_id for r in spark.read.parquet(p).select("vec_id").distinct().collect()}  # noqa: E731
+    assert ids(v2) == ids(c2)
+
+
 def test_streaming_semantic_dedup_appends_index_across_batches(spark, tmp_path):
     """D41 cross-batch: batch 1's arrivals must JOIN the cell index, so a
     batch-2 arrival duplicating a batch-1 KEPT vector is removed even
