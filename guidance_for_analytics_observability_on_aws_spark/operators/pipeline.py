@@ -1575,6 +1575,84 @@ def mixture_epoch_plan(
     )
 
 
+def mixture_temperature_plan(
+    documents: DataFrame, budget: int = 4 * MIXTURE_BUDGET
+) -> DataFrame:
+    """P30: TEMPERATURE-scaled mixture plan at α = 0.5 — the square-root
+    sampling recipe multilingual pipelines use to keep low-resource
+    sources from drowning (Conneau & Lample 2019 §3.1, mBERT's exponent
+    trick; mT5 tunes the same α): sampling shares follow q_i ∝ p_i^α
+    instead of the natural p_i, boosting small sources and damping the
+    head. P7/P20 realize HAND-ASSIGNED weights; P30 derives the weights
+    from the corpus itself.
+
+    Hash-exactness: α = 0.5 is the one temperature with a correctly-
+    rounded primitive — the tempered weight is the MILLI-SQRT
+    ``w_i = floor(1000·√tokens_i)`` (IEEE sqrt is correctly rounded in
+    both engines, ×1000 and floor are exact), so shares and targets stay
+    BIGINT arithmetic end-to-end (``target = budget·w DIV Σw`` — P20's
+    convention; other α need libm pow, which is NOT reproducible across
+    engines and is documented out of scope rather than hidden behind a
+    tolerance). Epoch realization columns (full_epochs / remainder /
+    oversample) mirror P20 so the two plans read side-by-side; the
+    boost column (tempered vs natural share, exact cross-multiplied
+    flag + display ratio) is the number a curator sanity-checks —
+    sub-mean sources must boost, super-mean sources must damp.
+
+    Scale: one corpus-sized token aggregation; everything after is
+    |sources| rows on the driver-broadcast path.
+    """
+    per_src = (
+        documents.select(
+            "source", F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("available_tokens"),
+        )
+        .withColumn(
+            "w_msqrt",
+            F.floor(F.lit(1000.0) * F.sqrt(F.col("available_tokens"))).cast(
+                "long"
+            ),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("w_msqrt").alias("total_w"),
+        F.sum("available_tokens").alias("total_tokens"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "available_tokens",
+            "w_msqrt",
+            F.expr(f"({budget} * w_msqrt) DIV total_w").alias("target_tokens"),
+            # boosted ⟺ q_i > p_i ⟺ w·total_tokens > avail·total_w (BIGINT)
+            (
+                F.col("w_msqrt") * F.col("total_tokens")
+                > F.col("available_tokens") * F.col("total_w")
+            ).alias("boosted"),
+            F.try_divide(
+                F.col("w_msqrt") * F.col("total_tokens"),
+                F.col("available_tokens") * F.col("total_w"),
+            ).alias("boost_ratio"),
+        )
+        .select(
+            "*",
+            F.expr("target_tokens DIV available_tokens").alias("full_epochs"),
+            F.expr("target_tokens % available_tokens").alias("remainder_tokens"),
+            F.try_divide(
+                F.col("target_tokens").cast("double"),
+                F.col("available_tokens").cast("double"),
+            ).alias("oversample_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def export_order_plan(
     documents: DataFrame, shard_docs: int = 256, distributed: bool = True
 ) -> DataFrame:

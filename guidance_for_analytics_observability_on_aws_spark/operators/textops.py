@@ -1092,6 +1092,115 @@ def text_unigram_surprisal(documents: DataFrame) -> DataFrame:
     )
 
 
+def text_nb_langid(documents: DataFrame) -> DataFrame:
+    """X23: Naive Bayes language ID at INTEGER-EXACT log2 granularity —
+    the trained upgrade of X1's marker heuristic (X1 scores profile-token
+    OVERLAP; NB weighs EVERY token by its per-language likelihood, the
+    fasttext-style linear classifier's closed-form cousin) with no float
+    log anywhere, so the whole report is hash-exact where a real
+    log-likelihood sum would drift across engines (the X18 trick applied
+    to classification).
+
+    Same split as X1 (train = even doc_ids, score = odd): per-language
+    token counts ``c`` with add-one smoothing over the TRAIN vocabulary
+    ``V``, a token's surprisal for language l is ``bitlen(T_l + V) −
+    bitlen(c + 1)`` (bitlen(x) = floor(log2 x)+1 — exact BIGINT in both
+    engines, ±1-bit granularity documented), a document's score adds the
+    class-prior bits ``bitlen(N_train_docs) − bitlen(n_docs_l)``, and the
+    prediction is the argmin-bits language (tie-break lang ascending).
+    OOV tokens smooth to ``bitlen(T_l + V) − 1`` — the channel that
+    separates languages with disjoint vocabularies.
+
+    Scale: one train-side aggregation (vocab-sized), the score side
+    fans out |langs|× per test token TYPE (languages are a handful —
+    bounded, and the per-(token, lang) table joins on token, the same
+    shuffle X18 pays), one per-(doc, lang) aggregate, one argmin window
+    per doc. Output per scored doc: prediction, truth, winner bits,
+    margin to runner-up (the confidence signal a router thresholds).
+    """
+    toks = tokens(F.col("text"))
+    train_tok = documents.filter(F.col("doc_id") % 2 == 0).select(
+        "lang", F.explode(toks).alias("token")
+    )
+    counts = train_tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = train_tok.select("token").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    train_docs = documents.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang"
+    )
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_train"))
+    langs = (
+        train_docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_l"))
+        .join(
+            counts.groupBy("lang").agg(F.sum("c").alias("t_l")), "lang"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            (F.length(F.bin(F.col("n_train"))) - F.length(F.bin("n_docs_l")))
+            .cast("long")
+            .alias("prior_bits"),
+            F.length(F.bin(F.col("t_l") + F.col("v")))
+            .cast("long")
+            .alias("denom_bits"),
+        )
+    )
+    test_tok = (
+        documents.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.col("lang").alias("actual_lang"), F.explode(toks).alias("token"))
+        .groupBy("doc_id", "actual_lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    scored = (
+        test_tok.crossJoin(F.broadcast(langs))
+        .join(
+            counts.select(
+                F.col("lang").alias("cand_lang"), "token", "c"
+            ),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual_lang",
+            "cand_lang",
+            "prior_bits",
+            (
+                F.col("cnt")
+                * (
+                    F.col("denom_bits")
+                    - F.length(F.bin(F.coalesce(F.col("c"), F.lit(0)) + 1)).cast(
+                        "long"
+                    )
+                )
+            ).alias("bits"),
+        )
+        .groupBy("doc_id", "actual_lang", "cand_lang")
+        .agg(
+            (F.min("prior_bits") + F.sum("bits")).cast("long").alias("nb_bits")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("nb_bits").asc(), F.col("cand_lang").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "runner_bits", F.lead("nb_bits").over(w)
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        F.col("cand_lang").alias("predicted_lang"),
+        "actual_lang",
+        "nb_bits",
+        (F.col("runner_bits") - F.col("nb_bits")).cast("long").alias("margin_bits"),
+        (F.col("cand_lang") == F.col("actual_lang")).alias("correct"),
+    )
+
+
 def text_distribution_drift(
     documents: DataFrame, boundary: int = 1_000_000
 ) -> DataFrame:

@@ -493,6 +493,42 @@ ORDER BY source
 """
 
 
+# P30: temperature-scaled mixture at α = 0.5 — milli-sqrt weights
+# (FLOOR(1000·SQRT(tokens)), IEEE sqrt correctly rounded in both
+# engines), BIGINT shares/targets, exact cross-multiplied boost flag.
+PIPELINE_ORACLES["mixture_temperature_plan"] = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_WS_TOKENS}) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT *,
+         CAST(FLOOR(1000.0 * SQRT(CAST(available_tokens AS DOUBLE)))
+           AS BIGINT) AS w_msqrt
+  FROM per_src
+),
+tw AS (
+  SELECT CAST(SUM(w_msqrt) AS BIGINT) AS total_w,
+         CAST(SUM(available_tokens) AS BIGINT) AS total_tokens
+  FROM weighted
+)
+SELECT source, n_docs, available_tokens, w_msqrt,
+       ({4 * MIXTURE_BUDGET} * w_msqrt) // total_w AS target_tokens,
+       w_msqrt * total_tokens > available_tokens * total_w AS boosted,
+       CAST(w_msqrt * total_tokens AS DOUBLE)
+         / CAST(available_tokens * total_w AS DOUBLE) AS boost_ratio,
+       (({4 * MIXTURE_BUDGET} * w_msqrt) // total_w) // available_tokens
+         AS full_epochs,
+       (({4 * MIXTURE_BUDGET} * w_msqrt) // total_w) % available_tokens
+         AS remainder_tokens,
+       CAST(({4 * MIXTURE_BUDGET} * w_msqrt) // total_w AS DOUBLE)
+         / CAST(available_tokens AS DOUBLE) AS oversample_ratio
+FROM weighted CROSS JOIN tw
+ORDER BY source
+"""
+
+
 # P21: deterministic export order — md5(doc_id) permutation rank, integer
 # shard/offset; hex keys sort identically in ASCII in both engines.
 PIPELINE_ORACLES["export_order_plan"] = f"""

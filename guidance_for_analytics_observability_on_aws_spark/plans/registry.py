@@ -540,6 +540,15 @@ _register(
     PIPELINE_ORACLES["mixture_epoch_plan"],
 )
 
+# P30 (r14): temperature-scaled mixture at α=0.5 (the Conneau & Lample
+# square-root sampling recipe) — corpus-derived milli-sqrt weights, exact
+# BIGINT shares/targets, epoch realization mirroring P20; hash-exact.
+_register(
+    "mixture_temperature_plan",
+    lambda s, d: pipeline.mixture_temperature_plan(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["mixture_temperature_plan"],
+)
+
 # P19 (r8): incremental dup-group maintenance — prior labels contracted to
 # their roots, only the NEW batch's edges re-clustered, composed labels
 # identical to a full recompute (two-level contraction), so it SHARES
@@ -584,6 +593,11 @@ _TEXT_BUILDERS = {
     # fractions) over a deterministic multi-line view — real newlines
     # first, blocks wrapped at 32 tokens; fully hash-exact.
     "text_gopher_line_shape": lambda s, d: textops.gopher_line_shape(
+        load_tables(s, d)["documents"]
+    ),
+    # X23 (r14): Naive Bayes language ID at integer-log2 granularity —
+    # the trained upgrade of X1's marker heuristic; fully hash-exact.
+    "text_nb_langid": lambda s, d: textops.text_nb_langid(
         load_tables(s, d)["documents"]
     ),
     "text_fingerprint": lambda s, d: textops.fingerprint(load_tables(s, d)["documents"]),
@@ -1091,76 +1105,79 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    # r13 window (50 slots exactly), GENERATED by the codified recipe:
+    # r14 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority --changed \
-    #     dedup_semantic,dedup_semantic_eval,stream_semantic_dedup_ingest
-    #   slots 1-4   — the FOUR r13 additions with no driver row: D43
-    #                 dedup_paragraph_minhash (RefinedWeb paragraph-level
-    #                 fuzzy dedup, hash-exact), D42 dedup_semantic_trained
-    #                 (SemDeDup over D12's Lloyd centroids via the
-    #                 trained-model registry), P29 dsir_gumbel_sample
-    #                 (Gumbel-top-k importance resampling), X21
-    #                 text_gopher_quality (the Gopher rule set as
-    #                 rules-as-columns, hash-exact).
-    #   slots 5-7   — entries whose CODE/plan changed in r13: D39/D40
-    #                 (session-shared checkpointed removal frame) and D41
-    #                 (SQ8 code-bytes index + lossless cosine bound +
-    #                 idempotent per-batch verdicts + ordering guard).
-    #   slots 8-15  — the 8 r6-evidence entries (the r12 window's
-    #                 documented overflow).
-    #   slots 16-50 — the full 35-entry r7-evidence block in ledger order
-    #                 (an exact fit; the r8 block leads the r14 window per
-    #                 the rotation contract — see SURVEY §2's ledger table).
-    "dedup_paragraph_minhash",
-    "dedup_semantic_trained",
-    "dsir_gumbel_sample",
-    "text_gopher_quality",
+    #     dedup_semantic,dedup_semantic_eval,dedup_semantic_trained,\
+    #     stream_semantic_dedup_ingest,dedup_paragraph_minhash,\
+    #     dup_groups_star,dup_groups_incremental,dup_groups_nightly
+    #   slots 1-3   — the THREE r14 additions with no driver row: X22
+    #                 text_gopher_line_shape (the Gopher bullet-start/
+    #                 ellipsis-end line rules, hash-exact), P30
+    #                 mixture_temperature_plan (sqrt-temperature source
+    #                 balancing, hash-exact), X23 text_nb_langid
+    #                 (integer-log2 Naive Bayes language ID, hash-exact).
+    #   slots 4-11  — entries whose CODE/plan changed in r14: the semantic
+    #                 family D39/D40/D42/D41 (derived k = max(8, fl(sqrt(n)))
+    #                 defaults + spherical prune + gate append-order fix),
+    #                 D43 (pid packing guard), and the star-CC consumers
+    #                 P15/P19/P23 (size-gated driver union-find dispatch,
+    #                 single-action convergence check, nightly job cuts).
+    #   slots 12-50 — the r8-evidence block in ledger order (39 of 47 fit;
+    #                 similarity_eval_report, obs_error_budget,
+    #                 stream_ewma_smooth, obs_distinct_rollup_hll,
+    #                 obs_burn_rate_multiwindow, dedup_cdc_chunks,
+    #                 stream_error_budget overflow to lead the r15 window
+    #                 together with the r10 block — see SURVEY §2).
+    "text_gopher_line_shape",
+    "mixture_temperature_plan",
+    "text_nb_langid",
     "dedup_semantic",
     "dedup_semantic_eval",
+    "dedup_semantic_trained",
     "stream_semantic_dedup_ingest",
-    "mm_binary_meta",
-    "source_clustering_report",
-    "obs_straggler_detect",
-    "obs_log_sample",
-    "obs_latency_heatmap",
-    "obs_job_critical_stage",
-    "obs_apdex",
-    "obs_seasonal_baseline",
-    "obs_task_metrics",
-    "obs_stage_agg_skewness",
-    "obs_skew_distribution",
-    "obs_app_summary",
-    "obs_cardinality",
-    "pivot_status_by_priority",
-    "events_retention",
-    "window_lead_lag_ntile",
-    "set_ops_customers",
-    "merge_scd1_customers",
-    "grouping_sets_mixed",
-    "events_transition_matrix",
-    "orders_seasonality",
-    "similarity_sq8",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "mm_audio_chunks",
-    "cube_priority_segment",
-    "mm_decode_frames",
-    "stream_collector_pipeline",
-    "stream_stage_agg",
-    "stream_session_windows",
-    "stream_dedup_ingest",
-    "stream_alert_rules",
-    "stream_heavy_hitters",
-    "stream_rolling_wau",
-    "stream_tail_sampling",
-    "source_snapshot_report",
-    "stream_metric_log_join",
-    "orders_market_basket",
-    "source_table_stats",
-    "obs_downsample_rollup",
-    "obs_slo_burn_rate",
-    "obs_metric_log_correlate",
-    "obs_input_bytes_percentiles",
+    "dedup_paragraph_minhash",
+    "dup_groups_star",
+    "dup_groups_incremental",
+    "dup_groups_nightly",
+    "obs_date_histogram",
+    "obs_top_n_skew",
+    "obs_task_percentiles",
+    "obs_log_enrich",
+    "obs_error_rate",
+    "obs_executor_utilization",
+    "obs_session_windows",
+    "obs_skew_timeline",
+    "stream_metrics_window",
+    "obs_log_search",
+    "obs_counter_rate",
+    "obs_gap_fill",
+    "obs_anomaly_zscore",
+    "obs_log_templates",
+    "embedding_kmeans",
+    "similarity_ivf_trained",
+    "similarity_pq",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_residual",
+    "similarity_ivf_pq_multiprobe",
+    "similarity_index_persist_report",
+    "dedup_eval_report",
+    "mixture_epoch_plan",
+    "stream_incremental_dedup",
+    "stream_near_dedup_ingest",
+    "stream_cusum_drift",
+    "stream_gap_fill",
+    "source_incremental_view",
+    "stream_trend_regression",
+    "orders_backlog_timeline",
+    "orders_ship_latency",
+    "obs_tail_sampling",
+    "obs_cusum_drift",
+    "obs_anomaly_mad",
+    "obs_percentile_timeline",
+    "obs_trend_regression",
+    "events_funnel_windowed",
+    "docs_kmv_overlap",
+    "obs_ewma_smooth",
 ]
 
 

@@ -831,6 +831,71 @@ FROM scored CROSS JOIN cm
 """
 
 
+# X23: Naive Bayes language ID — the X18 integer-log2 surprisal algebra
+# applied to classification; add-one smoothing over the train vocab,
+# class-prior bits, argmin with lang tie-break, margin to runner-up.
+TEXT_ORACLES["text_nb_langid"] = r"""
+WITH train_tok AS (
+  SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents WHERE doc_id % 2 = 0
+),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM train_tok GROUP BY 1, 2
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM train_tok),
+train_docs AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_l
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+n_train AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM documents WHERE doc_id % 2 = 0
+),
+langs AS (
+  SELECT d.lang AS cand_lang,
+         CAST(length(bin(n_train)) - length(bin(n_docs_l)) AS BIGINT)
+           AS prior_bits,
+         CAST(length(bin(t.t_l + v)) AS BIGINT) AS denom_bits
+  FROM train_docs d
+  JOIN (SELECT lang, SUM(c) AS t_l FROM counts GROUP BY 1) t USING (lang)
+  CROSS JOIN vocab CROSS JOIN n_train
+),
+test_tok AS (
+  SELECT doc_id, lang AS actual_lang, token,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+    FROM documents WHERE doc_id % 2 = 1
+  ) GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tt.doc_id, tt.actual_lang, l.cand_lang,
+         CAST(MIN(l.prior_bits)
+              + SUM(tt.cnt * (l.denom_bits
+                              - length(bin(COALESCE(c.c, 0) + 1))))
+           AS BIGINT) AS nb_bits
+  FROM test_tok tt
+  CROSS JOIN langs l
+  LEFT JOIN counts c ON c.lang = l.cand_lang AND c.token = tt.token
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY nb_bits ASC, cand_lang ASC) AS rn,
+         LEAD(nb_bits) OVER (PARTITION BY doc_id
+                             ORDER BY nb_bits ASC, cand_lang ASC)
+           AS runner_bits
+  FROM scored
+)
+SELECT doc_id, cand_lang AS predicted_lang, actual_lang, nb_bits,
+       CAST(runner_bits - nb_bits AS BIGINT) AS margin_bits,
+       cand_lang = actual_lang AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
 # X19: distribution drift — full-outer unigram join per source, exact
 # integer L1 (|c_old*N_new - c_new*N_old|), TV = L1 / (2*N_old*N_new).
 TEXT_ORACLES["text_distribution_drift"] = f"""

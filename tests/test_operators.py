@@ -3735,6 +3735,105 @@ def test_gopher_line_shape_rules_flip_independently(spark):
         assert r.n_lines >= 1
 
 
+def test_nb_langid_literal_model(spark):
+    """X23: the Spark NB scores equal a literal Python reimplementation
+    (add-one smoothing over the train vocab, integer bitlen log2, prior
+    bits, argmin with lang tie-break) on a hand corpus — checked
+    doc-for-doc including the margin; and the disjoint-vocabulary case
+    classifies perfectly."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.textops import (
+        text_nb_langid,
+    )
+
+    rows = [
+        # train (even ids)
+        (0, "der hund lief zum haus", "de", "s"),
+        (2, "der alte mann und der hund", "de", "s"),
+        (4, "the dog ran to the house", "en", "s"),
+        (6, "the old man and the dog sat", "en", "s"),
+        (8, "the cat sat on the mat", "en", "s"),
+        # score (odd ids)
+        (1, "der hund und der mann", "de", "s"),
+        (3, "the dog and the man", "en", "s"),
+        (5, "der hund", "de", "s"),
+        (7, "completely novel tokens here", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r.doc_id: r for r in text_nb_langid(docs).collect()}
+
+    # literal model
+    train = [(l, t.split()) for i, t, l, _ in rows if i % 2 == 0]
+    counts: dict = {}
+    totals: dict = {}
+    ndocs: dict = {}
+    vocab = set()
+    for l, toks in train:
+        ndocs[l] = ndocs.get(l, 0) + 1
+        for t in toks:
+            counts[(l, t)] = counts.get((l, t), 0) + 1
+            totals[l] = totals.get(l, 0) + 1
+            vocab.add(t)
+    bitlen = lambda x: x.bit_length()  # noqa: E731  == len(bin(x)) - 2
+    n_train = sum(ndocs.values())
+    for i, t, actual, _ in rows:
+        if i % 2 == 0:
+            continue
+        scores = {}
+        for l in ndocs:
+            s = bitlen(n_train) - bitlen(ndocs[l])
+            for tok in t.split():
+                s += bitlen(totals[l] + len(vocab)) - bitlen(
+                    counts.get((l, tok), 0) + 1
+                )
+            scores[l] = s
+        best, runner = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:2]
+        r = got[i]
+        assert (r.predicted_lang, r.nb_bits) == best, (i, r, scores)
+        assert r.margin_bits == runner[1] - best[1]
+        assert r.correct == (best[0] == actual)
+    # disjoint vocabularies → everything classified right
+    assert all(got[i].correct for i in (1, 3, 5))
+
+
+def test_mixture_temperature_plan_semantics(spark):
+    """P30: sqrt-temperature math pinned on a hand corpus — milli-sqrt
+    weights exact, targets = budget·w DIV Σw, sub-mean sources BOOST and
+    super-mean sources DAMP, shares still sum ≤ budget, and the epoch
+    columns obey target = full·avail + remainder."""
+    import math
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        mixture_temperature_plan,
+    )
+
+    # three sources: 1 doc x 4 tokens, 4 docs x 4 tokens, 16 docs x 4 tokens
+    rows = []
+    did = 0
+    for src, n in (("srcA", 1), ("srcB", 4), ("srcC", 16)):
+        for _ in range(n):
+            rows.append((did, "a b c d", "en", src))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r.source: r for r in mixture_temperature_plan(docs, budget=1000).collect()}
+    avail = {"srcA": 4, "srcB": 16, "srcC": 64}
+    w = {s: math.floor(1000.0 * math.sqrt(a)) for s, a in avail.items()}
+    total_w = sum(w.values())
+    for s, r in got.items():
+        assert r.available_tokens == avail[s]
+        assert r.w_msqrt == w[s]
+        assert r.target_tokens == 1000 * w[s] // total_w
+        assert r.full_epochs == r.target_tokens // avail[s]
+        assert r.remainder_tokens == r.target_tokens % avail[s]
+    # sqrt boosts the tail, damps the head
+    assert got["srcA"].boosted and not got["srcC"].boosted
+    assert got["srcA"].oversample_ratio > got["srcC"].oversample_ratio
+    assert sum(r.target_tokens for r in got.values()) <= 1000
+
+
 def test_curation_v3_span_scrub_stage_semantics(spark):
     """P27 stage 4 on a planted corpus: a doc holding the CANONICAL copy
     of a repeated 16-token passage keeps its mass, a later doc loses

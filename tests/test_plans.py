@@ -291,63 +291,65 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r13 rotation (the committed r12 plan + this round's additions at
-    # the head per the contract): 4 never-checked (D43
-    # dedup_paragraph_minhash, D42 dedup_semantic_trained, P29
-    # dsir_gumbel_sample, X21 text_gopher_quality) + 3 code-changed
-    # (D39/D40 shared checkpointed removal frame, D41 SQ8 code-bytes
-    # index), then the 8 r6-evidence overflow entries and the full
-    # 35-entry r7-evidence block in ledger order — an exact 50-slot fit;
-    # the whole r8 block leads r14 (see the _PRIORITY comment and
-    # SURVEY §2's ledger table).
+    # r14 rotation (the committed r13 plan + this round's additions/
+    # changes at the head per the contract): 3 never-checked (X22
+    # text_gopher_line_shape, P30 mixture_temperature_plan, X23
+    # text_nb_langid) + 8 code-changed (semantic family D39/D40/
+    # D42/D41 — derived-k defaults + spherical prune + gate append-order
+    # fix; D43 pid guard; star-CC consumers P15/P19/P23 — driver
+    # union-find dispatch + nightly job cuts), then the r8-evidence
+    # block in ledger order (39 of 47 fit; the last 7 overflow to lead
+    # r15 — see the _PRIORITY comment and SURVEY §2's ledger table).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 35, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 34, f"{n_sql} sql-backed entries in the driver window"
     head = (
-        "dedup_paragraph_minhash",
-        "dedup_semantic_trained",
-        "dsir_gumbel_sample",
-        "text_gopher_quality",
+        "text_gopher_line_shape",
+        "mixture_temperature_plan",
+        "text_nb_langid",
         "dedup_semantic",
         "dedup_semantic_eval",
+        "dedup_semantic_trained",
         "stream_semantic_dedup_ingest",
-        "mm_binary_meta",
-        "source_clustering_report",
-        "obs_straggler_detect",
-        "obs_log_sample",
-        "obs_latency_heatmap",
-        "obs_job_critical_stage",
-        "obs_apdex",
-        "obs_seasonal_baseline",
+        "dedup_paragraph_minhash",
+        "dup_groups_star",
+        "dup_groups_incremental",
+        "dup_groups_nightly",
+        "obs_date_histogram",
+        "obs_top_n_skew",
+        "obs_task_percentiles",
     )
     assert tuple(first50[: len(head)]) == head
-    # spot-check the r7-evidence block is inside the window:
+    # spot-check the r8-evidence block is inside the window:
     for expected in (
-        "obs_task_metrics",
-        "obs_stage_agg_skewness",
-        "similarity_sq8",
-        "cube_priority_segment",
-        "stream_collector_pipeline",
-        "orders_market_basket",
-        "obs_input_bytes_percentiles",  # slot 50, the last r7 entry
+        "stream_metrics_window",
+        "embedding_kmeans",
+        "similarity_pq",
+        "similarity_ivf_pq_residual",
+        "dedup_eval_report",
+        "docs_kmv_overlap",
+        "obs_ewma_smooth",  # slot 50, the last fitting r8 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED
-    # — everything r8-or-fresher past slot 50 yields its slot; the r12
-    # window's entries are all freshly green and rotate out entirely):
+    # — everything r10-or-fresher past the changed set yields its slot;
+    # the r13 window's entries are all freshly green and rotate out):
     for fresh_green in (
-        "stream_prefix_dedup_ingest",   # r12-ran, unchanged
-        "dsir_importance_weights",      # r12-green, unchanged
-        "dsir_topk_sample",             # r12-green, docstring-only in r13
-        "corpus_curation_pipeline_v3",  # r12-green, unchanged
-        "decontaminate_semantic",       # r12-green, unchanged
-        "dedup_repeated_spans",         # r12-green, unchanged
-        "mixture_sample",               # r12-green, unchanged
-        "obs_alert_debounce",           # r12-green, unchanged
-        "stream_burn_rate",             # r10-ran, unchanged
-        "obs_value_histogram",          # r10-green, unchanged
-        "obs_date_histogram",           # r8-green — first r8 entry, leads r14
-        "obs_top_n_skew",               # r8-green — queued behind it
+        "dsir_gumbel_sample",           # r13-ran, unchanged
+        "text_gopher_quality",          # r13-green, unchanged
+        "mm_binary_meta",               # r13-green, unchanged
+        "source_clustering_report",     # r13-ran, unchanged
+        "obs_straggler_detect",         # r13-green, unchanged
+        "obs_apdex",                    # r13-green, unchanged
+        "obs_task_metrics",             # r13-green, unchanged
+        "similarity_sq8",               # r13-green, unchanged
+        "orders_market_basket",         # r13-green, unchanged
+        "obs_heavy_hitters_cms",        # r10-green — leads r15 after the
+        "obs_error_rate_moving_avg",    # r10-green — r8 overflow block
+        "similarity_eval_report",       # r8-green — overflows to r15 (51+)
+        "obs_error_budget",             # r8-green — overflows to r15
+        "stream_ewma_smooth",           # r8-ran — overflows to r15
+        "stream_error_budget",          # r8-ran — overflows to r15
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
