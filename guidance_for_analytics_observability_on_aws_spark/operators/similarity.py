@@ -764,41 +764,135 @@ def embedding_kmeans(
     )
 
 
+#: k above which the Lloyd assignment pass switches from the literal-array
+#: form to the broadcast-frame form — the literal tree is k structs × d
+#: literals evaluated through k nested higher-order folds PER ROW, which
+#: Catalyst stops handling gracefully well before the derived-√n cell
+#: counts D42 now requests (measured: k=144 at 10× data ran the literal
+#: form at 146 s where the frame form runs the same arithmetic in ~14 s).
+_ASSIGN_LITERAL_MAX_K = 16
+
+
 def _assign_pass(q: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
-    """One narrow Lloyd assignment pass: nearest-centroid id + squared
-    distance per vector, centroids embedded as broadcast-like literals
-    (k·d floats — tiny expression tree)."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("long").alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("c"),
-            )
-            for cid, vec in sorted(centroids.items())
-        ]
+    """One Lloyd assignment pass: nearest-centroid id + squared distance
+    per vector. Two PHYSICAL forms with IDENTICAL output (same zip_with
+    left-fold float arithmetic, same (d, cid) lexicographic argmin —
+    equality pinned in tests):
+
+    - k ≤ 16: centroids as literals, array_min over a transform — fully
+      narrow, zero shuffle (the cheapest form for the small-k quantizers
+      D12/D17/D20–D23 train);
+    - k > 16: centroids as a BROADCAST k-row frame; the k-way fan-out is
+      a broadcast join (no shuffle), and the argmin is min(struct(d,
+      cid, …)) under groupBy(vec_id) — a map-side-combined aggregate, so
+      the one exchange carries ~n rows, not n·k (each mapper pre-reduces
+      to its local minimum per vector). At 100 TB this is the form that
+      survives; a BLAS mapInPandas argmin would beat both constants but
+      trades the exact SQL fold for summation-order drift (the D8
+      boundary, deliberately not crossed here)."""
+    if len(centroids) <= _ASSIGN_LITERAL_MAX_K:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("long").alias("cid"),
+                    F.array(*[F.lit(x) for x in vec]).alias("c"),
+                )
+                for cid, vec in sorted(centroids.items())
+            ]
+        )
+        dist = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return q.select(
+            "vec_id",
+            "qv",
+            "nrm",
+            F.array_min(
+                F.transform(
+                    cent_arr,
+                    lambda s: F.struct(dist(s["c"]).alias("d"), s["cid"].alias("cid")),
+                )
+            ).alias("best"),
+        ).select(
+            "vec_id",
+            "qv",
+            "nrm",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.d").alias("d2"),
+        )
+    cent = F.broadcast(
+        q.sparkSession.createDataFrame(
+            [
+                (int(cid), [float(x) for x in vec])
+                for cid, vec in sorted(centroids.items())
+            ],
+            "cid long, c array<double>",
+        )
     )
-    dist = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("qv"), c, lambda x, y: (x - y) * (x - y)),
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return q.select(
+    scored = q.join(cent).select(
+        "vec_id", "qv", "nrm", F.col("cid"), dist.alias("d")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "cid", "qv", "nrm")).alias("best")
+    )
+    return best.select(
         "vec_id",
-        "qv",
-        "nrm",
-        F.array_min(
-            F.transform(
-                cent_arr,
-                lambda s: F.struct(dist(s["c"]).alias("d"), s["cid"].alias("cid")),
-            )
-        ).alias("best"),
-    ).select(
-        "vec_id",
-        "qv",
-        "nrm",
+        F.col("best.qv").alias("qv"),
+        F.col("best.nrm").alias("nrm"),
         F.col("best.cid").alias("cluster_id"),
         F.col("best.d").alias("d2"),
     )
+
+
+def _assign_pass_blas(q: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """The TRAINING-iteration assignment pass for large k: Arrow-batched
+    numpy argmin over the broadcast centroid matrix (one n×k GEMM per
+    batch — what Spark MLlib's own k-means does with native BLAS). Used
+    ONLY inside the Lloyd loop where per-iteration throughput is the
+    point; the assignment a caller RECEIVES is always recomputed by the
+    exact SQL :func:`_assign_pass` over the converged centroids, so
+    downstream algebra and cache replays stay engine-exact. Ties break
+    to the LOWEST cid (argmin's first occurrence over cid-sorted rows —
+    the same (d, cid) rule), though d2 here is the expanded |q|² − 2q·c
+    + |c|² form whose last-ulp rounding may differ from the SQL fold (a
+    training-trajectory detail, deterministic across reruns)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cids = sorted(centroids)
+    cmat = [centroids[c] for c in cids]
+    # fresh StructType — StructType.add MUTATES, and q.schema is the
+    # DataFrame's cached schema object
+    schema = StructType(
+        list(q.schema.fields)
+        + [StructField("cluster_id", LongType()), StructField("d2", DoubleType())]
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.asarray(cmat, dtype=np.float64)
+        cn = (cm * cm).sum(axis=1)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            d2 = (qm * qm).sum(axis=1)[:, None] - 2.0 * (qm @ cm.T) + cn[None, :]
+            best = d2.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = cid_arr[best]
+            out["d2"] = d2[np.arange(len(best)), best]
+            yield out
+
+    return q.mapInPandas(part, schema)
 
 
 def _kmeans_assignments(
@@ -851,13 +945,20 @@ def _kmeans_assignments(
     centroids = {r.vec_id: [float(x) for x in r.qv] for r in first}
     n_dims = len(first[0].qv)
 
+    # Large-k training iterations run the Arrow/BLAS assignment (see
+    # _assign_pass_blas — the trajectory pass only); the RETURNED
+    # assignment is always the exact SQL pass over the converged
+    # centroids, identical to what a cache replay serves.
+    train_pass = (
+        _assign_pass_blas if len(centroids) > _ASSIGN_LITERAL_MAX_K else _assign_pass
+    )
     assigned = None
     used_centroids = centroids
     for _ in range(max_iter):
         # the centroids the RETURNED assignment is computed with — cached so
         # a replay reproduces this exact assignment, converged or not
         used_centroids = centroids
-        scored = _assign_pass(q, centroids)
+        scored = train_pass(q, centroids)
         sums = (
             scored.select("cluster_id", F.posexplode("qv").alias("dim", "x"))
             .groupBy("cluster_id", "dim")
@@ -875,6 +976,8 @@ def _kmeans_assignments(
         if not moved:
             break
     _cache_put(cache_key, used_centroids)
+    if train_pass is _assign_pass_blas:
+        assigned = _assign_pass(q, used_centroids)
     return (assigned, used_centroids) if return_centroids else assigned
 
 

@@ -3489,6 +3489,31 @@ def test_semantic_dedup_trained_plant_recall_and_balance(spark, sf_dir):
     assert max(sizes) <= 2 * (sum(sizes) / len(sizes)), f"unbalanced: {sizes}"
 
 
+def test_assign_pass_forms_identical(spark, sf_dir, monkeypatch):
+    """The two physical forms of the Lloyd assignment pass (literal-array
+    for small k, broadcast-frame + min-struct for large k) must produce
+    IDENTICAL rows — same zip_with left-fold float arithmetic, same
+    (d, cid) argmin tie-break — on the same centroids."""
+    from guidance_for_analytics_observability_on_aws_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = sim._quantized(sim.augmented_embeddings(emb), barrier_key="vec_id").select(
+        "vec_id", "qv", "nrm"
+    )
+    cents = {
+        r.vec_id: [float(x) for x in r.qv]
+        for r in q.filter(F.col("vec_id") < 24).collect()
+    }
+    assert len(cents) == 24 > sim._ASSIGN_LITERAL_MAX_K
+    key = lambda r: (r.vec_id, tuple(r.qv), r.nrm, r.cluster_id, r.d2)  # noqa: E731
+    frame_form = {key(r) for r in sim._assign_pass(q, cents).collect()}
+    monkeypatch.setattr(sim, "_ASSIGN_LITERAL_MAX_K", 1000)
+    literal_form = {key(r) for r in sim._assign_pass(q, cents).collect()}
+    assert frame_form == literal_form and len(frame_form) > 0
+
+
 def test_semantic_dedup_shared_frame_replay(spark, sf_dir):
     """D39/D40 session sharing: two semantic_dedup calls at the same
     (corpus, settings) serve the SAME materialized checkpoint (the second

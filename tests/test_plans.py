@@ -356,6 +356,16 @@ def test_driver_window_composition():
         )
 
 
+def test_gopher_gates_plan_zero_exchange(spark, sf_dir):
+    """X21/X22's 'cheapest gate in the funnel, run it first' claim is a
+    PLAN property, not prose: both rule sets must compile to a single
+    narrow projection over the scan — zero Exchange anywhere (the line
+    re-wrapping in X22 is per-row array algebra, not an explode+groupBy)."""
+    for name in ("text_gopher_quality", "text_gopher_line_shape"):
+        plan = _executed_plan(REGISTRY[name].builder(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+
+
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     """P2's rank<=N filter must push into the window sort as
     WindowGroupLimit (partial top-N per partition before the shuffle) —
