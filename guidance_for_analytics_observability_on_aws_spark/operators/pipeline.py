@@ -1575,6 +1575,99 @@ def mixture_epoch_plan(
     )
 
 
+def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """P31: the decontamination family's EVALUATION report (the P17/D27/
+    D37/D40 evaluation-as-operator posture applied to the three gates) —
+    the pre-flight a pipeline runs before training: is every gate WIRED
+    and catching the leaks it is guaranteed to catch? One row per gate
+    (P6 n-gram pooled ratio, P22 pairwise near-dup containment, P28
+    embedding cosine), each graded in its own id space against its own
+    planted leak class:
+
+    - ``ngram``/``neardup``: the +1,000,000 exact copies of benchmark
+      members (%25==0, ≥3 tokens) — a copy's shingle set equals its
+      source's, so P6's pooled contamination is exactly 1.0 ≥ 0.5 and
+      P22's containment exactly 100% ≥ 80%: plant_recall 1.0 is a
+      THEOREM for both (pinned in tests);
+    - ``semantic``: the +100,000 embedding copies of bench-slice sources
+      (vec %25==0 AND vec < 32) — bit-identical embedding ⇒ cosine
+      exactly 1.0 ≥ 0.98, recall 1.0 again a theorem.
+
+    ``n_other_flagged`` (non-plant flags) is the corpus-dependent signal
+    a curator actually reads — recorded, not pinned. Production gates
+    guard different LEAK CHANNELS (text suites vs embedded suites), so
+    per-gate grading in per-gate id spaces is the honest composition;
+    the union manifest is the gates' own outputs.
+
+    Scale: the union of its parts — three already-bounded gates plus
+    3 constant-width aggregate rows. Fully hash-exact (embeds the three
+    gates' own oracle SQL as derived tables)."""
+    from .similarity import decontaminate_semantic
+
+    toks = tokens(F.col("text"))
+    exp_text = F.broadcast(
+        documents.filter((F.col("doc_id") % 25 == 0) & (F.size(toks) >= 3)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_plants_expected")
+        )
+    )
+    exp_sem = F.broadcast(
+        embeddings.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 32)).agg(
+            F.count(F.lit(1)).cast("long").alias("n_plants_expected")
+        )
+    )
+
+    def gate_row(name, flagged, plant_cond, expected):
+        return (
+            flagged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_flagged"),
+                F.sum(plant_cond.cast("long")).cast("long").alias("n_plants_caught"),
+            )
+            .crossJoin(expected)
+            .select(
+                F.lit(name).alias("gate"),
+                "n_flagged",
+                "n_plants_expected",
+                F.coalesce("n_plants_caught", F.lit(0)).alias("n_plants_caught"),
+            )
+        )
+
+    g1 = gate_row(
+        "ngram",
+        decontaminate(documents).filter(F.col("contaminated")),
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000),
+        exp_text,
+    )
+    g2 = gate_row(
+        "neardup",
+        decontaminate_neardup(documents).select("doc_id").distinct(),
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000),
+        exp_text,
+    )
+    g3 = gate_row(
+        "semantic",
+        decontaminate_semantic(embeddings),
+        (F.col("vec_id") >= 100_000) & (F.col("vec_id") - 100_000 < 32),
+        exp_sem,
+    )
+    return (
+        g1.unionByName(g2)
+        .unionByName(g3)
+        .select(
+            "gate",
+            "n_flagged",
+            "n_plants_expected",
+            "n_plants_caught",
+            F.try_divide(
+                F.col("n_plants_caught"), F.col("n_plants_expected")
+            ).alias("plant_recall"),
+            (F.col("n_flagged") - F.col("n_plants_caught")).alias(
+                "n_other_flagged"
+            ),
+        )
+        .orderBy("gate")
+    )
+
+
 def mixture_temperature_plan(
     documents: DataFrame, budget: int = 4 * MIXTURE_BUDGET
 ) -> DataFrame:

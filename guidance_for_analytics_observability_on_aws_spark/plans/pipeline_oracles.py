@@ -739,3 +739,60 @@ UNION ALL
 SELECT '5_dsir_target', COUNT(*), CAST(SUM(n_tokens_clean) AS BIGINT) FROM s5
 """
 )
+
+
+# P31: decontamination-family evaluation report — the three gates' own
+# oracle SQL embedded verbatim as derived tables (the D37/P27 nested-WITH
+# convention), graded per gate against its planted leak class.
+from .dedup_oracles import DEDUP_ORACLES as _DEDUP_ORACLES_P31  # noqa: E402
+
+PIPELINE_ORACLES["decontaminate_eval_report"] = f"""
+WITH g_ngram AS (
+{PIPELINE_ORACLES["decontaminate"]}
+),
+g_neardup AS (
+{PIPELINE_ORACLES["decontaminate_neardup"]}
+),
+g_sem AS (
+{_DEDUP_ORACLES_P31["decontaminate_semantic"]}
+),
+exp_text AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_plants_expected
+  FROM documents
+  WHERE doc_id % 25 = 0 AND len(regexp_split_to_array(text, '\\s+')) >= 3
+),
+exp_sem AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_plants_expected
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 32
+),
+rows_g AS (
+  SELECT 'ngram' AS gate,
+         CAST(COUNT(*) AS BIGINT) AS n_flagged,
+         (SELECT n_plants_expected FROM exp_text) AS n_plants_expected,
+         CAST(COALESCE(SUM(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_plants_caught
+  FROM g_ngram WHERE contaminated
+  UNION ALL
+  SELECT 'neardup',
+         CAST(COUNT(*) AS BIGINT),
+         (SELECT n_plants_expected FROM exp_text),
+         CAST(COALESCE(SUM(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM (SELECT DISTINCT doc_id FROM g_neardup)
+  UNION ALL
+  SELECT 'semantic',
+         CAST(COUNT(*) AS BIGINT),
+         (SELECT n_plants_expected FROM exp_sem),
+         CAST(COALESCE(SUM(CASE WHEN vec_id >= 100000
+                                AND vec_id - 100000 < 32
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM g_sem
+)
+SELECT gate, n_flagged, n_plants_expected, n_plants_caught,
+       CAST(n_plants_caught AS DOUBLE) / NULLIF(n_plants_expected, 0)
+         AS plant_recall,
+       n_flagged - n_plants_caught AS n_other_flagged
+FROM rows_g
+ORDER BY gate
+"""

@@ -549,6 +549,18 @@ _register(
     PIPELINE_ORACLES["mixture_temperature_plan"],
 )
 
+# P31 (r14): the decontamination family's evaluation report — all three
+# gates (P6 n-gram, P22 near-dup containment, P28 semantic) graded against
+# their planted leak classes in one row-per-gate report; hash-exact via
+# the gates' own embedded oracle SQL.
+_register(
+    "decontaminate_eval_report",
+    lambda s, d: pipeline.decontaminate_eval_report(
+        load_tables(s, d)["documents"], load_tables(s, d)["embeddings"]
+    ),
+    PIPELINE_ORACLES["decontaminate_eval_report"],
+)
+
 # P19 (r8): incremental dup-group maintenance — prior labels contracted to
 # their roots, only the NEW batch's edges re-clustered, composed labels
 # identical to a full recompute (two-level contraction), so it SHARES
@@ -1110,27 +1122,31 @@ _PRIORITY = [
     #     dedup_semantic,dedup_semantic_eval,dedup_semantic_trained,\
     #     stream_semantic_dedup_ingest,dedup_paragraph_minhash,\
     #     dup_groups_star,dup_groups_incremental,dup_groups_nightly
-    #   slots 1-3   — the THREE r14 additions with no driver row: X22
-    #                 text_gopher_line_shape (the Gopher bullet-start/
-    #                 ellipsis-end line rules, hash-exact), P30
-    #                 mixture_temperature_plan (sqrt-temperature source
-    #                 balancing, hash-exact), X23 text_nb_langid
-    #                 (integer-log2 Naive Bayes language ID, hash-exact).
-    #   slots 4-11  — entries whose CODE/plan changed in r14: the semantic
+    #   slots 1-4   — the FOUR r14 additions with no driver row: X22
+    #                 text_gopher_line_shape (Gopher bullet/ellipsis line
+    #                 rules), P30 mixture_temperature_plan (sqrt-temperature
+    #                 source balancing), X23 text_nb_langid (integer-log2
+    #                 Naive Bayes language ID), P31 decontaminate_eval_report
+    #                 (all three decontamination gates graded against their
+    #                 planted leak classes) — all hash-exact.
+    #   slots 5-12  — entries whose CODE/plan changed in r14: the semantic
     #                 family D39/D40/D42/D41 (derived k = max(8, fl(sqrt(n)))
-    #                 defaults + spherical prune + gate append-order fix),
-    #                 D43 (pid packing guard), and the star-CC consumers
-    #                 P15/P19/P23 (size-gated driver union-find dispatch,
-    #                 single-action convergence check, nightly job cuts).
-    #   slots 12-50 — the r8-evidence block in ledger order (39 of 47 fit;
-    #                 similarity_eval_report, obs_error_budget,
-    #                 stream_ewma_smooth, obs_distinct_rollup_hll,
-    #                 obs_burn_rate_multiwindow, dedup_cdc_chunks,
-    #                 stream_error_budget overflow to lead the r15 window
-    #                 together with the r10 block — see SURVEY §2).
+    #                 defaults + spherical prune + gate append-order fix +
+    #                 size-dispatched Lloyd assignment), D43 (pid packing
+    #                 guard), and the star-CC consumers P15/P19/P23
+    #                 (size-gated driver union-find dispatch, single-action
+    #                 convergence check, nightly job cuts).
+    #   slots 13-50 — the r8-evidence block in ledger order (38 of 47 fit;
+    #                 obs_ewma_smooth, similarity_eval_report,
+    #                 obs_error_budget, stream_ewma_smooth,
+    #                 obs_distinct_rollup_hll, obs_burn_rate_multiwindow,
+    #                 dedup_cdc_chunks, stream_error_budget overflow to lead
+    #                 the r15 window together with the r10 block — see
+    #                 SURVEY §2).
     "text_gopher_line_shape",
     "mixture_temperature_plan",
     "text_nb_langid",
+    "decontaminate_eval_report",
     "dedup_semantic",
     "dedup_semantic_eval",
     "dedup_semantic_trained",
@@ -1177,7 +1193,6 @@ _PRIORITY = [
     "obs_trend_regression",
     "events_funnel_windowed",
     "docs_kmv_overlap",
-    "obs_ewma_smooth",
 ]
 
 

@@ -3822,6 +3822,35 @@ def test_nb_langid_literal_model(spark):
     assert all(got[i].correct for i in (1, 3, 5))
 
 
+def test_decontaminate_eval_report_theorems(spark, sf_dir):
+    """P31: plant recall is EXACTLY 1.0 for every gate — an exact copy's
+    shingle set equals its source's (P6 pooled contamination 1.0, P22
+    containment 100%), a bit-identical embedding's cosine is exactly 1.0
+    (P28) — and the expected-plant denominators match the corpus's own
+    planted classes."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_eval_report,
+    )
+
+    t = load_tables(spark, sf_dir)
+    got = {
+        r.gate: r
+        for r in decontaminate_eval_report(t["documents"], t["embeddings"]).collect()
+    }
+    assert set(got) == {"ngram", "neardup", "semantic"}
+    n_bench = t["documents"].filter(F.col("doc_id") % 25 == 0).count()
+    n_sem = t["embeddings"].filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 32)
+    ).count()
+    assert got["ngram"].n_plants_expected == n_bench
+    assert got["neardup"].n_plants_expected == n_bench
+    assert got["semantic"].n_plants_expected == n_sem > 0
+    for r in got.values():
+        assert r.plant_recall == 1.0, r
+        assert r.n_plants_caught == r.n_plants_expected
+        assert r.n_other_flagged == r.n_flagged - r.n_plants_caught >= 0
+
+
 def test_mixture_temperature_plan_semantics(spark):
     """P30: sqrt-temperature math pinned on a hand corpus — milli-sqrt
     weights exact, targets = budget·w DIV Σw, sub-mean sources BOOST and

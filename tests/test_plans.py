@@ -292,20 +292,22 @@ def test_driver_window_composition():
     names = list(REGISTRY)
     first50 = names[:50]
     # r14 rotation (the committed r13 plan + this round's additions/
-    # changes at the head per the contract): 3 never-checked (X22
+    # changes at the head per the contract): 4 never-checked (X22
     # text_gopher_line_shape, P30 mixture_temperature_plan, X23
-    # text_nb_langid) + 8 code-changed (semantic family D39/D40/
-    # D42/D41 — derived-k defaults + spherical prune + gate append-order
-    # fix; D43 pid guard; star-CC consumers P15/P19/P23 — driver
-    # union-find dispatch + nightly job cuts), then the r8-evidence
-    # block in ledger order (39 of 47 fit; the last 7 overflow to lead
-    # r15 — see the _PRIORITY comment and SURVEY §2's ledger table).
+    # text_nb_langid, P31 decontaminate_eval_report) + 8 code-changed
+    # (semantic family D39/D40/D42/D41 — derived-k defaults + spherical
+    # prune + gate append-order fix + size-dispatched Lloyd assignment;
+    # D43 pid guard; star-CC consumers P15/P19/P23 — driver union-find
+    # dispatch + nightly job cuts), then the r8-evidence block in ledger
+    # order (38 of 47 fit; the last 8 overflow to lead r15 — see the
+    # _PRIORITY comment and SURVEY §2's ledger table).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
     assert n_sql == 34, f"{n_sql} sql-backed entries in the driver window"
     head = (
         "text_gopher_line_shape",
         "mixture_temperature_plan",
         "text_nb_langid",
+        "decontaminate_eval_report",
         "dedup_semantic",
         "dedup_semantic_eval",
         "dedup_semantic_trained",
@@ -316,7 +318,6 @@ def test_driver_window_composition():
         "dup_groups_nightly",
         "obs_date_histogram",
         "obs_top_n_skew",
-        "obs_task_percentiles",
     )
     assert tuple(first50[: len(head)]) == head
     # spot-check the r8-evidence block is inside the window:
@@ -326,8 +327,7 @@ def test_driver_window_composition():
         "similarity_pq",
         "similarity_ivf_pq_residual",
         "dedup_eval_report",
-        "docs_kmv_overlap",
-        "obs_ewma_smooth",  # slot 50, the last fitting r8 entry
+        "docs_kmv_overlap",  # slot 50, the last fitting r8 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
@@ -346,7 +346,8 @@ def test_driver_window_composition():
         "orders_market_basket",         # r13-green, unchanged
         "obs_heavy_hitters_cms",        # r10-green — leads r15 after the
         "obs_error_rate_moving_avg",    # r10-green — r8 overflow block
-        "similarity_eval_report",       # r8-green — overflows to r15 (51+)
+        "obs_ewma_smooth",              # r8-green — overflows to r15 (51+)
+        "similarity_eval_report",       # r8-green — overflows to r15
         "obs_error_budget",             # r8-green — overflows to r15
         "stream_ewma_smooth",           # r8-ran — overflows to r15
         "stream_error_budget",          # r8-ran — overflows to r15
