@@ -161,6 +161,9 @@ _P_GROUP = {
     "corpus_curation_pipeline_v3", "decontaminate_semantic",
     # r13: the Gumbel-top-k resampler
     "dsir_gumbel_sample",
+    # r14: the sqrt-temperature mixture plan, the composed decontamination
+    # evaluation report
+    "mixture_temperature_plan", "decontaminate_eval_report",
 }
 
 
