@@ -341,11 +341,13 @@ def main() -> None:
         {"core": section_core, "rows": section_rows}[sys.argv[2]](sf_dir)
         return
 
-    # Fresh-process sections FIRST (headline + rows-only; each gets the
-    # whole machine — no other JVM is live), then the shared-session
-    # extended surface for the warm min-pass ratchet.
+    # Fresh-process headline section FIRST (it gets the whole machine —
+    # no other JVM is live), then the shared-session extended surface for
+    # the warm min-pass ratchet. The rows-only fresh process runs AFTER
+    # the headline record is printed, so a rows-section crash or timeout
+    # can never cost the round its core record (the file's standing
+    # invariant).
     core = _run_section("core")
-    rows = _run_section("rows")
 
     spark = get_spark("gfaooa-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -388,7 +390,10 @@ def main() -> None:
     # rows-only section below can never cost the round its core record.
     print(json.dumps({**totals, "queries": core["first"], "queries_min": best}))
 
-    # Rows-only runners from their OWN fresh process (see section_rows).
+    # Rows-only runners in their OWN fresh process (see section_rows) —
+    # run only now, after the headline record above is safely printed.
+    # The shared session sits idle while the subprocess owns the CPUs.
+    rows = _run_section("rows")
     rows_only: dict[str, float] = rows["rows_only_sec"]
     bench_overrides = {k: note for k, (_, note) in _bench_builders().items()}
     totals["n_rows_only"] = len(rows_only)

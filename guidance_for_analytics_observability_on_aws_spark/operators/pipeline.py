@@ -58,20 +58,27 @@ CC_EDGE_ROWS_PER_PARTITION = 1_000_000
 DRIVER_CC_EDGE_MAX = 200_000
 
 
+def _cc_partitions(n_edges: int, floor: int = 8) -> int:
+    """The ONE size-derived partition rule for the CC loops:
+    ``max(floor, ⌈n_edges / CC_EDGE_ROWS_PER_PARTITION⌉)`` — shared by
+    :func:`_edge_coalesce` (min-label P4) and :func:`dup_labels_star`
+    (which materializes earlier for its driver-dispatch gate), so a
+    tuning reaches both."""
+    return max(floor, -(-n_edges // CC_EDGE_ROWS_PER_PARTITION))
+
+
 def _edge_coalesce(edges: DataFrame, floor: int = 8) -> DataFrame:
     """Materialize the CC edge list and coalesce it to a partition count
-    derived from its ACTUAL size: ``max(floor, n_edges /
-    CC_EDGE_ROWS_PER_PARTITION)``, never more than the checkpointed
-    partitioning (coalesce is narrow — it cannot grow).
+    derived from its ACTUAL size (:func:`_cc_partitions`), never more
+    than the checkpointed partitioning (coalesce is narrow — it cannot
+    grow).
 
     The checkpoint runs first at the upstream (LSH-output) partitioning,
     so the count that sizes the loop is a cheap scan of materialized
     blocks, not a recompute of the MinHash job; the per-round tasks then
     scale with the edge list instead of a hard-coded 8."""
     ckpt = edges.localCheckpoint(eager=True)
-    n = ckpt.count()
-    target = max(floor, -(-n // CC_EDGE_ROWS_PER_PARTITION))
-    return ckpt.coalesce(target)
+    return ckpt.coalesce(_cc_partitions(ckpt.count(), floor))
 
 
 def train_val_split(documents: DataFrame) -> DataFrame:
@@ -970,12 +977,10 @@ def dup_labels_star(
                 canon.sparkSession, head, canon.schema[0].dataType.simpleString()
             )
     n_edges = canon.count()
-    # Size-derived partitioning (the _edge_coalesce rule): reused for
-    # every star round — rounds only shrink the edge set, so the initial
-    # count is a safe upper bound.
-    edges = canon.coalesce(
-        max(8, -(-n_edges // CC_EDGE_ROWS_PER_PARTITION))
-    )
+    # Size-derived partitioning (the shared _cc_partitions rule): reused
+    # for every star round — rounds only shrink the edge set, so the
+    # initial count is a safe upper bound.
+    edges = canon.coalesce(_cc_partitions(n_edges))
     n_parts = edges.rdd.getNumPartitions()
 
     def _sym(e: DataFrame) -> DataFrame:
@@ -1601,8 +1606,12 @@ def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> Da
 
     Scale: the union of its parts — three already-bounded gates plus
     3 constant-width aggregate rows. Fully hash-exact (embeds the three
-    gates' own oracle SQL as derived tables)."""
-    from .similarity import decontaminate_semantic
+    gates' own oracle SQL as derived tables). Class boundaries come from
+    the gates' OWN named constants (PLANT_OFFSET, DECON_BENCH_HI) so a
+    retuned gate can never silently desynchronize its grader; the text
+    plant offsets (+1M exact copies of the %25==0 slice) are the
+    ``functions/text.py::corpus`` literals, quoted as such."""
+    from .similarity import DECON_BENCH_HI, PLANT_OFFSET, decontaminate_semantic
 
     toks = tokens(F.col("text"))
     exp_text = F.broadcast(
@@ -1611,9 +1620,9 @@ def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> Da
         )
     )
     exp_sem = F.broadcast(
-        embeddings.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 32)).agg(
-            F.count(F.lit(1)).cast("long").alias("n_plants_expected")
-        )
+        embeddings.filter(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < DECON_BENCH_HI)
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_plants_expected"))
     )
 
     def gate_row(name, flagged, plant_cond, expected):
@@ -1646,7 +1655,8 @@ def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> Da
     g3 = gate_row(
         "semantic",
         decontaminate_semantic(embeddings),
-        (F.col("vec_id") >= 100_000) & (F.col("vec_id") - 100_000 < 32),
+        (F.col("vec_id") >= PLANT_OFFSET)
+        & (F.col("vec_id") - PLANT_OFFSET < DECON_BENCH_HI),
         exp_sem,
     )
     return (
@@ -1688,9 +1698,12 @@ def mixture_temperature_plan(
     engines and is documented out of scope rather than hidden behind a
     tolerance). Epoch realization columns (full_epochs / remainder /
     oversample) mirror P20 so the two plans read side-by-side; the
-    boost column (tempered vs natural share, exact cross-multiplied
-    flag + display ratio) is the number a curator sanity-checks —
-    sub-mean sources must boost, super-mean sources must damp.
+    boost column (tempered vs natural share — DOUBLE cross-products,
+    because the BIGINT form overflows past ~4e10 corpus tokens, far
+    below the 100 TB posture; both engines evaluate the identical IEEE
+    expression so parity holds, exact except within 1 ulp of the
+    boundary) is the number a curator sanity-checks — sub-mean sources
+    must boost, super-mean sources must damp.
 
     Scale: one corpus-sized token aggregation; everything after is
     |sources| rows on the driver-broadcast path.
@@ -1723,14 +1736,23 @@ def mixture_temperature_plan(
             "available_tokens",
             "w_msqrt",
             F.expr(f"({budget} * w_msqrt) DIV total_w").alias("target_tokens"),
-            # boosted ⟺ q_i > p_i ⟺ w·total_tokens > avail·total_w (BIGINT)
+            # boosted ⟺ q_i > p_i ⟺ w·total_tokens > avail·total_w. The
+            # cross-products are computed in DOUBLE: w ~ 1000·√tokens, so
+            # the BIGINT product overflows once corpus tokens pass ~4e10 —
+            # far below the 100 TB posture. Both engines evaluate the
+            # identical IEEE expression, so parity holds; the flag is
+            # exact except within 1 ulp of the boundary (a display-level
+            # wobble on a ratio, not a correctness surface).
             (
-                F.col("w_msqrt") * F.col("total_tokens")
-                > F.col("available_tokens") * F.col("total_w")
+                F.col("w_msqrt").cast("double") * F.col("total_tokens").cast("double")
+                > F.col("available_tokens").cast("double")
+                * F.col("total_w").cast("double")
             ).alias("boosted"),
             F.try_divide(
-                F.col("w_msqrt") * F.col("total_tokens"),
-                F.col("available_tokens") * F.col("total_w"),
+                F.col("w_msqrt").cast("double")
+                * F.col("total_tokens").cast("double"),
+                F.col("available_tokens").cast("double")
+                * F.col("total_w").cast("double"),
             ).alias("boost_ratio"),
         )
         .select(

@@ -158,7 +158,10 @@ def _cache_put(key: tuple | None, value) -> None:
 def trained_cache_clear(loaded_too: bool = True) -> None:
     """Drop every cached trained model (tests / file-mutation escape
     hatch); ``loaded_too=False`` keeps the persisted-snapshot store.
-    Shared checkpointed frames release their executor blocks on clear."""
+    Shared checkpointed frames release their executor blocks HERE — an
+    explicit clear is the documented invalidation point, so outstanding
+    handles from before the clear must not be used afterwards (their
+    checkpoint lineage is truncated and the blocks are gone)."""
     _TRAINED_CACHE.clear()
     for key in list(_SHARED_FRAMES):
         _shared_frame_release(_SHARED_FRAMES.pop(key))
@@ -182,9 +185,11 @@ def _checkpointed_tracked(df: DataFrame) -> tuple[DataFrame, list[int]]:
     """``localCheckpoint(eager=True)`` plus the ids of the persistent RDDs
     the checkpoint created (diff of the JVM's persistent-RDD registry
     around the call — single-threaded registry use, which is how the
-    shared-frame cache is driven). The ids let eviction release the
-    checkpoint blocks; misattribution would only force a recompute of an
-    unrelated cached frame, never a wrong answer."""
+    shared-frame cache is driven). The ids let the EXPLICIT clear path
+    (:func:`trained_cache_clear`) release the checkpoint blocks; they are
+    deliberately NOT released on capacity eviction, because unpersisting
+    a local checkpoint under a live caller handle is unrecoverable
+    (truncated lineage), not a recompute."""
     sc = df.sparkSession.sparkContext
     try:
         before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
@@ -232,7 +237,14 @@ def _shared_frame_put(key: tuple | None, spark, df: DataFrame) -> tuple[DataFram
         return None
     out, rdd_ids = _checkpointed_tracked(df)
     if len(_SHARED_FRAMES) >= _TRAINED_CACHE_MAX:
-        _shared_frame_release(_SHARED_FRAMES.pop(next(iter(_SHARED_FRAMES))))
+        # Capacity eviction drops the REFERENCE only — a caller may still
+        # hold an alias of the evicted frame, and unpersisting a local
+        # checkpoint under a live handle is unrecoverable (truncated
+        # lineage), not a recompute. Orphaned blocks are reclaimed by
+        # Spark's ContextCleaner once the last reference is collected;
+        # the explicit release path is trained_cache_clear(), whose
+        # contract invalidates outstanding handles.
+        _SHARED_FRAMES.pop(next(iter(_SHARED_FRAMES)))
     _SHARED_FRAMES[key] = (spark, out, rdd_ids)
     return out, rdd_ids
 
@@ -2021,7 +2033,13 @@ def semantic_dedup(
     cells = assign_cells(q, semantic_centroids(q, n_centroids))
     out = semantic_removals(cells, cells, threshold, n_splits)
     put = _shared_frame_put(key, spark, out)
-    return out if put is None else put[0].alias("shared")
+    if put is None:
+        # key-less plans (semanticHash unavailable) still MATERIALIZE —
+        # D40 consumes this frame twice, and an un-checkpointed return
+        # would re-run the assignment + pair join per reference (the r12
+        # flagged regression class); only the registry insert is skipped.
+        return out.localCheckpoint(eager=True)
+    return put[0].alias("shared")
 
 
 def semantic_centroids(q: DataFrame, n_centroids: int = SEMANTIC_CENTROIDS) -> DataFrame:

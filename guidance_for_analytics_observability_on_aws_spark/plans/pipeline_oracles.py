@@ -515,9 +515,12 @@ tw AS (
 )
 SELECT source, n_docs, available_tokens, w_msqrt,
        ({4 * MIXTURE_BUDGET} * w_msqrt) // total_w AS target_tokens,
-       w_msqrt * total_tokens > available_tokens * total_w AS boosted,
-       CAST(w_msqrt * total_tokens AS DOUBLE)
-         / CAST(available_tokens * total_w AS DOUBLE) AS boost_ratio,
+       CAST(w_msqrt AS DOUBLE) * CAST(total_tokens AS DOUBLE)
+         > CAST(available_tokens AS DOUBLE) * CAST(total_w AS DOUBLE)
+         AS boosted,
+       CAST(w_msqrt AS DOUBLE) * CAST(total_tokens AS DOUBLE)
+         / (CAST(available_tokens AS DOUBLE) * CAST(total_w AS DOUBLE))
+         AS boost_ratio,
        (({4 * MIXTURE_BUDGET} * w_msqrt) // total_w) // available_tokens
          AS full_epochs,
        (({4 * MIXTURE_BUDGET} * w_msqrt) // total_w) % available_tokens
@@ -745,6 +748,10 @@ SELECT '5_dsir_target', COUNT(*), CAST(SUM(n_tokens_clean) AS BIGINT) FROM s5
 # oracle SQL embedded verbatim as derived tables (the D37/P27 nested-WITH
 # convention), graded per gate against its planted leak class.
 from .dedup_oracles import DEDUP_ORACLES as _DEDUP_ORACLES_P31  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    DECON_BENCH_HI as _P31_BENCH_HI,
+    PLANT_OFFSET as _P31_PLANT,
+)
 
 PIPELINE_ORACLES["decontaminate_eval_report"] = f"""
 WITH g_ngram AS (
@@ -763,7 +770,7 @@ exp_text AS (
 ),
 exp_sem AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_plants_expected
-  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 32
+  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < {_P31_BENCH_HI}
 ),
 rows_g AS (
   SELECT 'ngram' AS gate,
@@ -784,8 +791,8 @@ rows_g AS (
   SELECT 'semantic',
          CAST(COUNT(*) AS BIGINT),
          (SELECT n_plants_expected FROM exp_sem),
-         CAST(COALESCE(SUM(CASE WHEN vec_id >= 100000
-                                AND vec_id - 100000 < 32
+         CAST(COALESCE(SUM(CASE WHEN vec_id >= {_P31_PLANT}
+                                AND vec_id - {_P31_PLANT} < {_P31_BENCH_HI}
                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM g_sem
 )
