@@ -1582,12 +1582,12 @@ def mixture_epoch_plan(
 
 def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """P31: the decontamination family's EVALUATION report (the P17/D27/
-    D37/D40 evaluation-as-operator posture applied to the three gates) —
+    D37/D40 evaluation-as-operator posture applied to the four gates) —
     the pre-flight a pipeline runs before training: is every gate WIRED
     and catching the leaks it is guaranteed to catch? One row per gate
     (P6 n-gram pooled ratio, P22 pairwise near-dup containment, P28
-    embedding cosine), each graded in its own id space against its own
-    planted leak class:
+    embedding cosine, and r15's P32 paragraph containment), each graded
+    in its own id space against its own planted leak class:
 
     - ``ngram``/``neardup``: the +1,000,000 exact copies of benchmark
       members (%25==0, ≥3 tokens) — a copy's shingle set equals its
@@ -1596,7 +1596,13 @@ def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> Da
       THEOREM for both (pinned in tests);
     - ``semantic``: the +100,000 embedding copies of bench-slice sources
       (vec %25==0 AND vec < 32) — bit-identical embedding ⇒ cosine
-      exactly 1.0 ≥ 0.98, recall 1.0 again a theorem.
+      exactly 1.0 ≥ 0.98, recall 1.0 again a theorem;
+    - ``paragraph``: the same +1M copies one level down — every window
+      of a copy is a contiguous token span of its source bench doc, so
+      its shingles are a SUBSET of the source's and paragraph
+      containment is exactly 1.0 ≥ 80%: recall 1.0 a theorem (the
+      gate's distinct value — fragment leaks the doc-level gates
+      dilute past — is pinned separately in tests).
 
     ``n_other_flagged`` (non-plant flags) is the corpus-dependent signal
     a curator actually reads — recorded, not pinned. Production gates
@@ -1659,9 +1665,21 @@ def decontaminate_eval_report(documents: DataFrame, embeddings: DataFrame) -> Da
         & (F.col("vec_id") - PLANT_OFFSET < DECON_BENCH_HI),
         exp_sem,
     )
+    # r15 fourth gate: P32 paragraph containment — each +1M exact copy
+    # windows into paragraphs whose shingles are contiguous shingles of
+    # the source bench doc (containment exactly 1.0 ≥ 80%), so recall
+    # 1.0 is again a theorem; the gate's distinct catch (fragment leaks
+    # P22 dilutes past) is pinned separately in tests.
+    g4 = gate_row(
+        "paragraph",
+        decontaminate_paragraph(documents).select("doc_id").distinct(),
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000),
+        exp_text,
+    )
     return (
         g1.unionByName(g2)
         .unionByName(g3)
+        .unionByName(g4)
         .select(
             "gate",
             "n_flagged",
@@ -1902,6 +1920,120 @@ def decontaminate_neardup(
             "containment_bench",
             F.col("n_shared") / F.col("n_bench_shingles"),
         )
+    )
+
+
+def decontaminate_paragraph(
+    documents: DataFrame, threshold_pct: int = 80
+) -> DataFrame:
+    """P32: PARAGRAPH-granularity decontamination — the fourth gate, and
+    the one that catches PARTIAL leaks the doc-level gates structurally
+    cannot. P22's verdict is containment of the WHOLE bench item in the
+    whole training doc (`|t∩b| / |b|`): a full eval item embedded in a
+    100-page scrape still scores 1.0 there, but a FRAGMENT leak — one
+    paragraph of a long benchmark document scraped into the corpus —
+    dilutes to `fragment/|b|`, below any doc-level bar, and P28's
+    whole-doc embedding barely moves. This gate re-keys the TRAIN side
+    at D43's paragraph granularity (`dedup._paragraph_base`: fixed
+    ``PARA_TOKENS``-token windows, pid = doc_id·PARA_KEY + window) and
+    flags every paragraph that is ≥ ``threshold_pct``% benchmark
+    content: containment of the PARAGRAPH side, ``|p∩b| / |p|`` — a
+    window lifted verbatim from ANY part of a bench doc scores exactly
+    1.0 (its shingles are contiguous shingles of the bench doc), no
+    matter how long either document is.
+
+    Lossless bipartite prefix filtering, P22's theorem with the bounded
+    side flipped: containment(p in b) ≥ t forces |p∩b| ≥ ceil(t·|p|),
+    so under the fixed lexicographic order the smallest common shingle
+    lies within the PARAGRAPH's first ``|p| − ceil(t·|p|) + 1`` sorted
+    shingles — only paragraph prefixes explode (≈(1−t)·|p|+1 ≈ 7
+    shingles per 32-token window at t=0.8); the bench side is indexed
+    in FULL and broadcast (benchmarks are small by definition — P6's
+    broadcast argument). Exact verification joins candidates back to
+    the paragraph arrays shuffle-hash (corpus-sized side, the D30 pin)
+    × broadcast bench arrays. Report rolls up per (train doc, bench
+    doc): leaked-paragraph count, first leaked window index (where in
+    the doc the leak starts — the curator's jump-to link), and max
+    paragraph containment. Plant classes: every +1M exact bench copy
+    (functions/text.py::corpus) windows into paragraphs of containment
+    exactly 1.0 — recall 1.0 is a THEOREM (pinned, with a
+    fragment-leak miss/catch A/B vs P22 in tests). Full hash-exact
+    oracle sharing D43's para CTE + P22's bench CTEs.
+
+    Scale shape: one broadcast-joined narrow explode (paragraph
+    prefixes × broadcast bench index), one shuffle-hash equi-join for
+    verification, one map-side-combined rollup — no self-join, no
+    corpus×corpus shuffle; candidate count is bounded by leaked mass,
+    not corpus size.
+    """
+    from ..functions.text import shingles
+    from .dedup import PARA_KEY, _paragraph_base
+
+    pct = int(threshold_pct)
+    orig = F.expr(f"pid DIV {PARA_KEY}")
+    para = (
+        _paragraph_base(documents)
+        .select(F.col("doc_id").alias("pid"), "toks")
+        .filter(~((orig < 1000000) & (orig % 25 == 0)))
+        .select("pid", F.array_sort(shingles(F.col("toks"))).alias("sh_p"))
+        .localCheckpoint(eager=True)
+    )
+    toks = tokens(F.col("text"))
+    bench_sh = (
+        documents.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("bench_doc_id", shingles(F.col("toks")).alias("sh_b"))
+        .localCheckpoint(eager=True)
+    )
+    bench_idx = bench_sh.select(
+        "bench_doc_id", F.explode("sh_b").alias("shingle")
+    )
+    ppref = para.select(
+        "pid",
+        F.explode(
+            F.slice(
+                F.col("sh_p"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (
+                        F.size("sh_p")
+                        - F.expr(f"({pct} * size(sh_p) + 99) DIV 100")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        ppref.join(F.broadcast(bench_idx), "shingle")
+        .select("pid", "bench_doc_id")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("sh_p", "sh_b")).cast("long")
+    verified = (
+        cand.join(para.hint("shuffle_hash"), "pid")
+        .join(F.broadcast(bench_sh), "bench_doc_id")
+        .select(
+            "pid",
+            "bench_doc_id",
+            shared.alias("n_shared"),
+            F.size("sh_p").cast("long").alias("n_para_shingles"),
+        )
+        .filter(
+            F.col("n_shared") * 100 >= F.lit(pct) * F.col("n_para_shingles")
+        )
+    )
+    return verified.groupBy(
+        F.expr(f"pid DIV {PARA_KEY}").cast("long").alias("doc_id"),
+        "bench_doc_id",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_leaked_paras"),
+        F.min(F.col("pid") % PARA_KEY).cast("long").alias("first_para"),
+        F.max(F.col("n_shared") / F.col("n_para_shingles")).alias(
+            "max_containment_para"
+        ),
     )
 
 

@@ -602,6 +602,77 @@ WHERE n_shared * 100 >= 80 * n_bench_shingles
 """
 
 
+# P32: paragraph-granularity decontamination — D43's para windowing CTE
+# (pid packing, fixed PARA_TOKENS windows over the augmented corpus, bench
+# originals excluded) composed with P22's bench CTEs, prefix filter flipped
+# to bound the PARAGRAPH side (containment(p in b) ≥ t ⟹ smallest common
+# shingle within the paragraph's first |p| − ceil(t·|p|) + 1 sorted
+# shingles), exact list_intersect verification, per-(doc, bench) rollup.
+from ..operators.dedup import (  # noqa: E402
+    PARA_KEY as _PARA_KEY,
+    PARA_TOKENS as _PARA_TOKENS,
+)
+
+PIPELINE_ORACLES["decontaminate_paragraph"] = f"""
+WITH {CORPUS_CTE},
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM corpus
+  WHERE NOT (doc_id < 1000000 AND doc_id % 25 = 0)
+),
+para AS (
+  SELECT doc_id * {_PARA_KEY} + i AS pid,
+         toks[(i-1)*{_PARA_TOKENS}+1 : i*{_PARA_TOKENS}] AS toks
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1,
+             GREATEST(CAST(CEIL(len(toks) / {_PARA_TOKENS}.0) AS INTEGER), 1)
+           )) AS i
+    FROM ctoks
+  )
+  WHERE len(toks[(i-1)*{_PARA_TOKENS}+1 : i*{_PARA_TOKENS}]) >= 3
+),
+psh AS (
+  SELECT pid, list_sort({_SHINGLES_SQL}) AS sh_p FROM para
+),
+bench AS (
+  SELECT doc_id AS bench_doc_id, {_SHINGLES_SQL} AS sh_b
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+    FROM documents WHERE doc_id % 25 = 0
+  ) WHERE len(toks) >= 3
+),
+bench_idx AS (SELECT bench_doc_id, unnest(sh_b) AS shingle FROM bench),
+ppref AS (
+  SELECT pid,
+         unnest(sh_p[1:GREATEST(1,
+           CAST(len(sh_p) - ((80 * len(sh_p) + 99) // 100) + 1 AS BIGINT))])
+           AS shingle
+  FROM psh
+),
+cand AS (
+  SELECT DISTINCT p.pid, b.bench_doc_id
+  FROM ppref p JOIN bench_idx b USING (shingle)
+),
+verified AS (
+  SELECT * FROM (
+    SELECT c.pid, c.bench_doc_id,
+           CAST(len(list_intersect(ps.sh_p, bn.sh_b)) AS BIGINT) AS n_shared,
+           CAST(len(ps.sh_p) AS BIGINT) AS n_para_shingles
+    FROM cand c
+    JOIN psh ps ON ps.pid = c.pid
+    JOIN bench bn ON bn.bench_doc_id = c.bench_doc_id
+  ) WHERE n_shared * 100 >= 80 * n_para_shingles
+)
+SELECT CAST(pid // {_PARA_KEY} AS BIGINT) AS doc_id,
+       bench_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_leaked_paras,
+       CAST(MIN(pid % {_PARA_KEY}) AS BIGINT) AS first_para,
+       MAX(n_shared / CAST(n_para_shingles AS DOUBLE))
+         AS max_containment_para
+FROM verified GROUP BY 1, 2
+"""
+
+
 # P24: soft dedup at sampling time — per-doc keep rule
 # md5(doc_id # text) % n_copies == 0 (pmod; md5 hashes are non-negative so
 # % == pmod), per-source token-mass report.
@@ -763,6 +834,9 @@ g_neardup AS (
 g_sem AS (
 {_DEDUP_ORACLES_P31["decontaminate_semantic"]}
 ),
+g_para AS (
+{PIPELINE_ORACLES["decontaminate_paragraph"]}
+),
 exp_text AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_plants_expected
   FROM documents
@@ -787,6 +861,13 @@ rows_g AS (
          CAST(COALESCE(SUM(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000
                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM (SELECT DISTINCT doc_id FROM g_neardup)
+  UNION ALL
+  SELECT 'paragraph',
+         CAST(COUNT(*) AS BIGINT),
+         (SELECT n_plants_expected FROM exp_text),
+         CAST(COALESCE(SUM(CASE WHEN doc_id >= 1000000 AND doc_id < 2000000
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM (SELECT DISTINCT doc_id FROM g_para)
   UNION ALL
   SELECT 'semantic',
          CAST(COUNT(*) AS BIGINT),

@@ -561,6 +561,17 @@ _register(
     PIPELINE_ORACLES["decontaminate_eval_report"],
 )
 
+# P32 (r15): paragraph-granularity decontamination — D43's paragraph
+# re-keying applied to the TRAIN side of P22's lossless bipartite prefix
+# filter (bounded side flipped: paragraph prefixes vs a broadcast full
+# bench index), so fragment leaks that dilute below any doc-level bar are
+# caught at containment(paragraph in bench) ≥ 80%; hash-exact.
+_register(
+    "decontaminate_paragraph",
+    lambda s, d: pipeline.decontaminate_paragraph(load_tables(s, d)["documents"]),
+    PIPELINE_ORACLES["decontaminate_paragraph"],
+)
+
 # P19 (r8): incremental dup-group maintenance — prior labels contracted to
 # their roots, only the NEW batch's edges re-clustered, composed labels
 # identical to a full recompute (two-level contraction), so it SHARES

@@ -2929,6 +2929,77 @@ def test_decontaminate_neardup_finds_every_planted_copy(spark, sf_dir):
             assert r.containment_bench == 1.0
 
 
+def test_decontaminate_paragraph_finds_every_planted_copy(spark, sf_dir):
+    """P32: every planted exact copy (+1M of the %25==0 slice, ≥3 tokens)
+    must pair with its own benchmark source — every one of its windows is
+    a contiguous span of the source, so paragraph containment is exactly
+    1.0 from window 1 on (first_para == 1, max == 1.0)."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import (
+        tokens,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_paragraph,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    rows = {(r.doc_id, r.bench_doc_id): r for r in decontaminate_paragraph(docs).collect()}
+    assert rows
+    bench_ids = {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % 25 == 0) & (F.size(tokens(F.col("text"))) >= 3)
+        ).collect()
+    }
+    for b in bench_ids:
+        r = rows.get((b + 1000000, b))
+        assert r is not None, f"planted copy of {b} missed"
+        assert r.first_para == 1
+        assert r.max_containment_para == 1.0
+    for r in rows.values():
+        assert 0.8 <= r.max_containment_para <= 1.0
+        assert r.n_leaked_paras >= 1
+
+
+def test_decontaminate_paragraph_catches_fragment_leak_p22_dilutes(spark):
+    """P32's distinct catch, pinned as a hand case: a 64-token FRAGMENT of
+    a 600-token benchmark doc embedded window-aligned in a training doc.
+    Doc-level bench containment is ~62/598 ≈ 0.10 — P22 must NOT flag the
+    pair — while the two embedded windows are 100% benchmark content, so
+    P32 flags it at max containment exactly 1.0 starting at window 2."""
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_neardup,
+        decontaminate_paragraph,
+    )
+
+    bench_toks = [f"w{i}" for i in range(600)]
+    train_toks = (
+        [f"zz{i}" for i in range(32)]  # window 1: filler
+        + bench_toks[:64]  # windows 2-3: verbatim bench fragment
+        + [f"yy{i}" for i in range(32)]  # window 4: filler
+    )
+    docs = spark.createDataFrame(
+        [
+            (50, " ".join(bench_toks), "en", "bench", 0),
+            (7, " ".join(train_toks), "en", "scrape", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    neardup_pairs = {
+        (r.doc_id, r.bench_doc_id) for r in decontaminate_neardup(docs).collect()
+    }
+    assert (7, 50) not in neardup_pairs, "doc-level gate should dilute past a fragment"
+    got = {(r.doc_id, r.bench_doc_id): r for r in decontaminate_paragraph(docs).collect()}
+    frag = got[(7, 50)]
+    assert frag.n_leaked_paras == 2
+    assert frag.first_para == 2
+    assert frag.max_containment_para == 1.0
+    # the corpus plant (+1M copy of bench doc 50) is caught wholesale too
+    plant = got[(1000050, 50)]
+    assert plant.first_para == 1
+    assert plant.n_leaked_paras == 19  # ceil(600/32) windows, all ≥3 tokens
+    assert plant.max_containment_para == 1.0
+
+
 def test_dup_fraction_hand_case(spark):
     """X17: two identical docs (every shingle duplicated → bin 9) and one
     unique doc (df 1 everywhere → bin 0) — counts and bins pinned.
@@ -3837,13 +3908,14 @@ def test_decontaminate_eval_report_theorems(spark, sf_dir):
         r.gate: r
         for r in decontaminate_eval_report(t["documents"], t["embeddings"]).collect()
     }
-    assert set(got) == {"ngram", "neardup", "semantic"}
+    assert set(got) == {"ngram", "neardup", "paragraph", "semantic"}
     n_bench = t["documents"].filter(F.col("doc_id") % 25 == 0).count()
     n_sem = t["embeddings"].filter(
         (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 32)
     ).count()
     assert got["ngram"].n_plants_expected == n_bench
     assert got["neardup"].n_plants_expected == n_bench
+    assert got["paragraph"].n_plants_expected == n_bench
     assert got["semantic"].n_plants_expected == n_sem > 0
     for r in got.values():
         assert r.plant_recall == 1.0, r
