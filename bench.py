@@ -17,6 +17,15 @@ extended sql surface keeps the single shared session for the warm
 min-pass ratchet. ``value`` is therefore the fresh-process core-35
 first pass from r14 on; ``value_shared_session`` carries the old
 shared-session number for cross-round continuity.
+
+Host-load normalization (r15): every section first times a FROZEN
+control pair (``_control_pair`` — code never changes again);
+``host_inflation = control_now / control_best`` measures the machine's
+slowdown today, and the headline flag list
+(``n_regressed_normalized``) only fires when a query's min-pass
+DIVIDED by its section's inflation still exceeds 1.5x its all-time
+best. Raw flag lists stay for continuity, but they flag the host, not
+the code (r12-r14: ~48 false flags/round under load).
 """
 
 from __future__ import annotations
@@ -239,6 +248,69 @@ def _warm(spark, sf_dir: str) -> None:
     ).mode("overwrite").save()
 
 
+def _control_pair(spark, sf_dir: str) -> dict[str, float]:
+    """FROZEN host-load control pair — r15, DO NOT EDIT EVER. The two
+    timings below are the normalization denominators every subsequent
+    round's regression flags divide by, so they are only comparable
+    across rounds if this code never changes (the bench analogue of the
+    oracle-frozen operators). Self-contained on purpose: no REGISTRY
+    dependency, so no refactor of the engine can touch them.
+
+    - ``control_scan``: trivial scan-agg over events (codegen + one
+      narrow shuffle) — tracks raw CPU + parquet-read throughput.
+    - ``control_join``: orders⨝lineitem shuffle join + group rollup —
+      tracks shuffle/exchange cost, the part host load inflates most.
+
+    Why: three rounds running (r12-r14), a loaded host inflated
+    wall-clock 2-10x on UNTOUCHED queries and the builder+judge each
+    spent a cycle re-attributing the noise (the repo's documented
+    ±35%+ drift). ``host_inflation = control_now / control_best``
+    measures the machine, not the code: a query is only flagged when
+    its CONTROL-NORMALIZED time regresses. Two reps each, min kept —
+    the same defense the query passes use."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .groupBy("event_type")
+            .agg(F.sum("value"), F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+        out["control_scan"] = min(
+            out.get("control_scan", 1e9), round(time.perf_counter() - t0, 3)
+        )
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .join(
+                spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority", "l_returnflag")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.count(F.lit(1)),
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        out["control_join"] = min(
+            out.get("control_join", 1e9), round(time.perf_counter() - t0, 3)
+        )
+    return out
+
+
+def _inflation(control_now: dict[str, float], control_best: dict[str, float]) -> float:
+    """Section host-inflation factor vs the best-ever control ratchet,
+    clamped to ≥1.0 (a faster-than-ever host must update the ratchet,
+    never deflate a query's normalized time)."""
+    ref = sum(control_best.get(k, control_now[k]) for k in control_now)
+    now = sum(control_now.values())
+    return max(1.0, round(now / ref, 3)) if ref else 1.0
+
+
 def _timed_pass(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     """One timed noop-materialization pass. Builder inside the timed
     section: iterative operators (dup_groups) run actions while building,
@@ -287,9 +359,10 @@ def section_core(sf_dir: str) -> None:
     spark = get_spark("gfaooa-bench-core")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
+    control = _control_pair(spark, sf_dir)
     passes = [_timed_pass(spark, sf_dir, BENCH_QUERIES) for _ in range(2)]
     best = {n: min(p[n] for p in passes) for n in BENCH_QUERIES}
-    print(json.dumps({"first": passes[0], "min": best}))
+    print(json.dumps({"first": passes[0], "min": best, "control": control}))
     spark.stop()
 
 
@@ -302,6 +375,7 @@ def section_rows(sf_dir: str) -> None:
     spark = get_spark("gfaooa-bench-rows")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
+    control = _control_pair(spark, sf_dir)
     builders = _bench_builders()
     rows_only: dict[str, float] = {}
     for name in _rows_only_names():
@@ -310,7 +384,7 @@ def section_rows(sf_dir: str) -> None:
         df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         rows_only[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"rows_only_sec": rows_only}))
+    print(json.dumps({"rows_only_sec": rows_only, "control": control}))
     spark.stop()
 
 
@@ -352,6 +426,7 @@ def main() -> None:
     spark = get_spark("gfaooa-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
+    control_ext = _control_pair(spark, sf_dir)
 
     # Two full passes; per-query MIN defends the record against transient
     # machine load (BENCH_r04 was inflated 20-100% by a loaded host while
@@ -395,6 +470,11 @@ def main() -> None:
     # The shared session sits idle while the subprocess owns the CPUs.
     rows = _run_section("rows")
     rows_only: dict[str, float] = rows["rows_only_sec"]
+    controls = {
+        "core": core.get("control", {}),
+        "extended": control_ext,
+        "rows": rows.get("control", {}),
+    }
     bench_overrides = {k: note for k, (_, note) in _bench_builders().items()}
     totals["n_rows_only"] = len(rows_only)
     totals["rows_only_total"] = round(sum(rows_only.values()), 3)
@@ -420,6 +500,7 @@ def main() -> None:
     prev_min: dict[str, float] = {}
     prev_best: dict[str, float] = {}
     prev_rows_best: dict[str, float] = {}
+    prev_ctl_best: dict[str, float] = {}
     prev: dict = {}
     try:
         with open(perquery_path) as fh:
@@ -430,8 +511,26 @@ def main() -> None:
             prev_rows_best = prev.get(
                 "rows_only_sec_best", prev.get("rows_only_sec", {})
             )
+            prev_ctl_best = prev.get("control_sec_best", {})
     except (OSError, ValueError):
         pass
+
+    # Host-load normalization (r15): each section's frozen control pair
+    # vs the best-ever control ratchet gives that section's inflation
+    # factor — the machine's slowdown today, independent of any code
+    # change. The sql min-pass folds the core + extended processes, so
+    # its divisor is the BETTER (smaller) of the two sections' factors:
+    # a per-query minimum achieved under the less-loaded process must be
+    # normalized by that process's inflation, and dividing by less only
+    # makes flags MORE likely (conservative direction).
+    host_inflation = {
+        sec: _inflation(c, prev_ctl_best) for sec, c in controls.items() if c
+    }
+    infl_sql = max(
+        1.0,
+        min(host_inflation.get("core", 1.0), host_inflation.get("extended", 1.0)),
+    )
+    infl_rows = host_inflation.get("rows", 1.0)
 
     def _regressions(now: dict[str, float], ref: dict[str, float]):
         return sorted(
@@ -453,6 +552,39 @@ def main() -> None:
     regressions = _regressions(best, prev_min)
     best_ever = {n: round(min(v, prev_best.get(n, v)), 3) for n, v in best.items()}
     regressions_vs_best = _regressions(best, prev_best)
+
+    def _norm_regressions(
+        now: dict[str, float], ref: dict[str, float], factor: float
+    ):
+        """Control-normalized flags — the ONLY list that should page a
+        builder: a query is flagged when its min-pass, divided by the
+        section's host inflation, still exceeds 1.5x its all-time best
+        (plus a 0.3s absolute guard against sub-second noise). Raw lists
+        above are kept for continuity, but under host load they flag
+        dozens of untouched queries (r12-r14, a re-attribution cycle
+        each) while this one shrinks to genuinely-changed queries."""
+        return sorted(
+            (
+                (n, ref[n], now[n], round(now[n] / factor, 3))
+                for n in now
+                if n in ref
+                and now[n] / factor > ref[n] * 1.5
+                and now[n] / factor - ref[n] > 0.3
+            ),
+            key=lambda t: t[3] - t[1],
+            reverse=True,
+        )
+
+    regressions_norm = _norm_regressions(best, prev_best, infl_sql)
+    rows_regressions_norm = _norm_regressions(
+        rows_only, prev_rows_best, infl_rows
+    )
+    # Control ratchet: elementwise min over every section's controls and
+    # the stored best — like the query ratchet, it only moves down.
+    control_best_new = dict(prev_ctl_best)
+    for c in controls.values():
+        for k, v in c.items():
+            control_best_new[k] = round(min(control_best_new.get(k, v), v), 3)
     rows_best_ever = {
         n: round(min(v, prev_rows_best.get(n, v)), 3) for n, v in rows_only.items()
     }
@@ -534,6 +666,17 @@ def main() -> None:
                 ],
                 "group_regressions_vs_prev": group_regressions,
                 "group_regressions_vs_best": group_regressions_vs_best,
+                "control_sec": controls,
+                "control_sec_best": control_best_new,
+                "host_inflation": host_inflation,
+                "regressions_vs_best_normalized": [
+                    {"query": n, "best": p, "now_min": c, "now_normalized": z}
+                    for n, p, c, z in regressions_norm
+                ],
+                "rows_regressions_vs_best_normalized": [
+                    {"query": n, "best": p, "now": c, "now_normalized": z}
+                    for n, p, c, z in rows_regressions_norm
+                ],
             },
             fh,
             indent=1,
@@ -546,6 +689,15 @@ def main() -> None:
     totals["n_regressed_vs_best"] = len(regressions_vs_best)
     totals["top_regressions_vs_best"] = [
         [n, p, c] for n, p, c in regressions_vs_best[:3]
+    ]
+    # r15 host-load normalization: the headline flag list. Raw counts
+    # above stay for cross-round continuity; READ THESE under load.
+    totals["host_inflation"] = host_inflation
+    totals["n_regressed_normalized"] = len(regressions_norm) + len(
+        rows_regressions_norm
+    )
+    totals["top_regressions_normalized"] = [
+        [n, p, z] for n, p, c, z in (regressions_norm + rows_regressions_norm)[:5]
     ]
     # Truncation-proof record: the driver captures the TAIL of stdout and
     # BENCH_r05 lost its totals when the (large) per-query line was cut.

@@ -2859,3 +2859,145 @@ def red_panel(tm: DataFrame, err_pct: int = 5, distributed: bool = False) -> Dat
             F.col("p99").cast("long").alias("p99_ms"),
         )
     )
+
+
+#: O85 (r15): vendored inventory of the reference's dashboard bundle —
+#: every saved object in deployment/infra/resources/lambda/
+#: opensearch-bootstrap/resources/dashboards/data-skew.ndjson (the ONE
+#: reference artifact whose parity was, until now, only asserted panel-by-
+#: panel in O-group docstrings), as (object id prefix, object type, title,
+#: vis type, twin kind, twin). Twin kinds: ``registry`` — the panel's
+#: aggregation is a registry query (metric tiles -> O4/O5 sums and
+#: cardinalities, skewness pies -> O3's [0,.1,.5,.8,1] buckets x distinct
+#: jobs, detail tables -> O7/O1, date histograms -> O6, skew-over-time
+#: histograms -> O23, the saved log search -> O17); ``schema`` — the three
+#: index patterns, carried by sources/schemas.py's typed StructTypes;
+#: ``layout`` — markdown titles, dashboard containers, input controls: no
+#: data semantics to twin.
+DASHBOARD_PANELS: list[tuple[str, str, str, str, str, str | None]] = [
+    ("56342850", "index-pattern", "spark-stage-agg-metrics*", "", "schema", "STAGE_AGG_SCHEMA"),
+    ("6776af20", "visualization", "Data Skewness analysis per Spark application", "markdown", "layout", None),
+    ("66f2bac0", "visualization", "Data Skew - Dashboard controls", "input_control_vis", "layout", None),
+    ("88d555b0", "visualization", "Number of application runs per spark application", "metric", "registry", "obs_cardinality"),
+    ("19f32540", "visualization", "Number of spark jobs(s) within an application run", "metric", "registry", "obs_cardinality"),
+    ("4cfb7860", "index-pattern", "spark-task-metrics*", "", "schema", "TASK_METRICS_SCHEMA"),
+    ("086f70c0", "visualization", "Total run time in milliseconds", "metric", "registry", "obs_app_summary"),
+    ("6c4c0e90", "visualization", "Total input Bytes read", "metric", "registry", "obs_app_summary"),
+    ("244d90b0", "visualization", "Distribution of completed jobs per InputRead Skewness", "pie", "registry", "obs_skew_distribution"),
+    ("38849230", "visualization", "Distribution of completed jobs per Shuffle Skewness", "pie", "registry", "obs_skew_distribution"),
+    ("b3108ee0", "visualization", "Data Skewness high level details - Job and Stage Id levels", "table", "registry", "obs_top_n_skew"),
+    ("84780a80", "visualization", "Data Skewness task level details", "table", "registry", "obs_task_metrics"),
+    ("8bf48420", "visualization", "Spark application logs", "markdown", "layout", None),
+    ("406bfc50", "index-pattern", "spark-logs*", "", "schema", "LOG_SCHEMA"),
+    ("33ca7a70", "search", "Spark Logs", "", "registry", "obs_log_search"),
+    ("0aca6e20", "dashboard", "Data Skewness Analysis - Details", "", "layout", None),
+    ("d31f8a00", "visualization", "Data Skewness - Dashboard title", "markdown", "layout", None),
+    ("db850f60", "visualization", "Data Skewness metric definition", "markdown", "layout", None),
+    ("3f3b0b00", "visualization", "Number of spark applications", "metric", "registry", "obs_cardinality"),
+    ("49055720", "visualization", "Number of spark applications in time", "line", "registry", "obs_date_histogram"),
+    ("62251290", "visualization", "Number of application runs in time", "line", "registry", "obs_date_histogram"),
+    ("93a14a60", "visualization", "Total Executor CPU time in milliseconds", "metric", "registry", "obs_app_summary"),
+    ("c47f18f0", "visualization", "Total Shuffle Bytes read", "metric", "registry", "obs_app_summary"),
+    ("d30b4f60", "visualization", "Total Shuffle Bytes written", "metric", "registry", "obs_app_summary"),
+    ("0fd952a0", "visualization", "Input bytes read Skewness per App run over time", "histogram", "registry", "obs_skew_timeline"),
+    ("8e164cc0", "visualization", "Suffle bytes read Skewness per App run over time", "histogram", "registry", "obs_skew_timeline"),
+    ("70230140", "dashboard", "Data Skewness Analysis - Main dashboard", "", "layout", None),
+    ("73ea8590", "visualization", "Apache Spark Main dashboard", "markdown", "layout", None),
+    ("a6388c50", "visualization", "Total output Bytes written", "metric", "registry", "obs_app_summary"),
+    ("7ee47e70", "visualization", "Total input Records read", "metric", "registry", "obs_app_summary"),
+    ("b26a7f10", "visualization", "Total output Records written", "metric", "registry", "obs_app_summary"),
+    ("ef01f890", "visualization", "Total Shuffle Records written", "metric", "registry", "obs_app_summary"),
+    ("e08a5b90", "visualization", "Total Shuffle Records read", "metric", "registry", "obs_app_summary"),
+    ("5e837740", "dashboard", "Apache Spark Dashboard", "", "layout", None),
+]
+
+
+def _freshest_evidence() -> dict[str, tuple[int, str]]:
+    """registry key -> (freshest driver round, status), parsed from the
+    repo-root CORRECTNESS_r*.json artifacts when present (the evidence
+    union tools/evidence_ledger.py reads); empty in a bare checkout —
+    the report then carries null evidence columns, never fails."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    last: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match"):
+                status = "hash-exact"
+            elif row.get("err") == "no_oracle":
+                status = (
+                    "ran" if (row.get("spark_rows") or 0) > 0 else "empty"
+                )
+            else:
+                status = "fail"
+            prev = last.get(name)
+            if prev is None or rnd >= prev[0]:
+                last[name] = (rnd, status)
+    return last
+
+
+def dashboard_parity_report(spark) -> DataFrame:
+    """O85: dashboard-bundle PARITY report — the evaluation-as-operator
+    posture (P17/P31) applied to the reference's one artifact nothing
+    queried directly until now: one row per saved object in
+    data-skew.ndjson × its twin in THIS engine × the twin's freshest
+    driver evidence. Query panels twin to registry entries (checked
+    against the live REGISTRY), the three index patterns twin to the
+    typed schemas in ``sources/schemas.py`` (checked by symbol lookup),
+    and layout objects (markdown/controls/dashboard containers) are
+    carried with null twins so the row count equals the bundle's object
+    count. Evidence columns come from the committed CORRECTNESS
+    artifacts when present (freshest round + status per twin) and are
+    null in a bare checkout. Rows-only driver check (the report reads
+    repo artifacts, not the data tables); every-panel-has-a-twin is
+    pinned in tests.
+
+    Reference: deployment/infra/resources/lambda/opensearch-bootstrap/
+    resources/dashboards/data-skew.ndjson (35 saved objects; panel→query
+    mapping per SURVEY §1's dashboard row)."""
+    from ..plans.registry import REGISTRY
+    from ..sources import schemas as schema_mod
+
+    evidence = _freshest_evidence()
+    rows = []
+    for oid, otype, title, vtype, kind, twin in DASHBOARD_PANELS:
+        registered = False
+        oracle = None
+        ev_round = None
+        ev_status = None
+        if kind == "registry" and twin is not None:
+            spec = REGISTRY.get(twin)
+            registered = spec is not None
+            if spec is not None:
+                oracle = "sql" if spec.oracle is not None else "rows-only"
+            ev = evidence.get(twin)
+            if ev is not None:
+                ev_round, ev_status = ev
+        elif kind == "schema" and twin is not None:
+            registered = hasattr(schema_mod, twin)
+        rows.append(
+            (oid, otype, title, vtype or None, kind, twin, registered,
+             oracle, ev_round, ev_status)
+        )
+    return spark.createDataFrame(
+        rows,
+        "object_id STRING, object_type STRING, title STRING, "
+        "vis_type STRING, twin_kind STRING, twin STRING, "
+        "twin_registered BOOLEAN, twin_oracle STRING, "
+        "evidence_round INT, evidence_status STRING",
+    )

@@ -1675,6 +1675,20 @@ def _dup_groups_nightly(s, d):
 _register("dup_groups_nightly", _dup_groups_nightly, None)
 
 
+# Rows-only: O85 (r15) — dashboard-bundle parity report: one row per
+# saved object in the reference's data-skew.ndjson × its twin in this
+# engine (registry query / typed schema / layout) × the twin's freshest
+# driver evidence from the committed CORRECTNESS artifacts; every-panel-
+# has-a-twin pinned in tests.
+def _dashboard_parity(s, d):
+    from ..operators.observability import dashboard_parity_report
+
+    return dashboard_parity_report(s)
+
+
+_register("obs_dashboard_parity", _dashboard_parity, None)
+
+
 # Rows-only: M11 (r9) — media ingest dedup: M8's byte-exact gate as a
 # zero-state STREAM-STATIC anti-join (the O43/P18 ingest pattern); the
 # arriving micro-batches' (modality, payload_md5) fingerprints — the
