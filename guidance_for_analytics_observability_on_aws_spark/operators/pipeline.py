@@ -915,6 +915,16 @@ def _dup_labels_driver(spark, rows, utype: str) -> DataFrame:
             else:
                 parent[ru] = rv
     labels = [(x, find(x)) for x in parent]
+    if utype == "bigint":
+        # Arrow-batched local-rows path (~4x faster than the row-at-a-
+        # time tuple converter, measured r15) — ids are bigint for every
+        # production caller; other id types fall through to the generic
+        # converter below.
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(labels, columns=["src", "group_id"]).astype("int64")
+        )
     return spark.createDataFrame(
         labels, f"src {utype}, group_id {utype}"
     )
@@ -925,6 +935,7 @@ def dup_labels_star(
     max_iter: int = 30,
     pairs: DataFrame | None = None,
     driver_max_edges: int | None = DRIVER_CC_EDGE_MAX,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """(src, group_id) labels via LARGE-STAR / SMALL-STAR connected
     components (Kiveris et al., "Connected Components in MapReduce and
@@ -957,15 +968,26 @@ def dup_labels_star(
     """
     if pairs is None:
         pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
-    canon = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    if pairs_distinct:
+        # r15: the caller guarantees a DISTINCT, consistently-oriented,
+        # already-materialized pair list (the nightly loop checkpoints
+        # its delta edges for the report count anyway) — the orientation
+        # flip is a free projection and the dedup shuffle + second
+        # checkpoint would re-do work the caller just did.
+        canon = pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        ).filter(F.col("u") != F.col("v"))
+    else:
+        canon = (
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     if driver_max_edges:
         # take(gate+1) doubles as the size probe AND the collect: when it
         # comes back short, those rows ARE the whole edge list (one job
@@ -1055,7 +1077,11 @@ def dup_groups_star(documents: DataFrame, max_iter: int = 30) -> DataFrame:
 
 
 def dup_labels_incremental_fold(
-    prior: DataFrame, new_pairs: DataFrame, max_iter: int = 30
+    prior: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 30,
+    driver_max_rows: int | None = DRIVER_CC_EDGE_MAX,
+    known_sizes: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Fold a batch of NEW edges into an existing (src, group_id) label
     table WITHOUT re-running connected components over the full graph —
@@ -1078,7 +1104,46 @@ def dup_labels_incremental_fold(
     coalesce); contracted-graph nodes that are not prior roots are the
     new batch's docs (plus previously-isolated old docs first touched by
     a new edge) and take their labels directly.
+
+    Physical dispatch (r15, the r14 star-CC pattern one level up): when
+    BOTH the prior label table and the new edge list fit under
+    ``driver_max_rows``, the whole fold collapses to one driver
+    union-find over their CONCATENATION — a prior (src, group_id) row
+    IS an edge to the component minimum (group_id ≤ src by the label
+    algebra, roots are self-edges), so union-by-min over prior rows +
+    new edges reproduces the two-level contraction exactly: same key
+    set (prior srcs ∪ new endpoints), same minima. Two ``take`` probes
+    + one ``createDataFrame`` replace ~8 shuffle-joining jobs whose
+    fixed overhead dominates at nightly-batch sizes; the distributed
+    contraction is the 100 TB path and engages unchanged above the
+    gate. Driver-vs-distributed equality is pinned in tests.
     """
+    if driver_max_rows:
+        if known_sizes is not None:
+            # The caller (the nightly loop) already counted both frames
+            # for its own report — when both fit, collect directly: two
+            # single-job collects instead of incremental take probes
+            # (which scale 1→4→16→32 partitions, ~4 jobs each, pure
+            # fixed overhead at nightly-batch sizes).
+            if max(known_sizes) <= driver_max_rows:
+                return _dup_labels_driver(
+                    prior.sparkSession,
+                    list(prior.select("src", "group_id").collect())
+                    + list(new_pairs.select("doc_a", "doc_b").collect()),
+                    prior.schema[0].dataType.simpleString(),
+                )
+        else:
+            ph = prior.select("src", "group_id").take(driver_max_rows + 1)
+            if len(ph) <= driver_max_rows:
+                eh = new_pairs.select("doc_a", "doc_b").take(
+                    driver_max_rows + 1
+                )
+                if len(eh) <= driver_max_rows:
+                    return _dup_labels_driver(
+                        prior.sparkSession,
+                        list(ph) + list(eh),
+                        prior.schema[0].dataType.simpleString(),
+                    )
     pa = prior.select(F.col("src").alias("doc_a"), F.col("group_id").alias("ra"))
     pb = prior.select(F.col("src").alias("doc_b"), F.col("group_id").alias("rb"))
     contracted = (
@@ -1159,7 +1224,11 @@ def dup_groups_incremental(
 
 
 def dup_groups_nightly_report(
-    spark, sf_dir: str, max_iter: int = 30, verify: bool = True
+    spark,
+    sf_dir: str,
+    max_iter: int = 30,
+    verify: bool = False,
+    warm_state: bool = True,
 ) -> DataFrame:
     """P23: the P19 fold closed into the PRODUCTION nightly loop over
     REAL commits — P19's demo derives its "prior labels" in-process; here
@@ -1181,16 +1250,35 @@ def dup_groups_nightly_report(
       (again via manifest diff — each version's added files ARE that
       night's full label set) and commits the folded result as version N.
 
-    Per night the folded labels are checked EQUAL (set equality both
+    State-access modes (r15): ``warm_state=True`` (default) is the
+    long-lived-cluster posture — the session keeps a cached mirror of
+    the stored band index (append-only by construction, so the mirror
+    never invalidates) and of last night's labels; the snapshot tables
+    are still COMMITTED every night (cold starts and other readers see
+    exactly the same state), they're just not re-READ by the process
+    that just wrote them. ``warm_state=False`` is the cold-start
+    posture: the stored band index and prior labels are re-read from
+    the committed snapshots via the S14 manifest-diff contract — the
+    two modes are pinned row-identical in ``tests/test_operators.py``
+    (the commit wrote exactly the mirror's rows, so equality is
+    structural, and the test proves the read-back path stays wired).
+    The night's delta DOCS are read back from the committed files in
+    both modes: they are page-cache-hot and carry the corpus
+    augmentation already materialized, which measures cheaper than
+    re-deriving it. Label/band commit fan-out is sized by MEASURED
+    bytes: night 0 writes with the row heuristic, its committed files
+    calibrate bytes/row, and later nights target ~64 MB files from
+    that measurement (a row heuristic undersizes wide rows and
+    oversizes narrow ones at 100 TB).
+
+    Per night the folded labels can be checked EQUAL (set equality both
     ways) to a from-scratch D3+star recompute over the night's full
-    snapshot — the verification oracle only; production runs just the
-    fold. ``verify=False`` skips that oracle (``fold_equals_full`` is
-    NULL) and is what ``bench.py`` times, so the recorded number is the
-    production fold cost, not the cost of grading it; the driver's
-    rows-only row and the suite keep ``verify=True`` with the hard
-    per-night assertion. Rows-only driver check (snapshot paths are
-    environment-local); the equality verdict is also asserted in
-    ``tests/test_operators.py``.
+    snapshot — the verification oracle only, ~2/3 of the runtime, so
+    ``verify=False`` is the DEFAULT (production runs just the fold and
+    ``fold_equals_full`` is NULL); the suite and one SCALE probe keep
+    ``verify=True`` with the hard per-night assertion. Rows-only driver
+    check (snapshot paths are environment-local); the equality verdict
+    is asserted in ``tests/test_operators.py``.
     """
     import shutil
     import tempfile
@@ -1237,13 +1325,47 @@ def dup_groups_nightly_report(
         ]
         report: list[Row] = []
         doc_files: set[str] = set()
+        seen_files: dict[str, set[str]] = {bands_tbl: set(), labels_tbl: set()}
+        bytes_per_row: dict[str, float] = {}
+        stored_mirror: DataFrame | None = None  # warm band-index mirror
+        prior_mirror: DataFrame | None = None  # warm last-night labels
+        prev_lab_n = 0  # last night's label count (fold size dispatch)
+
+        def commit_measured(df: DataFrame, table: str, n_rows: int, est_rows_per_file: int) -> None:
+            """Commit with byte-measured file fan-out: the first commit
+            uses the row-count estimate, then its committed files
+            calibrate bytes/row and every later commit targets ~64 MB
+            files from the measurement."""
+            bpr = bytes_per_row.get(table)
+            if bpr is None:
+                n_files = max(1, -(-n_rows // est_rows_per_file))
+            else:
+                n_files = max(1, -(-int(n_rows * bpr) // (64 << 20)))
+            ver = commit_append(df.coalesce(n_files), table)
+            added_f = [
+                f for f in manifest_files(table, ver)
+                if f not in seen_files[table]
+            ]
+            seen_files[table].update(added_f)
+            if n_rows > 0 and added_f:
+                import os as _os
+
+                bytes_per_row[table] = sum(
+                    _os.path.getsize(f) for f in added_f
+                ) / n_rows
+
         for night, batch in enumerate(nights):
             v = commit_append(batch, docs_tbl)
             added = [f for f in manifest_files(docs_tbl, v) if f not in doc_files]
             doc_files.update(added)
             # S14: the commit's rows = only the added files; an empty
             # commit (no files) must report an empty night, not crash
-            # spark.read.parquet() with zero paths.
+            # spark.read.parquet() with zero paths. The read-back is kept
+            # in BOTH modes: the just-written files are page-cache-hot
+            # and carry the corpus augmentation already materialized, so
+            # reading them is CHEAPER than re-deriving the 4-branch
+            # augmentation union (measured in r15 — a batch
+            # localCheckpoint cost +2.5 s/run against a ~0.2 s read).
             delta = (
                 spark.read.parquet(*added)
                 if added
@@ -1260,7 +1382,7 @@ def dup_groups_nightly_report(
                 delta_edges = (
                     batch_bands.alias("a")
                     .join(
-                        batch_bands.alias("b"),
+                        batch_bands.alias("b").hint("shuffle_hash"),
                         (F.col("a.band_id") == F.col("b.band_id"))
                         & (F.col("a.band_hash") == F.col("b.band_hash"))
                         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1272,13 +1394,33 @@ def dup_groups_nightly_report(
                     .distinct()
                     .localCheckpoint(eager=True)
                 )
-                folded = dup_labels_star(
-                    None, max_iter=max_iter, pairs=delta_edges
-                ).localCheckpoint(eager=True)
+                # The report needs the edge count anyway — counting the
+                # checkpoint FIRST (one job) lets the fold dispatch on a
+                # KNOWN size: a direct single-job collect under the gate
+                # instead of star's incremental take probe.
+                n_edges = delta_edges.count()
+                if n_edges <= DRIVER_CC_EDGE_MAX:
+                    folded = _dup_labels_driver(
+                        spark,
+                        delta_edges.collect(),
+                        delta_edges.schema[0].dataType.simpleString(),
+                    ).localCheckpoint(eager=True)
+                else:
+                    folded = dup_labels_star(
+                        None,
+                        max_iter=max_iter,
+                        pairs=delta_edges,
+                        pairs_distinct=True,
+                    ).localCheckpoint(eager=True)
             else:
-                stored = read_snapshot(spark, bands_tbl)
+                stored = (
+                    stored_mirror
+                    if warm_state
+                    else read_snapshot(spark, bands_tbl)
+                )
                 old_new = (
                     batch_bands.alias("n")
+                    .hint("shuffle_hash")
                     .join(
                         stored.alias("o"),
                         (F.col("n.band_id") == F.col("o.band_id"))
@@ -1292,7 +1434,7 @@ def dup_groups_nightly_report(
                 new_new = (
                     batch_bands.alias("a")
                     .join(
-                        batch_bands.alias("b"),
+                        batch_bands.alias("b").hint("shuffle_hash"),
                         (F.col("a.band_id") == F.col("b.band_id"))
                         & (F.col("a.band_hash") == F.col("b.band_hash"))
                         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1306,37 +1448,79 @@ def dup_groups_nightly_report(
                     old_new.unionByName(new_new).distinct().localCheckpoint(eager=True)
                 )
                 # stored night-(N−1) labels = the files label-version N
-                # ADDED over N−1 (S14 manifest diff on the label table)
-                before = (
-                    set(manifest_files(labels_tbl, night - 1))
-                    if night >= 2
-                    else set()
-                )
-                prior = spark.read.parquet(
-                    *[
-                        f
-                        for f in manifest_files(labels_tbl, night)
-                        if f not in before
-                    ]
-                )
+                # ADDED over N−1 (S14 manifest diff on the label table);
+                # warm mode hands the fold last night's checkpointed
+                # frame — the commit wrote exactly those rows.
+                if warm_state:
+                    prior = prior_mirror
+                else:
+                    before = (
+                        set(manifest_files(labels_tbl, night - 1))
+                        if night >= 2
+                        else set()
+                    )
+                    prior = spark.read.parquet(
+                        *[
+                            f
+                            for f in manifest_files(labels_tbl, night)
+                            if f not in before
+                        ]
+                    )
+                n_edges = delta_edges.count()
                 folded = dup_labels_incremental_fold(
-                    prior, delta_edges, max_iter=max_iter
+                    prior,
+                    delta_edges,
+                    max_iter=max_iter,
+                    # both sizes are already known (last night's label
+                    # stats + this night's edge count) — the fold skips
+                    # its take probes entirely.
+                    known_sizes=(prev_lab_n, n_edges),
                 ).localCheckpoint(eager=True)
             # one aggregation job carries both label stats; counts first so
             # the commits below can size their FILE fan-out from real rows
             # (a 32-partition checkpoint of a few hundred labels would
             # otherwise write 32 near-empty files per night and pay the
             # manifest/read-back cost forever after).
-            lab = folded.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("group_id").alias("g"),
-            ).first()
-            n_edges = delta_edges.count()
-            n_new = delta.count()
-            files = lambda n: max(1, -(-n // 5_000_000))  # noqa: E731
-            commit_append(folded.coalesce(files(lab.n)), labels_tbl)
-            # bands ≈ 16 rows per admitted doc — sized without an extra job
-            commit_append(batch_bands.coalesce(files(n_new * 16)), bands_tbl)
+            # Independent driver actions overlap in a small thread pool
+            # (Spark schedules concurrent jobs from one session): the
+            # four stats jobs touch disjoint frames, and the two commits
+            # write DISJOINT tables (separate manifests, separate
+            # bytes_per_row / seen_files keys) — per-night driver
+            # latency is the max of each group, not the sum.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_lab = pool.submit(
+                    lambda: folded.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.countDistinct("group_id").alias("g"),
+                    ).first()
+                )
+                f_new = pool.submit(delta.count)
+                # real band row count so the bytes/row calibration
+                # divides by actual rows.
+                f_bands = pool.submit(batch_bands.count)
+                lab, n_new, n_bands = (
+                    f_lab.result(),
+                    f_new.result(),
+                    f_bands.result(),
+                )
+            prev_lab_n = lab.n
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                c1 = pool.submit(
+                    commit_measured, folded, labels_tbl, lab.n, 5_000_000
+                )
+                c2 = pool.submit(
+                    commit_measured, batch_bands, bands_tbl, n_bands, 5_000_000
+                )
+                c1.result(), c2.result()
+            if warm_state:
+                stored_mirror = (
+                    batch_bands
+                    if stored_mirror is None
+                    else stored_mirror.unionByName(batch_bands)
+                )
+                prior_mirror = folded
             if verify:
                 full = dup_labels_star(
                     None,

@@ -1663,9 +1663,11 @@ _register(
 
 # Rows-only: P23 (r9) — the P19 fold closed into the production nightly
 # loop: three REAL S10 commits (docs + append-only band index + label
-# table), delta edges from probing the STORED index (bounded by the
-# batch), prior labels read via the S14 manifest diff, per-night fold ≡
-# full-recompute equality asserted inside the runner.
+# table), delta edges from probing the stored index (bounded by the
+# batch). Since r15 the runner defaults to the production posture:
+# warm in-session state mirrors + verify=False; the per-night fold ≡
+# full-recompute equality and the cold manifest-diff read-back path are
+# pinned in tests/test_operators.py and the SCALE probe.
 def _dup_groups_nightly(s, d):
     from ..operators.pipeline import dup_groups_nightly_report
 

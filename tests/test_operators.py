@@ -2007,6 +2007,34 @@ def test_dup_labels_incremental_fold_merges_old_groups(spark):
     assert folded == want
     assert folded[100] == 1 and folded[4] == 1 and folded[5] == 1  # merged
     assert folded[7] == 7 and folded[101] == 7 and folded[102] == 7
+    # r15 dispatch equality: driver-via-known_sizes (the nightly's path),
+    # driver-via-take-probes (default above), and forced-distributed
+    # contraction must emit the identical label set.
+    sized = {
+        r.src: r.group_id
+        for r in dup_labels_incremental_fold(
+            prior, new_pairs, known_sizes=(prior.count(), new_pairs.count())
+        ).collect()
+    }
+    dist = {
+        r.src: r.group_id
+        for r in dup_labels_incremental_fold(
+            prior, new_pairs, driver_max_rows=0
+        ).collect()
+    }
+    assert sized == folded == dist
+    # and star's pairs_distinct fast canon is label-identical to the
+    # full canonicalization over an already-distinct edge list
+    pd_labels = {
+        r.src: r.group_id
+        for r in dup_labels_star(
+            None,
+            pairs=old_pairs.unionByName(new_pairs).distinct()
+            .localCheckpoint(eager=True),
+            pairs_distinct=True,
+        ).collect()
+    }
+    assert pd_labels == want
 
 
 def test_lsh_band_salting_lossless(spark, sf_dir):
@@ -3100,7 +3128,10 @@ def test_dup_groups_nightly_loop_contracts(spark, sf_dir):
         dup_groups_nightly_report,
     )
 
-    rows = {r.night: r for r in dup_groups_nightly_report(spark, sf_dir).collect()}
+    rows = {
+        r.night: r
+        for r in dup_groups_nightly_report(spark, sf_dir, verify=True).collect()
+    }
     assert set(rows) == {0, 1, 2}
     for r in rows.values():
         assert r.fold_equals_full
@@ -3110,6 +3141,22 @@ def test_dup_groups_nightly_loop_contracts(spark, sf_dir):
     assert rows[1].n_delta_edges > 0
     assert rows[0].n_labeled <= rows[1].n_labeled <= rows[2].n_labeled
     assert rows[1].docs_version == 2 and rows[2].docs_version == 3
+    # r15 warm/cold pin: the default warm path (in-session mirrors of the
+    # append-only band index + last night's labels, batch-as-delta) must
+    # report row-identically to the cold path that re-reads every night's
+    # state from the committed snapshots via the S14 manifest diff — the
+    # commit wrote exactly the mirror's rows, so any divergence means a
+    # broken read-back path. Cold also runs verify=True, so the stored-
+    # state recompute oracle stays exercised end-to-end.
+    cold = {
+        r.night: r
+        for r in dup_groups_nightly_report(
+            spark, sf_dir, verify=True, warm_state=False
+        ).collect()
+    }
+    assert set(cold) == set(rows)
+    for night, r in rows.items():
+        assert tuple(r) == tuple(cold[night]), (night, r, cold[night])
 
 
 def test_bloom_gate_no_false_negatives_and_audit(spark, sf_dir):
