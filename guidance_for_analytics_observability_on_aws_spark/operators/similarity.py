@@ -2116,13 +2116,19 @@ def semantic_removals(
     (≤ ~2.3e-3 — every qualifying pair keeps B6 ≥ τ − 2.3e-3 > τ − 3e-3),
     so the OUTPUT is bit-identical with or without the prune (verified).
     MEASURED honestly at this corpus's d=32: cost-NEUTRAL even in the
-    quadratic k=8 regime at 10× data (~50 s both arms, 3-rep A/B) — the
-    27M-pair join machinery dominates and a 32-wide dot is too cheap to
-    matter; the prune pays at production embedding widths (d ≥ 768,
-    where the skipped dot is 24× this one) and costs two multiplies per
-    pair here. The fix that actually moves this operator at scale is the
-    DERIVED cell count (see :func:`semantic_dedup` — 5.3× vs 11.2× time
-    growth at 10×), not per-pair pruning."""
+    quadratic k=8 regime at 10× data (~50 s both arms, 3-rep A/B).
+    r15 extended the A/B to production widths on a synthetic clustered
+    corpus (tools/scale_stress.py::semantic_prune_width_probe, n=20k,
+    3-rep interleaved): win 1.16×/1.04×/1.04× at d=32/128/768 with
+    prune_rate ≈ 0.11 — under the derived-√n cell policy cells are
+    angularly TIGHT at τ=0.98, so only ~11% of same-cell pairs are
+    provably-dissimilar and the skippable dot share caps the win at any
+    width. The prune stays UNCONDITIONAL because it is lossless, two
+    multiplies per pair, and never measured below 1.0× at any width (a
+    width gate would delete the d=32 win to save nothing). The fix that
+    actually moves this operator at scale is the DERIVED cell count
+    (see :func:`semantic_dedup` — 5.3× vs 11.2× time growth at 10×),
+    not per-pair pruning."""
     b = arriving.withColumn("sub", _sub_block(n_splits=n_splits)).alias("b")
     a = cand.withColumn(
         "t", F.explode(F.array(*[F.lit(i) for i in range(n_splits)]))
