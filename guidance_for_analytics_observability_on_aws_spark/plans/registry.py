@@ -1128,83 +1128,84 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    # r14 window (50 slots exactly), GENERATED by the codified recipe:
+    # r15 window (50 slots exactly), GENERATED by the codified recipe:
     #   python tools/evidence_ledger.py --priority --changed \
-    #     dedup_semantic,dedup_semantic_eval,dedup_semantic_trained,\
-    #     stream_semantic_dedup_ingest,dedup_paragraph_minhash,\
-    #     dup_groups_star,dup_groups_incremental,dup_groups_nightly
-    #   slots 1-4   — the FOUR r14 additions with no driver row: X22
-    #                 text_gopher_line_shape (Gopher bullet/ellipsis line
-    #                 rules), P30 mixture_temperature_plan (sqrt-temperature
-    #                 source balancing), X23 text_nb_langid (integer-log2
-    #                 Naive Bayes language ID), P31 decontaminate_eval_report
-    #                 (all three decontamination gates graded against their
-    #                 planted leak classes) — all hash-exact.
-    #   slots 5-12  — entries whose CODE/plan changed in r14: the semantic
-    #                 family D39/D40/D42/D41 (derived k = max(8, fl(sqrt(n)))
-    #                 defaults + spherical prune + gate append-order fix +
-    #                 size-dispatched Lloyd assignment), D43 (pid packing
-    #                 guard), and the star-CC consumers P15/P19/P23
-    #                 (size-gated driver union-find dispatch, single-action
-    #                 convergence check, nightly job cuts).
-    #   slots 13-50 — the r8-evidence block in ledger order (38 of 47 fit;
-    #                 obs_ewma_smooth, similarity_eval_report,
-    #                 obs_error_budget, stream_ewma_smooth,
-    #                 obs_distinct_rollup_hll, obs_burn_rate_multiwindow,
-    #                 dedup_cdc_chunks, stream_error_budget overflow to lead
-    #                 the r15 window together with the r10 block — see
-    #                 SURVEY §2).
-    "text_gopher_line_shape",
-    "mixture_temperature_plan",
-    "text_nb_langid",
+    #     decontaminate_eval_report,dup_groups_star,dup_groups_incremental,\
+    #     dup_groups_nightly
+    #   slots 1-2   — the TWO r15 additions with no driver row: P32
+    #                 decontaminate_paragraph (paragraph-granularity
+    #                 decontamination, hash-exact) and O85
+    #                 obs_dashboard_parity (dashboard-bundle parity
+    #                 report, rows-only).
+    #   slots 3-6   — entries whose CODE/plan changed in r15: P31
+    #                 decontaminate_eval_report (fourth 'paragraph' gate
+    #                 row) and the star-CC consumers P15/P19/P23 (Arrow
+    #                 label frames in the driver union-find; the nightly
+    #                 additionally gets size-known fold dispatch, warm
+    #                 state mirrors, measured-byte commits, verify=False
+    #                 default).
+    #   slots 7-14  — the 8 r8-evidence overflow entries from the
+    #                 committed r14 plan (obs_ewma_smooth,
+    #                 similarity_eval_report, obs_error_budget,
+    #                 stream_ewma_smooth, obs_distinct_rollup_hll,
+    #                 obs_burn_rate_multiwindow, dedup_cdc_chunks,
+    #                 stream_error_budget).
+    #   slots 15-17 — the 3 r10-evidence entries (obs_heavy_hitters_cms,
+    #                 obs_error_rate_moving_avg, obs_alert_rules).
+    #   slots 18-50 — r10-evidence backfill in ledger order (33 of the
+    #                 r10 block fit; the remainder leads the r16 window).
+    "decontaminate_paragraph",
+    "obs_dashboard_parity",
     "decontaminate_eval_report",
-    "dedup_semantic",
-    "dedup_semantic_eval",
-    "dedup_semantic_trained",
-    "stream_semantic_dedup_ingest",
-    "dedup_paragraph_minhash",
     "dup_groups_star",
     "dup_groups_incremental",
     "dup_groups_nightly",
-    "obs_date_histogram",
-    "obs_top_n_skew",
-    "obs_task_percentiles",
-    "obs_log_enrich",
-    "obs_error_rate",
-    "obs_executor_utilization",
-    "obs_session_windows",
-    "obs_skew_timeline",
-    "stream_metrics_window",
-    "obs_log_search",
-    "obs_counter_rate",
-    "obs_gap_fill",
-    "obs_anomaly_zscore",
-    "obs_log_templates",
-    "embedding_kmeans",
-    "similarity_ivf_trained",
-    "similarity_pq",
-    "similarity_ivf_pq",
-    "similarity_ivf_pq_residual",
-    "similarity_ivf_pq_multiprobe",
-    "similarity_index_persist_report",
-    "dedup_eval_report",
-    "mixture_epoch_plan",
-    "stream_incremental_dedup",
-    "stream_near_dedup_ingest",
-    "stream_cusum_drift",
-    "stream_gap_fill",
-    "source_incremental_view",
-    "stream_trend_regression",
-    "orders_backlog_timeline",
-    "orders_ship_latency",
-    "obs_tail_sampling",
-    "obs_cusum_drift",
-    "obs_anomaly_mad",
-    "obs_percentile_timeline",
-    "obs_trend_regression",
-    "events_funnel_windowed",
-    "docs_kmv_overlap",
+    "obs_ewma_smooth",
+    "similarity_eval_report",
+    "obs_error_budget",
+    "stream_ewma_smooth",
+    "obs_distinct_rollup_hll",
+    "obs_burn_rate_multiwindow",
+    "dedup_cdc_chunks",
+    "stream_error_budget",
+    "obs_heavy_hitters_cms",
+    "obs_error_rate_moving_avg",
+    "obs_alert_rules",
+    "asof_join_attribution",
+    "events_funnel",
+    "merge_scd2_customers",
+    "customers_monthly_cohorts",
+    "customers_abc_pareto",
+    "customers_rfm_segments",
+    "dedup_containment",
+    "similarity_ivf_multiprobe",
+    "vocab_coverage",
+    "pack_sequences_distributed",
+    "text_top_terms",
+    "mm_shard_manifest",
+    "mm_dedup_exact",
+    "mm_resize",
+    "mm_media_sample",
+    "obs_task_percentiles_distributed",
+    "obs_top_movers",
+    "obs_value_histogram",
+    "obs_metric_correlation",
+    "stream_burn_rate",
+    "obs_forecast_linear",
+    "text_length_percentiles",
+    "obs_histogram_rollup",
+    "dedup_prefix_filter",
+    "obs_alert_flap",
+    "source_zone_map_report",
+    "text_vocab_growth",
+    "dedup_sorted_neighborhood",
+    "stream_histogram_rollup",
+    "obs_red_panel",
+    "text_dup_fraction",
+    "decontaminate_neardup",
+    "export_order_plan",
 ]
+
 
 
 

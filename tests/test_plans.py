@@ -291,66 +291,62 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r14 rotation (the committed r13 plan + this round's additions/
-    # changes at the head per the contract): 4 never-checked (X22
-    # text_gopher_line_shape, P30 mixture_temperature_plan, X23
-    # text_nb_langid, P31 decontaminate_eval_report) + 8 code-changed
-    # (semantic family D39/D40/D42/D41 — derived-k defaults + spherical
-    # prune + gate append-order fix + size-dispatched Lloyd assignment;
-    # D43 pid guard; star-CC consumers P15/P19/P23 — driver union-find
-    # dispatch + nightly job cuts), then the r8-evidence block in ledger
-    # order (38 of 47 fit; the last 8 overflow to lead r15 — see the
-    # _PRIORITY comment and SURVEY §2's ledger table).
+    # r15 rotation (the committed r14 plan + this round's additions/
+    # changes at the head per the contract): 2 never-checked (P32
+    # decontaminate_paragraph, O85 obs_dashboard_parity) + 4 code-
+    # changed (P31 fourth gate; star-CC consumers P15/P19/P23 — Arrow
+    # label frames + the nightly's size-known fold dispatch / warm
+    # mirrors / measured-byte commits), then the 8 r8-evidence overflow
+    # entries, the 3 r10-evidence entries, and r10-evidence backfill in
+    # ledger order (see _PRIORITY's comment and SURVEY §2).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 34, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 41, f"{n_sql} sql-backed entries in the driver window"
     head = (
-        "text_gopher_line_shape",
-        "mixture_temperature_plan",
-        "text_nb_langid",
+        "decontaminate_paragraph",
+        "obs_dashboard_parity",
         "decontaminate_eval_report",
-        "dedup_semantic",
-        "dedup_semantic_eval",
-        "dedup_semantic_trained",
-        "stream_semantic_dedup_ingest",
-        "dedup_paragraph_minhash",
         "dup_groups_star",
         "dup_groups_incremental",
         "dup_groups_nightly",
-        "obs_date_histogram",
-        "obs_top_n_skew",
+        "obs_ewma_smooth",
+        "similarity_eval_report",
+        "obs_error_budget",
+        "stream_ewma_smooth",
+        "obs_distinct_rollup_hll",
+        "obs_burn_rate_multiwindow",
+        "dedup_cdc_chunks",
+        "stream_error_budget",
+        "obs_heavy_hitters_cms",
+        "obs_error_rate_moving_avg",
+        "obs_alert_rules",
     )
     assert tuple(first50[: len(head)]) == head
-    # spot-check the r8-evidence block is inside the window:
+    # spot-check the r10-evidence backfill block is inside the window:
     for expected in (
-        "stream_metrics_window",
-        "embedding_kmeans",
-        "similarity_pq",
-        "similarity_ivf_pq_residual",
-        "dedup_eval_report",
-        "docs_kmv_overlap",  # slot 50, the last fitting r8 entry
+        "asof_join_attribution",
+        "merge_scd2_customers",
+        "dedup_prefix_filter",
+        "obs_red_panel",
+        "export_order_plan",  # slot 50, the last fitting r10 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED
-    # — everything r10-or-fresher past the changed set yields its slot;
-    # the r13 window's entries are all freshly green and rotate out):
+    # — everything r11-or-fresher past the changed set yields its slot;
+    # the r14 window's entries are all freshly green and rotate out):
     for fresh_green in (
-        "dsir_gumbel_sample",           # r13-ran, unchanged
-        "text_gopher_quality",          # r13-green, unchanged
-        "mm_binary_meta",               # r13-green, unchanged
-        "source_clustering_report",     # r13-ran, unchanged
-        "obs_straggler_detect",         # r13-green, unchanged
-        "obs_apdex",                    # r13-green, unchanged
+        "text_gopher_line_shape",       # r14-green, unchanged
+        "mixture_temperature_plan",     # r14-green, unchanged
+        "text_nb_langid",               # r14-green, unchanged
+        "dedup_semantic",               # r14-green, unchanged
+        "dedup_paragraph_minhash",      # r14-green, unchanged
+        "obs_date_histogram",           # r14-green, unchanged
+        "embedding_kmeans",             # r14-green, unchanged
+        "similarity_pq",                # r14-green, unchanged
+        "dedup_eval_report",            # r14-green, unchanged
+        "docs_kmv_overlap",             # r14-green, unchanged
         "obs_task_metrics",             # r13-green, unchanged
         "similarity_sq8",               # r13-green, unchanged
-        "orders_market_basket",         # r13-green, unchanged
-        "obs_heavy_hitters_cms",        # r10-green — leads r15 after the
-        "obs_error_rate_moving_avg",    # r10-green — r8 overflow block
-        "obs_ewma_smooth",              # r8-green — overflows to r15 (51+)
-        "similarity_eval_report",       # r8-green — overflows to r15
-        "obs_error_budget",             # r8-green — overflows to r15
-        "stream_ewma_smooth",           # r8-ran — overflows to r15
-        "stream_error_budget",          # r8-ran — overflows to r15
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
