@@ -2107,6 +2107,93 @@ def decontaminate_neardup(
     )
 
 
+def _bench_shingle_frames(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bench arrays, exploded bench shingle index) for the %25==0
+    benchmark slice — the broadcast side of P32 and its streaming ingest
+    twin (ONE definition; benchmarks are small by definition, P6's
+    broadcast argument)."""
+    from ..functions.text import shingles
+
+    toks = tokens(F.col("text"))
+    bench_sh = (
+        documents.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("bench_doc_id", shingles(F.col("toks")).alias("sh_b"))
+        .localCheckpoint(eager=True)
+    )
+    bench_idx = bench_sh.select(
+        "bench_doc_id", F.explode("sh_b").alias("shingle")
+    )
+    return bench_sh, bench_idx
+
+
+def _train_paragraph_shingles(documents: DataFrame) -> DataFrame:
+    """(pid, sh_p) — the train side re-keyed at D43's paragraph
+    granularity (corpus augmentation applied, ORIGINAL bench docs
+    excluded), shingles sorted for the prefix filter. Shared by batch
+    P32 and the streaming gate (which feeds micro-batches through the
+    identical projection — the gate is per-doc against a static bench
+    index, so per-batch verdicts compose to exactly the batch result)."""
+    from ..functions.text import shingles
+    from .dedup import PARA_KEY, _paragraph_base
+
+    orig = F.expr(f"pid DIV {PARA_KEY}")
+    return (
+        _paragraph_base(documents)
+        .select(F.col("doc_id").alias("pid"), "toks")
+        .filter(~((orig < 1000000) & (orig % 25 == 0)))
+        .select("pid", F.array_sort(shingles(F.col("toks"))).alias("sh_p"))
+    )
+
+
+def _paragraph_leak_pairs(
+    para: DataFrame, bench_sh: DataFrame, bench_idx: DataFrame, pct: int
+) -> DataFrame:
+    """Verified (pid, bench_doc_id, n_shared, n_para_shingles) leak
+    pairs: lossless paragraph-side prefix filter against the broadcast
+    bench index, then exact array-intersect verification (shuffle-hash
+    on the corpus-sized side). ``para`` must be materialized (the batch
+    operator checkpoints it; the stream gate's micro-batch frames are
+    bounded by the batch)."""
+    ppref = para.select(
+        "pid",
+        F.explode(
+            F.slice(
+                F.col("sh_p"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (
+                        F.size("sh_p")
+                        - F.expr(f"({pct} * size(sh_p) + 99) DIV 100")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        ppref.join(F.broadcast(bench_idx), "shingle")
+        .select("pid", "bench_doc_id")
+        .distinct()
+    )
+    shared = F.size(F.array_intersect("sh_p", "sh_b")).cast("long")
+    return (
+        cand.join(para.hint("shuffle_hash"), "pid")
+        .join(F.broadcast(bench_sh), "bench_doc_id")
+        .select(
+            "pid",
+            "bench_doc_id",
+            shared.alias("n_shared"),
+            F.size("sh_p").cast("long").alias("n_para_shingles"),
+        )
+        .filter(
+            F.col("n_shared") * 100 >= F.lit(pct) * F.col("n_para_shingles")
+        )
+    )
+
+
 def decontaminate_paragraph(
     documents: DataFrame, threshold_pct: int = 80
 ) -> DataFrame:
@@ -2150,64 +2237,12 @@ def decontaminate_paragraph(
     corpus×corpus shuffle; candidate count is bounded by leaked mass,
     not corpus size.
     """
-    from ..functions.text import shingles
-    from .dedup import PARA_KEY, _paragraph_base
+    from .dedup import PARA_KEY
 
-    pct = int(threshold_pct)
-    orig = F.expr(f"pid DIV {PARA_KEY}")
-    para = (
-        _paragraph_base(documents)
-        .select(F.col("doc_id").alias("pid"), "toks")
-        .filter(~((orig < 1000000) & (orig % 25 == 0)))
-        .select("pid", F.array_sort(shingles(F.col("toks"))).alias("sh_p"))
-        .localCheckpoint(eager=True)
-    )
-    toks = tokens(F.col("text"))
-    bench_sh = (
-        documents.filter(F.col("doc_id") % 25 == 0)
-        .select(F.col("doc_id").alias("bench_doc_id"), toks.alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("bench_doc_id", shingles(F.col("toks")).alias("sh_b"))
-        .localCheckpoint(eager=True)
-    )
-    bench_idx = bench_sh.select(
-        "bench_doc_id", F.explode("sh_b").alias("shingle")
-    )
-    ppref = para.select(
-        "pid",
-        F.explode(
-            F.slice(
-                F.col("sh_p"),
-                1,
-                F.greatest(
-                    F.lit(1),
-                    (
-                        F.size("sh_p")
-                        - F.expr(f"({pct} * size(sh_p) + 99) DIV 100")
-                        + 1
-                    ).cast("int"),
-                ),
-            )
-        ).alias("shingle"),
-    )
-    cand = (
-        ppref.join(F.broadcast(bench_idx), "shingle")
-        .select("pid", "bench_doc_id")
-        .distinct()
-    )
-    shared = F.size(F.array_intersect("sh_p", "sh_b")).cast("long")
-    verified = (
-        cand.join(para.hint("shuffle_hash"), "pid")
-        .join(F.broadcast(bench_sh), "bench_doc_id")
-        .select(
-            "pid",
-            "bench_doc_id",
-            shared.alias("n_shared"),
-            F.size("sh_p").cast("long").alias("n_para_shingles"),
-        )
-        .filter(
-            F.col("n_shared") * 100 >= F.lit(pct) * F.col("n_para_shingles")
-        )
+    verified = _paragraph_leak_pairs(
+        _train_paragraph_shingles(documents).localCheckpoint(eager=True),
+        *_bench_shingle_frames(documents),
+        pct=int(threshold_pct),
     )
     return verified.groupBy(
         F.expr(f"pid DIV {PARA_KEY}").cast("long").alias("doc_id"),

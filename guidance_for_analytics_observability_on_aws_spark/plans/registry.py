@@ -1132,30 +1132,34 @@ _PRIORITY = [
     #   python tools/evidence_ledger.py --priority --changed \
     #     decontaminate_eval_report,dup_groups_star,dup_groups_incremental,\
     #     dup_groups_nightly
-    #   slots 1-2   — the TWO r15 additions with no driver row: P32
+    #   slots 1-3   — the THREE r15 additions with no driver row: P32
     #                 decontaminate_paragraph (paragraph-granularity
-    #                 decontamination, hash-exact) and O85
+    #                 decontamination, hash-exact), O85
     #                 obs_dashboard_parity (dashboard-bundle parity
-    #                 report, rows-only).
-    #   slots 3-6   — entries whose CODE/plan changed in r15: P31
+    #                 report, rows-only), P33
+    #                 stream_paragraph_decon_ingest (P32 on ingest,
+    #                 rows-only, batch-parity pinned).
+    #   slots 4-7   — entries whose CODE/plan changed in r15: P31
     #                 decontaminate_eval_report (fourth 'paragraph' gate
     #                 row) and the star-CC consumers P15/P19/P23 (Arrow
     #                 label frames in the driver union-find; the nightly
     #                 additionally gets size-known fold dispatch, warm
     #                 state mirrors, measured-byte commits, verify=False
     #                 default).
-    #   slots 7-14  — the 8 r8-evidence overflow entries from the
+    #   slots 8-15  — the 8 r8-evidence overflow entries from the
     #                 committed r14 plan (obs_ewma_smooth,
     #                 similarity_eval_report, obs_error_budget,
     #                 stream_ewma_smooth, obs_distinct_rollup_hll,
     #                 obs_burn_rate_multiwindow, dedup_cdc_chunks,
     #                 stream_error_budget).
-    #   slots 15-17 — the 3 r10-evidence entries (obs_heavy_hitters_cms,
+    #   slots 16-18 — the 3 r10-evidence entries (obs_heavy_hitters_cms,
     #                 obs_error_rate_moving_avg, obs_alert_rules).
-    #   slots 18-50 — r10-evidence backfill in ledger order (33 of the
-    #                 r10 block fit; the remainder leads the r16 window).
+    #   slots 19-50 — r10-evidence backfill in ledger order (32 of the
+    #                 r10 block fit; the remainder — export_order_plan
+    #                 onward — leads the r16 window).
     "decontaminate_paragraph",
     "obs_dashboard_parity",
+    "stream_paragraph_decon_ingest",
     "decontaminate_eval_report",
     "dup_groups_star",
     "dup_groups_incremental",
@@ -1203,7 +1207,6 @@ _PRIORITY = [
     "obs_red_panel",
     "text_dup_fraction",
     "decontaminate_neardup",
-    "export_order_plan",
 ]
 
 
@@ -1690,6 +1693,20 @@ def _dashboard_parity(s, d):
 
 
 _register("obs_dashboard_parity", _dashboard_parity, None)
+
+
+# Rows-only: P33 (r15) — paragraph decontamination ON INGEST: P32's
+# lossless prefix-filter + exact-verify gate applied per micro-batch
+# against a static broadcast bench index (zero streaming state, the
+# P18/D38/D41 ingest pattern); kept counts pinned row-identical to the
+# batch P32 verdicts in tests/test_streaming.py.
+def _stream_paragraph_decon(s, d):
+    from ..streaming.collector import run_streaming_paragraph_decon
+
+    return run_streaming_paragraph_decon(s, d)
+
+
+_register("stream_paragraph_decon_ingest", _stream_paragraph_decon, None)
 
 
 # Rows-only: M11 (r9) — media ingest dedup: M8's byte-exact gate as a

@@ -2078,3 +2078,90 @@ def run_streaming_semantic_dedup(
         .orderBy("vec_id")
     )
     return _collected_and_cleaned(spark, result, work)
+
+
+def run_streaming_paragraph_decon(
+    spark: SparkSession, sf_dir: str, threshold_pct: int = 80
+) -> DataFrame:
+    """PARAGRAPH decontamination ON INGEST (P33) — the streaming twin of
+    P32, completing the decontamination family's ingest surface the way
+    P18/D38/D41 did for near-dup/prefix/semantic dedup: a training doc
+    carrying a benchmark fragment should be quarantined BEFORE it lands
+    in the corpus, not found by a nightly sweep after.
+
+    Index = the benchmark slice's shingle arrays + exploded shingle
+    index (the SAME ``_bench_shingle_frames`` definition batch P32
+    broadcasts — benchmarks are small by definition, so the index is a
+    static broadcast at any corpus scale). Each arriving micro-batch
+    runs the identical paragraph projection (``_train_paragraph_
+    shingles`` — corpus augmentation, D43 windowing, bench originals
+    excluded) and the identical lossless prefix-filter + exact-verify
+    join (``_paragraph_leak_pairs``); docs with ≥1 leaked paragraph are
+    quarantined, the rest append to the kept sink. ZERO streaming state
+    (the O43/P18 pattern): the gate is per-doc against a static index,
+    so per-batch verdicts compose to exactly the batch P32 result —
+    kept/quarantined counts are pinned row-identical to the batch
+    computation in ``tests/test_streaming.py``. Per-batch work is
+    bounded by the batch (windows ∝ batch tokens; prefix explode
+    ≈ 0.2·|p|+1 shingles per window against a broadcast)."""
+    from ..functions.text import corpus
+    from ..operators.dedup import PARA_KEY
+    from ..operators.pipeline import (
+        _bench_shingle_frames,
+        _paragraph_leak_pairs,
+        _train_paragraph_shingles,
+    )
+
+    work = tempfile.mkdtemp(prefix="gfaooa_paradecon_")
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    bench_sh, bench_idx = _bench_shingle_frames(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+    def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        para = _train_paragraph_shingles(batch_df).localCheckpoint(eager=True)
+        flagged = (
+            _paragraph_leak_pairs(
+                para, bench_sh, bench_idx, pct=int(threshold_pct)
+            )
+            .select(
+                F.expr(f"pid DIV {PARA_KEY}").cast("long").alias("doc_id")
+            )
+            .distinct()
+        )
+        is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+        (
+            corpus(batch_df)
+            .filter(~is_bench)
+            .select("doc_id", "source")
+            .join(flagged, "doc_id", "left_anti")
+            .write.mode("append")
+            .parquet(f"{work}/kept")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_gate_batch)
+        .option("checkpointLocation", f"{work}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    result = (
+        spark.read.schema(kept_schema)
+        .parquet(f"{work}/kept")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+    return _collected_and_cleaned(spark, result, work)

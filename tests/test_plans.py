@@ -292,18 +292,20 @@ def test_driver_window_composition():
     names = list(REGISTRY)
     first50 = names[:50]
     # r15 rotation (the committed r14 plan + this round's additions/
-    # changes at the head per the contract): 2 never-checked (P32
-    # decontaminate_paragraph, O85 obs_dashboard_parity) + 4 code-
+    # changes at the head per the contract): 3 never-checked (P32
+    # decontaminate_paragraph, O85 obs_dashboard_parity, P33
+    # stream_paragraph_decon_ingest) + 4 code-
     # changed (P31 fourth gate; star-CC consumers P15/P19/P23 — Arrow
     # label frames + the nightly's size-known fold dispatch / warm
     # mirrors / measured-byte commits), then the 8 r8-evidence overflow
     # entries, the 3 r10-evidence entries, and r10-evidence backfill in
     # ledger order (see _PRIORITY's comment and SURVEY §2).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 41, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 40, f"{n_sql} sql-backed entries in the driver window"
     head = (
         "decontaminate_paragraph",
         "obs_dashboard_parity",
+        "stream_paragraph_decon_ingest",
         "decontaminate_eval_report",
         "dup_groups_star",
         "dup_groups_incremental",
@@ -327,7 +329,7 @@ def test_driver_window_composition():
         "merge_scd2_customers",
         "dedup_prefix_filter",
         "obs_red_panel",
-        "export_order_plan",  # slot 50, the last fitting r10 entry
+        "decontaminate_neardup",  # slot 50, the last fitting r10 entry
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
     # and fresher already-green entries must NOT re-occupy scarce slots

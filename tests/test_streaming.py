@@ -1554,3 +1554,45 @@ def test_streaming_semantic_dedup_rejects_out_of_order_ingest(spark, tmp_path):
             max_files_per_trigger=1,
         )
     assert "out-of-order ingest" in str(exc.value)
+
+
+def test_streaming_paragraph_decon_matches_batch_verdicts(spark, sf_dir):
+    """P33 stream_paragraph_decon_ingest: the per-source kept counts
+    must equal the batch P32 verdicts exactly — the gate is per-doc
+    against a STATIC bench index (zero streaming state), so per-batch
+    verdicts compose to precisely the batch result; and the +1M exact
+    bench copies must all be quarantined (the recall-1.0 theorem one
+    gate earlier in the pipeline)."""
+    from guidance_for_analytics_observability_on_aws_spark.functions.text import corpus
+    from guidance_for_analytics_observability_on_aws_spark.operators.pipeline import (
+        decontaminate_paragraph,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.sources.tables import (
+        load_tables,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        run_streaming_paragraph_decon,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    got = {
+        r.source: r.n_kept
+        for r in run_streaming_paragraph_decon(spark, sf_dir).collect()
+    }
+    flagged = decontaminate_paragraph(docs).select("doc_id").distinct()
+    is_bench = (F.col("doc_id") < 1000000) & (F.col("doc_id") % 25 == 0)
+    want = {
+        r.source: r.n
+        for r in corpus(docs)
+        .filter(~is_bench)
+        .select("doc_id", "source")
+        .join(flagged, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and got
+    # every +1M exact copy is a wall-to-wall leak: quarantined, so kept
+    # count is strictly below the non-bench corpus size
+    n_train = corpus(docs).filter(~is_bench).count()
+    assert sum(got.values()) < n_train
