@@ -173,6 +173,8 @@ _P_GROUP = {
     # r14: the sqrt-temperature mixture plan, the composed decontamination
     # evaluation report
     "mixture_temperature_plan", "decontaminate_eval_report",
+    # r15: the paragraph-granularity decontamination gate
+    "decontaminate_paragraph",
 }
 
 

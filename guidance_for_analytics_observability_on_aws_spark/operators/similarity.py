@@ -2119,13 +2119,16 @@ def semantic_removals(
     quadratic k=8 regime at 10× data (~50 s both arms, 3-rep A/B).
     r15 extended the A/B to production widths on a synthetic clustered
     corpus (tools/scale_stress.py::semantic_prune_width_probe, n=20k,
-    3-rep interleaved): win 1.16×/1.04×/1.04× at d=32/128/768 with
-    prune_rate ≈ 0.11 — under the derived-√n cell policy cells are
-    angularly TIGHT at τ=0.98, so only ~11% of same-cell pairs are
-    provably-dissimilar and the skippable dot share caps the win at any
-    width. The prune stays UNCONDITIONAL because it is lossless, two
-    multiplies per pair, and never measured below 1.0× at any width (a
-    width gate would delete the d=32 win to save nothing). The fix that
+    3-rep interleaved, repeated across three host conditions): wins
+    scatter around 1.0 at every width — 0.88–1.16× at d=32, 0.93–1.04×
+    at d=128, 1.01–1.04× at d=768 — with prune_rate ≈ 0.11: under the
+    derived-√n cell policy cells are angularly TIGHT at τ=0.98, so only
+    ~11% of same-cell pairs are provably-dissimilar and the skippable
+    dot share caps the win at any width. The prune stays UNCONDITIONAL
+    because it is lossless, two multiplies per pair, and cost-neutral
+    within rep noise everywhere (a width gate would add a code path to
+    save nothing; SCALE_r15's decision rule only gates on a clear
+    < 0.85× loss, never measured). The fix that
     actually moves this operator at scale is the DERIVED cell count
     (see :func:`semantic_dedup` — 5.3× vs 11.2× time growth at 10×),
     not per-pair pruning."""
