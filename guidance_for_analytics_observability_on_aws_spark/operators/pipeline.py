@@ -327,32 +327,49 @@ def _per_doc_signals(documents: DataFrame) -> DataFrame:
 
 def _curation_funnel(documents: DataFrame, labels: DataFrame) -> DataFrame:
     """Shared P5/P11 funnel: exact dedup → drop non-canonical members of
-    ``labels``'s dup groups → quality filter; one summary row per stage."""
+    ``labels``'s dup groups → quality filter; one summary row per stage.
+
+    SINGLE-PASS shape (r15, guide §2.4): the r14 form unioned one
+    aggregate per stage, each re-deriving its whole funnel prefix — the
+    4-stage plan re-scanned the corpus 4× and re-ran the fingerprint
+    window 3× (22 Exchanges, zero planned reuse). Here every stage
+    predicate becomes a FLAG over ONE per-doc frame (the window + one
+    1:≤1 left join against the non-canonical label set), one aggregate
+    computes every stage's (n_docs, n_tokens) as conditional sums, and
+    ``stack`` unfolds the single row into the 4 stage rows. Arithmetic
+    is stage-for-stage identical (a left-join-null flag IS the anti
+    join; labels are unique per src so the join is 1:≤1), so the
+    hash-exact oracle is untouched."""
     per_doc = _per_doc_signals(documents).select(
         "doc_id", "fingerprint", "n_tokens", "quality"
     )
     w_fp = Window.partitionBy("fingerprint")
-    s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
-        F.col("doc_id") == F.col("keep_id")
+    non_canonical = labels.filter(F.col("group_id") != F.col("src")).select(
+        F.col("src").alias("doc_id"), F.lit(1).alias("_nc")
     )
-    non_canonical = labels.filter(
-        F.col("group_id") != F.col("src")
-    ).select(F.col("src").alias("doc_id"))
-    s2 = s1.join(non_canonical, "doc_id", "left_anti")
-    s3 = s2.filter(F.col("quality") >= 0.5)
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
+    flagged = (
+        per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp))
+        .join(non_canonical, "doc_id", "left")
+    )
+    f1 = F.col("doc_id") == F.col("keep_id")
+    f2 = f1 & F.col("_nc").isNull()
+    f3 = f2 & (F.col("quality") >= 0.5)
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.count(F.when(f1, 1)).alias("d1"),
+        F.sum(F.when(f1, F.col("n_tokens"))).alias("t1"),
+        F.count(F.when(f2, 1)).alias("d2"),
+        F.sum(F.when(f2, F.col("n_tokens"))).alias("t2"),
+        F.count(F.when(f3, 1)).alias("d3"),
+        F.sum(F.when(f3, F.col("n_tokens"))).alias("t3"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, '0_raw', d0, t0, '1_exact_dedup', d1, t1, "
+            "'2_near_dedup', d2, t2, '3_quality', d3, t3) "
+            "as (stage, n_docs, n_tokens)"
         )
-
-    return (
-        stage(per_doc, "0_raw")
-        .unionByName(stage(s1, "1_exact_dedup"))
-        .unionByName(stage(s2, "2_near_dedup"))
-        .unionByName(stage(s3, "3_quality"))
     )
 
 
@@ -1663,12 +1680,6 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
     # (five full corpus scans at object-store cost; ~2× the report's
     # wall-clock measured at sf0.1 when snm_exact joined the panel).
     shared = _shingle_base(documents).localCheckpoint(eager=True)
-    truth = (
-        dedup_ngram_jaccard(documents, base=shared)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     preds = {
         "lsh_candidates": dedup_minhash_lsh(documents, base=shared).select(
             "doc_a", "doc_b"
@@ -1686,9 +1697,35 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
             "doc_a", "doc_b"
         ),
     }
+    # The truth self-join and the four graded methods all hang off the
+    # SAME checkpointed base and are mutually independent — materialize
+    # the five concurrently (guide §2.6: actions are only sequential
+    # because the driver calls them sequentially; concurrent jobs
+    # back-fill each other's stage tails). Outputs are byte-identical
+    # (same frames, same stats arithmetic — only the materialization
+    # ORDER changed).
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "__truth__": dedup_ngram_jaccard(documents, base=shared).select(
+            "doc_a", "doc_b"
+        ),
+        **preds,
+    }
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        done = dict(
+            zip(
+                jobs,
+                pool.map(
+                    lambda df: df.localCheckpoint(eager=True), jobs.values()
+                ),
+            )
+        )
+    truth = done.pop("__truth__")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     out = None
-    for method, pred in preds.items():
-        p = pred.localCheckpoint(eager=True)
+    for method in preds:
+        p = done[method]
         row = (
             p.agg(F.count(F.lit(1)).alias("n_pred"))
             .crossJoin(
@@ -2579,43 +2616,61 @@ def curation_pipeline_v3(documents: DataFrame) -> DataFrame:
     per_doc = _per_doc_signals(documents).select(
         "doc_id", "fingerprint", "n_tokens", "quality"
     )
+    # SINGLE-PASS shape (r15, guide §2.4) — same rewrite as
+    # ``_curation_funnel``: the r14 form unioned one aggregate per stage,
+    # each re-deriving its whole prefix (346-operator plan, the corpus
+    # union re-scanned 6×, the banded-pair graph re-derived per stage).
+    # Every stage predicate becomes a FLAG over ONE per-doc frame; all
+    # three side frames (non-canonical labels, scrub mass, DSIR verdicts)
+    # are unique per doc_id, so the left joins are 1:≤1 and the
+    # left-join-null flag is exactly the anti/inner-join semantics of the
+    # staged form (weights' inner join + target_like=1 filter ≡ the
+    # NULL-rejecting flag). One aggregate computes every stage's counts
+    # as conditional sums; ``stack`` unfolds the 6 stage rows.
     w_fp = Window.partitionBy("fingerprint")
-    s1 = per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp)).filter(
-        F.col("doc_id") == F.col("keep_id")
+    non_canonical = labels.filter(F.col("group_id") != F.col("src")).select(
+        F.col("src").alias("doc_id"), F.lit(1).alias("_nc")
     )
-    non_canonical = labels.filter(
-        F.col("group_id") != F.col("src")
-    ).select(F.col("src").alias("doc_id"))
-    s2 = s1.join(non_canonical, "doc_id", "left_anti")
-    s3 = s2.filter(F.col("quality") >= 0.5)
     scrub = dedup_repeated_spans_scrub(documents, span_tokens=16).select(
         "doc_id", "n_scrubbed"
-    )
-    s4 = (
-        s3.join(scrub, "doc_id", "left")
-        .withColumn(
-            "n_tokens_clean",
-            F.col("n_tokens") - F.coalesce(F.col("n_scrubbed"), F.lit(0)),
-        )
-        .filter(F.col("n_tokens_clean") > 0)
     )
     weights = dsir_importance_weights(corpus(documents)).select(
         "doc_id", "target_like"
     )
-    s5 = s4.join(weights, "doc_id").filter(F.col("target_like") == 1)
-
-    def stage(df: DataFrame, name: str, tok_col: str = "n_tokens") -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(tok_col).alias("n_tokens"),
+    flagged = (
+        per_doc.withColumn("keep_id", F.min("doc_id").over(w_fp))
+        .join(non_canonical, "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+        .join(weights, "doc_id", "left")
+        .withColumn(
+            "n_tokens_clean",
+            F.col("n_tokens") - F.coalesce(F.col("n_scrubbed"), F.lit(0)),
         )
-
-    return (
-        stage(per_doc, "0_raw")
-        .unionByName(stage(s1, "1_exact_dedup"))
-        .unionByName(stage(s2, "2_near_dedup"))
-        .unionByName(stage(s3, "3_quality"))
-        .unionByName(stage(s4, "4_span_scrub", "n_tokens_clean"))
-        .unionByName(stage(s5, "5_dsir_target", "n_tokens_clean"))
+    )
+    f1 = F.col("doc_id") == F.col("keep_id")
+    f2 = f1 & F.col("_nc").isNull()
+    f3 = f2 & (F.col("quality") >= 0.5)
+    f4 = f3 & (F.col("n_tokens_clean") > 0)
+    f5 = f4 & (F.col("target_like") == 1)
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        F.count(F.when(f1, 1)).alias("d1"),
+        F.sum(F.when(f1, F.col("n_tokens"))).alias("t1"),
+        F.count(F.when(f2, 1)).alias("d2"),
+        F.sum(F.when(f2, F.col("n_tokens"))).alias("t2"),
+        F.count(F.when(f3, 1)).alias("d3"),
+        F.sum(F.when(f3, F.col("n_tokens"))).alias("t3"),
+        F.count(F.when(f4, 1)).alias("d4"),
+        F.sum(F.when(f4, F.col("n_tokens_clean"))).alias("t4"),
+        F.count(F.when(f5, 1)).alias("d5"),
+        F.sum(F.when(f5, F.col("n_tokens_clean"))).alias("t5"),
+    )
+    return one.select(
+        F.expr(
+            "stack(6, '0_raw', d0, t0, '1_exact_dedup', d1, t1, "
+            "'2_near_dedup', d2, t2, '3_quality', d3, t3, "
+            "'4_span_scrub', d4, t4, '5_dsir_target', d5, t5) "
+            "as (stage, n_docs, n_tokens)"
+        )
     )

@@ -1890,21 +1890,34 @@ def similarity_eval_report(embeddings: DataFrame) -> DataFrame:
         ("ivf_multiprobe", topk_ivf_multiprobe, dict(k=3, q_lo=8, q_hi=24)),
         ("ann_lsh", topk_ann_lsh, dict(k=3, q_lo=100, q_hi=116)),
     ]
-    out = None
-    truths: dict[tuple, DataFrame] = {}
+    # The brute-force truth and the three graded searchers are mutually
+    # independent — materialize all four concurrently (guide §2.6: the
+    # jobs were only sequential because the driver called them
+    # sequentially; concurrent jobs back-fill each other's stage tails
+    # on an otherwise-idle cluster). Outputs are byte-identical: same
+    # frames, same stats arithmetic, only the materialization ORDER
+    # changed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs: dict[object, DataFrame] = {}
     for method, fn, kw in settings:
         tkey = (kw["k"], kw["q_lo"], kw["q_hi"])
-        if tkey not in truths:
-            truths[tkey] = (
-                topk_bruteforce(
-                    embeddings, k=kw["k"], q_lo=kw["q_lo"], q_hi=kw["q_hi"]
-                )
-                .select("query_id", "neighbor_id")
-                .localCheckpoint(eager=True)
+        if tkey not in jobs:
+            jobs[tkey] = topk_bruteforce(
+                embeddings, k=kw["k"], q_lo=kw["q_lo"], q_hi=kw["q_hi"]
+            ).select("query_id", "neighbor_id")
+        jobs[method] = fn(embeddings, **kw).select("query_id", "neighbor_id")
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        done = dict(
+            zip(
+                jobs,
+                pool.map(lambda df: df.localCheckpoint(eager=True), jobs.values()),
             )
-        truth = truths[tkey]
-        pred = fn(embeddings, **kw).select("query_id", "neighbor_id")
-        p = pred.localCheckpoint(eager=True)
+        )
+    out = None
+    for method, fn, kw in settings:
+        truth = done[(kw["k"], kw["q_lo"], kw["q_hi"])]
+        p = done[method]
         row = (
             p.agg(F.count(F.lit(1)).alias("n_pred"))
             .crossJoin(
