@@ -1350,6 +1350,25 @@ def _normalized_aug(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _shared_nv(embeddings: DataFrame) -> DataFrame:
+    """The materialized normalized-augmented corpus, served through the
+    session shared-frame registry (r15, guide §2.4/§5): D20 and every
+    _coarse_cells_norm caller (D21/D22/D23) need the IDENTICAL frame, and
+    each used to re-materialize it per query — three redundant corpus
+    passes per bench sweep. Same sanctioned pattern as the D39/D40
+    removal frame; a fresh process still computes it once from parquet
+    (the cache is session state, never cross-run)."""
+    spark = embeddings.sparkSession
+    key = _model_key("nv-norm-aug", embeddings)
+    hit = _shared_frame_get(key, spark)
+    if hit is not None:
+        return hit
+    put = _shared_frame_put(key, spark, _normalized_aug(embeddings))
+    if put is not None:
+        return put[0]
+    return _normalized_aug(embeddings).localCheckpoint(eager=True)
+
+
 def _coarse_cells_norm(
     embeddings: DataFrame, n_cells: int, max_iter: int = 5
 ) -> tuple[DataFrame, DataFrame, dict[int, list[float]]]:
@@ -1360,17 +1379,29 @@ def _coarse_cells_norm(
     Returns ``(nv, assigned, centroids)`` — the materialized normalized
     frame, its converged cell assignment, and the driver-held centroids
     that produced it. Training runs at most once per (corpus, n_cells,
-    max_iter) per session via the trained-model registry."""
-    nv = _normalized_aug(embeddings).localCheckpoint(eager=True)
-    assigned, cents = _kmeans_assignments(
-        None,
-        k=n_cells,
-        max_iter=max_iter,
-        q=nv,
-        cache_key=_model_key("coarse-norm-aug", embeddings, n_cells, max_iter),
-        return_centroids=True,
-    )
-    return nv, assigned.localCheckpoint(eager=True), cents
+    max_iter) per session via the trained-model registry; since r15 the
+    ASSIGNMENT frame itself is also served via the shared-frame registry
+    (a centroid-cache hit still paid a full assignment pass + checkpoint
+    per caller — three redundant corpus passes per bench sweep across
+    D21/D22/D23)."""
+    spark = embeddings.sparkSession
+    nv = _shared_nv(embeddings)
+    kkey = _model_key("coarse-norm-aug", embeddings, n_cells, max_iter)
+    akey = _model_key("coarse-assigned", embeddings, n_cells, max_iter)
+    assigned = _shared_frame_get(akey, spark)
+    cents = _cache_get(kkey) if assigned is not None else None
+    if assigned is None or cents is None:
+        raw, cents = _kmeans_assignments(
+            None,
+            k=n_cells,
+            max_iter=max_iter,
+            q=nv,
+            cache_key=kkey,
+            return_centroids=True,
+        )
+        put = _shared_frame_put(akey, spark, raw)
+        assigned = put[0] if put is not None else raw.localCheckpoint(eager=True)
+    return nv, assigned, cents
 
 
 def similarity_pq(
@@ -1409,7 +1440,7 @@ def similarity_pq(
     ranks at the query's own reconstruction distance (top-1), and ADC
     ranking carries signal over the true ordering (tested).
     """
-    q = _normalized_aug(embeddings).localCheckpoint(eager=True)
+    q = _shared_nv(embeddings)
     # Codebooks train on a deterministic md5 QUARTER-sample — the standard
     # PQ practice (codebook quality converges long before full-corpus
     # statistics; Jégou et al. train on a fraction), and it cuts the two
