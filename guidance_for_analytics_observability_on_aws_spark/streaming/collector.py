@@ -23,6 +23,8 @@ parquet.
 
 from __future__ import annotations
 
+import contextlib
+import fnmatch
 import os
 import shutil
 import tempfile
@@ -57,6 +59,66 @@ def _collected_and_cleaned(
     if work:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, df.schema)
+
+
+#: Target bytes of source input per streaming state/shuffle partition —
+#: the stream twin of the CC loops' CC_EDGE_ROWS_PER_PARTITION rule (one
+#: ~input-split of work per state task).
+STREAM_STATE_BYTES_PER_PARTITION = 64 * 1024 * 1024
+
+
+def _stream_state_partitions(sf_dir: str, glob: str) -> int | None:
+    """State/shuffle partition count for a streaming run, derived from the
+    SOURCE FOOTPRINT instead of inherited from the batch shuffle width.
+
+    Every stateful operator opens one state-store instance per shuffle
+    partition on every micro-batch (a stream-stream join opens FOUR), and
+    each instance pays a RocksDB open+commit regardless of how many rows
+    it holds — at the batch default of 32 partitions the O48 interval
+    join measured ~86 s of summed commitTimeMs on a finalization batch
+    with ZERO input rows and 26 state rows total; the machinery, not the
+    data, was the cost. ``max(8, ⌈source_bytes / 64 MiB⌉)`` keeps state
+    tasks input-split-sized at any scale (tiny drops stop paying for
+    empty stores; a 10 GB drop gets ~160). Deployments whose sources the
+    local probe cannot size (object stores) set
+    ``GFAOOA_STREAM_STATE_PARTITIONS`` explicitly — sizing failure falls
+    back to the session conf unchanged (returns None).
+    """
+    env = os.environ.get("GFAOOA_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                if fnmatch.fnmatch(f, glob):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return None
+    if total <= 0:
+        return None
+    return max(8, -(-total // STREAM_STATE_BYTES_PER_PARTITION))
+
+
+@contextlib.contextmanager
+def _scaled_state_shuffle(spark: SparkSession, sf_dir: str, glob: str = "*.parquet"):
+    """Start a streaming query under the size-derived state partition
+    count, restoring the session's batch shuffle width afterwards (shared
+    sessions run batch plans next; the stream itself captures the count
+    into its checkpoint at query start, so restoring cannot affect it).
+    Results are partition-count invariant — only state-task granularity
+    and state-store instance count change."""
+    n = _stream_state_partitions(sf_dir, glob)
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def events_stream(
@@ -107,15 +169,16 @@ def run_collector_pipeline(
     work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_stream_")
     out = out_dir or work
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.format("parquet")
-        .option("path", f"{out}/routed")
-        .option("checkpointLocation", f"{out}/_chk")
-        .partitionBy("metrics_type")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.format("parquet")
+            .option("path", f"{out}/routed")
+            .option("checkpointLocation", f"{out}/_chk")
+            .partitionBy("metrics_type")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     routed = spark.read.parquet(f"{out}/routed")
     summary = (
         routed.groupBy("metrics_type")
@@ -155,13 +218,14 @@ def run_streaming_stage_agg(
             .parquet(f"{out}/stage_agg")
         )
 
-    q = (
-        tm.writeStream.foreachBatch(_close_stages)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_close_stages)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return _collected_and_cleaned(
         spark, spark.read.parquet(f"{out}/stage_agg"), work
     )
@@ -179,15 +243,16 @@ def run_windowed_rollup(
     """
     name = "gfaooa_rollup_sink"
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        windowed_rollup(tm)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            windowed_rollup(tm)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -228,14 +293,15 @@ def run_streaming_sessions(
             (F.col("session_end_ms") - F.col("session_start_ms")).alias("duration_ms"),
         )
     )
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -269,14 +335,15 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["task_id", "app_id", "metric_time"])
         .select("task_id", "app_id", "metrics_type", "metric_time_ms", "value")
     )
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -300,13 +367,14 @@ def run_streaming_alerts(
         alert_violations(batch_df).write.mode("append").parquet(f"{out}/alerts")
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_check_batch)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_check_batch)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return _collected_and_cleaned(
         spark, alert_rollup(spark.read.parquet(f"{out}/alerts")), work
     )
@@ -364,14 +432,15 @@ def run_streaming_incremental_dedup(
     kept = new_stream.join(F.broadcast(exact_dict), "exact_fp", "left_anti").join(
         F.broadcast(content_dict), "content_fp", "left_anti"
     )
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = _collected_and_cleaned(
         spark,
         spark.table(name)
@@ -431,14 +500,15 @@ def run_streaming_media_dedup(
     kept = new_fp.join(
         F.broadcast(static_dict), ["modality", "payload_md5"], "left_anti"
     )
-    q = (
-        kept.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            kept.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = _collected_and_cleaned(
         spark,
         spark.table(name)
@@ -476,13 +546,14 @@ def run_streaming_heavy_hitters(
         cms_key_buckets(batch_df).write.mode("append").parquet(f"{out}/partials")
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_sketch_batch)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_sketch_batch)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return _collected_and_cleaned(
         spark, cms_topk(spark.read.parquet(f"{out}/partials")), work
     )
@@ -567,14 +638,15 @@ def run_streaming_metric_log_join(
         & (F.col("m_time") <= F.col("err_time"))
     )
     joined = errors.join(metrics, cond)
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", f"{out}/pairs")
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{out}/pairs")
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = (
         # Explicit schema: a zero-match run leaves the sink dir with only
         # _spark_metadata, and schema inference would throw on it; the
@@ -657,15 +729,16 @@ def run_streaming_rolling_wau(
         ).dropDuplicatesWithinWatermark(["user_id", "report_day"])
     else:
         firsts = covered.dropDuplicates(["user_id", "report_day"])
-    q = (
-        firsts.drop("ts")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            firsts.drop("ts")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if progress_out is not None:
         for p in q.recentProgress:
             for op in p.get("stateOperators", []):
@@ -731,13 +804,14 @@ def run_streaming_tail_sampling(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_classify_batch)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_classify_batch)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     partials = spark.read.parquet(f"{out}/partials")
     kept = lambda r: F.sum(  # noqa: E731
         F.when(F.col("reason") == r, F.col("n")).otherwise(0)
@@ -870,13 +944,14 @@ def run_streaming_near_dedup(
             .parquet(f"{work}/kept")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_gate_batch)
-        .option("checkpointLocation", f"{work}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(_gate_batch)
+            .option("checkpointLocation", f"{work}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Explicit schema: if no micro-batch carried any doc past the
     # boundary, the kept sink has no parquet footers and a schema-less
     # read raises AnalysisException instead of yielding the correct
@@ -947,13 +1022,14 @@ def run_streaming_trend_regression(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     totals = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("event_type")
@@ -1027,13 +1103,14 @@ def run_streaming_error_budget(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     per_day = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("app_name", "day_ms")
@@ -1085,13 +1162,14 @@ def run_streaming_burn_rate(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     per_hour = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("app_name", "hour_ms")
@@ -1135,13 +1213,14 @@ def run_streaming_histogram_rollup(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     minute = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("event_type", "bucket_ms", "bin")
@@ -1179,13 +1258,14 @@ def run_streaming_alert_flap(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     minute = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("rule_id", "metric", "threshold", "app_id", "minute_ms")
@@ -1270,13 +1350,14 @@ def run_streaming_red_panel(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     counts = (
         spark.read.parquet(f"{out}/counts")
         .groupBy("app_id", "hour_ms")
@@ -1384,13 +1465,14 @@ def run_streaming_forecast_linear(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     totals = (
         spark.read.parquet(f"{out}/partials")
         .groupBy("event_type")
@@ -1446,13 +1528,14 @@ def run_streaming_bloom_build(
     def _partials(batch_df: DataFrame, batch_id: int) -> None:
         bloom_words(batch_df).write.mode("append").parquet(f"{out}/words")
 
-    q = (
-        old_keys_stream.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            old_keys_stream.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     merged = (
         spark.read.parquet(f"{out}/words")
         .groupBy("word_idx")
@@ -1498,13 +1581,14 @@ def run_streaming_metric_correlation(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    q = (
-        tm.writeStream.foreachBatch(_partials)
-        .option("checkpointLocation", f"{out}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            tm.writeStream.foreachBatch(_partials)
+            .option("checkpointLocation", f"{out}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     merged = (
         spark.read.parquet(f"{out}/buckets")
         .groupBy("hour_ms", "event_type")
@@ -1583,13 +1667,14 @@ def run_streaming_repeated_spans(
             index, "span_hash", "left_anti"
         ).write.mode("append").parquet(index_path)
 
-    q = (
-        stream.writeStream.foreachBatch(_scrub_batch)
-        .option("checkpointLocation", f"{work}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(_scrub_batch)
+            .option("checkpointLocation", f"{work}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1738,13 +1823,14 @@ def run_streaming_prefix_dedup(
             pre_path
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_gate_batch)
-        .option("checkpointLocation", f"{work}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(_gate_batch)
+            .option("checkpointLocation", f"{work}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     route_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -2055,13 +2141,14 @@ def run_streaming_semantic_dedup(
             tau=tau,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_gate_batch)
-        .option("checkpointLocation", f"{work}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(_gate_batch)
+            .option("checkpointLocation", f"{work}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
@@ -2144,13 +2231,14 @@ def run_streaming_paragraph_decon(
             .parquet(f"{work}/kept")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_gate_batch)
-        .option("checkpointLocation", f"{work}/_chk")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, sf_dir):
+        q = (
+            stream.writeStream.foreachBatch(_gate_batch)
+            .option("checkpointLocation", f"{work}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     kept_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),

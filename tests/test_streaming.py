@@ -1596,3 +1596,44 @@ def test_streaming_paragraph_decon_matches_batch_verdicts(spark, sf_dir):
     # count is strictly below the non-bench corpus size
     n_train = corpus(docs).filter(~is_bench).count()
     assert sum(got.values()) < n_train
+
+
+def test_stream_state_partitions_derivation(spark, tmp_path, monkeypatch):
+    """The streaming state partition count derives from the source
+    footprint (floor 8, one partition per 64 MiB), honors the env
+    override, falls back to no-op on unsizable sources, and the context
+    manager restores the session's batch shuffle width either way."""
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        STREAM_STATE_BYTES_PER_PARTITION,
+        _scaled_state_shuffle,
+        _stream_state_partitions,
+    )
+
+    monkeypatch.delenv("GFAOOA_STREAM_STATE_PARTITIONS", raising=False)
+    # tiny local drop -> the floor
+    (tmp_path / "events.parquet").write_bytes(b"x" * 1024)
+    assert _stream_state_partitions(str(tmp_path), "*.parquet") == 8
+    # the rule is ceil(bytes / split): a sparse file big enough for 3
+    # splits derives 8-floored... use a seek-written sparse file so the
+    # test does not materialize 640 MiB
+    big = tmp_path / "big" / "events.parquet"
+    big.parent.mkdir()
+    with open(big, "wb") as f:
+        f.seek(10 * STREAM_STATE_BYTES_PER_PARTITION - 1)
+        f.write(b"\0")
+    assert _stream_state_partitions(str(big.parent), "*.parquet") == 10
+    # glob excludes non-matching files from the footprint
+    assert _stream_state_partitions(str(big.parent), "*.csv") is None
+    # env override wins over any derivation
+    monkeypatch.setenv("GFAOOA_STREAM_STATE_PARTITIONS", "17")
+    assert _stream_state_partitions(str(big.parent), "*.parquet") == 17
+    monkeypatch.delenv("GFAOOA_STREAM_STATE_PARTITIONS")
+    # context manager: applies the derived count, then restores
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _scaled_state_shuffle(spark, str(big.parent)):
+        assert spark.conf.get(key) == "10"
+    assert spark.conf.get(key) == before
+    # unsizable source (missing dir) -> conf untouched inside the block
+    with _scaled_state_shuffle(spark, str(tmp_path / "nope")):
+        assert spark.conf.get(key) == before
