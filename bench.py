@@ -18,6 +18,17 @@ min-pass ratchet. ``value`` is therefore the fresh-process core-35
 first pass from r14 on; ``value_shared_session`` carries the old
 shared-session number for cross-round continuity.
 
+Driver contract (r16): the FINAL printed JSON line is SELF-CONTAINED —
+totals plus the ``queries`` / ``queries_min`` / ``rows_only_sec`` maps.
+Through r15 the per-query map was printed on an EARLY line and the final
+line carried only totals; the driver keeps the last parseable line, so
+its round-over-round per-query comparison was empty (PERF_r15
+``n_common: 0`` — the r15 verdict's item 2). A compact totals-only line
+is still printed immediately before as a truncation safety net, and the
+rows-only section now interleaves 1-rep frozen-control probes every few
+runners (``rows_control_probes``) so mid-section host bursts are
+attributable per segment.
+
 Host-load normalization (r15): every section first times a FROZEN
 control pair (``_control_pair`` — code never changes again);
 ``host_inflation = control_now / control_best`` measures the machine's
@@ -313,6 +324,48 @@ def _control_pair(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _control_probe(spark, sf_dir: str) -> dict[str, float]:
+    """ONE-rep in-section control probe (r16, the r15 verdict's item 5):
+    the SAME two frozen queries as ``_control_pair`` — kept in literal
+    sync with it, never edited apart — timed once each, so the rows-only
+    section can interleave cheap probes every few runners and a mid-
+    section host burst (the r15 ``stream_ewma_smooth`` 19.8-vs-6.5 s
+    class) becomes self-adjudicating instead of a judge cycle.
+    ``_control_pair`` itself is frozen and stays the section-head
+    ratchet denominator; these probes only attribute WITHIN a section."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type")
+        .agg(F.sum("value"), F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["control_scan"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .join(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            F.count(F.lit(1)),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["control_join"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+#: Rows-only runners between two in-section control probes.
+_ROWS_PROBE_EVERY = 10
+
+
 def _inflation(control_now: dict[str, float], control_best: dict[str, float]) -> float:
     """Section host-inflation factor vs the best-ever control ratchet,
     clamped to ≥1.0 (a faster-than-ever host must update the ratchet,
@@ -380,13 +433,27 @@ def section_rows(sf_dir: str) -> None:
     control = _control_pair(spark, sf_dir)
     builders = _bench_builders()
     rows_only: dict[str, float] = {}
-    for name in _rows_only_names():
+    # In-section control probes (r16): 1-rep frozen-pair timings every
+    # _ROWS_PROBE_EVERY runners, recorded as [n_runners_done, probe] —
+    # per-SEGMENT host attribution for a section whose head-only control
+    # could not see mid-section bursts. Probe time is NOT added to any
+    # runner's timing or the section total.
+    probes: list = [[0, _control_probe(spark, sf_dir)]]
+    for i, name in enumerate(_rows_only_names(), start=1):
         builder = builders[name][0] if name in builders else REGISTRY[name].builder
         t0 = time.perf_counter()
         df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         rows_only[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"rows_only_sec": rows_only, "control": control}))
+        if i % _ROWS_PROBE_EVERY == 0:
+            probes.append([i, _control_probe(spark, sf_dir)])
+    if probes[-1][0] != len(rows_only):
+        probes.append([len(rows_only), _control_probe(spark, sf_dir)])
+    print(
+        json.dumps(
+            {"rows_only_sec": rows_only, "control": control, "control_probes": probes}
+        )
+    )
     spark.stop()
 
 
@@ -581,6 +648,37 @@ def main() -> None:
     rows_regressions_norm = _norm_regressions(
         rows_only, prev_rows_best, infl_rows
     )
+    # Per-SEGMENT rows normalization (r16): each runner divides by the
+    # smaller of its two bracketing in-section probes' inflation — the
+    # conservative choice (1-rep probes are biased up; dividing by less
+    # keeps flags MORE likely), so a runner can only be excused by a
+    # burst the probes actually measured around it.
+    probes = rows.get("control_probes", [])
+    probe_infl = [
+        (int(n), _inflation(p, prev_ctl_best)) for n, p in probes if p
+    ]
+    seg_factor: dict[str, float] = {}
+    if len(probe_infl) >= 2:
+        bounds = [n for n, _ in probe_infl]
+        for idx, name in enumerate(rows_only, start=1):
+            for j in range(len(bounds) - 1):
+                if bounds[j] < idx <= bounds[j + 1]:
+                    seg_factor[name] = max(
+                        1.0, min(probe_infl[j][1], probe_infl[j + 1][1])
+                    )
+                    break
+    rows_regressions_segnorm = sorted(
+        (
+            (n, prev_rows_best[n], rows_only[n],
+             round(rows_only[n] / seg_factor.get(n, 1.0), 3))
+            for n in rows_only
+            if n in prev_rows_best
+            and rows_only[n] / seg_factor.get(n, 1.0) > prev_rows_best[n] * 1.5
+            and rows_only[n] / seg_factor.get(n, 1.0) - prev_rows_best[n] > 0.3
+        ),
+        key=lambda t: t[3] - t[1],
+        reverse=True,
+    )
     # Control ratchet: elementwise min over every section's controls and
     # the stored best — like the query ratchet, it only moves down.
     control_best_new = dict(prev_ctl_best)
@@ -679,6 +777,14 @@ def main() -> None:
                     {"query": n, "best": p, "now": c, "now_normalized": z}
                     for n, p, c, z in rows_regressions_norm
                 ],
+                "rows_control_probes": probes,
+                "rows_segment_inflation": {
+                    n: f for n, f in sorted(seg_factor.items())
+                },
+                "rows_regressions_vs_best_segment_normalized": [
+                    {"query": n, "best": p, "now": c, "now_normalized": z}
+                    for n, p, c, z in rows_regressions_segnorm
+                ],
             },
             fh,
             indent=1,
@@ -701,10 +807,30 @@ def main() -> None:
     totals["top_regressions_normalized"] = [
         [n, p, z] for n, p, c, z in (regressions_norm + rows_regressions_norm)[:5]
     ]
-    # Truncation-proof record: the driver captures the TAIL of stdout and
-    # BENCH_r05 lost its totals when the (large) per-query line was cut.
-    # Emit a compact totals-only line LAST so the final line always parses.
+    totals["n_regressed_segment_normalized"] = len(rows_regressions_segnorm)
+    # Compact totals-only safety-net line FIRST (it always parses even if a
+    # capture truncates the larger final record), then ONE self-contained
+    # FINAL line carrying the totals AND the per-query maps. The driver
+    # keeps the last parseable JSON line, and through r15 that line had no
+    # "queries" map, leaving PERF_rN's round-over-round per-query
+    # comparison empty (n_common: 0 — the r15 verdict's item 2); the
+    # driver-facing contract {"metric", "value", "queries", "sf"} is now
+    # satisfied by the FINAL line itself.
     print(json.dumps(totals))
+    print(
+        json.dumps(
+            {
+                **totals,
+                # Core-35 keep their r14/r15 meaning (fresh-process first
+                # pass); the extended-only names are ADDED from the
+                # shared-session first pass (additions-only: nothing
+                # removed or renamed vs the r15 map).
+                "queries": {**first, **core["first"]},
+                "queries_min": best,
+                "rows_only_sec": rows_only,
+            }
+        )
+    )
     spark.stop()
 
 
