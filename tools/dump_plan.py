@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
-"""Dump .explain("formatted") for registry queries to plans/r15/.
+"""Dump .explain("formatted") for registry queries to plans/<round>/ (GFAOOA_PLAN_ROUND, default r16).
 
 Usage: python tools/dump_plan.py SUFFIX name [name ...]
 
-Writes plans/r15/<name>_<SUFFIX>.txt for each named query (built at
+Writes plans/<round>/<name>_<SUFFIX>.txt for each named query (built at
 sf0.1 — plan shape, not execution). SUFFIX is normally "before" or
 "after".
 """
@@ -19,7 +19,7 @@ from guidance_for_analytics_observability_on_aws_spark.plans.registry import REG
 from guidance_for_analytics_observability_on_aws_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("GFAOOA_PLAN_ROUND", "r16"))
 
 
 def main() -> None:
