@@ -57,6 +57,58 @@ def _shingle_base(documents: DataFrame) -> DataFrame:
     )
 
 
+def _doc_shared_frame(
+    tag: str,
+    documents: DataFrame | None,
+    build,
+    *params,
+    fallback_checkpoint: bool = False,
+):
+    """Serve ``build()`` through the session shared-frame registry, keyed
+    on the ``documents`` corpus frame (r16, guide §2.4/§5 — the
+    r12/r15-sanctioned D39/D40/D20–D23 pattern applied to the dedup/CC
+    family): the MinHash-LSH candidate graph and the banded-scored pair
+    set are each derived by HALF A DOZEN registry queries per corpus
+    (P4/P5/P10/P11/P15/P17/P19/P27, D3, D15, D18), and every one of them
+    recomputed the identical frame per call. The registry is in-process
+    session state keyed by plan hash + file footprint + owning session —
+    a fresh process always recomputes from parquet (never cross-run), and
+    a registry miss (non-parquet input, unkeyable plan) returns
+    ``build()`` unchanged — lazily, or checkpointed when
+    ``fallback_checkpoint`` preserves a caller's pre-r16 materialization
+    contract — so test corpora and in-memory frames keep their exact
+    pre-r16 behavior. ``build`` must return the LAZY frame; the registry
+    put performs the one materialization."""
+
+    def _fallback() -> DataFrame:
+        out = build()
+        return out.localCheckpoint(eager=True) if fallback_checkpoint else out
+
+    if documents is None:
+        return _fallback()
+    from .similarity import (
+        _input_footprint,
+        _model_key,
+        _shared_frame_get,
+        _shared_frame_put,
+    )
+
+    # Footprint-gated: two DIFFERENT in-memory corpora both digest to 0,
+    # and a key collision would serve one corpus's pairs to the other —
+    # only file-backed frames (the only ones worth sharing) participate.
+    if _input_footprint(documents) == 0:
+        return _fallback()
+    spark = documents.sparkSession
+    key = _model_key(tag, documents, *params)
+    hit = _shared_frame_get(key, spark)
+    if hit is not None:
+        return hit
+    put = _shared_frame_put(key, spark, build())
+    if put is not None:
+        return put[0]
+    return _fallback()
+
+
 def _shingle_rows(
     documents: DataFrame, base: DataFrame | None = None
 ) -> DataFrame:
@@ -261,7 +313,10 @@ def _lsh_candidate_pairs(sig: DataFrame, n_splits: int = 1) -> DataFrame:
 
 
 def dedup_minhash_lsh(
-    documents: DataFrame, base: DataFrame | None = None, n_splits: int = 1
+    documents: DataFrame,
+    base: DataFrame | None = None,
+    n_splits: int = 1,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """D3: MinHash + LSH banding candidate pairs.
 
@@ -273,10 +328,20 @@ def dedup_minhash_lsh(
     ``n_splits > 1`` engages the lossless band-key salting described on
     :func:`_lsh_candidate_pairs` (pair set unchanged, largest task s×
     smaller).
+
+    ``sig`` lets a caller that already materialized the signatures (D18,
+    P17) feed them in. The default-parameter candidate graph is served
+    through the session shared-frame registry (see
+    :func:`_doc_shared_frame`): P4/P5/P10/P15/P19 and D15's candidate
+    stage all consume this exact frame per corpus.
     """
-    return _lsh_candidate_pairs(
-        minhash_signatures(documents, base=base), n_splits=n_splits
-    )
+    def _build() -> DataFrame:
+        return _lsh_candidate_pairs(
+            sig if sig is not None else minhash_signatures(documents, base=base),
+            n_splits=n_splits,
+        )
+
+    return _doc_shared_frame("lsh-cand", documents, _build) if n_splits == 1 else _build()
 
 
 def dedup_minhash_estimate(
@@ -305,8 +370,16 @@ def dedup_minhash_estimate(
     # One signature computation feeds the banding join AND both scoring
     # sides; without the checkpoint Catalyst re-derives the corpus-wide
     # aggregation per reference (3 full corpus scans at object-store cost).
-    sig = minhash_signatures(documents, base=base).localCheckpoint(eager=True)
-    pairs = _lsh_candidate_pairs(sig)
+    # The materialized signatures are session-shared (r16 — P17's panel
+    # needs this identical frame), and the candidate graph comes from
+    # D3's shared frame instead of a private banding join.
+    sig = _doc_shared_frame(
+        "mh-sig",
+        documents,
+        lambda: minhash_signatures(documents, base=base),
+        fallback_checkpoint=True,
+    )
+    pairs = dedup_minhash_lsh(documents, base=base, sig=sig)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(k)],
@@ -390,6 +463,7 @@ def dedup_containment_banded(
     jaccard_threshold: float = 0.8,
     containment_threshold: float = 0.9,
     base: DataFrame | None = None,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """D15: the PRODUCTION scale path for D2 (Jaccard) and D14
     (containment) — exact shingle scoring restricted to D3's MinHash-LSH
@@ -427,48 +501,66 @@ def dedup_containment_banded(
     # materialized: without it the LSH subtree re-executes once per
     # downstream reference (~5×, 41-Exchange plan measured). `cand` is the
     # LSH edge list; `base` one row per CANDIDATE doc — both ≪ corpus.
-    base_all = (
-        base
-        if base is not None
-        else _shingle_base(documents).localCheckpoint(eager=True)
-    )
-    cand = (
-        dedup_minhash_lsh(documents, base=base_all)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    base = (
-        base_all.join(cand_docs, "doc_id")
-        .localCheckpoint(eager=True)
-    )
-    # The EXACT D2/D14 join/size arithmetic over the candidate-restricted
-    # base (one shared definition — see _shingle_pair_intersections), then
-    # pruned to candidate PAIRS: co-shingle pairs among candidate docs
-    # that are not LSH candidates drop here.
-    scored = (
-        _shingle_pair_intersections(documents, base=base)
-        .join(cand, ["doc_a", "doc_b"])
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection_size",
-            "size_a",
-            "size_b",
-            _jaccard_col(),
-            *_containment_cols(),
+    def _build() -> DataFrame:
+        base_all = (
+            base
+            if base is not None
+            else _shingle_base(documents).localCheckpoint(eager=True)
         )
-    )
-    return scored.filter(
-        (F.col("jaccard") >= jaccard_threshold)
-        | (
-            F.greatest(F.col("containment_a"), F.col("containment_b"))
-            >= containment_threshold
+        pairs = (
+            cand
+            if cand is not None
+            else dedup_minhash_lsh(documents, base=base_all).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint(eager=True)
         )
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        restricted = (
+            base_all.join(cand_docs, "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        # The EXACT D2/D14 join/size arithmetic over the candidate-
+        # restricted base (one shared definition — see
+        # _shingle_pair_intersections), then pruned to candidate PAIRS:
+        # co-shingle pairs among candidate docs that are not LSH
+        # candidates drop here.
+        scored = (
+            _shingle_pair_intersections(documents, base=restricted)
+            .join(pairs, ["doc_a", "doc_b"])
+            .select(
+                "doc_a",
+                "doc_b",
+                "intersection_size",
+                "size_a",
+                "size_b",
+                _jaccard_col(),
+                *_containment_cols(),
+            )
+        )
+        return scored.filter(
+            (F.col("jaccard") >= jaccard_threshold)
+            | (
+                F.greatest(F.col("containment_a"), F.col("containment_b"))
+                >= containment_threshold
+            )
+        )
+
+    # Session-shared verified-pair set (r16): P11, P27 and the D15 query
+    # itself each derive this exact frame per corpus; thresholds are part
+    # of the key so a non-default caller gets its own entry. ``cand``
+    # lets a caller (P17) that already materialized the candidate graph
+    # feed it in on a miss — the output is cand-invariant (the same
+    # candidate SET either way).
+    return _doc_shared_frame(
+        "banded-pairs",
+        documents,
+        _build,
+        float(jaccard_threshold),
+        float(containment_threshold),
     )
 
 

@@ -1668,11 +1668,13 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
     between — the monotonicity is pinned in tests.
     """
     from .dedup import (
+        _doc_shared_frame,
         _shingle_base,
         dedup_containment_banded,
         dedup_minhash_estimate,
-        dedup_ngram_jaccard,
+        dedup_prefix_filter,
         dedup_sorted_neighborhood,
+        minhash_signatures,
     )
 
     # ONE (doc_id, toks) corpus materialization shared by ALL graded
@@ -1680,48 +1682,78 @@ def dedup_eval_report(documents: DataFrame) -> DataFrame:
     # (five full corpus scans at object-store cost; ~2× the report's
     # wall-clock measured at sf0.1 when snm_exact joined the panel).
     shared = _shingle_base(documents).localCheckpoint(eager=True)
-    preds = {
-        "lsh_candidates": dedup_minhash_lsh(documents, base=shared).select(
-            "doc_a", "doc_b"
-        ),
-        "banded_exact": dedup_containment_banded(documents, base=shared)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b"),
-        "sketch_estimate": dedup_minhash_estimate(
-            documents, base=shared
-        ).select("doc_a", "doc_b"),
+    # The five frames are mutually independent GIVEN the sig/cand chain —
+    # r15 materialized them concurrently (§2.6), but each MinHash-family
+    # method still derived its own signature + banding frames (the
+    # identical corpus-wide MinHash work ran 3× in concurrent jobs).
+    # r16: truth and snm_exact (which need only the corpus base) start
+    # immediately; the main thread materializes ONE signature frame and
+    # ONE candidate graph (both session-shared) overlapped with them;
+    # the two methods that score over sig/cand are submitted as those
+    # frames land. Outputs are byte-identical — same frames, same stats
+    # arithmetic; only the derivation sharing and job overlap changed.
+    #
+    # Truth = the exact all-pairs Jaccard ≥ 0.8 verdicts, computed via
+    # D31's lossless prefix-filter bound instead of D2's raw co-shingle
+    # self-join (§3.2-style candidate pruning): the prefix join's
+    # completeness theorem plus the identical exact re-score make the
+    # pair set EQUAL row-for-row (test_prefix_filter_equals_exact_allpairs
+    # + the hypothesis property pin) at a fraction of the join fan-out —
+    # the fan-out term is what grows quadratically at 100 TB.
+    from concurrent.futures import ThreadPoolExecutor
+
+    ck = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_truth = pool.submit(
+            lambda: ck(
+                dedup_prefix_filter(documents, base=shared).select(
+                    "doc_a", "doc_b"
+                )
+            )
+        )
         # D30's pairs are exact-scored at the truth's own threshold, so
         # precision is structurally 1.0; recall measures what the
         # sort-key blocking alone covers (pinned in tests).
-        "snm_exact": dedup_sorted_neighborhood(documents, base=shared).select(
-            "doc_a", "doc_b"
-        ),
-    }
-    # The truth self-join and the four graded methods all hang off the
-    # SAME checkpointed base and are mutually independent — materialize
-    # the five concurrently (guide §2.6: actions are only sequential
-    # because the driver calls them sequentially; concurrent jobs
-    # back-fill each other's stage tails). Outputs are byte-identical
-    # (same frames, same stats arithmetic — only the materialization
-    # ORDER changed).
-    from concurrent.futures import ThreadPoolExecutor
-
-    jobs = {
-        "__truth__": dedup_ngram_jaccard(documents, base=shared).select(
-            "doc_a", "doc_b"
-        ),
-        **preds,
-    }
-    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
-        done = dict(
-            zip(
-                jobs,
-                pool.map(
-                    lambda df: df.localCheckpoint(eager=True), jobs.values()
-                ),
+        fut_snm = pool.submit(
+            lambda: ck(
+                dedup_sorted_neighborhood(documents, base=shared).select(
+                    "doc_a", "doc_b"
+                )
             )
         )
-    truth = done.pop("__truth__")
+        sig = _doc_shared_frame(
+            "mh-sig",
+            documents,
+            lambda: minhash_signatures(documents, base=shared),
+            fallback_checkpoint=True,
+        )
+        cand = ck(
+            dedup_minhash_lsh(documents, base=shared, sig=sig).select(
+                "doc_a", "doc_b"
+            )
+        )
+        fut_banded = pool.submit(
+            lambda: ck(
+                dedup_containment_banded(documents, base=shared, cand=cand)
+                .filter(F.col("jaccard") >= 0.8)
+                .select("doc_a", "doc_b")
+            )
+        )
+        fut_est = pool.submit(
+            lambda: ck(
+                dedup_minhash_estimate(documents, base=shared).select(
+                    "doc_a", "doc_b"
+                )
+            )
+        )
+        done = {
+            "lsh_candidates": cand,
+            "banded_exact": fut_banded.result(),
+            "sketch_estimate": fut_est.result(),
+            "snm_exact": fut_snm.result(),
+        }
+        truth = fut_truth.result()
+    preds = done
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     out = None
     for method in preds:

@@ -4109,3 +4109,54 @@ def test_dashboard_parity_every_panel_has_a_twin(spark):
             assert r.twin_registered, r
         else:
             assert r.twin_kind == "layout" and r.twin is None, r
+
+
+@pytest.mark.fast
+def test_dedup_family_shared_frames(spark, sf_dir):
+    """r16 session sharing for the dedup/CC family: D3's candidate graph,
+    the MinHash signatures and D15's verified pairs are served through
+    the session shared-frame registry — a second call is a replay (its
+    plan scans the checkpoint RDD), the served output equals a
+    registry-cleared recompute row-for-row, and in-memory corpora
+    (footprint 0) bypass the registry entirely so two different local
+    frames can never share a candidate graph."""
+    from guidance_for_analytics_observability_on_aws_spark.operators import (
+        dedup as D,
+    )
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _SHARED_FRAMES,
+        trained_cache_clear,
+    )
+
+    trained_cache_clear(loaded_too=False)
+    docs = load_tables(spark, sf_dir)["documents"]
+    direct = {
+        tuple(r)
+        for r in D._lsh_candidate_pairs(D.minhash_signatures(docs)).collect()
+    }
+    got1 = D.dedup_minhash_lsh(docs)
+    assert {tuple(r) for r in got1.collect()} == direct
+    assert "lsh-cand" in {k[0] for k in _SHARED_FRAMES}
+    n_keys = len(_SHARED_FRAMES)
+    got2 = D.dedup_minhash_lsh(docs)
+    assert len(_SHARED_FRAMES) == n_keys  # hit, not a second entry
+    assert got2 is not got1  # defensive alias
+    assert "LogicalRDD" in got2._jdf.queryExecution().optimizedPlan().toString()
+    # shared banded output ≡ a from-scratch recompute (cleared registry)
+    rows1 = {tuple(r) for r in D.dedup_containment_banded(docs).collect()}
+    trained_cache_clear(loaded_too=False)
+    rows2 = {tuple(r) for r in D.dedup_containment_banded(docs).collect()}
+    assert rows1 == rows2
+    # in-memory corpus: no registry participation, lazy plan unchanged
+    local = spark.createDataFrame(
+        [(1, "a b c d e f g", "en", "s1"), (2, "a b c d e f g", "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    n_keys = len(_SHARED_FRAMES)
+    out = D.dedup_minhash_lsh(local)
+    assert len(_SHARED_FRAMES) == n_keys
+    # still the full lazy pipeline (tokenization visible), not a replay
+    # of some checkpoint (a createDataFrame source is itself a LogicalRDD,
+    # so probe for the computation instead)
+    assert "split(" in out._jdf.queryExecution().optimizedPlan().toString()
+    trained_cache_clear(loaded_too=False)

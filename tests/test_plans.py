@@ -400,8 +400,17 @@ def test_banded_dedup_single_corpus_scan(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(dedup, "_shingle_base", counting)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # This pins the COLD build's scan count; since r16 a warm session can
+    # serve the whole banded frame from the shared-frame registry (zero
+    # scans), so clear it first.
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        trained_cache_clear,
+    )
+
+    trained_cache_clear(loaded_too=False)
     dedup.dedup_containment_banded(docs)
     assert len(calls) == 1, f"_shingle_base derived {len(calls)}× from documents"
+    trained_cache_clear(loaded_too=False)
 
 
 def test_log_sample_uses_window_group_limit(spark, sf_dir):
