@@ -1363,10 +1363,11 @@ def _shared_nv(embeddings: DataFrame) -> DataFrame:
     hit = _shared_frame_get(key, spark)
     if hit is not None:
         return hit
-    put = _shared_frame_put(key, spark, _normalized_aug(embeddings))
+    nv = _normalized_aug(embeddings)  # built once for both paths below
+    put = _shared_frame_put(key, spark, nv)
     if put is not None:
         return put[0]
-    return _normalized_aug(embeddings).localCheckpoint(eager=True)
+    return nv.localCheckpoint(eager=True)
 
 
 def _coarse_cells_norm(

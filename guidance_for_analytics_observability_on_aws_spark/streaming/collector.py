@@ -28,6 +28,7 @@ import fnmatch
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,7 +87,18 @@ def _stream_state_partitions(sf_dir: str, glob: str) -> int | None:
     """
     env = os.environ.get("GFAOOA_STREAM_STATE_PARTITIONS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            # A malformed override must not crash every streaming runner;
+            # fall back to the size derivation below (with a breadcrumb).
+            import warnings
+
+            warnings.warn(
+                "GFAOOA_STREAM_STATE_PARTITIONS=%r is not an integer; "
+                "falling back to source-size derivation" % env,
+                stacklevel=2,
+            )
     total = 0
     try:
         for root, _dirs, files in os.walk(sf_dir):
@@ -100,6 +112,14 @@ def _stream_state_partitions(sf_dir: str, glob: str) -> int | None:
     return max(8, -(-total // STREAM_STATE_BYTES_PER_PARTITION))
 
 
+#: Serializes _scaled_state_shuffle's session-global conf override — two
+#: overlapping streaming runs on one session would otherwise capture each
+#: other's temporary width or restore the wrong value (the codebase runs
+#: driver-side ThreadPoolExecutor jobs elsewhere; streaming runners must
+#: not assume they are alone).
+_STATE_OVERRIDE_LOCK = threading.Lock()
+
+
 @contextlib.contextmanager
 def _scaled_state_shuffle(spark: SparkSession, sf_dir: str, glob: str = "*.parquet"):
     """Start a streaming query under the size-derived state partition
@@ -107,18 +127,34 @@ def _scaled_state_shuffle(spark: SparkSession, sf_dir: str, glob: str = "*.parqu
     sessions run batch plans next; the stream itself captures the count
     into its checkpoint at query start, so restoring cannot affect it).
     Results are partition-count invariant — only state-task granularity
-    and state-store instance count change."""
+    and state-store instance count change.
+
+    ``glob`` must be the STREAMED SOURCE's file glob (each runner passes
+    its own table, e.g. ``events.parquet``): the sizer walks ``sf_dir``
+    for matching files, and the r15 default of ``*.parquet`` summed the
+    whole directory footprint, so a tiny drop beside a large unrelated
+    table still derived a large state-store count (masked at bench SF
+    where everything floors at 8; wrong at any multi-table scale).
+
+    Known residual (documented, guarded by the lock): the override is
+    session-global for the stream's lifetime — a batch DataFrame compiled
+    on the SAME session inside this window would inherit the stream's
+    width. Runners in this codebase never do that (foreachBatch bodies
+    deliberately run under the scaled width; concurrent streaming runs
+    serialize on the lock), and a per-query width is not expressible via
+    writeStream options on this engine version."""
     n = _stream_state_partitions(sf_dir, glob)
     if n is None:
         yield
         return
     key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+    with _STATE_OVERRIDE_LOCK:
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
 
 
 def events_stream(
@@ -169,7 +205,7 @@ def run_collector_pipeline(
     work = None if out_dir else tempfile.mkdtemp(prefix="gfaooa_stream_")
     out = out_dir or work
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.format("parquet")
             .option("path", f"{out}/routed")
@@ -218,7 +254,7 @@ def run_streaming_stage_agg(
             .parquet(f"{out}/stage_agg")
         )
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_close_stages)
             .option("checkpointLocation", f"{out}/_chk")
@@ -243,7 +279,7 @@ def run_windowed_rollup(
     """
     name = "gfaooa_rollup_sink"
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             windowed_rollup(tm)
             .writeStream.format("memory")
@@ -293,7 +329,7 @@ def run_streaming_sessions(
             (F.col("session_end_ms") - F.col("session_start_ms")).alias("duration_ms"),
         )
     )
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             sess.writeStream.format("memory")
             .queryName(name)
@@ -335,7 +371,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["task_id", "app_id", "metric_time"])
         .select("task_id", "app_id", "metrics_type", "metric_time_ms", "value")
     )
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             dedup.writeStream.format("memory")
             .queryName(name)
@@ -367,7 +403,7 @@ def run_streaming_alerts(
         alert_violations(batch_df).write.mode("append").parquet(f"{out}/alerts")
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_check_batch)
             .option("checkpointLocation", f"{out}/_chk")
@@ -432,7 +468,7 @@ def run_streaming_incremental_dedup(
     kept = new_stream.join(F.broadcast(exact_dict), "exact_fp", "left_anti").join(
         F.broadcast(content_dict), "content_fp", "left_anti"
     )
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             kept.writeStream.format("memory")
             .queryName(name)
@@ -500,7 +536,7 @@ def run_streaming_media_dedup(
     kept = new_fp.join(
         F.broadcast(static_dict), ["modality", "payload_md5"], "left_anti"
     )
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             kept.writeStream.format("memory")
             .queryName(name)
@@ -546,7 +582,7 @@ def run_streaming_heavy_hitters(
         cms_key_buckets(batch_df).write.mode("append").parquet(f"{out}/partials")
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_sketch_batch)
             .option("checkpointLocation", f"{out}/_chk")
@@ -638,7 +674,7 @@ def run_streaming_metric_log_join(
         & (F.col("m_time") <= F.col("err_time"))
     )
     joined = errors.join(metrics, cond)
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             joined.writeStream.format("parquet")
             .option("path", f"{out}/pairs")
@@ -729,7 +765,7 @@ def run_streaming_rolling_wau(
         ).dropDuplicatesWithinWatermark(["user_id", "report_day"])
     else:
         firsts = covered.dropDuplicates(["user_id", "report_day"])
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, events_glob):
         q = (
             firsts.drop("ts")
             .writeStream.format("memory")
@@ -804,7 +840,7 @@ def run_streaming_tail_sampling(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_classify_batch)
             .option("checkpointLocation", f"{out}/_chk")
@@ -944,7 +980,7 @@ def run_streaming_near_dedup(
             .parquet(f"{work}/kept")
         )
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             stream.writeStream.foreachBatch(_gate_batch)
             .option("checkpointLocation", f"{work}/_chk")
@@ -1022,7 +1058,7 @@ def run_streaming_trend_regression(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1103,7 +1139,7 @@ def run_streaming_error_budget(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1162,7 +1198,7 @@ def run_streaming_burn_rate(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1213,7 +1249,7 @@ def run_streaming_histogram_rollup(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1258,7 +1294,7 @@ def run_streaming_alert_flap(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1350,7 +1386,7 @@ def run_streaming_red_panel(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1465,7 +1501,7 @@ def run_streaming_forecast_linear(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1528,7 +1564,7 @@ def run_streaming_bloom_build(
     def _partials(batch_df: DataFrame, batch_id: int) -> None:
         bloom_words(batch_df).write.mode("append").parquet(f"{out}/words")
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             old_keys_stream.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1581,7 +1617,7 @@ def run_streaming_metric_correlation(
         )
 
     tm = task_metrics(events_stream(spark, sf_dir))
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
         q = (
             tm.writeStream.foreachBatch(_partials)
             .option("checkpointLocation", f"{out}/_chk")
@@ -1667,7 +1703,7 @@ def run_streaming_repeated_spans(
             index, "span_hash", "left_anti"
         ).write.mode("append").parquet(index_path)
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             stream.writeStream.foreachBatch(_scrub_batch)
             .option("checkpointLocation", f"{work}/_chk")
@@ -1823,7 +1859,7 @@ def run_streaming_prefix_dedup(
             pre_path
         )
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, src, docs_glob):
         q = (
             stream.writeStream.foreachBatch(_gate_batch)
             .option("checkpointLocation", f"{work}/_chk")
@@ -2141,7 +2177,7 @@ def run_streaming_semantic_dedup(
             tau=tau,
         )
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, src, emb_glob):
         q = (
             stream.writeStream.foreachBatch(_gate_batch)
             .option("checkpointLocation", f"{work}/_chk")
@@ -2231,7 +2267,7 @@ def run_streaming_paragraph_decon(
             .parquet(f"{work}/kept")
         )
 
-    with _scaled_state_shuffle(spark, sf_dir):
+    with _scaled_state_shuffle(spark, sf_dir, "documents.parquet"):
         q = (
             stream.writeStream.foreachBatch(_gate_batch)
             .option("checkpointLocation", f"{work}/_chk")

@@ -1637,3 +1637,43 @@ def test_stream_state_partitions_derivation(spark, tmp_path, monkeypatch):
     # unsizable source (missing dir) -> conf untouched inside the block
     with _scaled_state_shuffle(spark, str(tmp_path / "nope")):
         assert spark.conf.get(key) == before
+
+
+def test_stream_state_partitions_guards(spark, tmp_path, monkeypatch):
+    """r16 hardening: a malformed env override falls back to derivation
+    (with a warning) instead of crashing the runner; the sizer counts
+    ONLY the streamed source's glob (a large unrelated table beside a
+    tiny drop must not inflate the state-store count); and the width
+    override serializes on the module lock."""
+    import warnings
+
+    from guidance_for_analytics_observability_on_aws_spark.streaming.collector import (
+        STREAM_STATE_BYTES_PER_PARTITION,
+        _STATE_OVERRIDE_LOCK,
+        _scaled_state_shuffle,
+        _stream_state_partitions,
+    )
+
+    # a big unrelated table beside a tiny streamed drop: per-glob sizing
+    (tmp_path / "events.parquet").write_bytes(b"x" * 1024)
+    with open(tmp_path / "documents.parquet", "wb") as f:
+        f.seek(10 * STREAM_STATE_BYTES_PER_PARTITION - 1)
+        f.write(b"\0")
+    assert _stream_state_partitions(str(tmp_path), "events.parquet") == 8
+    assert _stream_state_partitions(str(tmp_path), "documents.parquet") == 10
+    # malformed env override: warn + fall back to the size derivation
+    monkeypatch.setenv("GFAOOA_STREAM_STATE_PARTITIONS", "not-a-number")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _stream_state_partitions(str(tmp_path), "events.parquet") == 8
+    assert any("not an integer" in str(x.message) for x in w)
+    monkeypatch.delenv("GFAOOA_STREAM_STATE_PARTITIONS")
+    # the override window holds the module lock (no interleaved capture)
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _scaled_state_shuffle(spark, str(tmp_path), "documents.parquet"):
+        assert spark.conf.get(key) == "10"
+        assert not _STATE_OVERRIDE_LOCK.acquire(blocking=False)
+    assert spark.conf.get(key) == before
+    assert _STATE_OVERRIDE_LOCK.acquire(blocking=False)
+    _STATE_OVERRIDE_LOCK.release()
