@@ -914,6 +914,7 @@ def _kmeans_assignments(
     q: DataFrame | None = None,
     cache_key: tuple | None = None,
     return_centroids: bool = False,
+    materialized: bool = False,
 ):
     """Converged Lloyd assignment (vec_id, qv, nrm, cluster_id, d2) — the
     training loop shared by D12's summary and the D17/D21/D22 coarse
@@ -941,6 +942,13 @@ def _kmeans_assignments(
     if cached is not None:
         assigned = _assign_pass(q, cached)
         return (assigned, cached) if return_centroids else assigned
+    # Training runs max_iter+2 actions over ``q`` (seeds, one per Lloyd
+    # round, the final exact pass) — materialize it ONCE on the miss path
+    # unless the caller already did (guide §5: _quantized carries a
+    # repartition, so a lazy q re-pays parquet read + quantize + shuffle
+    # per round). Cache-hit replays stay one-pass and skip the barrier.
+    if not materialized:
+        q = q.localCheckpoint(eager=True)
     # Seed centroids by md5-permutation top-k — deterministic (tests and
     # reruns see identical seeds) yet hash-SPREAD across the corpus, unlike
     # the first k ids, which can all sit inside one cluster when ids are
@@ -1319,10 +1327,33 @@ def _pq_train(
             books[(s, code)] = [float(x) for x in r.qv[s * sub_d : (s + 1) * sub_d]]
     spark = q.sparkSession
     subs = _pq_subvectors(q, m, sub_d)
+    # Per-round centroid update WITHOUT the (vec_id, sub) back-join the
+    # encode-path _pq_assign would force (argmin keeps only the code, so
+    # recovering sv re-shuffled the whole subvector frame per round —
+    # guide §2.1): carry sv THROUGH the argmin struct. cid is unique per
+    # (vec_id, sub) group, so the (d, cid) prefix already decides every
+    # comparison and the trailing sv can never influence which row wins.
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     for _ in range(iters):
-        assigned = _pq_assign(subs, _books_df(spark, books)).join(subs, ["vec_id", "sub"])
+        scored = subs.join(F.broadcast(_books_df(spark, books)), "sub").select(
+            "vec_id",
+            "sub",
+            F.struct(
+                dist.alias("d"), F.col("cid").alias("cid"), F.col("sv").alias("sv")
+            ).alias("sc"),
+        )
         sums = (
-            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            scored.groupBy("vec_id", "sub")
+            .agg(F.min("sc").alias("best"))
+            .select(
+                "sub",
+                F.col("best.cid").alias("code"),
+                F.posexplode("best.sv").alias("dim", "x"),
+            )
             .groupBy("sub", "code", "dim")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -1399,6 +1430,7 @@ def _coarse_cells_norm(
             q=nv,
             cache_key=kkey,
             return_centroids=True,
+            materialized=True,  # nv is the shared checkpointed corpus
         )
         put = _shared_frame_put(akey, spark, raw)
         assigned = put[0] if put is not None else raw.localCheckpoint(eager=True)
@@ -1515,21 +1547,33 @@ def similarity_ivf_pq(
     books too). Rows-only check; planted-copy-in-own-cell retrieval and
     the cell-bound candidate property are pinned in tests.
     """
-    # coarse quantizer: the family-shared trained cells (normalized space)
-    nv, assigned, _ = _coarse_cells_norm(embeddings, n_cells)
-    cells = assigned.select("vec_id", "cluster_id")
-    # fine quantizer: normalized PQ codes (books shared with D20)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The coarse quantizer and the global-space PQ codebooks are
+    # INDEPENDENT models over the same materialized corpus — overlap
+    # their driver-coordinated Lloyd loops (§2.6, the P17/D27 pattern:
+    # each loop is collect-bound, so the cluster interleaves their jobs).
+    # Registry hits make either branch a cheap replay, so the pool only
+    # pays off on the cold first call; results are identical either way.
+    nv = _shared_nv(embeddings)
     q = nv
     sample = q.filter(
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
         .cast("long") % 4 == 0
     )
-    books = _pq_train(
-        sample,
-        m=m,
-        k=k_codes,
-        cache_key=_model_key("pq-norm-aug", embeddings, m, k_codes),
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(_coarse_cells_norm, embeddings, n_cells)
+        f_books = pool.submit(
+            _pq_train,
+            sample,
+            m,
+            k_codes,
+            2,
+            _model_key("pq-norm-aug", embeddings, m, k_codes),
+        )
+        _, assigned, _ = f_coarse.result()
+        books = f_books.result()
+    cells = assigned.select("vec_id", "cluster_id")
     sub_d = len(next(iter(books.values())))
     spark = embeddings.sparkSession
     codes = _pq_assign(_pq_subvectors(q, m, sub_d), _books_df(spark, books)).join(
