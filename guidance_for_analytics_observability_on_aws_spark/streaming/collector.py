@@ -1664,7 +1664,12 @@ def run_streaming_repeated_spans(
     anti-join append keeps the index a set).
     """
     from ..functions.text import corpus
-    from ..operators.dedup import _span_rows, apply_span_scrub, non_canonical_spans
+    from ..operators.dedup import (
+        _doc_shared_frame,
+        _span_rows,
+        apply_span_scrub,
+        non_canonical_spans,
+    )
 
     w = span_tokens
     work = tempfile.mkdtemp(prefix="gfaooa_spanscrub_")
@@ -1677,18 +1682,39 @@ def run_streaming_repeated_spans(
     old_docs = corpus(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).filter(F.col("doc_id") < corpus_boundary)
+    # The committed corpus's span-hash index is SPLIT (r16, guide §5/§6):
+    # the corpus-derived base set is a checkpointed frame served through
+    # the session shared-frame registry (derived once per session; a
+    # fresh process recomputes from parquet), and the on-disk table holds
+    # only the per-batch DELTA appends. Pre-r16 the full base set was
+    # written to parquet at bootstrap and re-read + re-materialized per
+    # batch — two corpus-sized round-trips per run that carried zero
+    # information beyond the frame itself. Index semantics are unchanged:
+    # the gate's view is always base ∪ deltas-before-this-batch.
+    idx0 = _doc_shared_frame(
+        "stream-span-index",
+        old_docs,
+        lambda: _span_rows(old_docs, w).select("span_hash").distinct(),
+        w,
+        corpus_boundary,
+        fallback_checkpoint=True,
+    )
     index_path = f"{work}/span_index"
-    _span_rows(old_docs, w).select("span_hash").distinct().write.mode(
-        "overwrite"
-    ).parquet(index_path)
+    os.makedirs(index_path, exist_ok=True)
 
     def _scrub_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_docs = corpus(batch_df).filter(
             F.col("doc_id") >= corpus_boundary
         ).localCheckpoint(eager=True)
         spans = _span_rows(new_docs, w).localCheckpoint(eager=True)
-        # Materialize the index read BEFORE this batch appends to it.
-        index = spark.read.parquet(index_path).localCheckpoint(eager=True)
+        # Materialize the DELTA read BEFORE this batch appends to it
+        # (the base side is already a fixed checkpoint).
+        deltas = (
+            spark.read.schema(idx0.schema)
+            .parquet(index_path)
+            .localCheckpoint(eager=True)
+        )
+        index = idx0.unionByName(deltas)
         hits = spans.join(index, "span_hash", "left_semi").select(
             "doc_id", "start"
         )
@@ -1794,18 +1820,50 @@ def run_streaming_prefix_dedup(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).filter(F.col("doc_id") < corpus_boundary)
     arr_path, pre_path = f"{work}/index_arrays", f"{work}/index_prefix"
-    old_arrays = sorted_arrays(old_docs)
-    old_arrays.write.mode("overwrite").parquet(arr_path)
-    lex_prefix_rows(old_arrays, pct).write.mode("overwrite").parquet(pre_path)
+    # Both committed-side index tables are SPLIT like D36's span index
+    # (r16, guide §5/§6): base = checkpointed shared frames (derived once
+    # per session, recomputed from parquet by any fresh process), disk =
+    # per-batch DELTA appends only. Pre-r16 both tables were written
+    # whole at bootstrap and re-read + re-materialized per batch. The
+    # gate's view stays base ∪ deltas-before-this-batch, so verdicts are
+    # unchanged (the D31 parity pin covers this).
+    from ..operators.dedup import _doc_shared_frame
+
+    arrays0 = _doc_shared_frame(
+        "stream-prefix-arrays",
+        old_docs,
+        lambda: sorted_arrays(old_docs),
+        corpus_boundary,
+        fallback_checkpoint=True,
+    )
+    prefix0 = _doc_shared_frame(
+        "stream-prefix-postings",
+        old_docs,
+        lambda: lex_prefix_rows(arrays0, pct),
+        pct,
+        corpus_boundary,
+        fallback_checkpoint=True,
+    )
+    os.makedirs(arr_path, exist_ok=True)
+    os.makedirs(pre_path, exist_ok=True)
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_docs = corpus(batch_df).filter(
             F.col("doc_id") >= corpus_boundary
         ).localCheckpoint(eager=True)
         new_arrays = sorted_arrays(new_docs).localCheckpoint(eager=True)
-        # Materialize both index reads BEFORE this batch appends to them.
-        index_arr = spark.read.parquet(arr_path).localCheckpoint(eager=True)
-        index_pre = spark.read.parquet(pre_path).localCheckpoint(eager=True)
+        # Materialize both DELTA reads BEFORE this batch appends to them
+        # (the base sides are already fixed checkpoints).
+        index_arr = arrays0.unionByName(
+            spark.read.schema(arrays0.schema)
+            .parquet(arr_path)
+            .localCheckpoint(eager=True)
+        )
+        index_pre = prefix0.unionByName(
+            spark.read.schema(prefix0.schema)
+            .parquet(pre_path)
+            .localCheckpoint(eager=True)
+        )
         cand = (
             lex_prefix_rows(new_arrays, pct)
             .join(
@@ -1915,6 +1973,8 @@ def semantic_gate_batch(
     out_dir: str,
     tau: float,
     crash_between_appends: bool = False,
+    base_codes: DataFrame | None = None,
+    base_vecs: DataFrame | None = None,
 ) -> None:
     """One D41 gate batch (the ``foreachBatch`` body of
     :func:`run_streaming_semantic_dedup`, module-level so the crash-seam
@@ -1930,7 +1990,14 @@ def semantic_gate_batch(
     vectors never backfill — the inner vecs join would then silently
     drop every pair against them (permanent under-removal).
     ``crash_between_appends`` is the test hook that aborts exactly on
-    that seam."""
+    that seam.
+
+    ``base_codes``/``base_vecs`` (r16): optional committed-side BASE
+    frames for the split-index layout — when given, ``codes_path`` /
+    ``vecs_path`` hold only delta appends and the gate's index view is
+    base ∪ deltas (identical set to the pre-split whole-table layout,
+    which remains the behavior when they are None — the crash-seam
+    tests drive that layout directly)."""
     from ..functions.vectors import cosine6, dot
     from ..operators.similarity import (
         N_SPLITS,
@@ -1953,8 +2020,17 @@ def semantic_gate_batch(
         ),
         centroids,
     ).localCheckpoint(eager=True)
-    # Materialize the index reads BEFORE this batch appends to them.
-    index_codes = spark.read.parquet(codes_path).localCheckpoint(eager=True)
+    # Materialize the index reads BEFORE this batch appends to them —
+    # the whole table pre-split, only the (small) delta when a base
+    # frame carries the committed side as an already-fixed checkpoint.
+    if base_codes is not None:
+        index_codes = base_codes.unionByName(
+            spark.read.schema(base_codes.schema)
+            .parquet(codes_path)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        index_codes = spark.read.parquet(codes_path).localCheckpoint(eager=True)
     new_rows = arriving.join(
         index_codes.select("vec_id"), "vec_id", "left_anti"
     ).localCheckpoint(eager=True)
@@ -2021,9 +2097,14 @@ def semantic_gate_batch(
         )
         .filter(F.col("ub_cos") >= tau - 1e-6)
     )
-    vecs = spark.read.parquet(vecs_path).unionByName(
-        new_rows.select("vec_id", "qv")
+    stored_vecs = (
+        base_vecs.unionByName(
+            spark.read.schema(base_vecs.schema).parquet(vecs_path)
+        )
+        if base_vecs is not None
+        else spark.read.parquet(vecs_path)
     )
+    vecs = stored_vecs.unionByName(new_rows.select("vec_id", "qv"))
     # dropDuplicates on the SHORTLIST-sized frame absorbs the one
     # reachable half-applied state (vecs appended, codes not — see the
     # append order below): duplicate a_id rows carry identical vectors,
@@ -2158,9 +2239,20 @@ def run_streaming_semantic_dedup(
     # exactly the bytes this gate persists).
     mns, rngs = sq8_stats(cells)
 
+    # The committed-side CODES and VECTORS index tables are SPLIT like
+    # D36/D38's (r16, guide §5/§6): base = in-run materialized frames
+    # (codes via one checkpoint; vectors as a narrow projection of the
+    # already-checkpointed cells), disk = per-batch DELTA appends only.
+    # Pre-r16 both tables were written whole at bootstrap (the vector
+    # table is the full corpus at 8 bytes/dim — the largest write any
+    # ingest gate paid) and the codes table re-read + re-materialized
+    # per batch. The gate's view stays base ∪ deltas-before-this-batch,
+    # and the crash-seam replay algebra is unchanged (deltas only).
     codes_path, vecs_path = f"{work}/index_codes", f"{work}/index_vecs"
-    sq8_encode(cells, mns, rngs).write.mode("overwrite").parquet(codes_path)
-    cells.select("vec_id", "qv").write.mode("overwrite").parquet(vecs_path)
+    base_codes = sq8_encode(cells, mns, rngs).localCheckpoint(eager=True)
+    base_vecs = cells.select("vec_id", "qv")
+    os.makedirs(codes_path, exist_ok=True)
+    os.makedirs(vecs_path, exist_ok=True)
     tau = float(_TAU)
 
     def _gate_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -2175,6 +2267,8 @@ def run_streaming_semantic_dedup(
             vecs_path=vecs_path,
             out_dir=f"{work}/out",
             tau=tau,
+            base_codes=base_codes,
+            base_vecs=base_vecs,
         )
 
     with _scaled_state_shuffle(spark, src, emb_glob):
