@@ -440,6 +440,59 @@ def test_cms_estimate_never_underestimates(spark, tables):
     assert all(r.est_n >= r.exact_n for r in rows)
 
 
+def test_pq_train_update_matches_reference(spark):
+    """r16 pin for the _pq_train update step (the per-round back-join was
+    replaced by carrying the subvector THROUGH the argmin struct): one
+    training round's codebooks must equal a pure-Python Lloyd update —
+    md5-top-k seeds, (d, cid)-argmin assignment per subspace, per
+    (sub, code, dim) member mean — on a small deterministic corpus."""
+    import hashlib
+
+    from guidance_for_analytics_observability_on_aws_spark.operators.similarity import (
+        _pq_train,
+    )
+
+    m, k, d = 2, 3, 4
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(d)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<double>")
+    got = _pq_train(df, m=m, k=k, iters=1, cache_key=None)
+
+    # Reference: identical seeding and one identical update, in Python.
+    by_id = dict(rows)
+    seed_ids = sorted(
+        by_id, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    sub_d = d // m
+    books = {
+        (s, c): by_id[i][s * sub_d : (s + 1) * sub_d]
+        for s in range(m)
+        for c, i in enumerate(seed_ids)
+    }
+    sums: dict[tuple, list] = {}
+    counts: dict[tuple, int] = {}
+    for i, vec in rows:
+        for s in range(m):
+            sv = vec[s * sub_d : (s + 1) * sub_d]
+            best = min(
+                (
+                    (sum((x - y) ** 2 for x, y in zip(sv, books[(s, c)])), c)
+                    for c in range(k)
+                )
+            )[1]
+            acc = sums.setdefault((s, best), [0.0] * sub_d)
+            for dim, x in enumerate(sv):
+                acc[dim] += x
+            counts[(s, best)] = counts.get((s, best), 0) + 1
+    expected = dict(books)
+    for key, acc in sums.items():
+        expected[key] = [x / counts[key] for x in acc]
+    assert set(got) == set(expected)
+    for key in expected:
+        assert got[key] == pytest.approx(expected[key], rel=1e-9, abs=1e-9), key
+
+
 def test_kmeans_converges_and_covers(spark, tables):
     """Lloyd's refinement must not increase total inertia, and every vector
     is assigned to exactly one cluster."""
