@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.telemetry import task_metrics
-from .collector import events_stream
+from .collector import _scaled_state_shuffle, events_stream
 
 OUTPUT_SCHEMA = (
     "executor_id string, batch_records bigint, total_records bigint, "
@@ -73,14 +73,19 @@ def run_stateful_buffer_counter(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r16: these applyInPandasWithState runners were the five start sites
+    # the r15 state-partition sizing missed (all collector.py sites were
+    # wrapped; stateful.py's were not) — each micro-batch opened the full
+    # batch-width complement of state stores regardless of rows.
+    with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name)
 
 
@@ -166,14 +171,15 @@ def run_tws_buffer_counter(
             outputMode="Update",
             timeMode="None",
         )
-        q = (
-            counted.writeStream.format("memory")
-            .queryName(sink_name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _scaled_state_shuffle(spark, sf_dir, "events.parquet"):
+            q = (
+                counted.writeStream.format("memory")
+                .queryName(sink_name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prior is None:
             spark.conf.unset(prov_key)
@@ -318,14 +324,18 @@ def run_streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    src, glob = (
+        (sf_dir, "events.parquet") if stream_dir is None else (stream_dir, "*.parquet")
     )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, src, glob):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window
 
     if progress_out is not None:
@@ -447,14 +457,15 @@ def run_streaming_gap_fill(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, src, glob):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     grid = spark.table(name)
     if progress_out is not None:
         progress_out.append(grid.count())
@@ -573,14 +584,15 @@ def run_streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scaled_state_shuffle(spark, src, glob):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     panel = spark.table(name)
     if progress_out is not None:
         progress_out.append(panel.count())
