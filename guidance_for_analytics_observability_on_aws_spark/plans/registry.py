@@ -1128,10 +1128,85 @@ for _name, _b in _LATE_OBS_BUILDERS.items():
 # (never-checked first, then code-changed-since-evidence, then
 # oldest-evidence backfill ascending by last driver round.)
 _PRIORITY = [
-    # r15 window (50 slots exactly), GENERATED by the codified recipe:
-    #   python tools/evidence_ledger.py --priority --changed \
-    #     decontaminate_eval_report,dup_groups_star,dup_groups_incremental,\
-    #     dup_groups_nightly
+    # r16 window (50 slots exactly), GENERATED by the codified recipe:
+    #   python tools/evidence_ledger.py --priority --changed <the 50
+    #   entries whose CODE/plan changed in the r15-r16 optimization
+    #   commits — see SURVEY §2's r16 row for the exact argument>
+    #   slots 1-21  — the sql-backed changed entries: the curation
+    #                 funnels + eval report + dedup/CC family now served
+    #                 by the session shared candidate-graph frames and
+    #                 the prefix-filter truth join (2708fd2), and the
+    #                 trained-ANN family's cold-path rework (ee96cf7):
+    #                 one-pass corpora, no per-round back-join,
+    #                 overlapped D21 training. An optimization round's
+    #                 window is dominated by group 2 of the recipe —
+    #                 there are no new entries, and nothing outranks
+    #                 re-verifying every plan the round touched.
+    #   slots 22-49 — the streaming runners: all sized per their actual
+    #                 source glob (4101764), the five stateful.py sites
+    #                 newly wrapped (ae736c1), the three ingest gates'
+    #                 split committed-side indexes (7bc6f31).
+    #   slot  50    — source_incremental_view (sizing glob change).
+    #   Backfill contributes nothing this round: the changed set alone
+    #   fills the window; the r10-evidence remainder (export_order_plan
+    #   onward) stays queued for a future window.
+    "corpus_curation_pipeline",
+    "corpus_curation_pipeline_v2",
+    "corpus_curation_pipeline_v3",
+    "dedup_eval_report",
+    "similarity_pq",
+    "similarity_ivf_pq",
+    "similarity_ivf_pq_residual",
+    "similarity_ivf_pq_multiprobe",
+    "similarity_index_persist_report",
+    "similarity_eval_report",
+    "embedding_kmeans",
+    "similarity_ivf_trained",
+    "dedup_semantic_trained",
+    "dedup_minhash_lsh",
+    "dedup_minhash_estimate",
+    "dedup_containment_banded",
+    "dup_groups",
+    "dup_groups_star",
+    "dup_groups_incremental",
+    "split_leak_proof",
+    "stream_paragraph_decon_ingest",
+    "stream_ewma_smooth",
+    "stream_error_budget",
+    "stream_burn_rate",
+    "stream_histogram_rollup",
+    "stream_metrics_window",
+    "stream_collector_pipeline",
+    "stream_stage_agg",
+    "stream_session_windows",
+    "stream_dedup_ingest",
+    "stream_alert_rules",
+    "stream_incremental_dedup",
+    "stream_heavy_hitters",
+    "stream_rolling_wau",
+    "stream_tail_sampling",
+    "stream_near_dedup_ingest",
+    "stream_cusum_drift",
+    "stream_gap_fill",
+    "stream_trend_regression",
+    "stream_metric_log_join",
+    "stream_alert_flap",
+    "stream_red_panel",
+    "stream_forecast_linear",
+    "stream_metric_correlation",
+    "stream_media_dedup_ingest",
+    "stream_bloom_build",
+    "stream_repeated_spans_scrub",
+    "stream_prefix_dedup_ingest",
+    "stream_semantic_dedup_ingest",
+    "source_incremental_view",
+]
+
+# r15 window (kept for the ledger's history; superseded by the r16
+# rotation above), GENERATED by the codified recipe:
+#   python tools/evidence_ledger.py --priority --changed \
+#     decontaminate_eval_report,dup_groups_star,dup_groups_incremental,\
+#     dup_groups_nightly
     #   slots 1-3   — the THREE r15 additions with no driver row: P32
     #                 decontaminate_paragraph (paragraph-granularity
     #                 decontamination, hash-exact), O85
@@ -1156,58 +1231,8 @@ _PRIORITY = [
     #                 obs_error_rate_moving_avg, obs_alert_rules).
     #   slots 19-50 — r10-evidence backfill in ledger order (32 of the
     #                 r10 block fit; the remainder — export_order_plan
-    #                 onward — leads the r16 window).
-    "decontaminate_paragraph",
-    "obs_dashboard_parity",
-    "stream_paragraph_decon_ingest",
-    "decontaminate_eval_report",
-    "dup_groups_star",
-    "dup_groups_incremental",
-    "dup_groups_nightly",
-    "obs_ewma_smooth",
-    "similarity_eval_report",
-    "obs_error_budget",
-    "stream_ewma_smooth",
-    "obs_distinct_rollup_hll",
-    "obs_burn_rate_multiwindow",
-    "dedup_cdc_chunks",
-    "stream_error_budget",
-    "obs_heavy_hitters_cms",
-    "obs_error_rate_moving_avg",
-    "obs_alert_rules",
-    "asof_join_attribution",
-    "events_funnel",
-    "merge_scd2_customers",
-    "customers_monthly_cohorts",
-    "customers_abc_pareto",
-    "customers_rfm_segments",
-    "dedup_containment",
-    "similarity_ivf_multiprobe",
-    "vocab_coverage",
-    "pack_sequences_distributed",
-    "text_top_terms",
-    "mm_shard_manifest",
-    "mm_dedup_exact",
-    "mm_resize",
-    "mm_media_sample",
-    "obs_task_percentiles_distributed",
-    "obs_top_movers",
-    "obs_value_histogram",
-    "obs_metric_correlation",
-    "stream_burn_rate",
-    "obs_forecast_linear",
-    "text_length_percentiles",
-    "obs_histogram_rollup",
-    "dedup_prefix_filter",
-    "obs_alert_flap",
-    "source_zone_map_report",
-    "text_vocab_growth",
-    "dedup_sorted_neighborhood",
-    "stream_histogram_rollup",
-    "obs_red_panel",
-    "text_dup_fraction",
-    "decontaminate_neardup",
-]
+    #                 onward — stays queued behind the r16 changed set).
+    # (the full r15 list lives in SURVEY §2's r15 row and git history)
 
 
 

@@ -291,64 +291,64 @@ def test_driver_window_composition():
     displace sql-backed entries out of the driver's view."""
     names = list(REGISTRY)
     first50 = names[:50]
-    # r15 rotation (the committed r14 plan + this round's additions/
-    # changes at the head per the contract): 3 never-checked (P32
-    # decontaminate_paragraph, O85 obs_dashboard_parity, P33
-    # stream_paragraph_decon_ingest) + 4 code-
-    # changed (P31 fourth gate; star-CC consumers P15/P19/P23 — Arrow
-    # label frames + the nightly's size-known fold dispatch / warm
-    # mirrors / measured-byte commits), then the 8 r8-evidence overflow
-    # entries, the 3 r10-evidence entries, and r10-evidence backfill in
-    # ledger order (see _PRIORITY's comment and SURVEY §2).
+    # r16 rotation: an optimization round registers nothing new, so the
+    # window is group 2 of the recipe wall-to-wall — the 50 entries whose
+    # CODE/plan changed across the r15-r16 optimization commits (shared
+    # candidate-graph frames + prefix-filter truth; trained-family
+    # cold-path rework; per-glob state sizing incl. the five stateful.py
+    # sites; split ingest-gate indexes). 13 are sql-backed (hash-exact
+    # checks) — exactly the 13 oracled entries the round's commits
+    # touched; the rest are the rows-only trained/streaming runners
+    # (see _PRIORITY's comment and SURVEY §2).
     n_sql = sum(1 for n in first50 if REGISTRY[n].oracle is not None)
-    assert n_sql == 40, f"{n_sql} sql-backed entries in the driver window"
+    assert n_sql == 13, f"{n_sql} sql-backed entries in the driver window"
     head = (
-        "decontaminate_paragraph",
-        "obs_dashboard_parity",
-        "stream_paragraph_decon_ingest",
-        "decontaminate_eval_report",
+        "corpus_curation_pipeline",
+        "corpus_curation_pipeline_v2",
+        "corpus_curation_pipeline_v3",
+        "dedup_eval_report",
+        "similarity_pq",
+        "similarity_ivf_pq",
+        "similarity_ivf_pq_residual",
+        "similarity_ivf_pq_multiprobe",
+        "similarity_index_persist_report",
+        "similarity_eval_report",
+        "embedding_kmeans",
+        "similarity_ivf_trained",
+        "dedup_semantic_trained",
+        "dedup_minhash_lsh",
+        "dedup_minhash_estimate",
+        "dedup_containment_banded",
+        "dup_groups",
         "dup_groups_star",
         "dup_groups_incremental",
-        "dup_groups_nightly",
-        "obs_ewma_smooth",
-        "similarity_eval_report",
-        "obs_error_budget",
-        "stream_ewma_smooth",
-        "obs_distinct_rollup_hll",
-        "obs_burn_rate_multiwindow",
-        "dedup_cdc_chunks",
-        "stream_error_budget",
-        "obs_heavy_hitters_cms",
-        "obs_error_rate_moving_avg",
-        "obs_alert_rules",
+        "split_leak_proof",
     )
     assert tuple(first50[: len(head)]) == head
-    # spot-check the r10-evidence backfill block is inside the window:
+    # spot-check the changed streaming block is inside the window:
     for expected in (
-        "asof_join_attribution",
-        "merge_scd2_customers",
-        "dedup_prefix_filter",
-        "obs_red_panel",
-        "decontaminate_neardup",  # slot 50, the last fitting r10 entry
+        "stream_ewma_smooth",            # stateful.py site newly sized
+        "stream_repeated_spans_scrub",   # split committed-side index
+        "stream_prefix_dedup_ingest",    # split committed-side index
+        "stream_semantic_dedup_ingest",  # split committed-side index
+        "source_incremental_view",       # slot 50, sizing glob change
     ):
         assert expected in first50, f"{expected} fell out of the driver window"
-    # and fresher already-green entries must NOT re-occupy scarce slots
+    # and unchanged already-green entries must NOT re-occupy scarce slots
     # (the rotation contract: never-checked, then code-changed, then AGED
-    # — everything r11-or-fresher past the changed set yields its slot;
-    # the r14 window's entries are all freshly green and rotate out):
+    # — the r15 window's entries are all freshly green and rotate out;
+    # stream_paragraph_decon_ingest alone re-enters, as a CHANGED entry):
     for fresh_green in (
-        "text_gopher_line_shape",       # r14-green, unchanged
-        "mixture_temperature_plan",     # r14-green, unchanged
-        "text_nb_langid",               # r14-green, unchanged
-        "dedup_semantic",               # r14-green, unchanged
-        "dedup_paragraph_minhash",      # r14-green, unchanged
-        "obs_date_histogram",           # r14-green, unchanged
-        "embedding_kmeans",             # r14-green, unchanged
-        "similarity_pq",                # r14-green, unchanged
-        "dedup_eval_report",            # r14-green, unchanged
-        "docs_kmv_overlap",             # r14-green, unchanged
-        "obs_task_metrics",             # r13-green, unchanged
-        "similarity_sq8",               # r13-green, unchanged
+        "decontaminate_paragraph",      # r15-green, unchanged
+        "obs_dashboard_parity",         # r15-green, unchanged
+        "decontaminate_eval_report",    # r15-green, unchanged this round
+        "dup_groups_nightly",           # r15-green, builder unchanged
+        "obs_ewma_smooth",              # r15-green, unchanged (its TWIN
+                                        # runner changed, not the batch op)
+        "dedup_cdc_chunks",             # r15-green, unchanged
+        "obs_alert_rules",              # r15-green, unchanged
+        "asof_join_attribution",        # r15-green backfill, unchanged
+        "decontaminate_neardup",        # r15-green backfill, unchanged
     ):
         assert fresh_green not in first50, (
             f"{fresh_green} wastes a driver-window slot"
