@@ -1158,11 +1158,14 @@ _PRIORITY = [
     "similarity_ivf_pq",
     "similarity_ivf_pq_residual",
     "similarity_ivf_pq_multiprobe",
-    "similarity_index_persist_report",
     "similarity_eval_report",
     "embedding_kmeans",
     "similarity_ivf_trained",
     "dedup_semantic_trained",
+    # persist_report LAST among the family: its restart simulation wipes
+    # the session model/frame registries (trained_cache_clear), so any
+    # family member ordered after it re-trains cold in the rows section.
+    "similarity_index_persist_report",
     "dedup_minhash_lsh",
     "dedup_minhash_estimate",
     "dedup_containment_banded",

@@ -311,11 +311,11 @@ def test_driver_window_composition():
         "similarity_ivf_pq",
         "similarity_ivf_pq_residual",
         "similarity_ivf_pq_multiprobe",
-        "similarity_index_persist_report",
         "similarity_eval_report",
         "embedding_kmeans",
         "similarity_ivf_trained",
         "dedup_semantic_trained",
+        "similarity_index_persist_report",
         "dedup_minhash_lsh",
         "dedup_minhash_estimate",
         "dedup_containment_banded",
