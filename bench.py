@@ -362,8 +362,36 @@ def _control_probe(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-#: Rows-only runners between two in-section control probes.
-_ROWS_PROBE_EVERY = 10
+#: Rows-only runners between two in-section control probes. Tightened
+#: 10 -> 5 in r16 after a run showed steal bursts finer than the
+#: spacing (clean probes bracketing 3-4x-inflated runners); the
+#: per-runner steal deltas below are the exact-granularity companion.
+_ROWS_PROBE_EVERY = 5
+
+
+def _steal_jiffies() -> "int | None":
+    """Cumulative hypervisor steal time (USER_HZ jiffies summed over all
+    CPUs, field 8 of /proc/stat's first line) — None where unavailable
+    (non-Linux, restricted /proc). Two reads bracketing a timed region
+    attribute hypervisor contention DIRECTLY and for free: the r16
+    sandbox showed ~8,100 CPU-seconds of steal land inside one bench
+    hour in bursts finer than the in-section probe spacing, so probes
+    alone under-attribute; a per-region delta cannot miss."""
+    try:
+        fields = open("/proc/stat").readline().split()
+        return int(fields[8]) if fields and fields[0] == "cpu" else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_rate(s0: "int | None", s1: "int | None", elapsed: float) -> "float | None":
+    """Steal jiffies per wall-second across a timed region, None when
+    either read failed or the region is degenerate. USER_HZ is 100 on
+    every supported platform, so ~32 fully stolen CPUs ≈ 3200/s; values
+    ≥ ~100/s mean the region lost at least one CPU to the hypervisor."""
+    if s0 is None or s1 is None or elapsed <= 0:
+        return None
+    return round((s1 - s0) / elapsed, 1)
 
 
 def _inflation(control_now: dict[str, float], control_best: dict[str, float]) -> float:
@@ -439,19 +467,34 @@ def section_rows(sf_dir: str) -> None:
     # could not see mid-section bursts. Probe time is NOT added to any
     # runner's timing or the section total.
     probes: list = [[0, _control_probe(spark, sf_dir)]]
+    # Per-runner steal deltas (r16): hypervisor contention measured
+    # ACROSS each runner's own timed region — exact-granularity burst
+    # attribution the sampled probes cannot provide. Two /proc/stat
+    # reads per runner; the timed region itself is untouched.
+    steal_rate: dict[str, float] = {}
     for i, name in enumerate(_rows_only_names(), start=1):
         builder = builders[name][0] if name in builders else REGISTRY[name].builder
+        s0 = _steal_jiffies()
         t0 = time.perf_counter()
         df = builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        rows_only[name] = round(time.perf_counter() - t0, 3)
+        elapsed = time.perf_counter() - t0
+        rows_only[name] = round(elapsed, 3)
+        rate = _steal_rate(s0, _steal_jiffies(), elapsed)
+        if rate is not None:
+            steal_rate[name] = rate
         if i % _ROWS_PROBE_EVERY == 0:
             probes.append([i, _control_probe(spark, sf_dir)])
     if probes[-1][0] != len(rows_only):
         probes.append([len(rows_only), _control_probe(spark, sf_dir)])
     print(
         json.dumps(
-            {"rows_only_sec": rows_only, "control": control, "control_probes": probes}
+            {
+                "rows_only_sec": rows_only,
+                "control": control,
+                "control_probes": probes,
+                "steal_per_sec": steal_rate,
+            }
         )
     )
     spark.stop()
@@ -490,7 +533,16 @@ def main() -> None:
     # the headline record is printed, so a rows-section crash or timeout
     # can never cost the round its core record (the file's standing
     # invariant).
+    # Section-level steal rates (r16): hypervisor contention measured
+    # across each section's whole wall window — the coarse companion to
+    # the rows section's per-runner deltas, catching "this section was
+    # burst-hit" even when the sampled controls land in clean moments.
+    section_steal: dict[str, float] = {}
+    s0, t0 = _steal_jiffies(), time.perf_counter()
     core = _run_section("core")
+    rate = _steal_rate(s0, _steal_jiffies(), time.perf_counter() - t0)
+    if rate is not None:
+        section_steal["core"] = rate
 
     spark = get_spark("gfaooa-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -502,9 +554,13 @@ def main() -> None:
     # a clean re-run matched r3 to 0.1%). Steady-state minima are also the
     # honest basis for the 100 TB throughput claims.
     all_names = extended_names()
+    s0, t0 = _steal_jiffies(), time.perf_counter()
     passes: list[dict[str, float]] = [
         _timed_pass(spark, sf_dir, all_names) for _ in range(2)
     ]
+    rate = _steal_rate(s0, _steal_jiffies(), time.perf_counter() - t0)
+    if rate is not None:
+        section_steal["extended"] = rate
 
     first = passes[0]
     # The min ratchet folds in the fresh-process core measurements too —
@@ -529,6 +585,7 @@ def main() -> None:
         "n_queries": len(first),
         "methodology": "core35+rows_only fresh-process; extended shared-session",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "section_steal_per_sec": section_steal,
     }
     # Headline record FIRST, so a timeout/crash inside the (slower)
     # rows-only section below can never cost the round its core record.
@@ -537,7 +594,11 @@ def main() -> None:
     # Rows-only runners in their OWN fresh process (see section_rows) —
     # run only now, after the headline record above is safely printed.
     # The shared session sits idle while the subprocess owns the CPUs.
+    s0, t0 = _steal_jiffies(), time.perf_counter()
     rows = _run_section("rows")
+    rate = _steal_rate(s0, _steal_jiffies(), time.perf_counter() - t0)
+    if rate is not None:
+        section_steal["rows"] = rate
     rows_only: dict[str, float] = rows["rows_only_sec"]
     controls = {
         "core": core.get("control", {}),
@@ -778,6 +839,7 @@ def main() -> None:
                     for n, p, c, z in rows_regressions_norm
                 ],
                 "rows_control_probes": probes,
+                "rows_steal_per_sec": rows.get("steal_per_sec", {}),
                 "rows_segment_inflation": {
                     n: f for n, f in sorted(seg_factor.items())
                 },
@@ -828,6 +890,11 @@ def main() -> None:
                 "queries": {**first, **core["first"]},
                 "queries_min": best,
                 "rows_only_sec": rows_only,
+                # Per-runner hypervisor-steal rates (jiffies/s across each
+                # runner's own timed region) — lets a reader of THIS line
+                # alone adjudicate which rows timings were burst-hit even
+                # when the sampled probes landed in clean moments.
+                "rows_steal_per_sec": rows.get("steal_per_sec", {}),
             }
         )
     )
